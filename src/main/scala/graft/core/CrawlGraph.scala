@@ -1,0 +1,158 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The crawl's control-flow operator: bounded BFS with memoization
+  * (SURVEY.md §2.10; reference `web_spider_oo.py:91-138`).
+  *
+  * Spark mapping: a driver-side loop over DataFrames. Each depth does one
+  * distributed join + anti-join; `localCheckpoint(eager = true)` truncates
+  * lineage so a depth-k plan stays O(1) instead of O(k) (SURVEY.md §7.4
+  * risk 2). Frontier/visited stay distributed the whole way — nothing is
+  * collected to the driver, so the same loop runs on a 1000-executor
+  * cluster with a 100 TB edge table unchanged.
+  */
+object CrawlGraph {
+
+  /** Min-depth BFS over an edge table.
+    *
+    * @param edges    DataFrame with columns (parent, child)
+    * @param roots    depth-0 seed URLs
+    * @param maxDepth inclusive bound = the reference's `pen_depth`
+    *                 (`web_spider_oo.py:93`)
+    * @return DataFrame (depth INT, url STRING): every node reachable in
+    *         <= maxDepth hops, labeled with its minimum depth — the
+    *         visited-set semantics of `unique_links_set`
+    *         (`web_spider_oo.py:87,98-101`).
+    */
+  def bfs(spark: SparkSession, edges: DataFrame, roots: Seq[String],
+          maxDepth: Int, checkpointInterval: Int = 3): DataFrame = {
+    import spark.implicits._
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var visited = roots.toDF("url").withColumn("depth", lit(0))
+      .select($"depth", $"url").localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      // children of the frontier (A2 union-distinct, web_spider_oo.py:121)
+      val children = edges
+        .join(frontier.select($"url".as("parent")).hint("broadcast"), "parent")
+        .select(col("child").as("url")).distinct()
+      // F4 visited anti-join (web_spider_oo.py:98-101); frontier is distinct
+      // and disjoint from visited, so the union below needs no distinct.
+      val next = children
+        .join(visited.select("url"), Seq("url"), "left_anti")
+        .select(lit(depth + 1).as("depth"), $"url")
+      depth += 1
+      // persist every depth (reused twice); hard-truncate lineage only
+      // every checkpointInterval depths — checkpoints cost a full
+      // materialization, unbounded lineage costs plan blow-up (§7.4 r2).
+      frontier = if (depth % checkpointInterval == 0) next.localCheckpoint()
+                 else { val p = next.persist(); persisted += p; p }
+      visited = if (depth % checkpointInterval == 0)
+        visited.union(frontier).localCheckpoint()
+      else { val p = visited.union(frontier).persist(); persisted += p; p }
+    }
+    // cut lineage off the persisted intermediates, then release them
+    val result = visited.localCheckpoint()
+    persisted.foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** J1 edge generation with the INTENDED per-parent semantics: each parent
+    * paired with its OWN children at a given depth — not the reference's
+    * prefix-accumulated bug (`web_spider_oo.py:125-127` builds edges from
+    * `child_level_links`, i.e. all children so far at the depth; docstring
+    * `:314` states the per-parent intent; SURVEY.md §2.10 fidelity note).
+    */
+  def edgesWithDepth(edges: DataFrame, depth: Int): DataFrame =
+    edges.select(
+      lit(depth).as("pen_depth"),
+      col("parent").as("parent_link"),
+      col("child").as("child_link"))
+
+  /** A4 surrogate-key assignment, deterministic form: the reference's
+    * `enumerate(set)` (`web_spider_oo.py:321-326`) is nondeterministic;
+    * we pin ids with a total order (FIXTURES.md A3).
+    *
+    * Scale note: a global `Window.orderBy` funnels through ONE partition —
+    * fine for dimension-sized link tables (what the reference stores), but
+    * for billion-row key assignment use [[surrogateKeysScalable]].
+    */
+  def surrogateKeys(links: DataFrame, linkCol: String): DataFrame =
+    links.select(col(linkCol).as("link_name")).distinct()
+      .select(
+        (row_number().over(Window.orderBy("link_name")) - 1)
+          .cast("long").as("link_id"),
+        col("link_name"))
+
+  /** Scalable surrogate keys: sort-partition then per-partition offsets via
+    * `zipWithIndex`-style two-pass — no single-partition funnel, still
+    * deterministic (ids dense, ordered by link_name). */
+  def surrogateKeysScalable(spark: SparkSession, links: DataFrame,
+                            linkCol: String): DataFrame = {
+    import spark.implicits._
+    val distinctSorted = links.select(col(linkCol).as("link_name"))
+      .distinct().repartitionByRange(col("link_name"))
+      .sortWithinPartitions("link_name")
+    val rdd = distinctSorted.as[String].rdd.zipWithIndex()
+    rdd.map { case (name, id) => (id, name) }.toDF("link_id", "link_name")
+  }
+
+  /** Full crawl pipeline over a pre-fetched `pages(url, status, html)`
+    * table (the analytics-side model of the HTTP source, SURVEY.md §2.1 S1):
+    * per-depth fetch-filter (status==200, `web_spider_oo.py:104-105`),
+    * link extraction (S3), cleaning (F1-F3 + per-page distinct A1),
+    * edge emission (J1, intended semantics), and visited accumulation (A3).
+    *
+    * @return (edges(pen_depth, parent_link, child_link),
+    *          unique_links(link_id, link_name))
+    */
+  def crawl(spark: SparkSession, pages: DataFrame, rootSite: String,
+            penDepth: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ok = pages.filter($"status" === 200)
+      .filter(!lower($"url").endsWith("xlsx") && !lower($"url").endsWith("xls"))
+    // url -> its cleaned child urls (S3 -> F1-F3 -> A1)
+    val childEdges = ok
+      .select($"url".as("parent"),
+        explode(LinkOps.extractHrefs($"html")).as("link"))
+      .filter(LinkOps.keepLink($"link"))
+      .select($"parent",
+        concat(lit(rootSite), expr("substring(link, 2)")).as("child"))
+      .distinct()
+      .persist()
+
+    // Bounded-depth loop built fully lazily: an empty frontier makes the
+    // remaining iterations cheap no-op joins, so no per-depth isEmpty
+    // action is needed — the whole crawl materializes in ONE final job,
+    // with per-depth frontiers persisted for reuse across the edge and
+    // visited branches.
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var visited = Seq(rootSite).toDF("url").localCheckpoint()
+    var frontier = visited
+    var edgesAcc: DataFrame = null
+    for (depth <- 0 until penDepth) {
+      val mined = childEdges
+        .join(frontier.select($"url".as("parent")).hint("broadcast"), "parent")
+      val newEdges = CrawlGraph.edgesWithDepth(mined, depth)
+      edgesAcc = if (edgesAcc == null) newEdges else edgesAcc.union(newEdges)
+      val children = mined.select($"child".as("url")).distinct()
+      // frontier is distinct+disjoint from visited -> union needs no distinct
+      frontier = { val p = children.join(visited, Seq("url"), "left_anti").persist()
+        persisted += p; p }
+      visited = { val p = visited.union(frontier).persist(); persisted += p; p }
+    }
+    val edges = Option(edgesAcc).map(_.localCheckpoint()).getOrElse(
+      spark.emptyDataFrame
+        .withColumn("pen_depth", lit(0))
+        .withColumn("parent_link", lit(""))
+        .withColumn("child_link", lit("")))
+    val uniqueLinks = surrogateKeys(visited, "url").localCheckpoint()
+    persisted.foreach(_.unpersist(blocking = false))
+    childEdges.unpersist(blocking = false)
+    (edges, uniqueLinks)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.ContainsAny
+
+/** Link cleaning / extraction operators of the crawl pipeline, re-expressed
+  * as Spark `Column` transforms (SURVEY.md §2.1, §2.3, §2.8).
+  *
+  * All operators are pure column expressions (codegen'd, no UDF in the hot
+  * path) so Catalyst can push them into scans and keep them inside
+  * whole-stage codegen — at 100 TB the frontier-cleaning filter chain runs
+  * once per extracted link and must not break the codegen span.
+  */
+object LinkOps {
+
+  /** The reference's 28-entry substring blacklist, verbatim incl. the
+    * case-sensitive `app`/`App` pair and the `google` duplicate
+    * (reference `web_spider_oo.py:195-225`).
+    */
+  val filterWords: Seq[String] = Seq(
+    "career", "login", "main-content", "pay", "your", "form", "#",
+    "account", "auth", "contact", "activate", "reservation", "book",
+    "tel", "facebook", "instagram", "subscribe", "google", "linkedin",
+    "youtube", "mail", "app", "App", "help", "sponsor", "terms",
+    "twitter", "@")
+
+  /** Lenient `<a href="...">` extractor over raw HTML -> ARRAY<STRING>.
+    * Re-expresses BeautifulSoup link mining (`web_spider_oo.py:251-263`)
+    * with a codegen'd regexp (no external parser dep; offline build).
+    */
+  def extractHrefs(html: Column): Column =
+    regexp_extract_all(html, lit("""<a\s[^>]*?href\s*=\s*"([^"]*)""""), lit(1))
+
+  /** HTML -> visible text (tag strip), the K2 text-sink transform
+    * (`soup.text`, `web_spider_oo.py:355,359`). */
+  def htmlToText(html: Column): Column =
+    trim(regexp_replace(regexp_replace(html, "<[^>]*>", " "), " +", " "))
+
+  /** F1: drop null hrefs and the bare root self-link "/"
+    * (`web_spider_oo.py:293-297`). */
+  def keepNonRoot(link: Column): Column = link.isNotNull && link =!= "/"
+
+  /** F2: contains-any blacklist, fixed `not any(...)` semantics of the OO
+    * rewrite (`web_spider_oo.py:292-297`; the superseded version's J2
+    * product-loop was buggy, `web_spider.py:106-136` — we implement the
+    * intended anti-semantics). Codegen'd single pass via [[ContainsAny]].
+    */
+  def hitsBlacklist(link: Column): Column = ContainsAny(link, filterWords)
+
+  /** F2 as a composition of built-ins — reference implementation used to
+    * property-test [[ContainsAny]]. */
+  def hitsBlacklistComposed(link: Column): Column =
+    filterWords.map(link.contains(_)).reduce(_ || _)
+
+  /** F3: relative-link gate — keep ONLY links starting with "/"
+    * (`web_spider_oo.py:299`; absolute links silently dropped, which is
+    * what confines the crawl to one site). */
+  def isRelative(link: Column): Column = link.startsWith("/")
+
+  /** F3 normalization: `root_site + link[1:]` (`web_spider_oo.py:299`).
+    * `root` is expected to end with "/". */
+  def normalize(root: String, link: Column): Column =
+    concat(lit(root), link.substr(lit(2), length(link)))
+
+  /** Full frontier-cleaning predicate F1 ∧ ¬F2 ∧ F3 as applied at
+    * `web_spider_oo.py:292-299`. */
+  def keepLink(link: Column): Column =
+    keepNonRoot(link) && !hitsBlacklist(link) && isRelative(link)
+
+  /** K5/C7: filename sanitization — each of `\ / ? :` -> `_`
+    * (`web_spider_oo.py:382-385`), single-pass `translate`. */
+  def sanitizeFileName(url: Column): Column = translate(url, "\\/?:", "____")
+
+  /** K5 md5 variant (designed at `web_spider_oo.py:367-376,386`):
+    * `md5(root || url)` keeps filenames under the 255-char budget. */
+  def md5FileKey(root: String, url: Column): Column = md5(concat(lit(root), url))
+
+  /** F5: extension dispatch (`web_spider_oo.py:108-115`):
+    * pdf -> binary sink, xlsx/xls -> skip, else text sink + link mining. */
+  def route(url: Column): Column = {
+    val u = lower(url)
+    when(u.endsWith("pdf"), "pdf_sink")
+      .when(u.endsWith("xlsx") || u.endsWith("xls"), "skip")
+      .otherwise("text_sink")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Output connectors of the pipeline (SURVEY.md §2.2).
+  *
+  * K1 JDBC append, K2 text-with-header, K3 binary, K5 filename keying —
+  * all executor-side (`foreachPartition`), nothing funnels through the
+  * driver, so each scales with the number of partitions.
+  */
+object Sinks {
+
+  /** K1: batched JDBC append (`DataFrame.to_sql(..., if_exists="append",
+    * method="multi")`, reference `web_spider_oo.py:343-350`). `batchsize`
+    * is the Spark analog of pandas' multi-row INSERT batching; one
+    * connection per partition mirrors connection pooling (`:140-156`).
+    */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 props: Map[String, String] = Map.empty,
+                 batchSize: Int = 1000): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .mode(SaveMode.Append)
+    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  }
+
+  /** K2: one text file per row with the reference's 2-line header
+    * (`root_site:`/`web_url:`, `web_spider_oo.py:352-359`), named by the
+    * sanitized-url scheme (K5, `:367-390`). Executor-side writes into
+    * `outDir` (shared filesystem on a real cluster).
+    *
+    * Expects columns (url STRING, text STRING).
+    */
+  def writeTextFiles(df: DataFrame, rootSite: String, outDir: String): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    val withName = df.select(
+      concat(LinkOps.sanitizeFileName(concat(lit(rootSite.dropRight(1) + "_"),
+        col("url"))), lit(".txt")).as("file_name"),
+      concat_ws("\n",
+        concat(lit("root_site: "), lit(rootSite)),
+        concat(lit("web_url: "), col("url")),
+        col("text")).as("payload"))
+    withName.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        Files.write(Paths.get(outDir, r.getString(0)),
+          r.getString(1).getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      }
+    }
+  }
+
+  /** K3: binary sink — verbatim bytes per row (`response.content` ->
+    * `.pdf`, reference `web_spider_oo.py:361-365`). Spark has no built-in
+    * binary-file writer, so this is the documented `foreachPartition`
+    * escape hatch (SURVEY.md §2.2 K3).
+    *
+    * Expects columns (url STRING, content BINARY).
+    */
+  def writeBinaryFiles(df: DataFrame, rootSite: String, outDir: String): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    val withName = df.select(
+      concat(LinkOps.sanitizeFileName(concat(lit(rootSite.dropRight(1) + "_"),
+        col("url"))), lit(".pdf")).as("file_name"),
+      col("content"))
+    withName.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        Files.write(Paths.get(outDir, r.getString(0)), r.getAs[Array[Byte]](1),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      }
+    }
+  }
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{CrawlGraph, Tables}
+import graft.ext.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.queries.Queries.QueryDef
+
+/** North-star extension queries (BASELINE.json): the operators a
+  * large-scale LLM training-data pipeline needs, over the driver's
+  * `documents` / `embeddings` tables. Oracles use the same md5-based
+  * deterministic hashing on both engines (no RNG anywhere).
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** distinct word-3-gram shingles per doc, doc_id < `maxDoc`. */
+  private def shingled(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
+    t(s, dir, "documents").where(col("doc_id") < maxDoc)
+      .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), 3)).as("shingle"))
+      .distinct()
+
+  /** SQL fragment: distinct word-3-gram shingles (tri CTE), doc_id < maxDoc. */
+  private def triSql(maxDoc: Int): String =
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |         FROM documents WHERE doc_id < $maxDoc),
+       |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |        FROM docs WHERE len(toks) >= 3),
+       |tri AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |        FROM idx)""".stripMargin
+
+  // ---------- dedup ----------
+
+  /** Exact dedup: md5 group key + keep-first marking. */
+  val qDedupExact = QueryDef("q_dedup_exact",
+    (s, dir) => DedupOps.markExactDups(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("dup_key"), col("is_dup"))
+      .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, md5(text) AS dup_key,
+        |       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Exact n-gram Jaccard over a bounded verification set (at scale this
+    * runs only on LSH candidates — DedupOps scale note). */
+  val qNgramJaccard = QueryDef("q_ngram_jaccard",
+    (s, dir) => DedupOps.jaccardPairs(shingled(s, dir, 120), "doc_id", 0.0)
+      .orderBy("a", "b"),
+    Some(
+      s"""WITH ${triSql(120)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+         |          FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b, CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |ORDER BY a, b""".stripMargin))
+
+  private val numSeeds = 12
+
+  /** MinHash signatures (12 seeds, md5-based min-hash over shingle sets). */
+  val qMinhashSignatures = QueryDef("q_minhash_signatures",
+    (s, dir) => DedupOps.minhashSignatures(shingled(s, dir, 200), "doc_id", numSeeds)
+      .orderBy("doc_id", "seed"),
+    Some(
+      s"""WITH ${triSql(200)}
+         |SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
+         |       min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS minhash
+         |FROM tri, generate_series(0, ${numSeeds - 1}) s(seed)
+         |GROUP BY doc_id, s.seed ORDER BY doc_id, seed""".stripMargin))
+
+  /** Full MinHash+LSH near-dup pipeline (signatures -> bands -> bucket
+    * join) over ALL docs — the 100 TB scale path. Rows-only check: the
+    * band-bucket summary (always non-empty) incl. per-bucket candidate
+    * count. */
+  val qMinhashLshPairs = QueryDef("q_minhash_lsh",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), 3)).as("shingle"))
+      val bands = DedupOps.minhashBands(sh, "doc_id", numSeeds, rowsPerBand = 4)
+      bands
+        .withColumn("n_bucket",
+          count(lit(1)).over(Window.partitionBy("band", "band_sig")).cast("long"))
+        .select("doc_id", "band", "band_sig", "n_bucket")
+        .orderBy("doc_id", "band")
+    },
+    None)
+
+  /** 16-bit SimHash fingerprints (md5 hex-digit parity votes). */
+  val qSimhash = QueryDef("q_simhash",
+    (s, dir) => DedupOps.simhash16(
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")),
+      "doc_id", "tok").orderBy("doc_id"),
+    Some(
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |bits AS (SELECT doc_id, j.j,
+        |           (instr('0123456789abcdef', substring(md5(tok), j.j + 1, 1)) - 1) % 2 AS bit
+        |         FROM toks, generate_series(0, 15) j(j)),
+        |votes AS (SELECT doc_id, j, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ---------- similarity search ----------
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5 (broadcast
+    * query side; corpus streams — the correctness baseline for ANN). */
+  val qKnnCosine = QueryDef("q_knn_cosine",
+    (s, dir) => SimilarityOps.knnBruteForce(
+      t(s, dir, "embeddings").where(col("vec_id") < 5),
+      t(s, dir, "embeddings"), 10)
+      .select("query_id", "vec_id", "cos_sim", "rn")
+      .orderBy("query_id", "rn"),
+    Some(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |dots AS (SELECT q.query_id, v.vec_id,
+        |    sum(CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)) AS qq,
+        |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS vv
+        |  FROM q, embeddings v, generate_series(1, 64) t(i)
+        |  GROUP BY q.query_id, v.vec_id),
+        |scored AS (SELECT query_id, vec_id, round(dot / (sqrt(qq) * sqrt(vv)), 4) AS cos_sim FROM dots),
+        |ranked AS (SELECT query_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn
+        |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin))
+
+  /** Sign-LSH bucketed ANN (deterministic pseudo-hyperplanes) — the scale
+    * path: bucket equi-join instead of cross join. Rows-only. */
+  val qAnnLsh = QueryDef("q_ann_lsh",
+    (s, dir) => SimilarityOps.annLshTopK(
+      t(s, dir, "embeddings"), bits = 8, dim = 64, k = 5)
+      .select("query_id", "vec_id", "cos_sim", "rn")
+      .orderBy("query_id", "rn"),
+    None)
+
+  // ---------- text analysis ----------
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  /** Stopword-profile language ID (argmax over per-language hit counts,
+    * deterministic tie-break en,de,fr,es, 'und' when all zero). */
+  val qLangId = QueryDef("q_lang_id",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hits = TextOps.stopwords.map { case (l, ws) =>
+        l -> TextOps.stopwordHits(col("text"), ws)
+      }
+      docs.select(col("doc_id"),
+        hits("en").as("en_hits"), hits("de").as("de_hits"),
+        hits("fr").as("fr_hits"), hits("es").as("es_hits"),
+        TextOps.langId(col("text")).as("pred_lang"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val h = TextOps.stopwords.map { case (l, ws) =>
+        l -> s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(ws)}))) AS BIGINT)"
+      }
+      s"""WITH scored AS (SELECT doc_id, lang,
+         |  ${h("en")} AS en_hits, ${h("de")} AS de_hits,
+         |  ${h("fr")} AS fr_hits, ${h("es")} AS es_hits
+         |  FROM documents),
+         |best AS (SELECT *, greatest(en_hits, de_hits, fr_hits, es_hits) AS best FROM scored)
+         |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+         |  CASE WHEN en_hits = best AND best > 0 THEN 'en'
+         |       WHEN de_hits = best AND best > 0 THEN 'de'
+         |       WHEN fr_hits = best AND best > 0 THEN 'fr'
+         |       WHEN es_hits = best AND best > 0 THEN 'es'
+         |       ELSE 'und' END AS pred_lang, lang
+         |FROM best ORDER BY doc_id""".stripMargin
+    })
+
+  /** Quality scoring: token stats + stopword/non-alpha ratios (exact
+    * integer numerators/denominators -> identical doubles). */
+  val qQualityScore = QueryDef("q_quality_score",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      round(TextOps.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+      round(TextOps.stopwordRatio(col("text")), 4).as("stop_ratio"),
+      TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some {
+      val allStops = inList(TextOps.stopwords.values.flatten.toSeq.distinct)
+      s"""SELECT doc_id,
+         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |   / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_tok_len,
+         | round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ($allStops))) AS DOUBLE)
+         |   / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+         | round(0.5 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN ($allStops))) AS DOUBLE)
+         |   / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         |   + 0.5 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS DOUBLE)
+         |     / CAST(greatest(length(text), 1) AS DOUBLE)), 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    })
+
+  /** Token counting: whitespace + BPE-ish regex pre-tokenizer. */
+  val qTokenCount = QueryDef("q_token_count",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("ws_tokens"),
+      TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+      .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         | CAST(len(regexp_extract_all(text, '${TextOps.bpeishPattern}')) AS BIGINT) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Canonical-form document fingerprint (md5 of normalized text). */
+  val qFingerprint = QueryDef("q_fingerprint",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------- multimodal + full crawl (rows-only) ----------
+
+  /** Multimodal binary-column plumbing: mapPartitions batched feature
+    * extraction with a clearly-marked stub decoder. Rows-only. */
+  val qMultimodalFeatures = QueryDef("q_multimodal_features",
+    (s, dir) => MultimodalOps.extractFeatures(s,
+      MultimodalOps.mediaFromDocuments(s, t(s, dir, "documents")))
+      .toDF().orderBy("doc_id"),
+    None)
+
+  /** End-to-end crawl pipeline (S4 admission, S3 extraction, F1-F3
+    * cleaning, BFS with memoization, intended-semantics edges) over a
+    * synthetic pages table derived from documents. Rows-only. */
+  val qCrawlPipeline = QueryDef("q_crawl_pipeline",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val site = "https://site.test/"
+      val docPages = docs.select(
+        concat(lit(site + "doc/"), col("doc_id").cast("string")).as("url"),
+        when(col("doc_id") % 17 === 0, 404).otherwise(200).as("status"),
+        concat(
+          lit("<a href=\"/doc/"), ((col("doc_id") * 7 + 1) % n).cast("string"), lit("\">a</a>"),
+          lit("<a href=\"/doc/"), ((col("doc_id") * 13 + 2) % n).cast("string"), lit("\">b</a>"),
+          lit("<a href=\"/login/x\">junk</a><a href=\"https://other.site/\">ext</a>")
+        ).as("html"))
+      import s.implicits._
+      val rootPage = Seq((site, 200,
+        "<a href=\"/doc/0\">r0</a><a href=\"/doc/1\">r1</a><a href=\"/doc/2\">r2</a>"))
+        .toDF("url", "status", "html")
+      val pages = rootPage.union(docPages)
+      val (edges, _) = CrawlGraph.crawl(s, pages, site, penDepth = 3)
+      edges.orderBy("pen_depth", "parent_link", "child_link")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    qDedupExact, qNgramJaccard, qMinhashSignatures, qMinhashLshPairs,
+    qSimhash, qKnnCosine, qAnnLsh, qLangId, qQualityScore, qTokenCount,
+    qFingerprint, qMultimodalFeatures, qCrawlPipeline)
+}

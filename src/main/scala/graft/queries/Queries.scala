@@ -1,0 +1,572 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{CrawlGraph, LinkOps, Tables}
+
+/** One named query per operator in SURVEY.md §2, each paired (where
+  * ANSI-expressible) with DuckDB oracle SQL over the same parquet tables.
+  *
+  * Parity engineering (the driver hash-compares values):
+  *  - every floating aggregate is computed exactly in DECIMAL(18,2) and
+  *    cast to DOUBLE at the end (bit-identical across engines);
+  *  - every query ends in a total ORDER BY with a unique tie-break key;
+  *  - counts/lengths/row_numbers are cast to the same width on both sides;
+  *  - oracle SQL is GENERATED from the same Scala constants as the Spark
+  *    plan (blacklist words, seeds, thresholds) — one source of truth.
+  */
+object Queries {
+
+  case class QueryDef(name: String,
+                      run: (SparkSession, String) => DataFrame,
+                      oracle: Option[String])
+
+  // ---------- shared fragments ----------
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DECIMAL(18,2) cast for exact money/quantity arithmetic. */
+  private def d2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private val root = "https://example.com/"
+
+  /** F2 blacklist as a DuckDB predicate — generated from
+    * [[LinkOps.filterWords]] so both engines test the identical word list. */
+  private val blacklistSql: String =
+    LinkOps.filterWords.map(w => s"contains(link, '$w')").mkString(" OR ")
+
+  /** Synthetic raw-links column over `part` (CASE arms exercise F1 null,
+    * "/" root, absolute-link drop, blacklist hit, #-fragment hit, and the
+    * happy path — FIXTURES.md A1 edge cases re-expressed over testdata). */
+  private val linkCaseSql: String =
+    """CASE
+      | WHEN p_partkey % 13 = 0 THEN NULL
+      | WHEN p_partkey % 11 = 0 THEN '/'
+      | WHEN p_partkey % 7 = 0 THEN 'https://external.example.org/' || replace(p_name, ' ', '-')
+      | WHEN p_partkey % 5 = 0 THEN '/login/' || replace(p_name, ' ', '-')
+      | WHEN p_partkey % 3 = 0 THEN '/docs/' || replace(p_name, ' ', '-') || '#section'
+      | ELSE '/item/' || replace(p_name, ' ', '-') END""".stripMargin
+
+  private def linkCaseCol(): Column = {
+    val slug = expr("replace(p_name, ' ', '-')")
+    val k = col("p_partkey")
+    when(k % 13 === 0, lit(null).cast("string"))
+      .when(k % 11 === 0, lit("/"))
+      .when(k % 7 === 0, concat(lit("https://external.example.org/"), slug))
+      .when(k % 5 === 0, concat(lit("/login/"), slug))
+      .when(k % 3 === 0, concat(lit("/docs/"), slug, lit("#section")))
+      .otherwise(concat(lit("/item/"), slug))
+  }
+
+  /** Cleaned+normalized distinct URLs — the F1∘F2∘F3∘A1 chain (SQL side). */
+  private val cleanedLinksSql: String =
+    s"""WITH links AS (SELECT $linkCaseSql AS link FROM part)
+       |SELECT DISTINCT '$root' || substring(link, 2) AS url FROM links
+       |WHERE link IS NOT NULL AND link <> '/'
+       |  AND NOT ($blacklistSql)
+       |  AND substring(link, 1, 1) = '/'""".stripMargin
+
+  private def cleanedLinks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(linkCaseCol().as("link"))
+      .filter(LinkOps.keepLink(col("link")))
+      .select(LinkOps.normalize(root, col("link")).as("url"))
+      .distinct()
+
+  // ---------- reference-core queries (SURVEY.md §2.1-2.10) ----------
+
+  /** F1+F2+F3+A1: frontier cleaning — null/root drop, codegen'd
+    * contains-any blacklist, relative-link gate + normalization, distinct. */
+  val qLinksClean = QueryDef("q_links_clean",
+    (s, dir) => cleanedLinks(s, dir).orderBy("url"),
+    Some(s"$cleanedLinksSql\nORDER BY url"))
+
+  /** A4: deterministic surrogate-key assignment over the unique-link set
+    * (row_number total order; reference's `enumerate(set)` is
+    * nondeterministic — SURVEY.md §7.4 risk 1). */
+  val qUniqueLinks = QueryDef("q_unique_links",
+    (s, dir) => CrawlGraph.surrogateKeys(cleanedLinks(s, dir), "url")
+      .orderBy("link_id"),
+    Some(
+      s"""WITH cleaned AS ($cleanedLinksSql)
+         |SELECT CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS link_id,
+         |       url AS link_name
+         |FROM cleaned ORDER BY link_id""".stripMargin))
+
+  /** S3: href extraction (regexp UDTF-shape) + explode over synthesized
+    * HTML. */
+  val qLinkExtract = QueryDef("q_link_extract",
+    (s, dir) => {
+      val html = concat(
+        lit("<html><body><p>"), expr("substring(text, 1, 40)"),
+        lit("</p><a href=\"/doc/"), col("doc_id").cast("string"), lit("\">d</a>"),
+        when(col("doc_id") % 4 === 0, lit("<a href=\"#top\">t</a>")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<a href=\"/cat/"), col("lang"), lit("\">c</a>"))).otherwise(lit("")),
+        lit("</body></html>"))
+      t(s, dir, "documents").select(html.as("html"))
+        .select(explode(LinkOps.extractHrefs(col("html"))).as("href"))
+        .groupBy("href").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("href")
+    },
+    Some(
+      """WITH h AS (SELECT '<html><body><p>' || substring(text, 1, 40)
+        |  || '</p><a href="/doc/' || CAST(doc_id AS VARCHAR) || '">d</a>'
+        |  || CASE WHEN doc_id % 4 = 0 THEN '<a href="#top">t</a>' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN '<a href="/cat/' || lang || '">c</a>' ELSE '' END
+        |  || '</body></html>' AS html FROM documents),
+        |x AS (SELECT unnest(regexp_extract_all(html, '<a\s[^>]*?href\s*=\s*"([^"]*)"', 1)) AS href FROM h)
+        |SELECT href, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY href ORDER BY href""".stripMargin))
+
+  /** §2.10: bounded BFS with memoization (min-depth labeling) over the
+    * region->nation->customer graph. */
+  val qCrawlBfs = QueryDef("q_crawl_bfs",
+    (s, dir) => {
+      val region = t(s, dir, "region"); val nation = t(s, dir, "nation")
+      val customer = t(s, dir, "customer")
+      val edges = region.join(nation, col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("parent"), col("n_name").as("child"))
+        .union(nation.join(customer, col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("parent"), col("c_name").as("child")))
+      val rootName = region.agg(min("r_name")).first().getString(0)
+      CrawlGraph.bfs(s, edges, Seq(rootName), 2).orderBy("depth", "url")
+    },
+    Some(
+      """WITH edges AS (
+        |  SELECT r_name AS parent, n_name AS child FROM region JOIN nation ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT n_name, c_name FROM nation JOIN customer ON c_nationkey = n_nationkey),
+        |d0 AS (SELECT min(r_name) AS url FROM region),
+        |d1 AS (SELECT DISTINCT e.child AS url FROM edges e JOIN d0 ON e.parent = d0.url
+        |       WHERE e.child NOT IN (SELECT url FROM d0)),
+        |d2 AS (SELECT DISTINCT e.child AS url FROM edges e JOIN d1 ON e.parent = d1.url
+        |       WHERE e.child NOT IN (SELECT url FROM d0) AND e.child NOT IN (SELECT url FROM d1))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INTEGER) AS depth, url FROM d0
+        |  UNION ALL SELECT 1, url FROM d1
+        |  UNION ALL SELECT 2, url FROM d2)
+        |ORDER BY depth, url""".stripMargin))
+
+  /** J1: edge generation with the INTENDED per-parent semantics
+    * (SURVEY.md §2.10 fidelity note). */
+  val qEdgesIntended = QueryDef("q_edges_intended",
+    (s, dir) => {
+      val e = t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("parent"), col("n_name").as("child"))
+      CrawlGraph.edgesWithDepth(e, 1).orderBy("parent_link", "child_link")
+    },
+    Some(
+      """SELECT CAST(1 AS INTEGER) AS pen_depth, r_name AS parent_link, n_name AS child_link
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |ORDER BY parent_link, child_link""".stripMargin))
+
+  /** F4/J3: visited-set anti-join (customers with no big-ticket order). */
+  val qVisitedAnti = QueryDef("q_visited_anti",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey"),
+    Some(
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** F5: extension dispatch (pdf sink / skip / text sink) incl. the
+    * lower() case fold. */
+  val qRouteDispatch = QueryDef("q_route_dispatch",
+    (s, dir) => {
+      val ext = when(col("o_orderkey") % 5 === 0, ".pdf")
+        .when(col("o_orderkey") % 5 === 1, ".PDF")
+        .when(col("o_orderkey") % 5 === 2, ".xlsx")
+        .when(col("o_orderkey") % 5 === 3, ".xls")
+        .otherwise(".html")
+      t(s, dir, "orders")
+        .select(concat(lit("/files/o"), col("o_orderkey").cast("string"), ext).as("url"))
+        .select(LinkOps.route(col("url")).as("route"))
+        .groupBy("route").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("route")
+    },
+    Some(
+      """WITH u AS (SELECT '/files/o' || CAST(o_orderkey AS VARCHAR) ||
+        |  CASE WHEN o_orderkey % 5 = 0 THEN '.pdf' WHEN o_orderkey % 5 = 1 THEN '.PDF'
+        |       WHEN o_orderkey % 5 = 2 THEN '.xlsx' WHEN o_orderkey % 5 = 3 THEN '.xls'
+        |       ELSE '.html' END AS url FROM orders)
+        |SELECT CASE WHEN lower(url) LIKE '%pdf' THEN 'pdf_sink'
+        |            WHEN lower(url) LIKE '%xlsx' OR lower(url) LIKE '%xls' THEN 'skip'
+        |            ELSE 'text_sink' END AS route,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1 ORDER BY route""".stripMargin))
+
+  /** K5/C7/C8: filename sanitization (`\ / ? :` -> `_`) + md5 file key. */
+  val qFilenameSanitize = QueryDef("q_filename_sanitize",
+    (s, dir) => {
+      val url = concat(lit(root + "item/"), expr("replace(p_name, ' ', '-')"),
+        when(col("p_partkey") % 4 === 0, "?v=1").otherwise(""))
+      t(s, dir, "part")
+        .select(col("p_partkey"), url.as("url"))
+        .select(col("p_partkey"),
+          concat(LinkOps.sanitizeFileName(col("url")), lit(".txt")).as("file_name"),
+          LinkOps.md5FileKey(root, col("url")).as("md5_key"))
+        .orderBy("p_partkey")
+    },
+    Some(
+      s"""WITH u AS (SELECT p_partkey, '${root}item/' || replace(p_name, ' ', '-') ||
+         |  CASE WHEN p_partkey % 4 = 0 THEN '?v=1' ELSE '' END AS url FROM part)
+         |SELECT p_partkey, translate(url, '\\/?:', '____') || '.txt' AS file_name,
+         |       md5('$root' || url) AS md5_key
+         |FROM u ORDER BY p_partkey""".stripMargin))
+
+  /** S4: status-code admission filter (200-only; 3xx dropped since
+    * redirects are disabled in the reference). */
+  val qStatusAdmit = QueryDef("q_status_admit",
+    (s, dir) => {
+      val status = when(col("event_id") % 10 < 6, 200)
+        .when(col("event_id") % 10 < 8, 301)
+        .when(col("event_id") % 10 === 8, 404)
+        .otherwise(503)
+      t(s, dir, "events").select(status.as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("admitted", col("status") === 200)
+        .select("status", "n", "admitted")
+        .orderBy("status")
+    },
+    Some(
+      """WITH s AS (SELECT CASE WHEN event_id % 10 < 6 THEN 200
+        |  WHEN event_id % 10 < 8 THEN 301 WHEN event_id % 10 = 8 THEN 404
+        |  ELSE 503 END AS status FROM events)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n, status = 200 AS admitted
+        |FROM s GROUP BY status ORDER BY status""".stripMargin))
+
+  // ---------- relational surface (SURVEY.md §2.4-2.8 built-ins) ----------
+
+  /** Hash aggregation with exact decimal arithmetic (TPC-H Q1 shape). */
+  val q1PricingSummary = QueryDef("q1_pricing_summary",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(expr("l_shipdate <= timestamp'1998-09-02 00:00:00'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(d2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))
+          * (lit(1) + d2(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(d2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).cast("long").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** ROLLUP grouping sets. */
+  val qRollupOrders = QueryDef("q_rollup_orders",
+    (s, dir) => t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d2(col("o_totalprice"))).cast("double").as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority"),
+    Some(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin))
+
+  /** CUBE grouping sets. */
+  val qCubeLineitem = QueryDef("q_cube_lineitem",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls"),
+    Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin))
+
+  /** Window ranking / per-group top-k with deterministic tie-break. */
+  val qTopkCustomers = QueryDef("q_topk_customers",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    },
+    Some(
+      """SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin))
+
+  /** Running-total + lag window (exact decimal running sum). */
+  val qWindowRunning = QueryDef("q_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events").where(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"), col("value"),
+          sum(d2(col("value")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"),
+          lag(col("value"), 1).over(w).as("prev_value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(
+      """SELECT user_id, event_id, value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        | lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+        |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin))
+
+  /** Global sort + limit (top-k) with unique tie-break. */
+  val qSortLimit = QueryDef("q_sort_limit",
+    (s, dir) => t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10),
+    Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  /** Star-schema join with broadcast dims + exact-decimal revenue —
+    * the flagship (`SparkEntry.entry`). */
+  val qJoinStarRevenue = QueryDef("q_join_star_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    Some(
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin))
+
+  /** Left-semi join (EXISTS). */
+  val qJoinSemi = QueryDef("q_join_semi",
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey").orderBy("o_orderkey").limit(100),
+    Some(
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin))
+
+  /** Left-anti join (NOT EXISTS): parts never ordered in bulk. */
+  val qJoinAnti = QueryDef("q_join_anti",
+    (s, dir) => t(s, dir, "part")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey").orderBy("p_partkey"),
+    Some(
+      """SELECT p_partkey FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity >= 48)
+        |ORDER BY p_partkey""".stripMargin))
+
+  /** Left-outer join with null-generating side + count(col) null skip. */
+  val qJoinLeftOuter = QueryDef("q_join_left_outer",
+    (s, dir) => t(s, dir, "nation")
+      .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy("n_name")
+      .agg(count(col("c_custkey")).cast("long").as("n_customers"))
+      .orderBy("n_name"),
+    Some(
+      """SELECT n_name, CAST(count(c_custkey) AS BIGINT) AS n_customers
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** Cartesian product (J1's set-oriented form). */
+  val qCrossJoin = QueryDef("q_cross_join",
+    (s, dir) => t(s, dir, "region")
+      .crossJoin(t(s, dir, "orders").select(col("o_orderstatus").as("status")).distinct())
+      .select("r_name", "status").orderBy("r_name", "status"),
+    Some(
+      """SELECT r_name, status FROM region
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) os
+        |ORDER BY r_name, status""".stripMargin))
+
+  /** U1: union + distinct (set semantics — Spark union is bag). */
+  val qUnionNations = QueryDef("q_union_nations",
+    (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct().orderBy("nationkey"),
+    Some(
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin))
+
+  /** U2: EXCEPT (set difference). */
+  val qExceptNations = QueryDef("q_except_parts",
+    (s, dir) => t(s, dir, "part").where(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("partkey"))
+      .except(t(s, dir, "lineitem").where(col("l_partkey") % 2 === 0)
+        .select(col("l_partkey").as("partkey")))
+      .orderBy("partkey"),
+    Some(
+      """SELECT p_partkey AS partkey FROM part WHERE p_partkey % 3 = 0
+        |EXCEPT SELECT l_partkey FROM lineitem WHERE l_partkey % 2 = 0
+        |ORDER BY partkey""".stripMargin))
+
+  /** INTERSECT. */
+  val qIntersectNations = QueryDef("q_intersect_nations",
+    (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey"),
+    Some(
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin))
+
+  /** count(DISTINCT) aggregation. */
+  val qDistinctCounts = QueryDef("q_distinct_counts",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).cast("long").as("n_parts"),
+        countDistinct(col("l_suppkey")).cast("long").as("n_supps"))
+      .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** C1-C6 scalar string functions. */
+  val qStringFuncs = QueryDef("q_string_funcs",
+    (s, dir) => t(s, dir, "part").select(
+      col("p_partkey"),
+      lower(col("p_name")).as("lname"),
+      upper(col("p_brand")).as("ubrand"),
+      substring(col("p_type"), 1, 6).as("type6"),
+      length(col("p_name")).cast("long").as("name_len"),
+      expr("replace(p_name, ' ', '_')").as("snake"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("tagged"),
+      expr("instr(p_name, 'a')").cast("long").as("first_a"))
+      .orderBy("p_partkey"),
+    Some(
+      """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+        | substring(p_type, 1, 6) AS type6, CAST(length(p_name) AS BIGINT) AS name_len,
+        | replace(p_name, ' ', '_') AS snake, concat_ws('-', p_brand, p_type) AS tagged,
+        | CAST(instr(p_name, 'a') AS BIGINT) AS first_a
+        |FROM part ORDER BY p_partkey""".stripMargin))
+
+  /** Date/time scalar functions + grouped agg. */
+  val qDateFuncs = QueryDef("q_date_funcs",
+    (s, dir) => t(s, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        col("o_totalprice"))
+      .groupBy("y", "m", "month_start")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d2(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("y", "m"),
+    Some(
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin))
+
+  /** Regexp extraction over the JSON-string props column. */
+  val qRegexExtract = QueryDef("q_regex_extract_json",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).cast("long").as("sum_k"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("event_type"),
+    Some(
+      """SELECT event_type,
+        | CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Math scalars with exact decimal/integer forms. */
+  val qMathFuncs = QueryDef("q_math_funcs",
+    (s, dir) => t(s, dir, "lineitem")
+      .where(col("l_orderkey") % 500 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(d2(col("l_discount")) - d2(lit(0.05))).cast("double").as("dev"),
+        ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+        floor(col("l_extendedprice")).cast("long").as("floor_price"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        (col("l_orderkey") % 7).as("m7"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some(
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(abs(CAST(l_discount AS DECIMAL(18,2)) - CAST(0.05 AS DECIMAL(18,2))) AS DOUBLE) AS dev,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        | sqrt(l_quantity) AS sqrt_qty,
+        | l_quantity * l_quantity AS qty_sq,
+        | l_orderkey % 7 AS m7
+        |FROM lineitem WHERE l_orderkey % 500 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** CASE WHEN tiering + group count. */
+  val qCaseWhenTiers = QueryDef("q_case_when_tiers",
+    (s, dir) => t(s, dir, "customer")
+      .select(when(col("c_acctbal") < 0, "debt")
+        .when(col("c_acctbal") < 5000, "low")
+        .otherwise("high").as("tier"),
+        col("c_mktsegment"))
+      .groupBy("tier", "c_mktsegment")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("tier", "c_mktsegment"),
+    Some(
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'low'
+        |            ELSE 'high' END AS tier, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1, 2 ORDER BY tier, c_mktsegment""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    qLinksClean, qUniqueLinks, qLinkExtract, qCrawlBfs, qEdgesIntended,
+    qVisitedAnti, qRouteDispatch, qFilenameSanitize, qStatusAdmit,
+    q1PricingSummary, qRollupOrders, qCubeLineitem, qTopkCustomers,
+    qWindowRunning, qSortLimit, qJoinStarRevenue, qJoinSemi, qJoinAnti,
+    qJoinLeftOuter, qCrossJoin, qUnionNations, qExceptNations,
+    qIntersectNations, qDistinctCounts, qStringFuncs, qDateFuncs,
+    qRegexExtract, qMathFuncs, qCaseWhenTiers)
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.11). The reference is batch;
+  * its streaming-adjacent trait is the incremental per-parent SQL append
+  * during the crawl (`web_spider_oo.py:123-128`) — micro-batch-shaped
+  * output. This module covers the capability as an honest extension:
+  * watermarked tumbling-window aggregation over the `events` fixture with
+  * a memory sink for synchronous local verification (`foreachBatch` would
+  * be the JDBC-append analog of K1 in production).
+  */
+object EventsStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked 5-minute tumbling-window counts per event_type. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count("*").as("n"), sum(col("value")).as("total_value"))
+
+  /** Run the streaming query over a parquet directory (file source, one
+    * micro-batch per file batch), into a named memory sink; returns the
+    * started query. Call `processAllAvailable()` then read
+    * `spark.table(queryName)`. */
+  def start(spark: SparkSession, sourceDir: String,
+            queryName: String): StreamingQuery = {
+    val src = spark.readStream.schema(eventsSchema).parquet(sourceDir)
+    windowedCounts(src).writeStream
+      .outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+}
