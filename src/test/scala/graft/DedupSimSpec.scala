@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{DedupOps, SimilarityOps, TextOps}
+
+class DedupSimSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "completely different words here entirely unrelated text"),
+    (3L, "the quick brown fox jumps over the lazy dog") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  def shingles = docs.select($"doc_id",
+    explode(TextOps.wordNgrams($"text", 3)).as("shingle")).distinct()
+
+  test("exact dedup marks later duplicate, keeps first") {
+    val got = DedupOps.markExactDups(docs, "doc_id", "text")
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(0L -> false, 1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("jaccard: exact dup pair = 1.0, near pair high, unrelated absent") {
+    val got = DedupOps.jaccardPairs(shingles, "doc_id", 0.01)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got((0L, 3L)) == 1.0)
+    assert(got((0L, 1L)) > 0.5 && got((0L, 1L)) < 1.0)
+    assert(!got.contains((0L, 2L)) && !got.contains((1L, 2L)))
+  }
+
+  test("single-pass minhashBands == explode-based signatures + lshBands") {
+    val fast = DedupOps.minhashBands(
+      docs.select($"doc_id", explode(TextOps.wordNgrams($"text", 3)).as("shingle")),
+      "doc_id", numSeeds = 8, rowsPerBand = 4)
+      .as[(Long, Int, String)].collect().toSet
+    val slow = DedupOps.lshBands(
+      DedupOps.minhashSignatures(shingles, "doc_id", 8), "doc_id", 4)
+      .as[(Long, Int, String)].collect().toSet
+    assert(fast == slow)
+  }
+
+  test("LSH candidates include the exact-dup pair") {
+    val bands = DedupOps.minhashBands(
+      docs.select($"doc_id", explode(TextOps.wordNgrams($"text", 3)).as("shingle")),
+      "doc_id", 8, 4)
+    val pairs = DedupOps.lshCandidatePairs(bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("simhash: identical texts get identical fingerprints, in [0, 2^16)") {
+    val got = DedupOps.simhash16(
+      docs.select($"doc_id", explode(split($"text", " ")).as("tok")),
+      "doc_id", "tok").as[(Long, Long)].collect().toMap
+    assert(got(0L) == got(3L))
+    assert(got.values.forall(v => v >= 0 && v < 65536))
+    assert(got(0L) != got(2L)) // near-certain for different token bags
+  }
+
+  test("cosine: orthogonal = 0, identical = 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 2.0f)), (2L, Array(3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.knnBruteForce(vecs.where($"vec_id" === 0), vecs, 3)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toMap
+    assert(got(0L) == 1.0 && got(2L) == 1.0 && got(1L) == 0.0)
+  }
+
+  test("sign-LSH bucket is deterministic and bounded by bit width") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val b1 = vecs.select($"vec_id",
+      SimilarityOps.signLshBucket($"embedding", 6, 16).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1.values.forall(v => v >= 0 && v < 64))
+    val b2 = vecs.select($"vec_id",
+      SimilarityOps.signLshBucket($"embedding", 6, 16).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+  }
+
+  test("langId prefers the language whose stopwords dominate") {
+    val got = Seq((1L, "der hund und die katze ist da"),
+      (2L, "the cat is on the mat"), (3L, "xyzzy qwerty"))
+      .toDF("id", "text")
+      .select($"id", TextOps.langId($"text").as("l")).as[(Long, String)]
+      .collect().toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "und"))
+  }
+
+  test("wordNgrams guards short docs (no descending-sequence blowup)") {
+    val got = Seq("one two", "a b c d").toDF("text")
+      .select(TextOps.wordNgrams($"text", 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(got(0).isEmpty && got(1) == Seq("a b c", "b c d"))
+  }
+}

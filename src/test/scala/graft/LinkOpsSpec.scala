@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.LinkOps
+import graft.functions.ContainsAny
+
+/** Edge cases lifted from the reference (SURVEY.md §5.2, FIXTURES.md A1):
+  * null hrefs, "/" self-link, #-fragments, app/App case sensitivity,
+  * relative-only gate, normalization, dispatch, filename sanitization. */
+class LinkOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def cleaned(links: Seq[String]): Seq[String] =
+    links.toDF("link")
+      .filter(LinkOps.keepLink($"link"))
+      .select(LinkOps.normalize("https://x.test/", $"link"))
+      .as[String].collect().toSeq
+
+  test("F1 drops null and bare root link") {
+    val out = (Seq(null, "/", "/ok") : Seq[String]).toDF("link")
+      .filter(LinkOps.keepNonRoot($"link")).as[String].collect()
+    assert(out.toSeq == Seq("/ok"))
+  }
+
+  test("F2 blacklist is case-sensitive: app and App both listed, APP is not") {
+    assert(cleaned(Seq("/my-app-page")).isEmpty)     // 'app'
+    assert(cleaned(Seq("/myApple")).isEmpty)         // 'App'
+    assert(cleaned(Seq("/MY-APPLE")).nonEmpty)       // 'APP' not in list
+  }
+
+  test("F2 drops #-fragments and @-links (both in the word list)") {
+    assert(cleaned(Seq("/page#frag")).isEmpty)
+    assert(cleaned(Seq("/user@host")).isEmpty)
+  }
+
+  test("F3 keeps only relative links and rewrites root + link[1:]") {
+    assert(cleaned(Seq("https://elsewhere.test/x")).isEmpty)
+    assert(cleaned(Seq("/menu/drinks")) == Seq("https://x.test/menu/drinks"))
+  }
+
+  test("ContainsAny expression == composed OR-chain on random inputs") {
+    val words = LinkOps.filterWords
+    val rng = new scala.util.Random(42)
+    val frags = Seq("/x/", "app", "App", "APP", "boo", "k", "tel", "#", "@",
+      "zzz", "car", "eer", "career")
+    val inputs = (1 to 300).map { _ =>
+      (1 to rng.nextInt(6)).map(_ => frags(rng.nextInt(frags.size))).mkString
+    } :+ "" :+ "/"
+    val df = inputs.toDF("link").select(
+      $"link",
+      ContainsAny($"link", words).as("expr"),
+      LinkOps.hitsBlacklistComposed($"link").as("composed"))
+    val mismatched = df.filter($"expr" =!= $"composed").count()
+    assert(mismatched == 0)
+  }
+
+  test("ContainsAny propagates null") {
+    val out = (Seq("ok", null) : Seq[String]).toDF("link")
+      .select(ContainsAny($"link", Seq("zz")).as("r")).collect()
+    assert(out(0).getBoolean(0) == false && out(1).isNullAt(0))
+  }
+
+  test("S3 extractHrefs handles attributes, spacing, and ignores non-href") {
+    val html = """<a class="x" href="/a">1</a> <A HREF="/up">no</A>
+                 |<a href = "/b">2</a><img src="/c"><a name="z">3</a>""".stripMargin
+    val out = Seq(html).toDF("html")
+      .select(explode(LinkOps.extractHrefs($"html")).as("h"))
+      .as[String].collect().toSeq
+    assert(out == Seq("/a", "/b")) // case-sensitive like the reference's parse
+  }
+
+  test("htmlToText strips tags and collapses whitespace") {
+    val out = Seq("<p>Hello  <b>world</b></p>").toDF("h")
+      .select(LinkOps.htmlToText($"h")).as[String].head()
+    assert(out == "Hello world")
+  }
+
+  test("K5 filename sanitization replaces each of \\ / ? : with _") {
+    val out = Seq("""https://x.test/a?b\c:d""").toDF("u")
+      .select(LinkOps.sanitizeFileName($"u")).as[String].head()
+    assert(out == "https___x.test_a_b_c_d")
+  }
+
+  test("F5 route dispatch: pdf sink, xls(x) skip, else text (case-folded)") {
+    val out = Seq("/a.PDF", "/b.xlsx", "/c.XLS", "/d.html", "/e")
+      .toDF("u").select(LinkOps.route($"u").as("r")).as[String].collect().toSeq
+    assert(out == Seq("pdf_sink", "skip", "skip", "text_sink", "text_sink"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Sinks
+import graft.ext.MultimodalOps
+import graft.streaming.EventsStream
+
+class SinksStreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("K2 text sink writes header + body under sanitized names") {
+    val dir = Files.createTempDirectory("graft-text").toString
+    val df = Seq(("https://s.test/a/b", "hello world")).toDF("url", "text")
+    Sinks.writeTextFiles(df, "https://s.test/", dir)
+    val f = Paths.get(dir, "https___s.test_https___s.test_a_b.txt")
+    assert(Files.exists(f))
+    val content = new String(Files.readAllBytes(f), "UTF-8")
+    assert(content ==
+      "root_site: https://s.test/\nweb_url: https://s.test/a/b\nhello world")
+  }
+
+  test("K3 binary sink writes bytes verbatim") {
+    val dir = Files.createTempDirectory("graft-bin").toString
+    val bytes = Array[Byte](1, 2, 3, -1)
+    val df = Seq(("https://s.test/doc", bytes)).toDF("url", "content")
+    Sinks.writeBinaryFiles(df, "https://s.test/", dir)
+    val f = Paths.get(dir, "https___s.test_https___s.test_doc.pdf")
+    assert(Files.readAllBytes(f).toSeq == bytes.toSeq)
+  }
+
+  test("multimodal stub extraction preserves rows and is deterministic") {
+    val media = Seq(
+      MultimodalOps.MediaRow(1L, "image", "abc".getBytes),
+      MultimodalOps.MediaRow(2L, "audio", Array[Byte]())).toDS()
+    val got = MultimodalOps.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got(1L).n_bytes == 3 && got(1L).checksum == 'a' + 'b' + 'c')
+    assert(got(2L).n_bytes == 0 && got(2L).width == 1)
+  }
+
+  test("streaming windowed counts match the batch equivalent") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2L, "click", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:07:30"), 3L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(dir)
+    val q = EventsStream.start(spark, dir, "stream_out")
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_out")
+      .selectExpr("event_type", "n", "total_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+}
