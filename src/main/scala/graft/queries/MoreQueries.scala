@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.operators.{AsOfJoin, SkewOps}
+import graft.queries.Queries.QueryDef
+
+/** Second wave of operator coverage: as-of join, skew-salted join, range
+  * join, grouping sets, the ANSI SQL entry point, percentiles, sketches.
+  */
+object MoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def d2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** As-of join: each event enriched with the latest order of the same
+    * customer at event time (union+window single-shuffle form). */
+  val qAsofJoin = QueryDef("q_asof_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+      AsOfJoin.asOf(e, o, leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightTie = "o_orderkey", rightVals = Seq("o_orderkey", "o_orderdate"))
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
+        |ORDER BY e.event_id""".stripMargin))
+
+  /** Skew-salted equi-join — result must equal the plain join (the salt is
+    * purely physical). */
+  val qSaltedJoin = QueryDef("q_salted_join",
+    (s, dir) => SkewOps.saltedInnerJoin(
+      t(s, dir, "lineitem"), t(s, dir, "orders"),
+      "l_orderkey", "o_orderkey", saltFactor = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderstatus"),
+    Some(
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** Range (theta) join: events bucketed by value ranges — broadcast
+    * nested-loop against a tiny ranges dim. */
+  val qRangeJoin = QueryDef("q_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val ranges = Seq((0, 50), (50, 100), (100, 200), (200, 300), (300, 500))
+        .toDF("lo", "hi")
+      t(s, dir, "events")
+        .join(broadcast(ranges), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("lo", "hi")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(d2(col("value"))).cast("double").as("total_value"))
+        .orderBy("lo")
+    },
+    Some(
+      """SELECT lo, hi, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN (VALUES (0, 50), (50, 100), (100, 200), (200, 300), (300, 500)) r(lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY lo, hi ORDER BY lo""".stripMargin))
+
+  /** Explicit GROUPING SETS through the ANSI SQL surface (spark.sql). */
+  val qGroupingSets = QueryDef("q_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       CAST(count(*) AS BIGINT) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          |ORDER BY status, priority""".stripMargin)
+    },
+    Some(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin))
+
+  /** TPC-H Q3 shape through spark.sql — the full ANSI SQL entry point over
+    * registered views (same text runs on both engines). */
+  private val q3Sql =
+    """SELECT l_orderkey,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  val qSqlQ3 = QueryDef("q_sql_tpch_q3",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(q3Sql)
+    },
+    Some(q3Sql))
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`). */
+  val qPercentiles = QueryDef("q_percentiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.25)").as("price_p25"))
+      .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.9) AS p90,
+        | quantile_cont(l_extendedprice, 0.25) AS price_p25
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Sketch aggregates: HLL approx-distinct next to the exact count.
+    * Rows-only (sketch estimates are engine-specific by design). */
+  val qApproxDistinct = QueryDef("q_approx_distinct",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag"),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    qAsofJoin, qSaltedJoin, qRangeJoin, qGroupingSets, qSqlQ3,
+    qPercentiles, qApproxDistinct)
+}

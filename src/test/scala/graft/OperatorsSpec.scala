@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, SkewOps}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf picks latest right row <= left time, per key, left-outer") {
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:05")),
+      (2L, 10L, ts("2024-01-01 10:00:00")), // equal-time: quote at :00 matches
+      (3L, 10L, ts("2024-01-01 09:59:00")), // before any quote -> null
+      (4L, 20L, ts("2024-01-01 12:00:00"))  // key with no quotes -> null
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (100L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (101L, 10L, ts("2024-01-01 10:00:03"), 2.0),
+      (102L, 10L, ts("2024-01-01 10:00:03"), 3.0), // tie -> greater qid wins
+      (103L, 30L, ts("2024-01-01 00:00:00"), 9.0)
+    ).toDF("qid", "sym", "qt", "price")
+    val got = AsOfJoin.asOf(trades, quotes, "sym", "sym", "t", "qt",
+      rightTie = "qid", rightVals = Seq("qid", "price"))
+      .select("trade_id", "qid", "price")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(102L), Some(3.0))))
+    assert(got(2L) == ((Some(100L), Some(1.0))))
+    assert(got(3L) == ((None, None)))
+    assert(got(4L) == ((None, None)))
+  }
+
+  test("asOf equals the naive range-join + rank formulation on random data") {
+    val rng = new scala.util.Random(7)
+    val left = (1 to 200).map(i =>
+      (i.toLong, (rng.nextInt(5)).toLong, rng.nextInt(1000).toLong))
+      .toDF("lid", "k", "t")
+    val right = (1 to 300).map(i =>
+      (i.toLong, (rng.nextInt(6)).toLong, rng.nextInt(1000).toLong, rng.nextDouble()))
+      .toDF("rid", "k", "t", "v")
+    val fast = AsOfJoin.asOf(left, right, "k", "k", "t", "t", "rid", Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.t" <= $"l.t", "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lid")
+          .orderBy($"r.t".desc_nulls_last, $"rid".desc_nulls_last)))
+      .where($"rn" === 1)
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(fast == naive)
+  }
+
+  test("salted join result is identical to the plain join") {
+    val big = (1 to 5000).map(i => (if (i % 3 == 0) 1L else i.toLong, i))
+      .toDF("k", "payload") // heavy skew on k=1
+    val small = (1L to 100L).map(k => (k, s"dim_$k")).toDF("k2", "name")
+    val plain = big.join(small, $"k" === $"k2")
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().toSet
+    val salted = SkewOps.saltedInnerJoin(big, small, "k", "k2", 16)
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+}
