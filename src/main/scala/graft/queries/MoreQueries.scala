@@ -143,7 +143,33 @@ object MoreQueries {
       .orderBy("l_returnflag"),
     None)
 
+  /** Embedding near-dup search: most-similar pairs (bounded all-pairs
+    * verification form; the unbounded scale path is sign-LSH bucketing,
+    * q_ann_lsh / SimilarityOps.annLshTopK). */
+  val qEmbeddingPairs = QueryDef("q_embedding_pairs",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 100)
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      a.crossJoin(b).where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(graft.ext.SimilarityOps.cosine(col("ea"), col("eb")), 4)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |dots AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+        |    sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+        |  FROM e a, e b, generate_series(1, 64) t(i)
+        |  WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT a, b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+        |FROM dots ORDER BY cos_sim DESC, a, b LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qAsofJoin, qSaltedJoin, qRangeJoin, qGroupingSets, qSqlQ3,
-    qPercentiles, qApproxDistinct)
+    qPercentiles, qApproxDistinct, qEmbeddingPairs)
 }
