@@ -169,7 +169,78 @@ object MoreQueries {
         |SELECT a, b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
         |FROM dots ORDER BY cos_sim DESC, a, b LIMIT 20""".stripMargin))
 
+  /** Pivot (explicit value list -> deterministic schema). */
+  val qPivot = QueryDef("q_pivot",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).cast("long").as("n_f"),
+        coalesce(col("O"), lit(0L)).cast("long").as("n_o"),
+        coalesce(col("P"), lit(0L)).cast("long").as("n_p"))
+      .orderBy("o_orderpriority"),
+    Some(
+      """SELECT o_orderpriority,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Array/list scalar functions over the tokenized documents. */
+  val qArrayOps = QueryDef("q_array_ops",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        array_contains(toks, "the").as("has_the"),
+        array_join(slice(sort_array(toks), 1, 3), ",").as("sorted3"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        | CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        | toks[1] AS first_tok, toks[-1] AS last_tok,
+        | list_contains(toks, 'the') AS has_the,
+        | array_to_string(list_sort(toks)[1:3], ',') AS sorted3
+        |FROM d ORDER BY doc_id""".stripMargin))
+
+  /** min_by / max_by (argmin/argmax) with a unique ordering key. */
+  val qArgMinMax = QueryDef("q_argminmax",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("max_by(l_partkey, l_orderkey * 10 + l_linenumber)").as("last_part"),
+        expr("min_by(l_partkey, l_orderkey * 10 + l_linenumber)").as("first_part"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag,
+        | arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part,
+        | arg_min(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Statistical moments + correlation. Rows-only: streaming-moment
+    * accumulation orders differ across engines, so last-bit float parity
+    * is not guaranteed by design. */
+  val qStatsMoments = QueryDef("q_stats_moments",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("sd_qty"),
+        var_samp(col("l_extendedprice")).as("var_price"),
+        skewness(col("l_quantity")).as("skew_qty"),
+        kurtosis(col("l_quantity")).as("kurt_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"))
+      .orderBy("l_returnflag"),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     qAsofJoin, qSaltedJoin, qRangeJoin, qGroupingSets, qSqlQ3,
-    qPercentiles, qApproxDistinct, qEmbeddingPairs)
+    qPercentiles, qApproxDistinct, qEmbeddingPairs, qPivot, qArrayOps,
+    qArgMinMax, qStatsMoments)
 }
