@@ -61,11 +61,19 @@ object DedupOps {
     * Duplicate shingles need no pre-distinct: `min` is idempotent.
     * Semantics identical to minhashSignatures + lshBands (spec-tested).
     */
+  /** Cheap per-seed hash for the scale path: one xxhash64 per (seed,
+    * shingle) — an order of magnitude cheaper than md5 while still
+    * deterministic across executors. Not used in oracle-matched queries
+    * (DuckDB has no xxhash64). */
+  def seedHashFast(shingle: Column, seed: Column): Column =
+    xxhash64(seed, shingle)
+
   def minhashBands(shingled: DataFrame, idCol: String, numSeeds: Int,
-                   rowsPerBand: Int): DataFrame = {
+                   rowsPerBand: Int,
+                   hashFn: (Column, Column) => Column = seedHash): DataFrame = {
     require(numSeeds % rowsPerBand == 0)
     val mins = (0 until numSeeds).map(sd =>
-      min(seedHash(col("shingle"), lit(sd))).as(s"m$sd"))
+      min(hashFn(col("shingle"), lit(sd))).as(s"m$sd"))
     val sig = shingled.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until numSeeds / rowsPerBand).map { b =>
       struct(lit(b).as("band"),

@@ -81,7 +81,8 @@ object ExtQueries {
       import org.apache.spark.sql.expressions.Window
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), 3)).as("shingle"))
-      val bands = DedupOps.minhashBands(sh, "doc_id", numSeeds, rowsPerBand = 4)
+      val bands = DedupOps.minhashBands(sh, "doc_id", numSeeds, rowsPerBand = 4,
+        hashFn = DedupOps.seedHashFast)
       bands
         .withColumn("n_bucket",
           count(lit(1)).over(Window.partitionBy("band", "band_sig")).cast("long"))
@@ -259,8 +260,30 @@ object ExtQueries {
     },
     None)
 
+  /** Structured Streaming surface (§2.11): watermarked tumbling-window
+    * aggregation over the events fixture via the file source + memory
+    * sink, driven to completion synchronously. Rows-only. */
+  val qStreamingWindow = QueryDef("q_streaming_window",
+    (s, dir) => {
+      // the file-stream source needs a directory; stage the fixture file
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val stageDir = Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_src_" + math.abs(dir.hashCode))
+      Files.createDirectories(stageDir)
+      Files.copy(Paths.get(dir, "events.parquet"),
+        stageDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val q = graft.streaming.EventsStream.startOverNanosFixture(
+        s, stageDir.toString, "graft_stream_out")
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_out")
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSignatures, qMinhashLshPairs,
     qSimhash, qKnnCosine, qAnnLsh, qLangId, qQualityScore, qTokenCount,
-    qFingerprint, qMultimodalFeatures, qCrawlPipeline)
+    qFingerprint, qMultimodalFeatures, qCrawlPipeline, qStreamingWindow)
 }

@@ -42,4 +42,21 @@ object EventsStream {
       .format("memory").queryName(queryName)
       .start()
   }
+
+  /** Same, for the driver fixture whose `ts` is TIMESTAMP(NANOS): read it
+    * as long (spark.sql.legacy.parquet.nanosAsLong) and convert to a
+    * microsecond timestamp before the watermark. */
+  def startOverNanosFixture(spark: SparkSession, path: String,
+                            queryName: String): StreamingQuery = {
+    val nanosSchema = StructType(eventsSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    val src = spark.readStream.schema(nanosSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    windowedCounts(src).writeStream
+      .outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+  }
 }
