@@ -282,8 +282,49 @@ object ExtQueries {
     },
     None)
 
+  /** Sessionization (batch window form; integer epoch-micros arithmetic
+    * for cross-engine exactness). */
+  val qSessionize = QueryDef("q_sessionize",
+    (s, dir) => graft.streaming.Sessionize
+      .sessions(graft.core.Tables.events(s, dir), gapMinutes = 30)
+      .orderBy("user_id", "session_seq"),
+    Some(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |x AS (SELECT user_id, event_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |      FROM e),
+        |y AS (SELECT user_id, event_id, us,
+        |        CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM x),
+        |z AS (SELECT user_id, us,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_seq
+        |      FROM y)
+        |SELECT user_id, session_seq, min(us) AS start_us, max(us) AS end_us,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM z GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin))
+
+  /** Typed-Aggregator MinHash over a KeyValueGroupedDataset (the UDAF
+    * surface). Rows-only: JVM MurmurHash3 has no DuckDB equivalent. */
+  val qMinhashTyped = QueryDef("q_minhash_typed",
+    (s, dir) => {
+      import s.implicits._
+      val sh = t(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode(TextOps.wordNgrams(col("text"), 3)).as("shingle"))
+        .as[(Long, String)]
+      sh.groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.ext.MinHashAgg(8).toColumn.name("sig"))
+        .toDF("doc_id", "sig")
+        .select(col("doc_id"), concat_ws(",", col("sig")).as("sig"))
+        .orderBy("doc_id")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSignatures, qMinhashLshPairs,
     qSimhash, qKnnCosine, qAnnLsh, qLangId, qQualityScore, qTokenCount,
-    qFingerprint, qMultimodalFeatures, qCrawlPipeline, qStreamingWindow)
+    qFingerprint, qMultimodalFeatures, qCrawlPipeline, qStreamingWindow,
+    qSessionize, qMinhashTyped)
 }

@@ -239,8 +239,63 @@ object MoreQueries {
       .orderBy("l_returnflag"),
     None)
 
+  /** Typed Dataset surface: case-class rows, typed filter, groupByKey +
+    * Aggregator[IN,BUF,OUT] aggregation — exact (cents-integer) sums so
+    * the oracle matches. */
+  val qTypedDs = QueryDef("q_typed_ds",
+    (s, dir) => {
+      import s.implicits._
+      import TypedAggs._
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity")).as[LiQty]
+        .filter(_.l_quantity >= 10)
+        .groupByKey(_.l_returnflag)
+        .agg(sumQtyCents.toColumn.name("cents"), rowCount.toColumn.name("n"))
+        .toDF("l_returnflag", "cents", "n")
+        .select(col("l_returnflag"),
+          (col("cents").cast("double") / 100.0).as("sum_qty"), col("n"))
+        .orderBy("l_returnflag")
+    },
+    Some(
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_quantity >= 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qAsofJoin, qSaltedJoin, qRangeJoin, qGroupingSets, qSqlQ3,
     qPercentiles, qApproxDistinct, qEmbeddingPairs, qPivot, qArrayOps,
-    qArgMinMax, qStatsMoments)
+    qArgMinMax, qStatsMoments, qTypedDs)
+}
+
+/** Tiny typed aggregators for the Dataset[T] demo (q_typed_ds). */
+object TypedAggs {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  import org.apache.spark.sql.expressions.Aggregator
+
+  case class LiQty(l_returnflag: String, l_quantity: Double)
+
+  /** Sum of quantity in integer cents — exact under double input with
+    * two decimal places. */
+  val sumQtyCents: Aggregator[LiQty, Long, Long] =
+    new Aggregator[LiQty, Long, Long] {
+      override def zero: Long = 0L
+      override def reduce(b: Long, e: LiQty): Long =
+        b + math.round(e.l_quantity * 100)
+      override def merge(a: Long, b: Long): Long = a + b
+      override def finish(r: Long): Long = r
+      override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+
+  val rowCount: Aggregator[LiQty, Long, Long] =
+    new Aggregator[LiQty, Long, Long] {
+      override def zero: Long = 0L
+      override def reduce(b: Long, e: LiQty): Long = b + 1
+      override def merge(a: Long, b: Long): Long = a + b
+      override def finish(r: Long): Long = r
+      override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
 }
