@@ -1,0 +1,127 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom whole-operator extension: per-key top-k WITHOUT a full
+  * partition sort — the (c) tier of the extension preference order
+  * (LogicalPlan + Strategy + SparkPlan), demonstrated end-to-end.
+  *
+  * The built-in formulation (`row_number().over(partitionBy(key).orderBy
+  * (v.desc)) <= k`) must sort every group completely; this operator keeps
+  * a bounded k-element min-heap per key, so per-group cost is
+  * O(n log k) instead of O(n log n) and memory is O(keys * k) — the
+  * shape that matters when groups are huge and k is small (top-10 of
+  * billions of rows per key at 100 TB).
+  *
+  * The physical node declares `ClusteredDistribution(keys)`, letting
+  * EnsureRequirements insert the (single) hash exchange — Catalyst still
+  * owns shuffle planning. Semantically equal to the window formulation
+  * when the order value is unique per key (spec-tested; ties broken
+  * arbitrarily otherwise, like any heap-based top-k).
+  *
+  * Registered through `spark.experimental.extraStrategies` (done lazily
+  * by [[TopKPerKey.topKPerKey]]) — usable without restarting the session.
+  */
+case class TopKPerKeyNode(keys: Seq[Attribute], order: Attribute, k: Int,
+                          child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  /** One hash shuffle by key, inserted by EnsureRequirements. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  private def orderingFor(dt: DataType): Ordering[Any] = (dt match {
+    case DoubleType => Ordering[Double]
+    case FloatType => Ordering[Float]
+    case LongType => Ordering[Long]
+    case IntegerType => Ordering[Int]
+    case ShortType => Ordering[Short]
+    case StringType =>
+      Ordering.fromLessThan[UTF8String]((a, b) => a.compareTo(b) < 0)
+    case TimestampType | TimestampNTZType => Ordering[Long]
+    case DateType => Ordering[Int]
+    case other =>
+      throw new IllegalArgumentException(s"TopKPerKey: unsupported order type $other")
+  }).asInstanceOf[Ordering[Any]]
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val schema = child.output
+    val keyExprs = keys
+    val orderExpr = order
+    child.execute().mapPartitions ({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, schema)
+      val boundOrder = BindReferences.bindReference(orderExpr, schema)
+      val ord = orderingFor(boundOrder.dataType)
+      // PriorityQueue dequeues its MAX; reverse the ordering so the head
+      // is the smallest kept value -> bounded min-heap of the top-k.
+      val pairOrd: Ordering[(Any, InternalRow)] =
+        Ordering.by[(Any, InternalRow), Any](_._1)(ord.reverse)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val v = boundOrder.eval(row)
+        if (v != null) {
+          val key = keyProj(row).copy()
+          val pq = heaps.getOrElseUpdate(key,
+            mutable.PriorityQueue.empty[(Any, InternalRow)](pairOrd))
+          if (pq.size < kLocal) pq.enqueue((v, row.copy()))
+          else if (ord.gt(v, pq.head._1)) {
+            pq.dequeue(); pq.enqueue((v, row.copy()))
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (_, pq) =>
+        pq.toSeq.sortBy(_._1)(ord.reverse).map(_._2)
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+  /** Top-k rows per key by the (resolved) `orderCol` column, DESCENDING.
+    * Ties at the k-boundary are broken arbitrarily — pass a unique order
+    * value for deterministic output. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                 k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output
+      .find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    GraftSqlBridge.ofRows(spark,
+      TopKPerKeyNode(keyCols.map(attr), attr(orderCol), k, analyzed))
+  }
+}

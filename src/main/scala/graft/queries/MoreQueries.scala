@@ -263,10 +263,30 @@ object MoreQueries {
         |FROM lineitem WHERE l_quantity >= 10
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Custom physical operator: heap-based per-key top-k
+    * (graft.plans.TopKPerKey — LogicalPlan + Strategy + Exec), verified
+    * against the DuckDB window formulation via a unique order value. */
+  val qTopkCustom = QueryDef("q_topk_custom",
+    (s, dir) => {
+      val withV = t(s, dir, "customer").withColumn("v",
+        round(col("c_acctbal") * 100).cast("long") * 100000L
+          + lit(99999L) - col("c_custkey"))
+      graft.plans.TopKPerKey.topKPerKey(withV, Seq("c_nationkey"), "v", 3)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("v"))
+        .orderBy(col("c_nationkey"), col("v").desc)
+    },
+    Some(
+      """WITH c AS (SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) * 100000 + 99999 - c_custkey AS v
+        |  FROM customer),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY v DESC) AS rn FROM c)
+        |SELECT c_nationkey, c_custkey, c_acctbal, v FROM r WHERE rn <= 3
+        |ORDER BY c_nationkey, v DESC""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qAsofJoin, qSaltedJoin, qRangeJoin, qGroupingSets, qSqlQ3,
     qPercentiles, qApproxDistinct, qEmbeddingPairs, qPivot, qArrayOps,
-    qArgMinMax, qStatsMoments, qTypedDs)
+    qArgMinMax, qStatsMoments, qTypedDs, qTopkCustom)
 }
 
 /** Tiny typed aggregators for the Dataset[T] demo (q_typed_ds). */

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
+
+class TopKPerKeySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("topKPerKey == window row_number formulation (unique order values)") {
+    val rng = new scala.util.Random(11)
+    // unique order values: permutation of 0..n
+    val n = 5000
+    val vals = rng.shuffle((0 until n).toList)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i % 37L, v.toLong, s"payload_$i")
+    }.toDF("k", "v", "p")
+    val custom = TopKPerKey.topKPerKey(df, Seq("k"), "v", 5)
+      .select("k", "v", "p").as[(Long, Long, String)].collect().toSet
+    val w = Window.partitionBy("k").orderBy(col("v").desc)
+    val window = df.withColumn("rn", row_number().over(w)).where($"rn" <= 5)
+      .select("k", "v", "p").as[(Long, Long, String)].collect().toSet
+    assert(custom == window && custom.size == 37 * 5)
+  }
+
+  test("groups smaller than k are returned whole; null order values dropped") {
+    val df = Seq((1L, Some(10L)), (1L, Some(20L)), (2L, None), (2L, Some(5L)))
+      .toDF("k", "v")
+    val got = TopKPerKey.topKPerKey(df, Seq("k"), "v", 3)
+      .select("k", "v").as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, Some(10L)), (1L, Some(20L)), (2L, Some(5L))))
+  }
+
+  test("plan contains TopKPerKeyExec and exactly one inserted shuffle") {
+    val df = (1 to 100).map(i => (i % 7L, i.toLong)).toDF("k", "v")
+    val q = TopKPerKey.topKPerKey(df, Seq("k"), "v", 2)
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) { case e: TopKPerKeyExec => e }.nonEmpty)
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size == 1)
+  }
+
+  test("string order type works") {
+    val df = Seq((1L, "b"), (1L, "a"), (1L, "c"), (2L, "x")).toDF("k", "s")
+    val got = TopKPerKey.topKPerKey(df, Seq("k"), "s", 2)
+      .select("k", "s").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "c"), (1L, "b"), (2L, "x")))
+  }
+}
