@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{CrawlGraph, Tables}
-import graft.ext.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, GraphOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.queries.Queries.QueryDef
 
 /** North-star extension queries (BASELINE.json): the operators a
@@ -322,9 +322,34 @@ object ExtQueries {
     },
     None)
 
+  /** Near-dup clustering: connected components over the shingle-overlap
+    * pair graph (the final stage of the dedup pipeline — keep
+    * min-doc_id per component as canonical). Iterative min-label
+    * propagation, verified against a DuckDB recursive-CTE transitive
+    * closure. */
+  val qDedupComponents = QueryDef("q_dedup_components",
+    (s, dir) => {
+      val pairs = DedupOps.jaccardPairs(shingled(s, dir, 120), "doc_id", 0.0)
+        .select("a", "b")
+      GraphOps.connectedComponents(s, pairs).orderBy("node")
+    },
+    Some(
+      s"""WITH RECURSIVE ${triSql(120)},
+         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tri a
+         |          JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach(node, other) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other)
+         |SELECT node, min(other) AS component FROM reach GROUP BY node
+         |ORDER BY node""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSignatures, qMinhashLshPairs,
     qSimhash, qKnnCosine, qAnnLsh, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalFeatures, qCrawlPipeline, qStreamingWindow,
-    qSessionize, qMinhashTyped)
+    qSessionize, qMinhashTyped, qDedupComponents)
 }

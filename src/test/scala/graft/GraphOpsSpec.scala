@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chain, clique, and separate components get min-id labels") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = GraphOps.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges (diameter > 3 checkpoint interval)") {
+    val n = 30
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val got = GraphOps.connectedComponents(spark, edges, maxIters = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 1L))
+  }
+
+  test("matches brute-force union-find on a random graph") {
+    val rng = new scala.util.Random(3)
+    val edges = (1 to 60).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val got = GraphOps.connectedComponents(spark, edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    // normalize: component representative = min member both sides
+    def canon(m: Map[Long, Long]) =
+      m.groupBy(_._2).values.flatMap { grp =>
+        val members = grp.keys.toSet + grp.head._2
+        val mn = members.min
+        members.map(_ -> mn)
+      }.toMap
+    assert(canon(got) == canon(want))
+  }
+}
