@@ -347,9 +347,22 @@ object ExtQueries {
          |SELECT node, min(other) AS component FROM reach GROUP BY node
          |ORDER BY node""".stripMargin))
 
+  /** IVF ANN: deterministic k-means centroids + nprobe bucket search.
+    * Rows-only (approximate by construction). */
+  val qAnnIvf = QueryDef("q_ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = graft.ext.IvfAnn.trainCentroids(emb, k = 8, iters = 3)
+      graft.ext.IvfAnn.ivfTopK(emb.where(col("vec_id") < 5), emb,
+        centroids, k = 5, nprobe = 2)
+        .select("query_id", "vec_id", "cos_sim", "rn")
+        .orderBy("query_id", "rn")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSignatures, qMinhashLshPairs,
     qSimhash, qKnnCosine, qAnnLsh, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalFeatures, qCrawlPipeline, qStreamingWindow,
-    qSessionize, qMinhashTyped, qDedupComponents)
+    qSessionize, qMinhashTyped, qDedupComponents, qAnnIvf)
 }
