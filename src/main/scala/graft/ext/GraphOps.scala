@@ -49,9 +49,14 @@ object GraphOps {
         .groupBy("node").agg(min("label").as("label"))
       val nextP = if ((it + 1) % 3 == 0) next.localCheckpoint()
                   else { val p = next.persist(); persisted += p; p }
-      val changed = nextP.join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old")).limit(1).count()
-      converged = changed == 0
+      // labels only ever decrease, so the label sum is strictly monotone:
+      // an unchanged sum means a fixpoint — one cheap aggregation instead
+      // of a change-detection join per round
+      val sumNow = nextP.agg(sum(col("label").cast("decimal(38,0)")))
+        .first().getDecimal(0)
+      val sumPrev = labels.agg(sum(col("label").cast("decimal(38,0)")))
+        .first().getDecimal(0)
+      converged = sumNow.compareTo(sumPrev) == 0
       labels = nextP
       it += 1
     }

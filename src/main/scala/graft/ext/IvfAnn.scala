@@ -20,20 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  private def sq(c: Column): Column = c * c
+  /** Centroid-relative score: |c|^2 - 2*x.c — equals squared L2 distance
+    * minus the centroid-independent |x|^2 term, so argmin/sort order over
+    * centroids is identical while the expression needs ONE dot product
+    * per centroid (|c|^2 folds to a literal). */
+  private def score(emb: Column, centroid: Array[Double]): Column =
+    lit(centroid.map(x => x * x).sum) -
+      lit(2.0) * SimilarityOps.dot(emb, array(centroid.map(lit(_)): _*))
 
-  /** Squared L2 distance between the embedding column and a constant
-    * centroid, as a codegen'd expression. */
-  private def distTo(emb: Column, centroid: Array[Double]): Column =
-    SimilarityOps.dot(
-      zip_with(emb, array(centroid.map(lit(_)): _*), (x, y) => x.cast("double") - y),
-      zip_with(emb, array(centroid.map(lit(_)): _*), (x, y) => x.cast("double") - y))
-
-  /** Nearest-centroid id (argmin over the centroid set, deterministic
-    * tie-break on centroid index). */
   private def distStructs(emb: Column, centroids: Array[Array[Double]]): Column =
     array(centroids.zipWithIndex.map { case (c, j) =>
-      struct(distTo(emb, c).as("d"), lit(j).as("j"))
+      struct(score(emb, c).as("d"), lit(j).as("j"))
     }: _*).cast("array<struct<d:double,j:int>>") // cast pins the field names
 
   def clusterOf(emb: Column, centroids: Array[Array[Double]]): Column =
@@ -45,45 +42,43 @@ object IvfAnn {
     slice(transform(array_sort(distStructs(emb, centroids)),
       s => s.getField("j")), 1, nprobe)
 
-  /** Deterministic farthest-point init (kmeans++-shaped, no RNG): seed
-    * with the lowest vec_id, then greedily add the vector farthest from
-    * the chosen set — k-1 small jobs, spreads seeds across the data. */
-  def initCentroids(vectors: DataFrame, k: Int): Array[Array[Double]] = {
-    def emb(r: org.apache.spark.sql.Row): Array[Double] =
-      r.getSeq[Float](0).map(_.toDouble).toArray
-    val first = emb(vectors.orderBy("vec_id").limit(1).select("embedding").head())
-    val chosen = scala.collection.mutable.ArrayBuffer(first)
-    while (chosen.size < k) {
-      val minDist = chosen.map(c => distTo(col("embedding"), c.toArray))
-        .reduce(least(_, _))
-      val far = vectors
-        .select(col("embedding"), minDist.as("md"), col("vec_id"))
-        .orderBy(col("md").desc, col("vec_id")).limit(1)
-        .select("embedding").head()
-      chosen += emb(far)
+  /** Deterministic codebook training on a bounded sample — the standard
+    * IVF recipe (codebooks are trained on a sample, then the full corpus
+    * is bucketed). The sample (lowest `sampleSize` vec_ids) is collected
+    * once (sampleSize × dim doubles — model-sized, not data-sized) and
+    * farthest-point init + `iters` Lloyd rounds run driver-side in plain
+    * Scala: zero Spark jobs and zero codegen during training; the cluster
+    * assignment of the actual corpus stays a distributed expression. */
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int,
+                     sampleSize: Int = 2048): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = vectors.orderBy("vec_id")
+      .limit(sampleSize).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
-    chosen.map(_.toArray).toArray
-  }
-
-  /** Deterministic k-means: farthest-point init, `iters` Lloyd rounds
-    * (assignment via the argmin expression, means via one groupBy over
-    * (cluster, dim)). Empty clusters keep their centroid. */
-  def trainCentroids(vectors: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = initCentroids(vectors, k)
-    val dim = centroids.head.length
+    // farthest-point seeding from the first sample vector
+    val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
+    while (seeds.size < k) {
+      seeds += sample.maxBy(v => seeds.map(d2(v, _)).min)
+    }
+    var centroids = seeds.toArray
+    // Lloyd rounds; empty clusters keep their centroid
     for (_ <- 0 until iters) {
-      val stats = vectors
-        .select(clusterOf(col("embedding"), centroids).as("cluster"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = centroids.map(_.clone())
-      stats.foreach { r =>
-        val (cl, pos) = (r.getInt(0), r.getInt(1))
-        next(cl)(pos) = r.getDouble(2) / r.getLong(3)
+      val sums = Array.fill(k)(new Array[Double](sample(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = (0 until k).minBy(j => d2(v, centroids(j)))
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
       }
-      centroids = next
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old else sums(j).map(_ / counts(j))
+      }
     }
     centroids
   }

@@ -343,6 +343,32 @@ object Queries {
         | lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
         |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin))
 
+  /** Ranking-function family over a unique total order (rank ==
+    * dense_rank == row_number when keys are unique; percent_rank and
+    * cume_dist are exact rational values -> identical doubles). */
+  val qWindowRanks = QueryDef("q_window_ranks",
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .where(col("c_custkey") % 7 === 0)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          dense_rank().over(w).cast("int").as("drk"),
+          percent_rank().over(w).as("prk"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy("c_mktsegment", "drk")
+    },
+    Some(
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drk,
+        | percent_rank() OVER w AS prk,
+        | cume_dist() OVER w AS cd,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM customer WHERE c_custkey % 7 = 0
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, drk""".stripMargin))
+
   /** Global sort + limit (top-k) with unique tie-break. */
   val qSortLimit = QueryDef("q_sort_limit",
     (s, dir) => t(s, dir, "orders")
@@ -565,7 +591,7 @@ object Queries {
     qLinksClean, qUniqueLinks, qLinkExtract, qCrawlBfs, qEdgesIntended,
     qVisitedAnti, qRouteDispatch, qFilenameSanitize, qStatusAdmit,
     q1PricingSummary, qRollupOrders, qCubeLineitem, qTopkCustomers,
-    qWindowRunning, qSortLimit, qJoinStarRevenue, qJoinSemi, qJoinAnti,
+    qWindowRunning, qWindowRanks, qSortLimit, qJoinStarRevenue, qJoinSemi, qJoinAnti,
     qJoinLeftOuter, qCrossJoin, qUnionNations, qExceptNations,
     qIntersectNations, qDistinctCounts, qStringFuncs, qDateFuncs,
     qRegexExtract, qMathFuncs, qCaseWhenTiers)
