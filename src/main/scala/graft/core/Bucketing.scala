@@ -42,7 +42,12 @@ object Bucketing {
     * a shuffle when bucket specs line up. */
   def coBucketedJoin(spark: SparkSession, leftTable: String,
                      rightTable: String, leftKey: String,
-                     rightKey: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable),
-      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+                     rightKey: String): DataFrame = {
+    // build the condition from the SAME Dataset instances that are joined
+    // — separate spark.table() calls can resolve to different attribute
+    // ids if the relation cache is invalidated in between
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

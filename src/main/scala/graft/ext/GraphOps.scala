@@ -56,10 +56,15 @@ object GraphOps {
         .first().getDecimal(0)
       val sumPrev = labels.agg(sum(col("label").cast("decimal(38,0)")))
         .first().getDecimal(0)
-      converged = sumNow.compareTo(sumPrev) == 0
+      // null sums = empty graph = trivially converged
+      converged = sumNow == null || sumNow.compareTo(sumPrev) == 0
       labels = nextP
       it += 1
     }
+    // wrong (split) components are worse than a loud failure
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "graph diameter exceeds maxIters; raise it")
     val result = labels.select(col("node"), col("label").as("component"))
       .localCheckpoint()
     persisted.foreach(_.unpersist(blocking = false))

@@ -33,10 +33,8 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "es"))
 
   /** Count of tokens that are in `words` (language score). */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val list = words.map(w => s"'$w'").mkString(", ")
+  def stopwordHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*))).cast("long")
-  }
 
   /** Argmax language-ID over [[stopwords]]; "und" (undetermined) if all
     * scores are zero. Deterministic tie-break: language key order en,de,fr,es. */

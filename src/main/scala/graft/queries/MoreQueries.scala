@@ -210,18 +210,21 @@ object MoreQueries {
         | array_to_string(list_sort(toks)[1:3], ',') AS sorted3
         |FROM d ORDER BY doc_id""".stripMargin))
 
-  /** min_by / max_by (argmin/argmax) with a unique ordering key. */
+  /** min_by / max_by (argmin/argmax). The fixtures have duplicate
+    * (l_orderkey, l_linenumber) pairs, so the ordering key folds the
+    * returned value itself in as the lowest-order tie-break — engines
+    * then agree even on tied positions (l_partkey < 1e6 at these SFs). */
   val qArgMinMax = QueryDef("q_argminmax",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("max_by(l_partkey, l_orderkey * 10 + l_linenumber)").as("last_part"),
-        expr("min_by(l_partkey, l_orderkey * 10 + l_linenumber)").as("first_part"),
+      .agg(expr("max_by(l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey)").as("last_part"),
+        expr("min_by(l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey)").as("first_part"),
         count(lit(1)).cast("long").as("n"))
       .orderBy("l_returnflag"),
     Some(
       """SELECT l_returnflag,
-        | arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part,
-        | arg_min(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part,
+        | arg_max(l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) AS last_part,
+        | arg_min(l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) AS first_part,
         | CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
@@ -268,16 +271,17 @@ object MoreQueries {
     * against the DuckDB window formulation via a unique order value. */
   val qTopkCustom = QueryDef("q_topk_custom",
     (s, dir) => {
+      // 1e7 multiplier keeps v unique up to 10M custkeys (sf ~600)
       val withV = t(s, dir, "customer").withColumn("v",
-        round(col("c_acctbal") * 100).cast("long") * 100000L
-          + lit(99999L) - col("c_custkey"))
+        round(col("c_acctbal") * 100).cast("long") * 10000000L
+          + lit(9999999L) - col("c_custkey"))
       graft.plans.TopKPerKey.topKPerKey(withV, Seq("c_nationkey"), "v", 3)
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("v"))
         .orderBy(col("c_nationkey"), col("v").desc)
     },
     Some(
       """WITH c AS (SELECT c_nationkey, c_custkey, c_acctbal,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) * 100000 + 99999 - c_custkey AS v
+        |    CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + 9999999 - c_custkey AS v
         |  FROM customer),
         |r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY v DESC) AS rn FROM c)
         |SELECT c_nationkey, c_custkey, c_acctbal, v FROM r WHERE rn <= 3

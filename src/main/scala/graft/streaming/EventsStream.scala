@@ -23,7 +23,12 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Watermarked 5-minute tumbling-window counts per event_type. */
+  /** Watermarked 5-minute tumbling-window counts per event_type.
+    * State-bounding note: the watermark evicts window state in
+    * append/update output modes (the production path via foreachBatch);
+    * the bounded local demos below use complete mode, where every window
+    * is retained and recomputed — fine for a finite fixture, never for
+    * an unbounded stream. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

@@ -37,7 +37,10 @@ object Sessionize {
         count(lit(1)).cast("long").as("n"))
   }
 
-  case class SessEvent(user_id: Long, us: Long)
+  /** `ts` kept alongside the epoch-micros `us` so the event-time
+    * watermark column survives into the grouped Dataset. */
+  case class SessEvent(user_id: Long, us: Long,
+                       ts: java.sql.Timestamp = new java.sql.Timestamp(0))
   case class SessState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n: Long)
 
@@ -66,20 +69,28 @@ object Sessionize {
       }
       cur.foreach { s =>
         state.update(s)
-        if (state.getCurrentWatermarkMs() > 0) {
-          state.setTimeoutTimestamp(s.end / 1000 + gapUs / 1000)
-        }
+        // always register the flush timeout — sessions opened before the
+        // first watermark advance must still time out eventually; clamp
+        // above the current watermark (setTimeoutTimestamp requires it)
+        state.setTimeoutTimestamp(math.max(
+          s.end / 1000 + gapUs / 1000, state.getCurrentWatermarkMs() + 1))
       }
     }
     out.iterator
   }
 
-  /** Streaming sessionize over a watermarked event Dataset. */
-  def streamingSessions(spark: SparkSession, events: Dataset[SessEvent],
-                        gapMinutes: Int): Dataset[SessionOut] = {
+  /** Streaming sessionize: attach the event-time watermark (required for
+    * EventTimeTimeout), then fold per-user state. Input needs
+    * (user_id, ts TIMESTAMP). */
+  def streamingSessions(spark: SparkSession, events: DataFrame,
+                        gapMinutes: Int,
+                        watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[SessEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(updateSessions(gapUs))

@@ -57,6 +57,26 @@ class SessionizeSpec extends AnyFunSuite {
     assert(s3.isRemoved)
   }
 
+  test("streamingSessions starts and runs with event-time timeout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00")))
+      .toDF("user_id", "ts").write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").parquet(dir)
+    val q = Sessionize.streamingSessions(spark, src, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    // user 1's first session closes on the 02:00 gap; user 2's session
+    // flushes via event-time timeout once the watermark (02:00 - 30min)
+    // passes its end + gap (00:05 + 30min)
+    val got = spark.table("sess_out")
+      .select("user_id", "n").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L)))
+  }
+
   test("MinHashAgg: dup docs identical, near docs mostly equal, merge assoc") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
