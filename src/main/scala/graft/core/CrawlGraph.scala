@@ -27,18 +27,31 @@ object CrawlGraph {
     *         visited-set semantics of `unique_links_set`
     *         (`web_spider_oo.py:87,98-101`).
     */
+  /** Lineage cut that upgrades to reliable checkpointing when a
+    * checkpoint dir is configured: `localCheckpoint` stores blocks only
+    * on executors (lost executor = lost data, no recompute path) — fine
+    * locally, not for long cluster jobs. Callers opt into durability
+    * with `sc.setCheckpointDir(...)`. */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   def bfs(spark: SparkSession, edges: DataFrame, roots: Seq[String],
           maxDepth: Int, checkpointInterval: Int = 3): DataFrame = {
     import spark.implicits._
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var visited = roots.toDF("url").withColumn("depth", lit(0))
-      .select($"depth", $"url").localCheckpoint()
+    // distinct seeds: the union-without-distinct below relies on the
+    // frontier (incl. depth 0) being duplicate-free
+    var visited = cut(roots.distinct.toDF("url").withColumn("depth", lit(0))
+      .select($"depth", $"url"))
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
-      // children of the frontier (A2 union-distinct, web_spider_oo.py:121)
+      // children of the frontier (A2 union-distinct, web_spider_oo.py:121).
+      // No forced broadcast: the frontier can grow toward the full node
+      // set — Catalyst/AQE broadcasts when it is actually small.
       val children = edges
-        .join(frontier.select($"url".as("parent")).hint("broadcast"), "parent")
+        .join(frontier.select($"url".as("parent")), "parent")
         .select(col("child").as("url")).distinct()
       // F4 visited anti-join (web_spider_oo.py:98-101); frontier is distinct
       // and disjoint from visited, so the union below needs no distinct.
@@ -49,14 +62,14 @@ object CrawlGraph {
       // persist every depth (reused twice); hard-truncate lineage only
       // every checkpointInterval depths — checkpoints cost a full
       // materialization, unbounded lineage costs plan blow-up (§7.4 r2).
-      frontier = if (depth % checkpointInterval == 0) next.localCheckpoint()
+      frontier = if (depth % checkpointInterval == 0) cut(next)
                  else { val p = next.persist(); persisted += p; p }
       visited = if (depth % checkpointInterval == 0)
-        visited.union(frontier).localCheckpoint()
+        cut(visited.union(frontier))
       else { val p = visited.union(frontier).persist(); persisted += p; p }
     }
     // cut lineage off the persisted intermediates, then release them
-    val result = visited.localCheckpoint()
+    val result = cut(visited)
     persisted.foreach(_.unpersist(blocking = false))
     result
   }
@@ -113,15 +126,17 @@ object CrawlGraph {
   def crawl(spark: SparkSession, pages: DataFrame, rootSite: String,
             penDepth: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
+    // one source of truth for F5 routing and F3 normalization: LinkOps.
+    // Only text pages are link-mined — pdf pages are saved but not mined
+    // (web_spider_oo.py:108-109 `continue`s after the pdf sink).
     val ok = pages.filter($"status" === 200)
-      .filter(!lower($"url").endsWith("xlsx") && !lower($"url").endsWith("xls"))
+      .filter(LinkOps.route($"url") === "text_sink")
     // url -> its cleaned child urls (S3 -> F1-F3 -> A1)
     val childEdges = ok
       .select($"url".as("parent"),
         explode(LinkOps.extractHrefs($"html")).as("link"))
       .filter(LinkOps.keepLink($"link"))
-      .select($"parent",
-        concat(lit(rootSite), expr("substring(link, 2)")).as("child"))
+      .select($"parent", LinkOps.normalize(rootSite, $"link").as("child"))
       .distinct()
       .persist()
 
@@ -136,7 +151,7 @@ object CrawlGraph {
     var edgesAcc: DataFrame = null
     for (depth <- 0 until penDepth) {
       val mined = childEdges
-        .join(frontier.select($"url".as("parent")).hint("broadcast"), "parent")
+        .join(frontier.select($"url".as("parent")), "parent")
       val newEdges = CrawlGraph.edgesWithDepth(mined, depth)
       edgesAcc = if (edgesAcc == null) newEdges else edgesAcc.union(newEdges)
       val children = mined.select($"child".as("url")).distinct()

@@ -105,17 +105,28 @@ object DedupOps {
   }
 
   /** Exact n-gram Jaccard similarity for given (id, shingle) sets:
-    * |A∩B| / |A∪B| via a shingle equi-join. At scale, run only on LSH
-    * candidates (pass `onlyPairs`); the all-pairs form is for small
-    * verification sets.
+    * |A∩B| / |A∪B|. With `candidates` (an (a, b) pair list, a < b — e.g.
+    * [[lshCandidatePairs]] output) the intersection is computed ONLY for
+    * those pairs by routing each side's shingles through the pair list —
+    * the 100 TB verifier path. Without it, an all-pairs shingle self-join
+    * runs: only for small verification sets.
     */
-  def jaccardPairs(shingled: DataFrame, idCol: String,
-                   minJaccard: Double): DataFrame = {
+  def jaccardPairs(shingled: DataFrame, idCol: String, minJaccard: Double,
+                   candidates: Option[DataFrame] = None): DataFrame = {
     val sizes = shingled.groupBy(col(idCol)).agg(count("*").as("n"))
-    val a = shingled.select(col(idCol).as("a"), col("shingle"))
-    val b = shingled.select(col(idCol).as("b"), col("shingle"))
-    val inter = a.join(b, "shingle").where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count("*").as("inter"))
+    val inter = candidates match {
+      case Some(pairs) =>
+        pairs.select(col("a"), col("b"))
+          .join(shingled.select(col(idCol).as("a"), col("shingle")), "a")
+          .join(shingled.select(col(idCol).as("b"), col("shingle")),
+            Seq("b", "shingle"))
+          .groupBy("a", "b").agg(count("*").as("inter"))
+      case None =>
+        val a = shingled.select(col(idCol).as("a"), col("shingle"))
+        val b = shingled.select(col(idCol).as("b"), col("shingle"))
+        a.join(b, "shingle").where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count("*").as("inter"))
+    }
     inter
       .join(sizes.select(col(idCol).as("a"), col("n").as("na")), "a")
       .join(sizes.select(col(idCol).as("b"), col("n").as("nb")), "b")

@@ -39,6 +39,19 @@ object AsOfJoin {
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            rightTie: String, rightVals: Seq[String]): DataFrame = {
+    // the deterministic tie-break requires an integral tie column — a
+    // silent cast-to-null here would destroy it without any error
+    right.schema(rightTie).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"rightTie '$rightTie' must be an integral column, got $other")
+    }
+    // join semantics: NULL keys never match and a NULL rightTime never
+    // satisfies rightTime <= leftTime — drop such right rows up front
+    // (they would otherwise sort first and be carried onto every left row)
+    val rightClean = right.filter(col(rightKey).isNotNull &&
+      col(rightTime).isNotNull)
     val payload = struct((rightVals :+ rightTie).distinct.map(col): _*)
     val l = left.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"),
@@ -46,7 +59,7 @@ object AsOfJoin {
       struct(left.columns.map(col): _*).as("__left"),
       lit(null).cast(
         right.select(payload).schema.fields.head.dataType).as("__right"))
-    val r = right.select(
+    val r = rightClean.select(
       col(rightKey).as("__k"), col(rightTime).as("__t"),
       lit(0).as("__side"), col(rightTie).cast("long").as("__tie"),
       lit(null).cast(

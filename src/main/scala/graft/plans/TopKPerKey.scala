@@ -85,8 +85,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
       while (iter.hasNext) {
         val row = iter.next()
-        val v = boundOrder.eval(row)
-        if (v != null) {
+        val raw = boundOrder.eval(row)
+        if (raw != null) {
+          // UTF8String (and any buffer-backed value) is a VIEW into the
+          // shuffle reader's reused row buffer — stored heap keys would
+          // silently mutate on the next iter.next(); copy before keeping
+          val v: Any = raw match {
+            case u: UTF8String => u.clone()
+            case other => other
+          }
           val key = keyProj(row).copy()
           val pq = heaps.getOrElseUpdate(key,
             mutable.PriorityQueue.empty[(Any, InternalRow)](pairOrd))
@@ -109,7 +116,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
 object TopKPerKey {
   /** Top-k rows per key by the (resolved) `orderCol` column, DESCENDING.
     * Ties at the k-boundary are broken arbitrarily — pass a unique order
-    * value for deterministic output. */
+    * value for deterministic output. Rows with a NULL order value are
+    * DROPPED (a heap has no place for unordered elements) — this is the
+    * one divergence from the `row_number <= k` window formulation, which
+    * keeps null-order rows in sub-k groups (nulls-last). */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
                  k: Int): DataFrame = {
     val spark = df.sparkSession

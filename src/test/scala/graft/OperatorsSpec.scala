@@ -57,6 +57,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast == naive)
   }
 
+  test("asOf never matches null keys or null right timestamps") {
+    val trades = Seq(
+      (1L, Option(10L), ts("2024-01-01 10:00:05")),
+      (2L, Option.empty[Long], ts("2024-01-01 10:00:05")))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (100L, Option(10L), Option(ts("2024-01-01 09:00:00")), 1.0),
+      (101L, Option(10L), Option.empty[java.sql.Timestamp], 9.0), // null time
+      (102L, Option.empty[Long], Option(ts("2024-01-01 09:00:00")), 8.0)) // null key
+      .toDF("qid", "sym", "qt", "price")
+    val got = AsOfJoin.asOf(trades, quotes, "sym", "sym", "t", "qt", "qid",
+      Seq("qid"))
+      .select("trade_id", "qid").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(100L), 2L -> None))
+  }
+
+  test("asOf rejects a non-integral tie column loudly") {
+    val l = Seq((1L, 1L, 1L)).toDF("lid", "k", "t")
+    val r = Seq((1L, 1L, "uuid-x", 1.0)).toDF("k", "t", "tie", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, "k", "k", "t", "t", "tie", Seq("v"))
+    }
+  }
+
+  test("jaccardPairs candidate-restricted path equals the all-pairs path") {
+    val sh = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "z"), (3L, "x"))
+      .toDF("doc_id", "shingle")
+    val all = graft.ext.DedupOps.jaccardPairs(sh, "doc_id", 0.0)
+      .as[(Long, Long, Double)].collect().toSet
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val restricted = graft.ext.DedupOps
+      .jaccardPairs(sh, "doc_id", 0.0, Some(cand))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(restricted == all && all.nonEmpty)
+  }
+
   test("salted join result is identical to the plain join") {
     val big = (1 to 5000).map(i => (if (i % 3 == 0) 1L else i.toLong, i))
       .toDF("k", "payload") // heavy skew on k=1

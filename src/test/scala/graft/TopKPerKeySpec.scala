@@ -52,4 +52,21 @@ class TopKPerKeySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       .select("k", "s").as[(Long, String)].collect().toSet
     assert(got == Set((1L, "c"), (1L, "b"), (2L, "x")))
   }
+
+  test("string order values survive row-buffer reuse (20k rows)") {
+    // regression: UTF8String order values are views into the shuffle
+    // reader's reused buffer and must be copied before entering the heap
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 20000).map { i =>
+      (i % 5L, rng.alphanumeric.take(12).mkString, i)
+    }
+    val df = rows.toDF("k", "s", "id")
+    val got = TopKPerKey.topKPerKey(df, Seq("k"), "s", 4)
+      .select("k", "s").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val want = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted(Ordering[String].reverse).take(4).sorted.toSeq)
+      .toMap
+    assert(got == want)
+  }
 }
