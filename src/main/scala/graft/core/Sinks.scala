@@ -53,6 +53,22 @@ object Sinks {
     }
   }
 
+  /** Partitioned parquet lake write: directory-partition the data by a
+    * low-cardinality column so readers filtering on it scan only the
+    * matching directories (partition pruning — `PartitionFilters` in the
+    * plan, the 100 TB table-layout primitive alongside bucketing). */
+  def writePartitioned(df: DataFrame, partitionCol: String,
+                       path: String): Unit =
+    df.write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(path)
+
+  /** The reference's incremental per-parent append (K1 shape,
+    * `web_spider_oo.py:123-128`): each crawl depth appends its edges to
+    * the sink as they are produced instead of materializing the whole
+    * crawl — append-mode parquet partitioned by depth (the JDBC analog
+    * is the same write with format("jdbc") + SaveMode.Append). */
+  def appendEdges(edges: DataFrame, path: String): Unit =
+    edges.write.partitionBy("pen_depth").mode(SaveMode.Append).parquet(path)
+
   /** K3: binary sink — verbatim bytes per row (`response.content` ->
     * `.pdf`, reference `web_spider_oo.py:361-365`). Spark has no built-in
     * binary-file writer, so this is the documented `foreachPartition`

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Sinks, Tables}
+
+class PartitionedSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("partitioned write enables partition pruning on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+    Sinks.writePartitioned(orders, "order_year", dir)
+    // directory layout: one dir per year
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("order_year=")).map(_.getName).sorted
+    assert(partDirs.length > 1 && partDirs.head.startsWith("order_year="))
+    // a filter on the partition column must reach PartitionFilters and
+    // scan only the matching partition's files
+    val q = spark.read.parquet(dir).where(col("order_year") === 1997)
+    q.count()
+    val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"expected partition filters, got: ${scan.metadata}")
+    val expected = orders.where(col("order_year") === 1997).count()
+    assert(q.count() == expected && expected > 0)
+  }
+
+  test("per-depth append accumulates edges across incremental writes") {
+    val dir = Files.createTempDirectory("graft-edges").toString + "/edges"
+    val d0 = Seq((0, "r", "a"), (0, "r", "b"))
+      .toDF("pen_depth", "parent_link", "child_link")
+    val d1 = Seq((1, "a", "c")).toDF("pen_depth", "parent_link", "child_link")
+    Sinks.appendEdges(d0, dir)
+    Sinks.appendEdges(d1, dir) // incremental append, reference K1 shape
+    val got = spark.read.parquet(dir)
+      .select("pen_depth", "parent_link", "child_link")
+      .as[(Int, String, String)].collect().toSet
+    assert(got == Set((0, "r", "a"), (0, "r", "b"), (1, "a", "c")))
+  }
+}
