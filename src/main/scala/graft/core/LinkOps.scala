@@ -14,9 +14,10 @@ import graft.functions.ContainsAny
   */
 object LinkOps {
 
-  /** The reference's 28-entry substring blacklist, verbatim incl. the
-    * case-sensitive `app`/`App` pair and the `google` duplicate
-    * (reference `web_spider_oo.py:195-225`).
+  /** The reference's substring blacklist: the 28 distinct entries incl.
+    * the case-sensitive `app`/`App` pair (reference
+    * `web_spider_oo.py:195-225` lists 29 with `google` twice; contains-any
+    * semantics make the duplicate a no-op, so it is dropped here).
     */
   val filterWords: Seq[String] = Seq(
     "career", "login", "main-content", "pay", "your", "form", "#",

@@ -34,11 +34,24 @@ object GraphOps {
     val bidir = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist()
+    // the convergence check sums labels as decimal(38,0); a non-numeric id
+    // column would cast to NULL and silently report convergence after one
+    // round (split components) — reject it loudly instead
+    val idType = bidir.schema("src").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"connectedComponents requires numeric node ids, got $idType — " +
+        "hash non-numeric ids to LONG (e.g. xxhash64) first")
     val nodes = bidir.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     var converged = false
     var it = 0
+    // labels only ever decrease, so the label sum is strictly monotone:
+    // an unchanged sum means a fixpoint — one cheap aggregation instead of
+    // a change-detection join per round; carried across rounds so each
+    // round runs exactly one convergence job
+    var sumPrev = labels.agg(sum(col("label").cast("decimal(38,0)")))
+      .first().getDecimal(0)
     while (!converged && it < maxIters) {
       // each node pulls its neighbors' labels, keeps the minimum
       val neighborLabels = bidir
@@ -49,16 +62,12 @@ object GraphOps {
         .groupBy("node").agg(min("label").as("label"))
       val nextP = if ((it + 1) % 3 == 0) next.localCheckpoint()
                   else { val p = next.persist(); persisted += p; p }
-      // labels only ever decrease, so the label sum is strictly monotone:
-      // an unchanged sum means a fixpoint — one cheap aggregation instead
-      // of a change-detection join per round
       val sumNow = nextP.agg(sum(col("label").cast("decimal(38,0)")))
-        .first().getDecimal(0)
-      val sumPrev = labels.agg(sum(col("label").cast("decimal(38,0)")))
         .first().getDecimal(0)
       // null sums = empty graph = trivially converged
       converged = sumNow == null || sumNow.compareTo(sumPrev) == 0
       labels = nextP
+      sumPrev = sumNow
       it += 1
     }
     // wrong (split) components are worse than a loud failure

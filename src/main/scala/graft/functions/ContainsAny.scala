@@ -24,6 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ContainsAny(child: Expression, words: Seq[String])
     extends UnaryExpression with Predicate {
 
+  // empty words would emit `ev.value = ();` in doGenCode (invalid Java,
+  // codegen-compile fallback); reject at construction instead
+  require(words.nonEmpty, "contains_any requires at least one word argument")
+
   @transient private lazy val utf8Words: Seq[UTF8String] =
     words.map(UTF8String.fromString)
 

@@ -60,7 +60,9 @@ object Sessionize {
       evs.toSeq.sortBy(_.us).foreach { e =>
         cur = cur match {
           case Some(s) if e.us - s.end <= gapUs =>
-            Some(SessState(s.start, e.us, s.n + 1))
+            // cross-batch disorder: an event inside the watermark may sort
+            // before the open session's bounds — extend, never regress
+            Some(SessState(math.min(s.start, e.us), math.max(s.end, e.us), s.n + 1))
           case Some(s) =>
             out += SessionOut(user, s.start, s.end, s.n)
             Some(SessState(e.us, e.us, 1))

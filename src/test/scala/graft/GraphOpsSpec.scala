@@ -8,6 +8,14 @@ class GraphOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("non-numeric node ids are rejected loudly") {
+    val edges = Seq(("x", "y"), ("y", "z")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.connectedComponents(spark, edges)
+    }
+    assert(e.getMessage.contains("numeric node ids"))
+  }
+
   test("chain, clique, and separate components get min-id labels") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),

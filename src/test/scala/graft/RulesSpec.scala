@@ -81,4 +81,11 @@ class RulesSpec extends AnyFunSuite {
       Seq("career", "mail"))
     assert(expr.eval(null) == true)
   }
+
+  test("ContainsAny rejects an empty word list at construction") {
+    intercept[IllegalArgumentException] {
+      graft.functions.ContainsAny(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), Seq.empty)
+    }
+  }
 }

@@ -57,6 +57,21 @@ class SessionizeSpec extends AnyFunSuite {
     assert(s3.isRemoved)
   }
 
+  test("cross-batch out-of-order event never regresses session bounds") {
+    val f = Sessionize.updateSessions(gapUs) _
+    // open session [10min, 20min]; a late (within-watermark) event at 5min
+    // arrives in the next batch — must extend start, not regress end
+    val m = 60L * 1000000
+    val s = TestGroupState.create[SessState](
+      optionalState = org.apache.spark.api.java.Optional.of(SessState(10L * m, 20L * m, 2)),
+      timeoutConf = GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(1L)),
+      hasTimedOut = false)
+    val out = f(1L, Iterator(SessEvent(1L, 5L * m)), s).toSeq
+    assert(out.isEmpty && s.get == SessState(5L * m, 20L * m, 3))
+  }
+
   test("streamingSessions starts and runs with event-time timeout") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00")),
