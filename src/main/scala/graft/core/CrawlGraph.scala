@@ -165,9 +165,11 @@ object CrawlGraph {
         .withColumn("pen_depth", lit(0))
         .withColumn("parent_link", lit(""))
         .withColumn("child_link", lit("")))
-    val uniqueLinks = surrogateKeys(visited, "url").localCheckpoint()
+    // checkpoint the (small) visited set, then derive unique_links lazily:
+    // callers that only read edges never pay for the surrogate-key window
+    val visitedCk = visited.localCheckpoint()
     persisted.foreach(_.unpersist(blocking = false))
     childEdges.unpersist(blocking = false)
-    (edges, uniqueLinks)
+    (edges, surrogateKeys(visitedCk, "url"))
   }
 }

@@ -72,6 +72,63 @@ object ExtQueries {
          |FROM tri, generate_series(0, ${numSeeds - 1}) s(seed)
          |GROUP BY doc_id, s.seed ORDER BY doc_id, seed""".stripMargin))
 
+  /** SQL fragment shared by the md5-LSH oracle queries: signatures ->
+    * band signatures (seed-ordered concat) for docs < maxDoc. */
+  private def lshBandsSql(maxDoc: Int): String =
+    s"""${triSql(maxDoc)},
+       |sig AS (SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
+       |          min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS minhash
+       |        FROM tri, generate_series(0, ${numSeeds - 1}) s(seed)
+       |        GROUP BY doc_id, s.seed),
+       |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+       |            string_agg(minhash, ',' ORDER BY seed) AS band_sig
+       |          FROM sig GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.band_sig = y.band_sig
+       |          AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** LSH candidate pairs, md5/oracle form: signatures -> 3 bands of 4
+    * seeds -> bucket equi-join. The bucket join IS the scale trick — the
+    * O(n²) pair space never materializes. */
+  val qLshPairs = QueryDef("q_lsh_pairs",
+    (s, dir) => {
+      val sig = DedupOps.minhashSignatures(shingled(s, dir, 200), "doc_id", numSeeds)
+      DedupOps.lshCandidatePairs(
+        DedupOps.lshBands(sig, "doc_id", rowsPerBand = 4), "doc_id")
+        .orderBy("a", "b")
+    },
+    Some(
+      s"""WITH ${lshBandsSql(200)}
+         |SELECT a, b FROM cand ORDER BY a, b""".stripMargin))
+
+  /** LSH candidates verified by exact Jaccard routed through the pair
+    * list (the `candidates` path of DedupOps.jaccardPairs — at 100 TB
+    * the only affordable exact verification). */
+  val qLshVerified = QueryDef("q_lsh_verified",
+    (s, dir) => {
+      val sh = shingled(s, dir, 200)
+      val sig = DedupOps.minhashSignatures(sh, "doc_id", numSeeds)
+      val cand = DedupOps.lshCandidatePairs(
+        DedupOps.lshBands(sig, "doc_id", rowsPerBand = 4), "doc_id")
+      DedupOps.jaccardPairs(sh, "doc_id", 0.3, candidates = Some(cand))
+        .orderBy("a", "b")
+    },
+    Some(
+      s"""WITH ${lshBandsSql(200)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+         |inter AS (SELECT c.a, c.b, count(*) AS inter
+         |          FROM cand c
+         |          JOIN tri ta ON ta.doc_id = c.a
+         |          JOIN tri tb ON tb.doc_id = c.b AND tb.shingle = ta.shingle
+         |          GROUP BY c.a, c.b)
+         |SELECT i.a, i.b,
+         |       CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+         |             JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.3
+         |ORDER BY a, b""".stripMargin))
+
   /** Full MinHash+LSH near-dup pipeline (signatures -> bands -> bucket
     * join) over ALL docs — the 100 TB scale path. Rows-only check: the
     * band-bucket summary (always non-empty) incl. per-bucket candidate
@@ -262,7 +319,10 @@ object ExtQueries {
 
   /** Structured Streaming surface (§2.11): watermarked tumbling-window
     * aggregation over the events fixture via the file source + memory
-    * sink, driven to completion synchronously. Rows-only. */
+    * sink, driven to completion synchronously. Complete output mode over
+    * a finite fixture is deterministic, so the micro-batch result is
+    * oracle-checked against the equivalent batch SQL (epoch-aligned
+    * 5-minute buckets; decimal-exact value sum). */
   val qStreamingWindow = QueryDef("q_streaming_window",
     (s, dir) => {
       // the file-stream source needs a directory; stage the fixture file
@@ -276,11 +336,17 @@ object ExtQueries {
         s, stageDir.toString, "graft_stream_out")
       q.processAllAvailable(); q.stop()
       s.table("graft_stream_out")
-        .select(col("window.start").as("win_start"), col("event_type"),
-          col("n"), col("total_value"))
-        .orderBy("win_start", "event_type")
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("n").cast("long").as("n"), col("total_value"))
+        .orderBy("win_us", "event_type")
     },
-    None)
+    Some(
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |b AS (SELECT us - us % 300000000 AS win_us, event_type, value FROM e)
+        |SELECT win_us, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY win_us, event_type
+        |ORDER BY win_us, event_type""".stripMargin))
 
   /** Sessionization (batch window form; integer epoch-micros arithmetic
     * for cross-engine exactness). */
@@ -347,6 +413,30 @@ object ExtQueries {
          |SELECT node, min(other) AS component FROM reach GROUP BY node
          |ORDER BY node""".stripMargin))
 
+  /** Near-dup clustering, large-star/small-star form (Kiveris et al.
+    * SoCC'14): O(log d) rounds vs O(d) for q_dedup_components' label
+    * propagation — the variant for dup graphs with long chains at 100 TB.
+    * Same recursive-CTE transitive-closure oracle, wider doc range. */
+  val qComponentsStar = QueryDef("q_components_star",
+    (s, dir) => {
+      val pairs = DedupOps.jaccardPairs(shingled(s, dir, 150), "doc_id", 0.0)
+        .select("a", "b")
+      GraphOps.connectedComponentsStar(s, pairs).orderBy("node")
+    },
+    Some(
+      s"""WITH RECURSIVE ${triSql(150)},
+         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tri a
+         |          JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach(node, other) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other)
+         |SELECT node, min(other) AS component FROM reach GROUP BY node
+         |ORDER BY node""".stripMargin))
+
   /** IVF ANN: deterministic k-means centroids + nprobe bucket search.
     * Rows-only (approximate by construction). */
   val qAnnIvf = QueryDef("q_ann_ivf",
@@ -362,7 +452,8 @@ object ExtQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSignatures, qMinhashLshPairs,
+    qLshPairs, qLshVerified,
     qSimhash, qKnnCosine, qAnnLsh, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalFeatures, qCrawlPipeline, qStreamingWindow,
-    qSessionize, qMinhashTyped, qDedupComponents, qAnnIvf)
+    qSessionize, qMinhashTyped, qDedupComponents, qComponentsStar, qAnnIvf)
 }

@@ -242,6 +242,46 @@ object MoreQueries {
       .orderBy("l_returnflag"),
     None)
 
+  /** Moments with cross-engine bit-exactness: raw power sums accumulated
+    * exactly in integer cents (associative, order-independent), then
+    * mean/variance/skewness derived with a textually identical double
+    * expression on both engines. `sqrt` (IEEE correctly-rounded) instead
+    * of `pow(x, 1.5)` (libm-dependent last bit). Complements
+    * q_stats_moments (built-in streaming sketches, rows-only by design).
+    */
+  val qMomentsExact = QueryDef("q_moments_exact",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("s1"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)")).as("s2"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)")).as("s3"))
+      .select(col("l_returnflag"), col("n"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0").as("mean_qty"),
+        expr("(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 10000.0").as("var_qty"),
+        expr("""((CAST(s3 AS DOUBLE) - 3.0 * CAST(s2 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                 + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE))
+                / (((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                   * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))""")
+          .as("skew_qty"))
+      .orderBy("l_returnflag"),
+    Some(
+      """WITH sums AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s1,
+        |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s2,
+        |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s3
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_qty,
+        |       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS var_qty,
+        |       ((CAST(s3 AS DOUBLE) - 3.0 * CAST(s2 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |         + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE))
+        |        / (((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |           * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) AS skew_qty
+        |FROM sums ORDER BY l_returnflag""".stripMargin))
+
   /** Typed Dataset surface: case-class rows, typed filter, groupByKey +
     * Aggregator[IN,BUF,OUT] aggregation — exact (cents-integer) sums so
     * the oracle matches. */
@@ -290,7 +330,7 @@ object MoreQueries {
   val all: Seq[QueryDef] = Seq(
     qAsofJoin, qSaltedJoin, qRangeJoin, qGroupingSets, qSqlQ3,
     qPercentiles, qApproxDistinct, qEmbeddingPairs, qPivot, qArrayOps,
-    qArgMinMax, qStatsMoments, qTypedDs, qTopkCustom)
+    qArgMinMax, qStatsMoments, qMomentsExact, qTypedDs, qTopkCustom)
 }
 
 /** Tiny typed aggregators for the Dataset[T] demo (q_typed_ds). */

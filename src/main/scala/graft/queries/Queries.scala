@@ -97,30 +97,43 @@ object Queries {
          |       url AS link_name
          |FROM cleaned ORDER BY link_id""".stripMargin))
 
+  /** Synthesized per-document HTML shared by the two S3 extraction
+    * queries (composed-builtin vs custom Generator). */
+  private def synthDocHtml: Column = concat(
+    lit("<html><body><p>"), expr("substring(text, 1, 40)"),
+    lit("</p><a href=\"/doc/"), col("doc_id").cast("string"), lit("\">d</a>"),
+    when(col("doc_id") % 4 === 0, lit("<a href=\"#top\">t</a>")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("<a href=\"/cat/"), col("lang"), lit("\">c</a>"))).otherwise(lit("")),
+    lit("</body></html>"))
+
+  private val linkExtractOracle: String =
+    """WITH h AS (SELECT '<html><body><p>' || substring(text, 1, 40)
+      |  || '</p><a href="/doc/' || CAST(doc_id AS VARCHAR) || '">d</a>'
+      |  || CASE WHEN doc_id % 4 = 0 THEN '<a href="#top">t</a>' ELSE '' END
+      |  || CASE WHEN doc_id % 3 = 0 THEN '<a href="/cat/' || lang || '">c</a>' ELSE '' END
+      |  || '</body></html>' AS html FROM documents),
+      |x AS (SELECT unnest(regexp_extract_all(html, '<a\s[^>]*?href\s*=\s*"([^"]*)"', 1)) AS href FROM h)
+      |SELECT href, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY href ORDER BY href""".stripMargin
+
   /** S3: href extraction (regexp UDTF-shape) + explode over synthesized
     * HTML. */
   val qLinkExtract = QueryDef("q_link_extract",
-    (s, dir) => {
-      val html = concat(
-        lit("<html><body><p>"), expr("substring(text, 1, 40)"),
-        lit("</p><a href=\"/doc/"), col("doc_id").cast("string"), lit("\">d</a>"),
-        when(col("doc_id") % 4 === 0, lit("<a href=\"#top\">t</a>")).otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("<a href=\"/cat/"), col("lang"), lit("\">c</a>"))).otherwise(lit("")),
-        lit("</body></html>"))
-      t(s, dir, "documents").select(html.as("html"))
-        .select(explode(LinkOps.extractHrefs(col("html"))).as("href"))
-        .groupBy("href").agg(count(lit(1)).cast("long").as("n"))
-        .orderBy("href")
-    },
-    Some(
-      """WITH h AS (SELECT '<html><body><p>' || substring(text, 1, 40)
-        |  || '</p><a href="/doc/' || CAST(doc_id AS VARCHAR) || '">d</a>'
-        |  || CASE WHEN doc_id % 4 = 0 THEN '<a href="#top">t</a>' ELSE '' END
-        |  || CASE WHEN doc_id % 3 = 0 THEN '<a href="/cat/' || lang || '">c</a>' ELSE '' END
-        |  || '</body></html>' AS html FROM documents),
-        |x AS (SELECT unnest(regexp_extract_all(html, '<a\s[^>]*?href\s*=\s*"([^"]*)"', 1)) AS href FROM h)
-        |SELECT href, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY href ORDER BY href""".stripMargin))
+    (s, dir) => t(s, dir, "documents").select(synthDocHtml.as("html"))
+      .select(explode(LinkOps.extractHrefs(col("html"))).as("href"))
+      .groupBy("href").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("href"),
+    Some(linkExtractOracle))
+
+  /** S3 as a custom Catalyst `Generator` (graft.functions.ExtractHrefs):
+    * same semantics as q_link_extract, executed as a streaming `Generate`
+    * node instead of array-materialize + explode. Same oracle. */
+  val qLinkExtractGen = QueryDef("q_link_extract_gen",
+    (s, dir) => t(s, dir, "documents").select(synthDocHtml.as("html"))
+      .select(graft.functions.ExtractHrefs(col("html")).as("href"))
+      .groupBy("href").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("href"),
+    Some(linkExtractOracle))
 
   /** §2.10: bounded BFS with memoization (min-depth labeling) over the
     * region->nation->customer graph. */
@@ -588,7 +601,7 @@ object Queries {
         |FROM customer GROUP BY 1, 2 ORDER BY tier, c_mktsegment""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    qLinksClean, qUniqueLinks, qLinkExtract, qCrawlBfs, qEdgesIntended,
+    qLinksClean, qUniqueLinks, qLinkExtract, qLinkExtractGen, qCrawlBfs, qEdgesIntended,
     qVisitedAnti, qRouteDispatch, qFilenameSanitize, qStatusAdmit,
     q1PricingSummary, qRollupOrders, qCubeLineitem, qTopkCustomers,
     qWindowRunning, qWindowRanks, qSortLimit, qJoinStarRevenue, qJoinSemi, qJoinAnti,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.ContainsAny
+import graft.functions.{ContainsAny, ExtractHrefs}
 
 /** Optimizer rule: collapse `c.contains(w1) OR c.contains(w2) OR ...`
   * (>= 3 branches over the same column) into one [[ContainsAny]] pass.
@@ -51,10 +51,18 @@ object CollapseContainsOr extends Rule[LogicalPlan] {
 
 /** Session extensions: inject the optimizer rule + register the
   * `contains_any(str, w1, w2, ...)` SQL function (word args must be
-  * string literals). */
+  * string literals) and the `extract_hrefs(html)` generator (usable in
+  * `LATERAL VIEW` / `SELECT extract_hrefs(html) ...`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseContainsOr)
+    e.injectFunction((
+      new FunctionIdentifier("extract_hrefs"),
+      new ExpressionInfo(classOf[ExtractHrefs].getName, "extract_hrefs"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "extract_hrefs takes exactly one argument")
+        ExtractHrefs(exprs.head)
+      }))
     e.injectFunction((
       new FunctionIdentifier("contains_any"),
       new ExpressionInfo(classOf[ContainsAny].getName, "contains_any"),

@@ -33,7 +33,11 @@ object EventsStream {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count("*").as("n"), sum(col("value")).as("total_value"))
+      // decimal-exact sum (value is a 2-decimal measure): associative and
+      // order-independent, so the micro-batch partial aggregation is
+      // bit-identical to any batch engine — the cross-engine parity rule
+      .agg(count("*").as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
   /** Run the streaming query over a parquet directory (file source, one
     * micro-batch per file batch), into a named memory sink; returns the

@@ -60,4 +60,41 @@ class GraphOpsSpec extends AnyFunSuite {
       }.toMap
     assert(canon(got) == canon(want))
   }
+
+  test("star algorithm: chain, clique, separate components, self-loop") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 30L)).toDF("a", "b")
+    val got = GraphOps.connectedComponentsStar(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L))
+  }
+
+  test("star algorithm: 200-node chain converges in O(log d) rounds") {
+    val n = 200 // diameter 199 — far beyond the 30-iteration bound;
+                // only a doubling algorithm converges here
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val got = GraphOps.connectedComponentsStar(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 1L))
+  }
+
+  test("star algorithm matches min-label propagation on random graphs") {
+    val rng = new scala.util.Random(7)
+    val edges = (1 to 80).map(_ => (rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val viaStar = GraphOps.connectedComponentsStar(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    val viaProp = GraphOps.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp)
+  }
+
+  test("star algorithm rejects non-numeric ids") {
+    val edges = Seq(("x", "y")).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      GraphOps.connectedComponentsStar(spark, edges)
+    }
+  }
 }

@@ -89,4 +89,49 @@ class LinkOpsSpec extends AnyFunSuite {
       .toDF("u").select(LinkOps.route($"u").as("r")).as[String].collect().toSeq
     assert(out == Seq("pdf_sink", "skip", "skip", "text_sink", "text_sink"))
   }
+
+  test("ExtractHrefs generator == explode(extractHrefs) on tricky html") {
+    val html = Seq(
+      """<a href="/one">1</a><p>x</p><a  class=z href = "/two">2</a>""",
+      """no links here""",
+      null.asInstanceOf[String],
+      """<a href="">empty</a><a href="#f">f</a>"""
+    ).toDF("html")
+    val viaArray = html
+      .select(explode(LinkOps.extractHrefs($"html")).as("href"))
+      .as[String].collect().toSeq
+    val viaGen = html
+      .select(graft.functions.ExtractHrefs($"html").as("href"))
+      .as[String].collect().toSeq
+    assert(viaGen == viaArray)
+    assert(viaGen == Seq("/one", "/two", "", "#f"))
+    // whole-operator form: the plan must carry a Generate node
+    val plan = html.select(graft.functions.ExtractHrefs($"html"))
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.nonEmpty)
+  }
+
+  test("extract_hrefs is registered for SQL by GraftExtensions") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.rules.GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq("""<a href="/a">a</a><a href="/b">b</a>""").toDF("html")
+        .createOrReplaceTempView("pages_gen")
+      val out = s2.sql(
+        "SELECT extract_hrefs(html) AS href FROM pages_gen ORDER BY href")
+        .as[String].collect().toSeq
+      assert(out == Seq("/a", "/b"))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
 }
