@@ -284,12 +284,27 @@ object ExtQueries {
   // ---------- multimodal + full crawl (rows-only) ----------
 
   /** Multimodal binary-column plumbing: mapPartitions batched feature
-    * extraction with a clearly-marked stub decoder. Rows-only. */
+    * extraction with a clearly-marked stub decoder. The stub features are
+    * deterministic byte arithmetic, so even the mapPartitions path is
+    * oracle-checked (fixture text is ASCII: code point == byte). */
   val qMultimodalFeatures = QueryDef("q_multimodal_features",
     (s, dir) => MultimodalOps.extractFeatures(s,
       MultimodalOps.mediaFromDocuments(s, t(s, dir, "documents")))
       .toDF().orderBy("doc_id"),
-    None)
+    Some(
+      """WITH chars AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |               FROM documents),
+        |sums AS (SELECT doc_id, CAST(sum(ascii(substring(text, i, 1))) AS BIGINT) AS s
+        |         FROM chars GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+        |            WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |       CAST(COALESCE(s.s, 0) % 640 + 1 AS INTEGER) AS width,
+        |       CAST(COALESCE(s.s, 0) % 480 + 1 AS INTEGER) AS height,
+        |       CAST(COALESCE(s.s, 0) AS BIGINT) AS checksum
+        |FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin))
 
   /** End-to-end crawl pipeline (S4 admission, S3 extraction, F1-F3
     * cleaning, BFS with memoization, intended-semantics edges) over a

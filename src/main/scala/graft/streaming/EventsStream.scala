@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -49,6 +49,26 @@ object EventsStream {
     windowedCounts(src).writeStream
       .outputMode("complete")
       .format("memory").queryName(queryName)
+      .start()
+  }
+
+  /** The production sink shape for the reference's incremental per-parent
+    * SQL append (K1, `web_spider_oo.py:123-128`): `foreachBatch` gives
+    * each micro-batch to a batch writer — here an append-mode parquet
+    * write stamped with the batch id; swapping the write for
+    * `format("jdbc").option("dbtable", ...)` (Sinks.jdbcAppend) is the
+    * literal K1 and changes nothing else. Update output mode + watermark
+    * bound the emitted and retained state; the batch id enables
+    * idempotent replay (dedup on (batch_id, key) downstream). */
+  def startIncrementalAppend(spark: SparkSession, sourceDir: String,
+                             outDir: String): StreamingQuery = {
+    val src = spark.readStream.schema(eventsSchema).parquet(sourceDir)
+    windowedCounts(src).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
       .start()
   }
 

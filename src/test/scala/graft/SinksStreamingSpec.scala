@@ -57,4 +57,31 @@ class SinksStreamingSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSet
     assert(got == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
+
+  test("foreachBatch incremental append lands every micro-batch in the sink") {
+    val srcDir = Files.createTempDirectory("graft-fb-src").toString
+    val outDir = Files.createTempDirectory("graft-fb-out").toString + "/sink"
+    val mkEvents = (rows: Seq[(Long, String, Long, String, Double, String)]) =>
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .selectExpr("event_id", "CAST(tss AS TIMESTAMP) AS ts", "user_id",
+          "event_type", "value", "props")
+    mkEvents(Seq((1L, "2024-01-01 00:01:00", 1L, "click", 1.0, "{}")))
+      .write.mode("append").parquet(srcDir)
+    val q = EventsStream.startIncrementalAppend(spark, srcDir, outDir)
+    try {
+      q.processAllAvailable()
+      // second micro-batch: a new file appears in the source
+      mkEvents(Seq((2L, "2024-01-01 00:02:00", 2L, "click", 2.0, "{}")))
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sunk = spark.read.parquet(outDir)
+    // update mode re-emits the click window in each batch that changes it
+    // (n=1 then n=2), each append stamped with its own batch id — exact
+    // ids aren't stable (watermark advances insert no-data batches)
+    val byBatch = sunk.selectExpr("batch_id", "n")
+      .as[(Long, Long)].collect().toSet
+    assert(byBatch.map(_._2) == Set(1L, 2L))
+    assert(byBatch.map(_._1).size == 2)
+  }
 }
