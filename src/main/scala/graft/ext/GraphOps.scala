@@ -152,8 +152,11 @@ object GraphOps {
         .filter(col("x") =!= col("m"))
         .select(col("m").as("u"), col("x").as("v")) // m < x always
         .distinct()
-      val nextP = if ((it + 1) % 3 == 0) next.localCheckpoint()
-                  else { val p = next.persist(); persisted += p; p }
+      // truncate lineage EVERY round: `e` is referenced ~6x per round
+      // (sym twice, large three times, small twice), so an unbroken plan
+      // grows ~8x per round and Catalyst planning time — not execution —
+      // dominates by round 3. The materialized edge set is tiny.
+      val nextP = next.localCheckpoint()
       val sumNow = labelSum(nextP)
       converged = sumNow == null || sumNow.compareTo(prevSum) == 0
       require(sumNow == null || sumNow.compareTo(prevSum) <= 0,
