@@ -308,7 +308,10 @@ object ExtQueries {
 
   /** End-to-end crawl pipeline (S4 admission, S3 extraction, F1-F3
     * cleaning, BFS with memoization, intended-semantics edges) over a
-    * synthetic pages table derived from documents. Rows-only. */
+    * synthetic pages table derived from documents. Oracle-checked: the
+    * page graph is deterministic modular arithmetic and penDepth=3
+    * unrolls into three CTE hops (junk links are dropped by the same
+    * blacklist/relative-gate the oracle omits by construction). */
   val qCrawlPipeline = QueryDef("q_crawl_pipeline",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -330,7 +333,32 @@ object ExtQueries {
       val (edges, _) = CrawlGraph.crawl(s, pages, site, penDepth = 3)
       edges.orderBy("pen_depth", "parent_link", "child_link")
     },
-    None)
+    Some(
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |ce AS (
+        |  SELECT 'https://site.test/' AS parent,
+        |         'https://site.test/doc/' || x.c AS child
+        |  FROM (VALUES ('0'), ('1'), ('2')) x(c)
+        |  UNION
+        |  SELECT 'https://site.test/doc/' || CAST(d.doc_id AS VARCHAR),
+        |         'https://site.test/doc/' || CAST((d.doc_id * 7 + 1) % n.n AS VARCHAR)
+        |  FROM documents d, n WHERE d.doc_id % 17 <> 0
+        |  UNION
+        |  SELECT 'https://site.test/doc/' || CAST(d.doc_id AS VARCHAR),
+        |         'https://site.test/doc/' || CAST((d.doc_id * 13 + 2) % n.n AS VARCHAR)
+        |  FROM documents d, n WHERE d.doc_id % 17 <> 0),
+        |d0(url) AS (SELECT 'https://site.test/'),
+        |e0 AS (SELECT 0 AS d, parent, child FROM ce JOIN d0 ON ce.parent = d0.url),
+        |f1 AS (SELECT DISTINCT child AS url FROM e0
+        |       WHERE child NOT IN (SELECT url FROM d0)),
+        |e1 AS (SELECT 1 AS d, parent, child FROM ce JOIN f1 ON ce.parent = f1.url),
+        |f2 AS (SELECT DISTINCT child AS url FROM e1
+        |       WHERE child NOT IN (SELECT url FROM d0 UNION SELECT url FROM f1)),
+        |e2 AS (SELECT 2 AS d, parent, child FROM ce JOIN f2 ON ce.parent = f2.url)
+        |SELECT CAST(d AS INTEGER) AS pen_depth, parent AS parent_link,
+        |       child AS child_link
+        |FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        |ORDER BY pen_depth, parent_link, child_link""".stripMargin))
 
   /** Structured Streaming surface (§2.11): watermarked tumbling-window
     * aggregation over the events fixture via the file source + memory

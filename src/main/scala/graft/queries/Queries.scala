@@ -561,6 +561,26 @@ object Queries {
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Schema-on-read JSON parsing: `from_json` with a declared schema
+    * (the structured path — q_regex_extract_json is the regex fallback),
+    * then a per-user max over the parsed field. DuckDB side uses its
+    * native JSON extraction. */
+  val qJsonFuncs = QueryDef("q_json_funcs",
+    (s, dir) => t(s, dir, "events")
+      .select(col("user_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy("user_id")
+      .agg(max("k").cast("long").as("max_k"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("user_id"),
+    Some(
+      """SELECT user_id,
+        | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   /** Math scalars with exact decimal/integer forms. */
   val qMathFuncs = QueryDef("q_math_funcs",
     (s, dir) => t(s, dir, "lineitem")
@@ -607,5 +627,5 @@ object Queries {
     qWindowRunning, qWindowRanks, qSortLimit, qJoinStarRevenue, qJoinSemi, qJoinAnti,
     qJoinLeftOuter, qCrossJoin, qUnionNations, qExceptNations,
     qIntersectNations, qDistinctCounts, qStringFuncs, qDateFuncs,
-    qRegexExtract, qMathFuncs, qCaseWhenTiers)
+    qRegexExtract, qJsonFuncs, qMathFuncs, qCaseWhenTiers)
 }

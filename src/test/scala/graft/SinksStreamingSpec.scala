@@ -58,6 +58,21 @@ class SinksStreamingSpec extends AnyFunSuite {
     assert(got == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("K3 binary sink round-trips through the binaryFile source") {
+    val dir = Files.createTempDirectory("graft-binsrc").toString
+    val df = Seq(("https://s.test/doc.pdf", Array[Byte](1, 2, 3, 4)))
+      .toDF("url", "content")
+    Sinks.writeBinaryFiles(df, "https://s.test/", dir)
+    // the raw-document-store read path (SURVEY §1.1): binary corpus as a
+    // DataFrame of (path, content) — no custom reader needed
+    val back = spark.read.format("binaryFile").load(dir)
+      .selectExpr("path", "content")
+      .as[(String, Array[Byte])].collect()
+    assert(back.length == 1)
+    assert(back.head._1.endsWith("https___s.test_https___s.test_doc.pdf.pdf"))
+    assert(back.head._2.toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
   test("foreachBatch incremental append lands every micro-batch in the sink") {
     val srcDir = Files.createTempDirectory("graft-fb-src").toString
     val outDir = Files.createTempDirectory("graft-fb-out").toString + "/sink"
