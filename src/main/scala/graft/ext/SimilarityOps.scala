@@ -31,8 +31,17 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double precision — the fused codegen'd
+    * expression (one allocation-free pass for dot, |a|², |b|² inside
+    * whole-stage codegen; see graft.functions.CosineSim). Bit-identical
+    * to [[cosineComposed]] (property-tested). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
+
+  /** The composed higher-order-function form (zip_with + aggregate):
+    * interpreted eval with an intermediate array per row — kept as the
+    * reference semantics the custom expression is tested against. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors. Query side is broadcast (small); corpus streams.

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{ContainsAny, ExtractHrefs}
+import graft.functions.{ContainsAny, CosineSim, ExtractHrefs}
 
 /** Optimizer rule: collapse `c.contains(w1) OR c.contains(w2) OR ...`
   * (>= 3 branches over the same column) into one [[ContainsAny]] pass.
@@ -56,6 +56,13 @@ object CollapseContainsOr extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseContainsOr)
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "cosine_sim takes exactly two arguments")
+        CosineSim(exprs.head, exprs(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("extract_hrefs"),
       new ExpressionInfo(classOf[ExtractHrefs].getName, "extract_hrefs"),

@@ -95,6 +95,40 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got == Map(1L -> "de", 2L -> "en", 3L -> "und"))
   }
 
+  test("fused CosineSim == composed zip_with/aggregate form, bit-for-bit") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1),
+        Array.fill(16)(rng.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id",
+        graft.functions.CosineSim($"a", $"b").as("fused"),
+        graft.ext.SimilarityOps.cosineComposed($"a", $"b").as("composed"))
+      .as[(Long, Double, Double)].collect()
+    // bit-for-bit: same IEEE operation sequence (no rounding tolerance)
+    got.foreach { case (_, f, c) => assert(f == c) }
+  }
+
+  test("CosineSim null contract: null array, null element, length mismatch") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (2L, null.asInstanceOf[Array[Float]], Array(1.0f, 2.0f)),
+      (3L, Array(1.0f, 2.0f), Array(1.0f))
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", graft.functions.CosineSim($"a", $"b"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    // null element inside the array
+    val nullElem = Seq(Tuple1(1L)).toDF("x").select(
+      graft.functions.CosineSim(
+        array(lit(1.0f), lit(null).cast("float")),
+        array(lit(1.0f), lit(2.0f))).as("c"))
+      .as[Option[Double]].collect().head
+    assert(nullElem.isEmpty)
+  }
+
   test("wordNgrams guards short docs (no descending-sequence blowup)") {
     val got = Seq("one two", "a b c d").toDF("text")
       .select(TextOps.wordNgrams($"text", 3).as("g"))
