@@ -25,14 +25,19 @@ object Bench {
       spark.catalog.clearCache() // no cross-query cache interference
       (name, dt, ok)
     }
-    // a crashed query must not masquerade as a fast one: report -1
+    // a crashed query must not masquerade as a fast one: report -1;
+    // millisecond precision keeps the whole line short enough to survive
+    // tail-truncating log capture
+    def f(v: Double) = "%.3f".format(v)
     val qs = results.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) v else -1.0) }
+      s"\"" + k + "\":" + (if (ok) f(v) else "-1") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // total = successful queries only; time-to-crash of a failed query is
+    // not a throughput number and would disagree with its -1 entry
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

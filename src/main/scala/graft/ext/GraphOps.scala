@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components by iterative min-label propagation —
@@ -29,7 +29,6 @@ object GraphOps {
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
                           maxIters: Int = 20): DataFrame = {
-    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     // symmetric closure, one direction table (src -> dst)
     val bidir = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -42,6 +41,9 @@ object GraphOps {
       s"connectedComponents requires numeric node ids, got $idType — " +
         "hash non-numeric ids to LONG (e.g. xxhash64) first")
     val nodes = bidir.select(col("src").as("node")).distinct()
+    // each round checkpoints its labels (eager — materializes now) and
+    // frees the PREVIOUS round's blocks once the new round has landed, so
+    // storage stays O(1) in rounds instead of accumulating until GC
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     var converged = false
@@ -60,10 +62,10 @@ object GraphOps {
       val next = labels.select(col("node"), col("label"))
         .union(neighborLabels)
         .groupBy("node").agg(min("label").as("label"))
-      val nextP = if ((it + 1) % 3 == 0) next.localCheckpoint()
-                  else { val p = next.persist(); persisted += p; p }
+      val nextP = next.localCheckpoint()
       val sumNow = nextP.agg(sum(col("label").cast("decimal(38,0)")))
         .first().getDecimal(0)
+      GraftSqlBridge.freeLocalCheckpoint(labels)
       // null sums = empty graph = trivially converged
       converged = sumNow == null || sumNow.compareTo(sumPrev) == 0
       labels = nextP
@@ -76,7 +78,7 @@ object GraphOps {
         "graph diameter exceeds maxIters; raise it")
     val result = labels.select(col("node"), col("label").as("component"))
       .localCheckpoint()
-    persisted.foreach(_.unpersist(blocking = false))
+    GraftSqlBridge.freeLocalCheckpoint(labels)
     bidir.unpersist(blocking = false)
     result
   }
@@ -105,13 +107,19 @@ object GraphOps {
       s"connectedComponentsStar requires numeric node ids, got $idType — " +
         "hash non-numeric ids to LONG (e.g. xxhash64) first")
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // materialize the caller's edge expression ONCE — both the node set
+    // and the canonical edge set derive from it, and recomputing an
+    // expensive upstream (e.g. an LSH candidate join) twice doubles the
+    // setup cost
+    val src = edges.select(col("a"), col("b")).persist()
+    persisted += src
     // every endpoint must appear in the output even if its edges are
     // dropped as self-loops below
-    val allNodes = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node"))).distinct().persist()
+    val allNodes = src.select(col("a").as("node"))
+      .union(src.select(col("b").as("node"))).distinct().persist()
     persisted += allNodes
     // canonical undirected edge set, self-loops removed
-    var e = edges
+    var e = src
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -155,9 +163,11 @@ object GraphOps {
       // truncate lineage EVERY round: `e` is referenced ~6x per round
       // (sym twice, large three times, small twice), so an unbroken plan
       // grows ~8x per round and Catalyst planning time — not execution —
-      // dominates by round 3. The materialized edge set is tiny.
+      // dominates by round 3. The materialized edge set is tiny. Free the
+      // previous round's checkpoint blocks once this round has landed.
       val nextP = next.localCheckpoint()
       val sumNow = labelSum(nextP)
+      GraftSqlBridge.freeLocalCheckpoint(e)
       converged = sumNow == null || sumNow.compareTo(prevSum) == 0
       require(sumNow == null || sumNow.compareTo(prevSum) <= 0,
         "label-min sum increased — algorithm invariant violated")
@@ -176,6 +186,7 @@ object GraphOps {
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
       .localCheckpoint()
+    GraftSqlBridge.freeLocalCheckpoint(e)
     persisted.foreach(_.unpersist(blocking = false))
     result
   }

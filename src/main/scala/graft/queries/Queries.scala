@@ -577,7 +577,7 @@ object Queries {
       .orderBy("user_id"),
     Some(
       """SELECT user_id,
-        | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        | CAST(max(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS BIGINT) AS max_k,
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 

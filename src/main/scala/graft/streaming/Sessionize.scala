@@ -56,20 +56,25 @@ object Sessionize {
       state.getOption.foreach(s => out += SessionOut(user, s.start, s.end, s.n))
       state.remove()
     } else {
-      var cur = state.getOption
-      evs.toSeq.sortBy(_.us).foreach { e =>
-        cur = cur match {
-          case Some(s) if e.us - s.end <= gapUs =>
-            // cross-batch disorder: an event inside the watermark may sort
-            // before the open session's bounds — extend, never regress
-            Some(SessState(math.min(s.start, e.us), math.max(s.end, e.us), s.n + 1))
-          case Some(s) =>
-            out += SessionOut(user, s.start, s.end, s.n)
-            Some(SessState(e.us, e.us, 1))
-          case None => Some(SessState(e.us, e.us, 1))
-        }
+      // interval merge: the open session is just another interval among
+      // this batch's events — sorting by start and merging on the gap rule
+      // handles cross-batch disorder in BOTH directions (a within-watermark
+      // event > gap before the open session's start forms its own session
+      // instead of bridging into it)
+      val all = (state.getOption.toList ++
+        evs.map(e => SessState(e.us, e.us, 1L))).sortBy(s => (s.start, s.end))
+      val merged = scala.collection.mutable.Buffer.empty[SessState]
+      all.foreach { s =>
+        if (merged.nonEmpty && s.start - merged.last.end <= gapUs) {
+          val p = merged.last
+          merged(merged.size - 1) =
+            SessState(p.start, math.max(p.end, s.end), p.n + s.n)
+        } else merged += s
       }
-      cur.foreach { s =>
+      // every interval but the last is definitively closed (a later one
+      // exists more than gap after it); the last stays open in state
+      merged.init.foreach(s => out += SessionOut(user, s.start, s.end, s.n))
+      merged.lastOption.foreach { s =>
         state.update(s)
         // always register the flush timeout — sessions opened before the
         // first watermark advance must still time out eventually; clamp

@@ -16,4 +16,21 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Free the storage blocks behind a `localCheckpoint()`ed Dataset.
+    *
+    * `localCheckpoint` persists `queryExecution.toRdd` and truncates the
+    * lineage to a `LogicalRDD` over those blocks; `Dataset.unpersist()`
+    * only consults the CacheManager and never releases them, so an
+    * iterative algorithm that checkpoints per round leaks every prior
+    * round's blocks until GC. This digs the RDD out of the `LogicalRDD`
+    * and unpersists it directly — call ONLY once nothing will read the
+    * Dataset again (the lineage is gone; the data is unrecoverable).
+    */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpointed plan — nothing to free
+    }
 }

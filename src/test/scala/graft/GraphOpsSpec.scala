@@ -34,6 +34,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.size == n && got.values.forall(_ == 1L))
   }
 
+  test("per-round checkpoint blocks are freed, not accumulated") {
+    // a 30-round chain leaks ~30 checkpointed RDDs if rounds are never
+    // freed; after the run only O(1) persistent RDDs may remain (the
+    // result + async-unpersist stragglers)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n = 30
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    GraphOps.connectedComponents(spark, edges, maxIters = 40).count()
+    val afterCc = spark.sparkContext.getPersistentRDDs.size
+    assert(afterCc - before <= 4,
+      s"connectedComponents leaked checkpoint RDDs: $before -> $afterCc")
+    GraphOps.connectedComponentsStar(spark, edges).count()
+    val afterStar = spark.sparkContext.getPersistentRDDs.size
+    assert(afterStar - afterCc <= 4,
+      s"connectedComponentsStar leaked checkpoint RDDs: $afterCc -> $afterStar")
+  }
+
   test("matches brute-force union-find on a random graph") {
     val rng = new scala.util.Random(3)
     val edges = (1 to 60).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))

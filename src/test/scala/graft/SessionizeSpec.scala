@@ -72,6 +72,23 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out.isEmpty && s.get == SessState(5L * m, 20L * m, 3))
   }
 
+  test("late event more than gap before the open session forms its own session") {
+    val f = Sessionize.updateSessions(gapUs) _
+    val m = 60L * 1000000
+    // open session [100min, 110min]; a within-watermark event at 10min is
+    // > gap before its start — it must NOT merge (that would bridge a real
+    // gap); it becomes its own, immediately-closed session
+    val s = TestGroupState.create[SessState](
+      optionalState = org.apache.spark.api.java.Optional.of(SessState(100L * m, 110L * m, 2)),
+      timeoutConf = GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(1L)),
+      hasTimedOut = false)
+    val out = f(1L, Iterator(SessEvent(1L, 10L * m)), s).toSeq
+    assert(out == Seq(SessionOut(1L, 10L * m, 10L * m, 1)))
+    assert(s.get == SessState(100L * m, 110L * m, 2))
+  }
+
   test("streamingSessions starts and runs with event-time timeout") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00")),
