@@ -480,6 +480,43 @@ object ExtQueries {
          |SELECT node, min(other) AS component FROM reach GROUP BY node
          |ORDER BY node""".stripMargin))
 
+  /** The dedup pipeline's final step: canonicalization. Components over
+    * the shingle-overlap graph -> min doc_id per component = canonical
+    * survivor; every doc maps to its canonical (itself if unique) with a
+    * dup flag. Smaller doc range than q_dedup_components — this query is
+    * about the keep-one-per-cluster join-back, not the clustering. */
+  val qDedupCanonical = QueryDef("q_dedup_canonical",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 80)
+        .select("doc_id")
+      val pairs = DedupOps.jaccardPairs(shingled(s, dir, 80), "doc_id", 0.0)
+        .select("a", "b")
+      val comp = GraphOps.connectedComponents(s, pairs)
+      docs.join(comp, docs("doc_id") === comp("node"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical"))
+        .withColumn("is_dup", (col("doc_id") =!= col("canonical")).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE ${triSql(80)},
+         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tri a
+         |          JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach(node, other) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other),
+         |comp AS (SELECT node, min(other) AS component FROM reach GROUP BY node)
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical,
+         |  CAST(CASE WHEN coalesce(c.component, d.doc_id) <> d.doc_id
+         |       THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 80) d
+         |LEFT JOIN comp c ON c.node = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin))
+
   /** IVF ANN: deterministic k-means centroids + nprobe bucket search.
     * Rows-only (approximate by construction). */
   val qAnnIvf = QueryDef("q_ann_ivf",
@@ -498,5 +535,6 @@ object ExtQueries {
     qLshPairs, qLshVerified,
     qSimhash, qKnnCosine, qAnnLsh, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalFeatures, qCrawlPipeline, qStreamingWindow,
-    qSessionize, qMinhashTyped, qDedupComponents, qComponentsStar, qAnnIvf)
+    qSessionize, qMinhashTyped, qDedupComponents, qComponentsStar,
+    qDedupCanonical, qAnnIvf)
 }

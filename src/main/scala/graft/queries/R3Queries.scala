@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.queries.Queries.QueryDef
+
+/** Third wave of operator coverage: unpivot/melt, multiset set-ops,
+  * positional explode, MapType surface, window range-frames + ntile,
+  * CSV and JSON-lines source/sink round trips, deterministic hash
+  * sampling, null-handling scalars, array higher-order fold, and the
+  * streaming stream-static dimension join.
+  *
+  * Every query keeps the established DuckDB-parity discipline: DECIMAL
+  * (18,2) aggregation cast to DOUBLE at the end, BIGINT/INTEGER casts
+  * pinned on both sides, total ORDER BY with a unique tie-break.
+  */
+object R3Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def d2(c: Column) = c.cast(DecimalType(18, 2))
+
+  private def tmpPath(name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"), name).getAbsolutePath
+
+  /** Unpivot/melt (wide metrics -> long (metric, val) pairs) — the
+    * inverse of q_pivot. Values are pre-cast to one type (unpivot
+    * requires a common value type). */
+  val qUnpivot = QueryDef("q_unpivot",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(d2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).cast("double").as("n"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n")), "metric", "val")
+      .orderBy("l_returnflag", "metric"),
+    Some(
+      """WITH a AS (SELECT l_returnflag,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |   CAST(count(*) AS DOUBLE) AS n
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, val FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL SELECT l_returnflag, 'n', n FROM a)
+        |ORDER BY l_returnflag, metric""".stripMargin))
+
+  /** EXCEPT ALL — multiset difference (duplicates preserved), grouped to
+    * a deterministic summary. */
+  val qExceptAll = QueryDef("q_except_all",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_custkey"))
+        .exceptAll(o.where(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("o_custkey")
+    },
+    Some(
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
+  /** INTERSECT ALL — multiset intersection (min of per-side
+    * multiplicities), grouped to a deterministic summary. */
+  val qIntersectAll = QueryDef("q_intersect_all",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersectAll(o.where(col("o_totalprice") > 1000.0).select(col("o_custkey")))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("o_custkey")
+    },
+    Some(
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 1000.0)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
+  /** Positional explode (UDTF with ordinality) — token stream with
+    * 0-based positions. */
+  val qPosexplode = QueryDef("q_posexplode",
+    (s, dir) => t(s, dir, "documents").where(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos"),
+    Some(
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr
+        |           FROM documents WHERE doc_id < 20),
+        |b AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM a)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, arr[i] AS word
+        |FROM b ORDER BY doc_id, pos""".stripMargin))
+
+  /** MapType surface: map_from_arrays, element_at, map_keys, and the
+    * transform_values higher-order function — extracted back to plain
+    * columns so the oracle stays SQL-expressible. */
+  val qMapFuncs = QueryDef("q_map_funcs",
+    (s, dir) => t(s, dir, "events").where(col("event_id") % 97 === 0)
+      .select(col("event_id"),
+        map_from_arrays(
+          array(lit("uid"), lit("vceil")),
+          array(col("user_id"), ceil(col("value")))).as("m"))
+      .select(col("event_id"),
+        element_at(col("m"), "uid").as("uid"),
+        element_at(col("m"), "vceil").as("vceil"),
+        size(map_keys(col("m"))).as("nkeys"),
+        element_at(transform_values(col("m"), (_, v) => v * 2), "vceil")
+          .as("vceil2"))
+      .orderBy("event_id"),
+    Some(
+      """SELECT event_id, user_id AS uid, CAST(ceil(value) AS BIGINT) AS vceil,
+        | CAST(2 AS INTEGER) AS nkeys, CAST(ceil(value) AS BIGINT) * 2 AS vceil2
+        |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin))
+
+  /** RANGE window frame: per-user trailing 10-minute count/sum at each
+    * event (epoch-microsecond integer range — bit-exact across engines;
+    * ties are frame peers on both sides). */
+  val qWindowFrames = QueryDef("q_window_frames",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-600L * 1000000L, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).cast("long").as("n10"),
+          sum(d2(col("value"))).over(w).cast("double").as("sum10"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n10,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum10
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin))
+
+  /** ntile / percent_rank / cume_dist over a total order (unique
+    * tie-break so all three are deterministic; bounded slice since a
+    * global window is single-partition by construction). */
+  val qNtile = QueryDef("q_ntile",
+    (s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"),
+          ntile(4).over(w).cast("int").as("tile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    },
+    Some(
+      """SELECT c_custkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS tile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer WHERE c_custkey <= 400
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** CSV sink + source round trip: write DECIMAL-normalized part rows as
+    * CSV, read them back with an explicit schema, aggregate — the result
+    * must equal the same aggregate straight off parquet (proves the
+    * text round trip is lossless). */
+  val qCsvRoundtrip = QueryDef("q_csv_roundtrip",
+    (s, dir) => {
+      val out = tmpPath("graft_csv_roundtrip")
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), d2(col("p_retailprice")).as("p_price"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("p_partkey LONG, p_brand STRING, p_price DECIMAL(18,2)")
+        .csv(out)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("p_price")).cast("double").as("total_price"))
+        .orderBy("p_brand")
+    },
+    Some(
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
+  /** JSON-lines sink + source round trip (schema-on-read with an
+    * explicit schema — no sampling-dependent inference). */
+  val qJsonlRoundtrip = QueryDef("q_jsonl_roundtrip",
+    (s, dir) => {
+      val out = tmpPath("graft_jsonl_roundtrip")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").json(out)
+      s.read.schema("event_id LONG, user_id LONG, event_type STRING")
+        .json(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          countDistinct(col("user_id")).cast("long").as("nd_users"))
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Deterministic hash-bucket sampling (~1/16 via first md5 hex char) —
+    * reproducible sampling for pipeline debugging, unlike rand()-based
+    * TABLESAMPLE. */
+  val qSampleHash = QueryDef("q_sample_hash",
+    (s, dir) => t(s, dir, "orders")
+      .where(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d2(col("o_totalprice"))).cast("double").as("sample_total"))
+      .orderBy("o_orderstatus"),
+    Some(
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sample_total
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** Null-handling scalars: nullif / coalesce / nvl2-style dispatch /
+    * boolean-to-flag casts. */
+  val qNullFuncs = QueryDef("q_null_funcs",
+    (s, dir) => t(s, dir, "customer").where(col("c_custkey") <= 300)
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+          .as("seg"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+          .as("bal_pos"),
+        expr("nvl2(nullif(c_mktsegment, 'BUILDING'), 'kept', 'repl')")
+          .as("disp"),
+        (col("c_acctbal") >= 0).cast("int").as("has_bal"))
+      .orderBy("c_custkey"),
+    Some(
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos,
+        |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+        |       THEN 'kept' ELSE 'repl' END AS disp,
+        |  CAST(c_acctbal >= 0 AS INTEGER) AS has_bal
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin))
+
+  /** Array higher-order fold: L2 norm via functions.aggregate (sequential
+    * fold — same accumulation order as DuckDB's list fold; round(4) by
+    * the established cosine-parity convention). */
+  val qEmbeddingNorm = QueryDef("q_embedding_norm",
+    (s, dir) => t(s, dir, "embeddings").where(col("vec_id") < 50)
+      .select(col("vec_id"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"),
+        size(col("embedding")).as("dim"))
+      .orderBy("vec_id"),
+    Some(
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+        |  CAST(len(embedding) AS INTEGER) AS dim
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin))
+
+  /** Stream-static dimension join: streaming events enriched against the
+    * static customer dim, aggregated per segment (complete mode over the
+    * finite fixture is deterministic — same discipline as
+    * q_streaming_window). */
+  val qStreamStaticJoin = QueryDef("q_stream_static_join",
+    (s, dir) => {
+      // the file-stream source needs a directory; stage the fixture file
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val stageDir = Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ss_src_" + math.abs(dir.hashCode))
+      Files.createDirectories(stageDir)
+      Files.copy(Paths.get(dir, "events.parquet"),
+        stageDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val src = s.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .parquet(stageDir.toString)
+      val q = src.join(cust, src("user_id") === cust("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(d2(col("value"))).as("total_value"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_ss_out").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_ss_out")
+        .select(col("c_mktsegment"), col("n").cast("long").as("n"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
+    qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
+    qNullFuncs, qEmbeddingNorm, qStreamStaticJoin)
+}
