@@ -304,8 +304,205 @@ object R3Queries {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** SQL fragment: one row per (doc_id, term) token occurrence,
+    * doc_id < maxDoc (non-distinct — term frequency preserved). */
+  private def tokSql(maxDoc: Int): String =
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS arr
+       |         FROM documents WHERE doc_id < $maxDoc),
+       |idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+       |        FROM docs),
+       |tok AS (SELECT doc_id, arr[i] AS term FROM idx WHERE len(arr[i]) > 0)"""
+      .stripMargin
+
+  private def tokens(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
+    t(s, dir, "documents").where(col("doc_id") < maxDoc)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) > 0)
+
+  /** TF-IDF: top-3 terms per document by tf·ln(N/df) over a 200-doc
+    * corpus slice (N generated from the same constant on both sides;
+    * round(4) absorbs any libm ln() divergence). */
+  val qTfidfTop = QueryDef("q_tfidf_top", {
+    val n = 200
+    (s, dir) => {
+      val tf = tokens(s, dir, n).groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("long").as("tf"))
+      val dfreq = tf.groupBy("term")
+        .agg(count(lit(1)).cast("long").as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .withColumn("score",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3 && col("doc_id") < 30)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    }
+  },
+    Some(
+      s"""WITH ${tokSql(200)},
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+         |         round(t.tf * ln(200.0 / d.df), 4) AS score
+         |       FROM tf t JOIN dfreq d USING (term)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, term) AS rn FROM sc)
+         |SELECT doc_id, term, tf, df, score FROM r
+         |WHERE rn <= 3 AND doc_id < 30
+         |ORDER BY doc_id, score DESC, term""".stripMargin))
+
+  /** Bigram language model: P(w2|w1) = c(w1,w2)/c(w1·) via lead()
+    * adjacency — integer counts, exact double division. */
+  val qBigramLm = QueryDef("q_bigram_lm",
+    (s, dir) => {
+      val tok = t(s, dir, "documents").where(col("doc_id") < 150)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = tok.withColumn("w2", lead("word", 1).over(w))
+        .where(col("w2").isNotNull)
+        .select(col("word").as("w1"), col("w2"))
+      val c12 = big.groupBy("w1", "w2")
+        .agg(count(lit(1)).cast("long").as("c12"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).cast("long").as("c1"))
+      c12.join(c1, "w1")
+        .withColumn("p", col("c12") / col("c1"))
+        .select("w1", "w2", "c12", "c1", "p")
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(40)
+    },
+    Some(
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS arr
+        |              FROM documents WHERE doc_id < 150),
+        |idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        |        FROM docs),
+        |tok AS (SELECT doc_id, i AS pos, arr[i] AS word FROM idx),
+        |big AS (SELECT word AS w1,
+        |          lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM tok),
+        |b AS (SELECT w1, w2 FROM big WHERE w2 IS NOT NULL),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY 1)
+        |SELECT c12.w1, c12.w2, c12.c12, c1.c1, c12.c12 / CAST(c1.c1 AS DOUBLE) AS p
+        |FROM c12 JOIN c1 USING (w1)
+        |ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT 40""".stripMargin))
+
+  /** Corpus top terms (global term frequency, the basic corpus-analysis
+    * reduction). */
+  val qTopTerms = QueryDef("q_top_terms",
+    (s, dir) => tokens(s, dir, 300).groupBy("term")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(50),
+    Some(
+      s"""WITH ${tokSql(300)}
+         |SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok
+         |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin))
+
+  /** Sliding (overlapping) time windows: 10-minute windows every
+    * 5 minutes — each event lands in exactly two windows. */
+  val qSlidingWindow = QueryDef("q_sliding_window",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d2(col("value"))).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("win_us", "event_type"),
+    Some(
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |j AS (SELECT us, event_type, value,
+        |        unnest(generate_series(0, 1)) AS k FROM e),
+        |b AS (SELECT us - us % 300000000 - k * 300000000 AS win_us,
+        |        event_type, value FROM j)
+        |SELECT win_us, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY win_us, event_type
+        |ORDER BY win_us, event_type""".stripMargin))
+
+  /** Spark's native session_window operator (batch form) — gap-based
+    * sessions as a groupBy key; window.end = last event + gap. Cross-
+    * checked against the same lag/flag/running-sum CTE as q_sessionize. */
+  val qSessionWindow = QueryDef("q_session_window",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_gap_us"), col("n"))
+      .orderBy("user_id", "start_us"),
+    Some(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |x AS (SELECT user_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |      FROM e),
+        |y AS (SELECT user_id, us,
+        |        CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM x),
+        |z AS (SELECT user_id, us,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY us) AS seq
+        |      FROM y)
+        |SELECT user_id, min(us) AS start_us,
+        |  max(us) + 1800000000 AS end_gap_us, CAST(count(*) AS BIGINT) AS n
+        |FROM z GROUP BY user_id, seq
+        |ORDER BY user_id, start_us""".stripMargin))
+
+  /** Streaming deduplication: the source directory holds TWO copies of
+    * the fixture, dropDuplicates("event_id") must collapse them — state-
+    * backed streaming dedup, the incremental form of q_dedup_exact. */
+  val qStreamDedup = QueryDef("q_stream_dedup",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val stageDir = Paths.get(sys.props("java.io.tmpdir"),
+        "graft_dedup_src_" + math.abs(dir.hashCode))
+      Files.createDirectories(stageDir)
+      Seq("events_a.parquet", "events_b.parquet").foreach { n =>
+        Files.copy(Paths.get(dir, "events.parquet"), stageDir.resolve(n),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val src = s.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .parquet(stageDir.toString)
+      val q = src.dropDuplicates("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_dedup_out").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_dedup_out")
+        .select(col("event_type"), col("n").cast("long").as("n"))
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Bloom-pruned anti-join — result must equal the plain left_anti
+    * join (the bloom filter only prunes the shuffle). */
+  val qBloomAnti = QueryDef("q_bloom_anti",
+    (s, dir) => graft.operators.BloomOps.bloomPrunedAntiJoin(
+      t(s, dir, "lineitem"),
+      t(s, dir, "orders").where(col("o_orderstatus") === "F"),
+      "l_orderkey", "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
-    qNullFuncs, qEmbeddingNorm, qStreamStaticJoin)
+    qNullFuncs, qEmbeddingNorm, qStreamStaticJoin,
+    qTfidfTop, qBigramLm, qTopTerms, qSlidingWindow, qSessionWindow,
+    qStreamDedup, qBloomAnti)
 }

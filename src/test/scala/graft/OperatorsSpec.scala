@@ -93,6 +93,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(restricted == all && all.nonEmpty)
   }
 
+  test("bloom-pruned anti-join result is identical to the plain left_anti join") {
+    val left = (1L to 3000L).map(k => (k, s"row_$k")).toDF("lk", "payload")
+    // right covers a stripe of the key space; tiny fpp so both branches
+    // (definitely-absent fast path + exact anti-join on maybes) get rows
+    val right = (500L to 1500L).map(k => (k, "r")).toDF("rk", "x")
+    val plain = left.join(right, $"lk" === $"rk", "left_anti")
+      .select("lk", "payload").as[(Long, String)].collect().toSet
+    val bloomed = graft.operators.BloomOps
+      .bloomPrunedAntiJoin(left, right, "lk", "rk", expectedItems = 2000L)
+      .select("lk", "payload").as[(Long, String)].collect().toSet
+    assert(bloomed == plain && plain.size == 2000 - 1)
+  }
+
   test("salted join result is identical to the plain join") {
     val big = (1 to 5000).map(i => (if (i % 3 == 0) 1L else i.toLong, i))
       .toDF("k", "payload") // heavy skew on k=1
