@@ -499,10 +499,162 @@ object R3Queries {
         |  (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** StructType surface: named struct build + getField access + inline
+    * (explode of array<struct> into columns). */
+  val qStructFuncs = QueryDef("q_struct_funcs",
+    (s, dir) => t(s, dir, "events").where(col("event_id") % 131 === 0)
+      .select(col("event_id"),
+        struct(col("event_type").as("et"), col("user_id").as("uid")).as("st"),
+        col("value"))
+      .select(col("event_id"),
+        col("st").getField("et").as("et"),
+        col("st").getField("uid").as("uid"),
+        inline(array(
+          struct(lit("half").as("tag"),
+            (d2(col("value")) * d2(lit(0.5))).cast("double").as("v")),
+          struct(lit("full").as("tag"), d2(col("value")).cast("double").as("v")))))
+      .orderBy("event_id", "tag"),
+    Some(
+      """WITH e AS (SELECT event_id, event_type AS et, user_id AS uid, value
+        |           FROM events WHERE event_id % 131 = 0),
+        |x AS (
+        |  SELECT event_id, et, uid, 'half' AS tag,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(18,2)) AS DOUBLE) AS v
+        |  FROM e
+        |  UNION ALL
+        |  SELECT event_id, et, uid, 'full',
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+        |  FROM e)
+        |SELECT event_id, et, uid, tag, v FROM x
+        |ORDER BY event_id, tag""".stripMargin))
+
+  /** Row generation: per-order 3-day date spine via sequence + explode
+    * (the date-dimension generation pattern). */
+  val qSequenceExplode = QueryDef("q_sequence_explode",
+    (s, dir) => t(s, dir, "orders").where(col("o_orderkey") < 300)
+      .select(col("o_orderkey"),
+        explode(sequence(to_date(col("o_orderdate")),
+          date_add(to_date(col("o_orderdate")), 2),
+          expr("interval 1 day"))).as("d"))
+      .select(col("o_orderkey"), date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .orderBy("o_orderkey", "day"),
+    Some(
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0
+        |           FROM orders WHERE o_orderkey < 300),
+        |x AS (SELECT o_orderkey,
+        |        unnest(generate_series(d0, d0 + INTERVAL 2 DAY, INTERVAL 1 DAY)) AS d
+        |      FROM o)
+        |SELECT o_orderkey, strftime(CAST(d AS DATE), '%Y-%m-%d') AS day
+        |FROM x ORDER BY o_orderkey, day""".stripMargin))
+
+  /** regexp_extract_all / regexp counting / list slicing over text. */
+  val qRegexpAll = QueryDef("q_regexp_all",
+    (s, dir) => t(s, dir, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("s[a-z]+"), lit(0))).as("n_s"),
+        size(regexp_extract_all(col("text"), lit("scan"), lit(0))).as("n_scan"),
+        array_join(slice(regexp_extract_all(col("text"), lit("b[a-z]+"), lit(0)),
+          1, 3), ",").as("first_b"))
+      .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 's[a-z]+')) AS INTEGER) AS n_s,
+        |  CAST(len(regexp_extract_all(text, 'scan')) AS INTEGER) AS n_scan,
+        |  coalesce(array_to_string(regexp_extract_all(text, 'b[a-z]+')[1:3], ','), '') AS first_b
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic array aggregation: collect_set -> array_sort ->
+    * concat_ws (unordered collection made order-stable before output). */
+  val qCollectSorted = QueryDef("q_collect_sorted",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+        .as("statuses"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("o_orderpriority"),
+    Some(
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
+
+  /** Array higher-order functions: filter / exists / forall / transform
+    * over the token array. */
+  val qArrayHof = QueryDef("q_array_hof",
+    (s, dir) => t(s, dir, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"),
+        size(filter(col("arr"), x => length(x) > 5)).as("n_long"),
+        exists(col("arr"), x => x === "spark").cast("int").as("has_spark"),
+        forall(col("arr"), x => length(x) > 0).cast("int").as("all_nonempty"),
+        array_join(transform(slice(col("arr"), 1, 3), x => upper(x)), " ")
+          .as("head3_upper"))
+      .orderBy("doc_id"),
+    Some(
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(arr, x -> len(x) > 5)) AS INTEGER) AS n_long,
+        |  CAST(list_contains(arr, 'spark') AS INTEGER) AS has_spark,
+        |  CAST(len(list_filter(arr, x -> len(x) = 0)) = 0 AS INTEGER) AS all_nonempty,
+        |  array_to_string(list_transform(arr[1:3], x -> upper(x)), ' ') AS head3_upper
+        |FROM a ORDER BY doc_id""".stripMargin))
+
+  /** ANSI SQL LATERAL VIEW explode (the UDTF surface through spark.sql,
+    * with WHERE/HAVING over the generated rows). */
+  val qLateralSql = QueryDef("q_lateral_sql",
+    (s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .createOrReplaceTempView("graft_docs_r3")
+      s.sql(
+        """SELECT doc_id, tok, CAST(count(*) AS LONG) AS n
+          |FROM graft_docs_r3
+          |LATERAL VIEW explode(split(text, ' ')) x AS tok
+          |WHERE length(tok) > 3
+          |GROUP BY doc_id, tok
+          |HAVING count(*) >= 3
+          |ORDER BY doc_id, tok""".stripMargin)
+    },
+    Some(
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS arr
+        |              FROM documents WHERE doc_id < 50),
+        |idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        |        FROM docs),
+        |tok AS (SELECT doc_id, arr[i] AS tok FROM idx WHERE len(arr[i]) > 3)
+        |SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+        |FROM tok GROUP BY doc_id, tok HAVING count(*) >= 3
+        |ORDER BY doc_id, tok""".stripMargin))
+
+  /** Hive-style partitioned lake write + pruned read-back: the scan of
+    * the partitioned copy must touch only the selected partitions
+    * (PartitionFilters in the plan), and the result must equal the same
+    * aggregate off the unpartitioned table. */
+  val qPartitionPruning = QueryDef("q_partition_pruning",
+    (s, dir) => {
+      val out = tmpPath("graft_part_lineitem")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      s.read.parquet(out)
+        .where(col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(d2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
     qNullFuncs, qEmbeddingNorm, qStreamStaticJoin,
     qTfidfTop, qBigramLm, qTopTerms, qSlidingWindow, qSessionWindow,
-    qStreamDedup, qBloomAnti)
+    qStreamDedup, qBloomAnti,
+    qStructFuncs, qSequenceExplode, qRegexpAll, qCollectSorted,
+    qArrayHof, qLateralSql, qPartitionPruning)
 }
