@@ -649,6 +649,26 @@ object R3Queries {
         |FROM lineitem WHERE l_returnflag IN ('A', 'R')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Custom TypedImperativeAggregate (binary-state UDAF): exact
+    * top-3-event-types-by-count per user cohort, deterministic
+    * "v:c,v:c" finalization — oracle-checked against counts +
+    * row_number + string_agg. */
+  val qTopkCountAgg = QueryDef("q_topk_count_agg",
+    (s, dir) => t(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(graft.functions.TopKByCount(col("event_type"), 3).as("top3"))
+      .orderBy("cohort"),
+    Some(
+      """WITH c AS (SELECT user_id % 10 AS cohort, event_type,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT cohort, event_type, n,
+        |        row_number() OVER (PARTITION BY cohort
+        |          ORDER BY n DESC, event_type) AS rn
+        |      FROM c)
+        |SELECT cohort, string_agg(event_type || ':' || n, ',' ORDER BY rn) AS top3
+        |FROM r WHERE rn <= 3 GROUP BY cohort ORDER BY cohort""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -656,5 +676,5 @@ object R3Queries {
     qTfidfTop, qBigramLm, qTopTerms, qSlidingWindow, qSessionWindow,
     qStreamDedup, qBloomAnti,
     qStructFuncs, qSequenceExplode, qRegexpAll, qCollectSorted,
-    qArrayHof, qLateralSql, qPartitionPruning)
+    qArrayHof, qLateralSql, qPartitionPruning, qTopkCountAgg)
 }

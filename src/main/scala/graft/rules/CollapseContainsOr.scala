@@ -79,5 +79,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"contains_any words must be string literals, got $other")
         })))
+    e.injectFunction((
+      new FunctionIdentifier("top_k_by_count"),
+      new ExpressionInfo(classOf[graft.functions.TopKByCount].getName,
+        "top_k_by_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2,
+          "top_k_by_count(col, k) takes exactly two arguments")
+        val k = exprs(1) match {
+          case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"top_k_by_count k must be an integer literal, got $other")
+        }
+        graft.functions.TopKByCount(exprs.head, k).toAggregateExpression()
+      }))
   }
 }

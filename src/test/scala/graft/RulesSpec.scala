@@ -72,6 +72,45 @@ class RulesSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKByCount: exact counts across many partitions, deterministic tie-break") {
+    // 40 partitions force partial buffers + serialize/merge; counts must
+    // still be exact and ties break lexicographically
+    val df = spark.range(0, 1000, 1, 40)
+      .selectExpr("CASE WHEN id % 10 < 5 THEN 'a' " +
+        "WHEN id % 10 < 8 THEN 'b' WHEN id % 10 < 9 THEN 'z' ELSE 'y' END AS v")
+    val got = df.agg(graft.functions.TopKByCount(col("v"), 3).as("t"))
+      .as[String].collect().head
+    assert(got == "a:500,b:300,y:100")
+    // nulls are skipped, not counted
+    val withNulls = Seq(Some("x"), None, Some("x"), None, Some("w"))
+      .toDF("v")
+    val got2 = withNulls.agg(graft.functions.TopKByCount(col("v"), 5).as("t"))
+      .as[String].collect().head
+    assert(got2 == "x:2,w:1")
+  }
+
+  test("GraftExtensions registers top_k_by_count for SQL") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z"))
+        .toDF("g", "v").createOrReplaceTempView("tk_ext")
+      val out = s2.sql(
+        "SELECT g, top_k_by_count(v, 2) AS t FROM tk_ext GROUP BY g ORDER BY g")
+        .as[(String, String)].collect().toSeq
+      assert(out == Seq(("g1", "x:2,y:1"), ("g2", "z:1")))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("ContainsAny works in both codegen and interpreted eval") {
     val df = links.select(ContainsAny($"link", Seq("career", "mail")).as("r"))
     assert(df.as[Boolean].collect().toSeq == Seq(true, false, true, false))
