@@ -28,7 +28,8 @@ object Bench {
     // a crashed query must not masquerade as a fast one: report -1;
     // millisecond precision keeps the whole line short enough to survive
     // tail-truncating log capture
-    def f(v: Double) = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, ok) =>
       s"\"" + k + "\":" + (if (ok) f(v) else "-1") }
       .mkString("{", ",", "}")

@@ -65,7 +65,12 @@ case class TopKByCount(child: Expression, k: Int,
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (key, n) => out.writeUTF(key); out.writeLong(n) }
+    buf.foreach { case (key, n) =>
+      // length-prefixed bytes, not writeUTF: writeUTF throws on keys
+      // longer than 65535 UTF-8 bytes (e.g. a document-text column)
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(n)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -74,7 +79,11 @@ case class TopKByCount(child: Expression, k: Int,
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { val key = in.readUTF(); buf.update(key, in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      val key = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      buf.update(key, in.readLong()); i += 1
+    }
     buf
   }
 

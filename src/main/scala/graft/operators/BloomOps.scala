@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Bloom-filter join pruning — the scale form of the reference's visited
   * anti-join (`web_spider_oo.py:99-101`, F4/J3 in SURVEY.md §2).
@@ -11,8 +12,9 @@ import org.apache.spark.sql.functions._
   * the right side's keys and broadcast to the left classifies each left
   * row without a shuffle:
   *
-  *  - "definitely absent" rows are emitted immediately (no false
-  *    negatives — this is exact);
+  *  - "definitely absent" rows (including null-key rows, which can never
+  *    match) are emitted immediately — blooms have no false negatives,
+  *    so this branch is exact;
   *  - "maybe present" rows (the small side after pruning: true hits +
   *    fpp·misses) go through the exact anti-join.
   *
@@ -24,9 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object BloomOps {
 
-  /** Exact anti-join with bloom pre-pruning. Keys must be LONG (the
-    * typed `mightContainLong` fast path — hash non-numeric keys to LONG
-    * with xxhash64 first).
+  /** Exact anti-join with bloom pre-pruning. Keys may be integral (the
+    * typed `mightContainLong` fast path) or string (`mightContainString`
+    * — the crawl's url-keyed shape). `leftKey == rightKey` is fine: the
+    * right key is renamed internally before the join.
     *
     * @param expectedItems sizing for the filter (right side cardinality)
     * @param fpp           target false-positive probability
@@ -37,12 +40,23 @@ object BloomOps {
                           fpp: Double = 0.01): DataFrame = {
     val bf = right.stat.bloomFilter(rightKey, expectedItems, fpp)
     val bcast = left.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bcast.value.mightContainLong(k))
-    val probe: Column = mightContain(col(leftKey))
-    val definitelyAbsent = left.filter(!probe)
-    val maybePresent = left.filter(probe)
-      .join(right.select(col(rightKey)),
-        col(leftKey) === col(rightKey), "left_anti")
+    val mightContain: Column = left.schema(leftKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val u = udf((k: Long) => bcast.value.mightContainLong(k))
+        u(col(leftKey).cast("long"))
+      case StringType =>
+        val u = udf((k: String) => bcast.value.mightContainString(k))
+        u(col(leftKey))
+      case other => throw new IllegalArgumentException(
+        s"bloomPrunedAntiJoin supports integral or string keys, got $other")
+    }
+    // null keys never match the right side: a plain left_anti KEEPS them,
+    // so they belong on the definitely-absent fast path (the UDF would
+    // return null and silently drop them from both branches otherwise)
+    val definitelyAbsent = left.filter(col(leftKey).isNull || !mightContain)
+    val maybePresent = left.filter(col(leftKey).isNotNull && mightContain)
+      .join(right.select(col(rightKey).as("__bloom_rk")),
+        col(leftKey) === col("__bloom_rk"), "left_anti")
     definitelyAbsent.unionByName(maybePresent)
   }
 }

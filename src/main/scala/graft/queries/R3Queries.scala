@@ -25,8 +25,12 @@ object R3Queries {
 
   private def d2(c: Column) = c.cast(DecimalType(18, 2))
 
-  private def tmpPath(name: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"), name).getAbsolutePath
+  /** Staging path keyed by the dataset dir (same discipline as the
+    * stream-source staging) so concurrent runs over different sf dirs
+    * never race on one output directory. */
+  private def tmpPath(name: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      name + "_" + math.abs(dir.hashCode)).getAbsolutePath
 
   /** Unpivot/melt (wide metrics -> long (metric, val) pairs) — the
     * inverse of q_pivot. Values are pre-cast to one type (unpivot
@@ -176,7 +180,7 @@ object R3Queries {
     * text round trip is lossless). */
   val qCsvRoundtrip = QueryDef("q_csv_roundtrip",
     (s, dir) => {
-      val out = tmpPath("graft_csv_roundtrip")
+      val out = tmpPath("graft_csv_roundtrip", dir)
       t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), d2(col("p_retailprice")).as("p_price"))
         .write.mode("overwrite").option("header", "true").csv(out)
@@ -197,7 +201,7 @@ object R3Queries {
     * explicit schema — no sampling-dependent inference). */
   val qJsonlRoundtrip = QueryDef("q_jsonl_roundtrip",
     (s, dir) => {
-      val out = tmpPath("graft_jsonl_roundtrip")
+      val out = tmpPath("graft_jsonl_roundtrip", dir)
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
         .write.mode("overwrite").json(out)
@@ -632,7 +636,7 @@ object R3Queries {
     * aggregate off the unpartitioned table. */
   val qPartitionPruning = QueryDef("q_partition_pruning",
     (s, dir) => {
-      val out = tmpPath("graft_part_lineitem")
+      val out = tmpPath("graft_part_lineitem", dir)
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)

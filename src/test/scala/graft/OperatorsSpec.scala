@@ -106,6 +106,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bloomed == plain && plain.size == 2000 - 1)
   }
 
+  test("bloom-pruned anti-join keeps null-key rows and handles string keys + same key name") {
+    // null keys never match -> a plain left_anti KEEPS them; same-named
+    // key columns must not collide (the crawl's url⟕url shape)
+    val left = Seq(Some("u1"), Some("u2"), None, Some("u3"))
+      .toDF("url")
+    val right = Seq("u2").toDF("url")
+    val plain = left.join(right, Seq("url"), "left_anti")
+      .as[Option[String]].collect().toSet
+    val bloomed = graft.operators.BloomOps
+      .bloomPrunedAntiJoin(left, right, "url", "url", expectedItems = 100L)
+      .as[Option[String]].collect().toSet
+    assert(bloomed == plain && plain == Set(Some("u1"), None, Some("u3")))
+  }
+
   test("salted join result is identical to the plain join") {
     val big = (1 to 5000).map(i => (if (i % 3 == 0) 1L else i.toLong, i))
       .toDF("k", "payload") // heavy skew on k=1
