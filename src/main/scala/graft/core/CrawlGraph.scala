@@ -36,8 +36,14 @@ object CrawlGraph {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** @param bloomPruneVisited when true, the per-depth F4 anti-join runs
+    *   through [[graft.operators.BloomOps.bloomPrunedAntiJoin]]: a bloom
+    *   filter on the visited urls is broadcast and only maybe-visited
+    *   children pay the anti-join shuffle. Result-identical (spec);
+    *   worthwhile once |visited| is large and most children are new. */
   def bfs(spark: SparkSession, edges: DataFrame, roots: Seq[String],
-          maxDepth: Int, checkpointInterval: Int = 3): DataFrame = {
+          maxDepth: Int, checkpointInterval: Int = 3,
+          bloomPruneVisited: Boolean = false): DataFrame = {
     import spark.implicits._
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     // distinct seeds: the union-without-distinct below relies on the
@@ -55,9 +61,12 @@ object CrawlGraph {
         .select(col("child").as("url")).distinct()
       // F4 visited anti-join (web_spider_oo.py:98-101); frontier is distinct
       // and disjoint from visited, so the union below needs no distinct.
-      val next = children
-        .join(visited.select("url"), Seq("url"), "left_anti")
-        .select(lit(depth + 1).as("depth"), $"url")
+      val unvisited =
+        if (bloomPruneVisited)
+          graft.operators.BloomOps.bloomPrunedAntiJoin(
+            children, visited.select("url"), "url", "url")
+        else children.join(visited.select("url"), Seq("url"), "left_anti")
+      val next = unvisited.select(lit(depth + 1).as("depth"), $"url")
       depth += 1
       // persist every depth (reused twice); hard-truncate lineage only
       // every checkpointInterval depths — checkpoints cost a full

@@ -673,6 +673,58 @@ object R3Queries {
         |SELECT cohort, string_agg(event_type || ':' || n, ',' ORDER BY rn) AS top3
         |FROM r WHERE rn <= 3 GROUP BY cohort ORDER BY cohort""".stripMargin))
 
+  /** SCD-2 dimension slicing: per-customer order history as
+    * (valid_from, valid_to) intervals via lead(), open interval = current
+    * row — the warehouse change-tracking pattern. */
+  val qScd2 = QueryDef("q_scd2",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("vf"), col("o_orderkey"))
+      t(s, dir, "orders").where(col("o_custkey") <= 200)
+        // o_orderdate reads as TIMESTAMP_NTZ; the UTC session timezone
+        // makes the cast + unix_micros equal DuckDB's epoch_us
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("vf"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("vf").as("valid_from_us"),
+          lead(col("vf"), 1).over(w).as("valid_to_us"),
+          lead(col("vf"), 1).over(w).isNull.cast("int").as("is_current"))
+        .orderBy("o_custkey", "valid_from_us", "o_orderkey")
+    },
+    Some(
+      """WITH o AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS vf
+        |           FROM orders WHERE o_custkey <= 200)
+        |SELECT o_custkey, o_orderkey, vf AS valid_from_us,
+        |  lead(vf) OVER w AS valid_to_us,
+        |  CAST(lead(vf) OVER w IS NULL AS INTEGER) AS is_current
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY vf, o_orderkey)
+        |ORDER BY o_custkey, valid_from_us, o_orderkey""".stripMargin))
+
+  /** Typed KeyValueGroupedDataset.cogroup — per-key iterators from both
+    * sides in one function (the typed generalization of a full outer
+    * join + aggregate). */
+  val qCogroup = QueryDef("q_cogroup",
+    (s, dir) => {
+      import s.implicits._
+      val ords = t(s, dir, "orders").select(col("o_custkey").as("k"))
+        .as[Long].groupByKey(identity)
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .as[Long].groupByKey(identity)
+      ords.cogroup(cust) { (k, os, cs) =>
+        Iterator((k, os.size.toLong, cs.size.toLong))
+      }.toDF("k", "n_orders", "n_cust").orderBy("k")
+    },
+    Some(
+      """WITH o AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n_cust
+        |      FROM customer GROUP BY 1)
+        |SELECT coalesce(o.k, c.k) AS k,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_cust, 0) AS n_cust
+        |FROM o FULL OUTER JOIN c ON o.k = c.k
+        |ORDER BY k""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -680,5 +732,6 @@ object R3Queries {
     qTfidfTop, qBigramLm, qTopTerms, qSlidingWindow, qSessionWindow,
     qStreamDedup, qBloomAnti,
     qStructFuncs, qSequenceExplode, qRegexpAll, qCollectSorted,
-    qArrayHof, qLateralSql, qPartitionPruning, qTopkCountAgg)
+    qArrayHof, qLateralSql, qPartitionPruning, qTopkCountAgg,
+    qScd2, qCogroup)
 }

@@ -32,6 +32,14 @@ class CrawlGraphSpec extends AnyFunSuite {
     assert(got.select("url").distinct().count() == got.count())
   }
 
+  test("bfs with bloom-pruned visited filter is result-identical") {
+    val plain = CrawlGraph.bfs(spark, edges, Seq("a"), 5)
+      .as[(Int, String)].collect().toSet
+    val bloomed = CrawlGraph.bfs(spark, edges, Seq("a"), 5,
+      bloomPruneVisited = true).as[(Int, String)].collect().toSet
+    assert(bloomed == plain && plain.nonEmpty)
+  }
+
   test("surrogate keys are dense, zero-based, ordered by name") {
     val links = Seq("c", "a", "b", "a").toDF("url")
     val got = CrawlGraph.surrogateKeys(links, "url")
