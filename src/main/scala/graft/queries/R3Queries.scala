@@ -725,6 +725,132 @@ object R3Queries {
         |FROM o FULL OUTER JOIN c ON o.k = c.k
         |ORDER BY k""".stripMargin))
 
+  /** Stream-stream self-join: pairs of same-user events within 5
+    * minutes, both sides watermarked with a time-range join condition —
+    * the stateful streaming join. Raw pairs go to the sink in append
+    * mode; the finite fixture drains in one batch so the emitted match
+    * set equals the batch self-join. */
+  val qStreamStreamJoin = QueryDef("q_stream_stream_join",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val stageDir = Paths.get(sys.props("java.io.tmpdir"),
+        "graft_s2_src_" + math.abs(dir.hashCode))
+      Files.createDirectories(stageDir)
+      Files.copy(Paths.get(dir, "events.parquet"),
+        stageDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      def src = s.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .parquet(stageDir.toString)
+        .where(col("user_id") < 200)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "1 hour")
+      val a = src.select(col("event_id").as("a_id"), col("user_id").as("a_uid"),
+        col("ets").as("a_ts"))
+      val b = src.select(col("event_id").as("b_id"), col("user_id").as("b_uid"),
+        col("ets").as("b_ts"))
+      val q = a.join(b, expr(
+        "a_uid = b_uid AND b_ts >= a_ts AND " +
+          "b_ts <= a_ts + interval 5 minutes AND a_id < b_id"))
+        .select(col("a_id"), col("b_id"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_s2_out").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_s2_out").orderBy("a_id", "b_id")
+    },
+    Some(
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE user_id < 200)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us >= a.us AND b.us <= a.us + 300000000
+        |  AND a.event_id < b.event_id
+        |ORDER BY a_id, b_id""".stripMargin))
+
+  /** Exact Pearson correlation from DECIMAL power sums (the
+    * q_moments_exact discipline: integer/decimal-exact aggregation,
+    * identical final double arithmetic on both engines — Spark's
+    * streaming corr() accumulates in doubles and is order-dependent,
+    * so it cannot be oracle-checked; this can). */
+  val qCorrExact = QueryDef("q_corr_exact",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(d2(col("l_quantity"))).cast("double").as("sx"),
+        sum(d2(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(d2(col("l_quantity")) * d2(col("l_extendedprice"))).cast("double").as("sxy"),
+        sum(d2(col("l_quantity")) * d2(col("l_quantity"))).cast("double").as("sxx"),
+        sum(d2(col("l_extendedprice")) * d2(col("l_extendedprice"))).cast("double").as("syy"))
+      .select(col("l_returnflag"),
+        // round(6): DuckDB converts decimal->double via an int128/10^k
+        // divide (two roundings) vs BigDecimal's single correctly-rounded
+        // conversion — 1-ulp divergence is possible, the quotient isn't
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"))
+      .orderBy("l_returnflag"),
+    Some(
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin))
+
+  /** Bitwise + boolean aggregates. */
+  val qBitBoolAggs = QueryDef("q_bit_bool_aggs",
+    (s, dir) => t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(bit_and(col("user_id")).as("uid_and"),
+        bit_or(col("user_id")).as("uid_or"),
+        bit_xor(col("user_id")).as("uid_xor"),
+        bool_and(col("value") >= 0).cast("int").as("all_nonneg"),
+        bool_or(col("value") > 400).cast("int").as("any_gt400"))
+      .orderBy("event_type"),
+    Some(
+      """SELECT event_type,
+        |  bit_and(user_id) AS uid_and, bit_or(user_id) AS uid_or,
+        |  bit_xor(user_id) AS uid_xor,
+        |  CAST(bool_and(value >= 0) AS INTEGER) AS all_nonneg,
+        |  CAST(bool_or(value > 400) AS INTEGER) AS any_gt400
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Array set operations (sorted before output — Spark preserves
+    * left-operand order, DuckDB doesn't specify one). */
+  val qArraySetops = QueryDef("q_array_setops", {
+    val ref = Seq("scan", "join", "sort", "spark", "merge", "qq7")
+    (s, dir) => {
+      val refCol = array(ref.map(lit): _*)
+      t(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .select(col("doc_id"),
+          concat_ws(",", array_sort(array_intersect(col("arr"), refCol)))
+            .as("inter"),
+          concat_ws(",", array_sort(array_except(refCol, col("arr"))))
+            .as("missing"),
+          size(array_distinct(col("arr"))).as("n_distinct"),
+          arrays_overlap(col("arr"), refCol).cast("int").as("has_any"))
+        .orderBy("doc_id")
+    }
+  },
+    Some {
+      val refSql = Seq("scan", "join", "sort", "spark", "merge", "qq7")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr
+         |           FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_sort(list_intersect(arr, $refSql)), ','), '') AS inter,
+         |  coalesce(array_to_string(list_sort(list_distinct(
+         |    list_filter($refSql, x -> NOT list_contains(arr, x)))), ','), '') AS missing,
+         |  CAST(len(list_distinct(arr)) AS INTEGER) AS n_distinct,
+         |  CAST(list_has_any(arr, $refSql) AS INTEGER) AS has_any
+         |FROM a ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -733,5 +859,6 @@ object R3Queries {
     qStreamDedup, qBloomAnti,
     qStructFuncs, qSequenceExplode, qRegexpAll, qCollectSorted,
     qArrayHof, qLateralSql, qPartitionPruning, qTopkCountAgg,
-    qScd2, qCogroup)
+    qScd2, qCogroup,
+    qStreamStreamJoin, qCorrExact, qBitBoolAggs, qArraySetops)
 }
