@@ -58,4 +58,45 @@ object MultimodalOps {
       col("text").cast("binary").as("payload"))
       .as[MediaRow]
   }
+
+  /** A sampled frame: one-to-many decode output (the UDTF-shaped
+    * multimodal op — one video row explodes into its kept frames). */
+  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int,
+                   head_code: Int, tail_code: Int)
+
+  /** Frame sampling: chunk the payload into fixed-size pseudo-frames and
+    * keep every `everyN`-th — the video-curation primitive (STUB codec:
+    * a real decoder would emit decoded frames; the partition-batched
+    * one-to-many plumbing is what's under test, and the stub's byte
+    * arithmetic keeps it oracle-checkable). */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+                   frameBytes: Int = 256, everyN: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && everyN > 0, "frameBytes and everyN must be > 0")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.payload.grouped(frameBytes).zipWithIndex.collect {
+          case (chunk, idx) if idx % everyN == 0 =>
+            Frame(r.doc_id, idx, chunk.length,
+              chunk.head & 0xff, chunk.last & 0xff)
+        }
+      }
+    }
+  }
+
+  /** Resize output: target geometry + the byte budget actually kept. */
+  case class ResizedMedia(doc_id: Long, media_type: String,
+                          out_w: Int, out_h: Int, n_bytes_out: Long)
+
+  /** STUB resize: cap the payload at the target pixel budget (w×h bytes)
+    * — stand-in for a real scaler; per-partition batching as above. */
+  def stubResize(spark: SparkSession, media: Dataset[MediaRow],
+                 w: Int, h: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    val budget = w.toLong * h
+    media.mapPartitions { rows =>
+      rows.map(r => ResizedMedia(r.doc_id, r.media_type, w, h,
+        math.min(r.payload.length.toLong, budget)))
+    }
+  }
 }

@@ -851,6 +851,49 @@ object R3Queries {
          |FROM a ORDER BY doc_id""".stripMargin
     })
 
+  /** Multimodal frame sampling: every 4th 256-byte pseudo-frame of each
+    * "video" payload via the one-to-many mapPartitions path — the stub's
+    * byte arithmetic is SQL-expressible (ASCII payload: byte == code
+    * point), so the partition-batched explode itself is hash-checked. */
+  val qFrameSample = QueryDef("q_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val media = graft.ext.MultimodalOps.mediaFromDocuments(s,
+        t(s, dir, "documents").where(col("doc_id") < 90))
+        .filter(_.media_type == "video")
+      graft.ext.MultimodalOps.sampleFrames(s, media)
+        .toDF().orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, text, len(text) AS n
+        |           FROM documents WHERE doc_id < 90 AND doc_id % 3 = 2),
+        |f AS (SELECT doc_id, text, n,
+        |        unnest(generate_series(0, CAST(ceil(n / 256.0) AS BIGINT) - 1)) AS idx
+        |      FROM d)
+        |SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
+        |  CAST(least(256, n - idx * 256) AS INTEGER) AS n_bytes,
+        |  CAST(ord(substr(text, idx * 256 + 1, 1)) AS INTEGER) AS head_code,
+        |  CAST(ord(substr(text, idx * 256 + least(256, n - idx * 256), 1)) AS INTEGER) AS tail_code
+        |FROM f WHERE idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  /** Multimodal resize stub: payload capped at the w×h byte budget,
+    * geometry metadata attached (mapPartitions batch path). */
+  val qMediaResize = QueryDef("q_media_resize",
+    (s, dir) => {
+      val media = graft.ext.MultimodalOps.mediaFromDocuments(s,
+        t(s, dir, "documents").where(col("doc_id") < 90))
+      graft.ext.MultimodalOps.stubResize(s, media, w = 64, h = 48)
+        .toDF().orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(64 AS INTEGER) AS out_w, CAST(48 AS INTEGER) AS out_h,
+        |  CAST(least(len(text), 3072) AS BIGINT) AS n_bytes_out
+        |FROM documents WHERE doc_id < 90 ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -860,5 +903,6 @@ object R3Queries {
     qStructFuncs, qSequenceExplode, qRegexpAll, qCollectSorted,
     qArrayHof, qLateralSql, qPartitionPruning, qTopkCountAgg,
     qScd2, qCogroup,
-    qStreamStreamJoin, qCorrExact, qBitBoolAggs, qArraySetops)
+    qStreamStreamJoin, qCorrExact, qBitBoolAggs, qArraySetops,
+    qFrameSample, qMediaResize)
 }
