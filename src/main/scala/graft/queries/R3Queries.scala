@@ -894,6 +894,33 @@ object R3Queries {
         |  CAST(least(len(text), 3072) AS BIGINT) AS n_bytes_out
         |FROM documents WHERE doc_id < 90 ORDER BY doc_id""".stripMargin))
 
+  /** Full outer join with both-side unmatched rows (key ranges overlap
+    * only partially by construction). */
+  val qJoinFullOuter = QueryDef("q_join_full_outer",
+    (s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_custkey") < 500)
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .where(col("o_custkey") >= 300 && col("o_custkey") < 800)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          (col("c_custkey").isNotNull).cast("int").as("has_cust"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("k")
+    },
+    Some(
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey < 500),
+        |o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM orders WHERE o_custkey >= 300 AND o_custkey < 800
+        |      GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS k,
+        |  CAST(c_custkey IS NOT NULL AS INTEGER) AS has_cust,
+        |  coalesce(n_orders, 0) AS n_orders
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY k""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -904,5 +931,5 @@ object R3Queries {
     qArrayHof, qLateralSql, qPartitionPruning, qTopkCountAgg,
     qScd2, qCogroup,
     qStreamStreamJoin, qCorrExact, qBitBoolAggs, qArraySetops,
-    qFrameSample, qMediaResize)
+    qFrameSample, qMediaResize, qJoinFullOuter)
 }
