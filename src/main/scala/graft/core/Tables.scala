@@ -16,6 +16,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Stage the single-file events fixture into a tmp DIRECTORY (Spark's
+    * file-stream sources require a directory, not a file), keyed by the
+    * dataset dir so concurrent runs over different sf dirs never collide.
+    * `copies` names the file(s) to create — passing more than one name
+    * duplicates the fixture (used by the streaming-dedup demo). */
+  def stageEventsDir(dir: String, prefix: String,
+                     copies: Seq[String] = Seq("events.parquet")): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stageDir = Paths.get(sys.props("java.io.tmpdir"),
+      prefix + "_" + math.abs(dir.hashCode))
+    Files.createDirectories(stageDir)
+    copies.foreach { n =>
+      Files.copy(Paths.get(dir, "events.parquet"), stageDir.resolve(n),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stageDir.toString
+  }
+
   /** `events` with a proper TimestampType `ts`: the fixture stores
     * TIMESTAMP(NANOS) which Spark's parquet reader has no native type for;
     * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and this

@@ -38,25 +38,40 @@ object BloomOps {
                           leftKey: String, rightKey: String,
                           expectedItems: Long = 1000000L,
                           fpp: Double = 0.01): DataFrame = {
+    def isIntegral(t: org.apache.spark.sql.types.DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val lType = left.schema(leftKey).dataType
+    val rType = right.schema(rightKey).dataType
+    // the bloom filter hashes by the INSERTED type — probing a
+    // string-built filter with longs (or vice versa) would silently
+    // classify everything "absent" and break the exactness contract
+    require((isIntegral(lType) && isIntegral(rType)) ||
+      (lType == StringType && rType == StringType),
+      s"bloomPrunedAntiJoin keys must both be integral or both string, " +
+        s"got left=$lType right=$rType")
     val bf = right.stat.bloomFilter(rightKey, expectedItems, fpp)
     val bcast = left.sparkSession.sparkContext.broadcast(bf)
-    val mightContain: Column = left.schema(leftKey).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
+    val mightContain: Column =
+      if (isIntegral(lType)) {
         val u = udf((k: Long) => bcast.value.mightContainLong(k))
         u(col(leftKey).cast("long"))
-      case StringType =>
+      } else {
         val u = udf((k: String) => bcast.value.mightContainString(k))
         u(col(leftKey))
-      case other => throw new IllegalArgumentException(
-        s"bloomPrunedAntiJoin supports integral or string keys, got $other")
-    }
+      }
+    // join-key alias chosen to be absent from the left's columns — a
+    // fixed name could collide and make the condition ambiguous
+    val rk = Iterator.from(0).map(i => s"__bloom_rk$i")
+      .find(n => !left.columns.contains(n)).get
     // null keys never match the right side: a plain left_anti KEEPS them,
     // so they belong on the definitely-absent fast path (the UDF would
     // return null and silently drop them from both branches otherwise)
     val definitelyAbsent = left.filter(col(leftKey).isNull || !mightContain)
     val maybePresent = left.filter(col(leftKey).isNotNull && mightContain)
-      .join(right.select(col(rightKey).as("__bloom_rk")),
-        col(leftKey) === col("__bloom_rk"), "left_anti")
+      .join(right.select(col(rightKey).as(rk)),
+        col(leftKey) === col(rk), "left_anti")
     definitelyAbsent.unionByName(maybePresent)
   }
 }

@@ -368,15 +368,9 @@ object ExtQueries {
     * 5-minute buckets; decimal-exact value sum). */
   val qStreamingWindow = QueryDef("q_streaming_window",
     (s, dir) => {
-      // the file-stream source needs a directory; stage the fixture file
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val stageDir = Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_src_" + math.abs(dir.hashCode))
-      Files.createDirectories(stageDir)
-      Files.copy(Paths.get(dir, "events.parquet"),
-        stageDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val stageDir = Tables.stageEventsDir(dir, "graft_stream_src")
       val q = graft.streaming.EventsStream.startOverNanosFixture(
-        s, stageDir.toString, "graft_stream_out")
+        s, stageDir, "graft_stream_out")
       q.processAllAvailable(); q.stop()
       s.table("graft_stream_out")
         .select(unix_micros(col("window.start")).as("win_us"),

@@ -279,18 +279,12 @@ object R3Queries {
     * q_streaming_window). */
   val qStreamStaticJoin = QueryDef("q_stream_static_join",
     (s, dir) => {
-      // the file-stream source needs a directory; stage the fixture file
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val stageDir = Paths.get(sys.props("java.io.tmpdir"),
-        "graft_ss_src_" + math.abs(dir.hashCode))
-      Files.createDirectories(stageDir)
-      Files.copy(Paths.get(dir, "events.parquet"),
-        stageDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val stageDir = Tables.stageEventsDir(dir, "graft_ss_src")
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val src = s.readStream
         .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
-        .parquet(stageDir.toString)
+        .parquet(stageDir)
       val q = src.join(cust, src("user_id") === cust("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), sum(d2(col("value"))).as("total_value"))
@@ -460,17 +454,11 @@ object R3Queries {
     * backed streaming dedup, the incremental form of q_dedup_exact. */
   val qStreamDedup = QueryDef("q_stream_dedup",
     (s, dir) => {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val stageDir = Paths.get(sys.props("java.io.tmpdir"),
-        "graft_dedup_src_" + math.abs(dir.hashCode))
-      Files.createDirectories(stageDir)
-      Seq("events_a.parquet", "events_b.parquet").foreach { n =>
-        Files.copy(Paths.get(dir, "events.parquet"), stageDir.resolve(n),
-          StandardCopyOption.REPLACE_EXISTING)
-      }
+      val stageDir = Tables.stageEventsDir(dir, "graft_dedup_src",
+        copies = Seq("events_a.parquet", "events_b.parquet"))
       val src = s.readStream
         .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
-        .parquet(stageDir.toString)
+        .parquet(stageDir)
       val q = src.dropDuplicates("event_id")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .writeStream.outputMode("complete")
@@ -732,15 +720,10 @@ object R3Queries {
     * set equals the batch self-join. */
   val qStreamStreamJoin = QueryDef("q_stream_stream_join",
     (s, dir) => {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val stageDir = Paths.get(sys.props("java.io.tmpdir"),
-        "graft_s2_src_" + math.abs(dir.hashCode))
-      Files.createDirectories(stageDir)
-      Files.copy(Paths.get(dir, "events.parquet"),
-        stageDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val stageDir = Tables.stageEventsDir(dir, "graft_s2_src")
       def src = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")
-        .parquet(stageDir.toString)
+        .parquet(stageDir)
         .where(col("user_id") < 200)
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ets", "1 hour")
