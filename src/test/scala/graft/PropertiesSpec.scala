@@ -69,4 +69,63 @@ class PropertiesSpec extends AnyFunSuite {
         anti == (xs.toSet -- ys.toSet)
     })
   }
+
+  test("property: bloom-pruned anti-join == plain left_anti on random key sets") {
+    check(Prop.forAll(Gen.listOfN(60, Gen.choose(0L, 40L)),
+      Gen.listOfN(25, Gen.choose(0L, 40L))) { (xs, ys) =>
+      xs.isEmpty || ys.isEmpty || {
+        val left = xs.toDF("lk")
+        val right = ys.toDF("rk")
+        val plain = left.join(right, $"lk" === $"rk", "left_anti")
+          .as[Long].collect().sorted.toSeq
+        val bloomed = graft.operators.BloomOps
+          .bloomPrunedAntiJoin(left, right, "lk", "rk", expectedItems = 64L)
+          .as[Long].collect().sorted.toSeq
+        bloomed == plain
+      }
+    })
+  }
+
+  test("property: TopKByCount agrees with a Scala groupBy reference") {
+    val valGen = Gen.oneOf("a", "b", "c", "dd", "e", "f")
+    check(Prop.forAll(Gen.listOfN(50, valGen), Gen.choose(1, 5)) { (vs, k) =>
+      vs.isEmpty || {
+        val got = vs.toDF("v")
+          .agg(graft.functions.TopKByCount(col("v"), k).as("t"))
+          .as[String].collect().head
+        val want = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+          .sortBy { case (v, n) => (-n, v) }.take(k)
+          .map { case (v, n) => s"$v:$n" }.mkString(",")
+        got == want
+      }
+    })
+  }
+
+  test("property: sessionize interval-merge never regresses bounds and conserves counts") {
+    import graft.streaming.Sessionize.{SessEvent, SessState, SessionOut}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val gapUs = 100L
+    check(Prop.forAll(Gen.listOfN(12, Gen.choose(0L, 1000L)),
+      Gen.option(Gen.zip(Gen.choose(300L, 700L), Gen.choose(0L, 100L)))) {
+      (times, openSpec) =>
+        val open = openSpec.map { case (st, len) => SessState(st, st + len, 2L) }
+        val st = TestGroupState.create[SessState](
+          optionalState = open.map(org.apache.spark.api.java.Optional.of[SessState])
+            .getOrElse(org.apache.spark.api.java.Optional.empty[SessState]()),
+          timeoutConf = GroupStateTimeout.EventTimeTimeout,
+          batchProcessingTimeMs = 1L,
+          eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(0L)),
+          hasTimedOut = false)
+        val out = graft.streaming.Sessionize.updateSessions(gapUs)(
+          1L, times.map(SessEvent(1L, _)).iterator, st).toSeq
+        val all = out ++ st.getOption.map(s => SessionOut(1L, s.start, s.end, s.n))
+        val totalN = all.map(_.n).sum
+        val expectN = times.size.toLong + open.map(_.n).getOrElse(0L)
+        // counts conserved, every session well-formed, sessions separated by > gap
+        val sorted = all.sortBy(_.start_us)
+        val separated = sorted.zip(sorted.drop(1)).forall {
+          case (x, y) => y.start_us - x.end_us > gapUs }
+        totalN == expectN && all.forall(s => s.start_us <= s.end_us) && separated
+    })
+  }
 }
