@@ -62,7 +62,9 @@ object GraphOps {
       val next = labels.select(col("node"), col("label"))
         .union(neighborLabels)
         .groupBy("node").agg(min("label").as("label"))
-      val nextP = next.localCheckpoint()
+      // LAZY checkpoint: the convergence aggregation below is the action
+      // that materializes it — one job per round instead of two
+      val nextP = next.localCheckpoint(eager = false)
       val sumNow = nextP.agg(sum(col("label").cast("decimal(38,0)")))
         .first().getDecimal(0)
       GraftSqlBridge.freeLocalCheckpoint(labels)
@@ -163,9 +165,10 @@ object GraphOps {
       // truncate lineage EVERY round: `e` is referenced ~6x per round
       // (sym twice, large three times, small twice), so an unbroken plan
       // grows ~8x per round and Catalyst planning time — not execution —
-      // dominates by round 3. The materialized edge set is tiny. Free the
-      // previous round's checkpoint blocks once this round has landed.
-      val nextP = next.localCheckpoint()
+      // dominates by round 3. The materialized edge set is tiny. LAZY
+      // checkpoint: labelSum is the materializing action (one job per
+      // round); free the previous round's blocks once this round lands.
+      val nextP = next.localCheckpoint(eager = false)
       val sumNow = labelSum(nextP)
       GraftSqlBridge.freeLocalCheckpoint(e)
       converged = sumNow == null || sumNow.compareTo(prevSum) == 0
