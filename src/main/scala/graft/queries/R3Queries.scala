@@ -904,6 +904,147 @@ object R3Queries {
         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
         |ORDER BY k""".stripMargin))
 
+  /** Edit distance (fuzzy matching for entity resolution): closest part-
+    * name pairs by Levenshtein distance. */
+  val qEditDistance = QueryDef("q_edit_distance",
+    (s, dir) => {
+      val p = t(s, dir, "part").where(col("p_partkey") < 60)
+        .select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("a"), col("p_name").as("na"))
+      val b = p.select(col("p_partkey").as("b"), col("p_name").as("nb"))
+      a.crossJoin(b).where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          levenshtein(col("na"), col("nb")).as("dist"))
+        .orderBy(col("dist"), col("a"), col("b"))
+        .limit(30)
+    },
+    Some(
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 60)
+        |SELECT a.p_partkey AS a, b.p_partkey AS b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM p a, p b WHERE a.p_partkey < b.p_partkey
+        |ORDER BY dist, a, b LIMIT 30""".stripMargin))
+
+  /** Date arithmetic: datediff / add_months (with end-of-month clamp) /
+    * last_day / dayofweek (offset-aligned across engines). */
+  val qDateArith = QueryDef("q_date_arith",
+    (s, dir) => t(s, dir, "orders").where(col("o_orderkey") < 200)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .select(col("o_orderkey"),
+        datediff(to_date(lit("2025-01-01")), col("d")).as("days_to_2025"),
+        date_format(add_months(col("d"), 2), "yyyy-MM-dd").as("plus2m"),
+        date_format(last_day(col("d")), "yyyy-MM-dd").as("eom"),
+        dayofweek(col("d")).as("dow"))
+      .orderBy("o_orderkey"),
+    Some(
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |           FROM orders WHERE o_orderkey < 200)
+        |SELECT o_orderkey,
+        |  CAST(date_diff('day', d, DATE '2025-01-01') AS INTEGER) AS days_to_2025,
+        |  strftime(CAST(d + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS plus2m,
+        |  strftime(last_day(d), '%Y-%m-%d') AS eom,
+        |  CAST(dayofweek(d) + 1 AS INTEGER) AS dow
+        |FROM o ORDER BY o_orderkey""".stripMargin))
+
+  /** URL parsing (crawler surface: host/path/query decomposition).
+    * URLs are synthesized deterministically from order columns so both
+    * engines parse identical well-formed strings; Spark uses the native
+    * `parse_url` expression, the oracle equivalent regexes. */
+  val qParseUrl = QueryDef("q_parse_url",
+    (s, dir) => t(s, dir, "orders").where(col("o_orderkey") < 300)
+      .select(col("o_orderkey"),
+        concat(lit("https://h"), pmod(col("o_custkey"), lit(20)),
+          lit(".example.com/cat/"), col("o_orderkey"),
+          lit("/view?status="), col("o_orderstatus"),
+          lit("&k="), pmod(col("o_orderkey"), lit(7))).as("url"))
+      .select(col("o_orderkey"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("qs"),
+        parse_url(col("url"), lit("QUERY"), lit("status")).as("status"))
+      .orderBy("o_orderkey"),
+    Some(
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |    'https://h' || CAST(o_custkey % 20 AS VARCHAR) ||
+        |    '.example.com/cat/' || CAST(o_orderkey AS VARCHAR) ||
+        |    '/view?status=' || o_orderstatus ||
+        |    '&k=' || CAST(o_orderkey % 7 AS VARCHAR) AS url
+        |  FROM orders WHERE o_orderkey < 300)
+        |SELECT o_orderkey,
+        |  regexp_extract(url, '^https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS qs,
+        |  regexp_extract(url, '[?&]status=([^&]*)', 1) AS status
+        |FROM u ORDER BY o_orderkey""".stripMargin))
+
+  /** Histogram / fixed-width binning over a numeric column. Bucket ids
+    * come from floor + integer division — exact in IEEE double on both
+    * engines (no double multiply, no engine-specific rounding on cast). */
+  val qHistogram = QueryDef("q_histogram",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice) AS BIGINT) DIV 5000")
+        .as("bucket"), col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        sum(d2(col("l_extendedprice"))).cast("double").as("total"))
+      .orderBy("bucket"),
+    Some(
+      """SELECT CAST(floor(l_extendedprice) AS BIGINT) // 5000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin))
+
+  /** Conditional aggregation: count_if / filtered sums (the FILTER-clause
+    * surface). Ratio is a BIGINT/BIGINT double divide — deterministic
+    * IEEE on both engines. */
+  val qCondAggs = QueryDef("q_cond_aggs",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"),
+        count_if(col("l_discount") > 0.05).cast("long").as("n_disc"),
+        sum(when(col("l_tax") > 0.04, d2(col("l_extendedprice"))))
+          .cast("double").as("taxed_total"),
+        (count_if(col("l_discount") > 0.05).cast("double") /
+          count(lit(1)).cast("double")).as("disc_ratio"))
+      .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_total,
+        |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS disc_ratio
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Stratified deterministic sampling (sampleBy semantics without RNG):
+    * per-stratum rates keyed on the md5 of the row key, so the sample is
+    * reproducible cross-engine and cluster-size-independent. */
+  val qStratifiedSample = QueryDef("q_stratified_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hx = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val keep = when(pmod(col("doc_id"), lit(2)) === 0, hx.isin("0", "1", "2", "3"))
+        .otherwise(hx.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      docs.where(keep)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("source")
+    },
+    Some(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE CASE WHEN doc_id % 2 = 0
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |       IN ('0','1','2','3','4','5','6','7') END
+        |GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -914,5 +1055,7 @@ object R3Queries {
     qArrayHof, qLateralSql, qPartitionPruning, qTopkCountAgg,
     qScd2, qCogroup,
     qStreamStreamJoin, qCorrExact, qBitBoolAggs, qArraySetops,
-    qFrameSample, qMediaResize, qJoinFullOuter)
+    qFrameSample, qMediaResize, qJoinFullOuter,
+    qEditDistance, qDateArith,
+    qParseUrl, qHistogram, qCondAggs, qStratifiedSample)
 }
