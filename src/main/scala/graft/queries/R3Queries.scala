@@ -1045,6 +1045,115 @@ object R3Queries {
         |       IN ('0','1','2','3','4','5','6','7') END
         |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Correlated-subquery SQL surface: EXISTS, NOT IN, and a correlated
+    * scalar subquery (Catalyst decorrelates all three into joins —
+    * no per-row re-execution at scale). */
+  val qSubqueries = QueryDef("q_subqueries",
+    (s, dir) => {
+      t(s, dir, "customer").where(col("c_custkey") < 500)
+        .createOrReplaceTempView("graft_cust_sq")
+      t(s, dir, "orders").createOrReplaceTempView("graft_ord_sq")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM graft_ord_sq o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM graft_cust_sq c
+          |WHERE EXISTS (SELECT 1 FROM graft_ord_sq o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 150000)
+          |  AND c.c_custkey NOT IN (SELECT o_custkey FROM graft_ord_sq
+          |                          WHERE o_orderstatus = 'P')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+    Some(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM (SELECT * FROM customer WHERE c_custkey < 500) c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                          WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** CDC upsert / MERGE semantics as a batch snapshot rebuild: full-outer
+    * join of target and updates; matched rows get the applied delta,
+    * unmatched updates are inserts, unmatched targets carry over. All
+    * balance arithmetic in DECIMAL, cast DOUBLE at the end. */
+  val qUpsertMerge = QueryDef("q_upsert_merge",
+    (s, dir) => {
+      val tgt = t(s, dir, "customer").where(col("c_custkey") < 400)
+        .select(col("c_custkey").as("tk"), d2(col("c_acctbal")).as("bal"))
+      val upd = t(s, dir, "orders").where(col("o_custkey") < 500)
+        .groupBy(col("o_custkey").as("uk"))
+        .agg(sum(d2(col("o_totalprice"))).as("delta"))
+      tgt.join(upd, col("tk") === col("uk"), "full_outer")
+        .select(coalesce(col("tk"), col("uk")).as("key"),
+          (coalesce(col("bal"), lit(0).cast(DecimalType(18, 2))) +
+            coalesce(col("delta"), lit(0).cast(DecimalType(18, 2))))
+            .cast("double").as("bal"),
+          when(col("uk").isNull, "K")
+            .when(col("tk").isNull, "I").otherwise("U").as("op"))
+        .orderBy("key")
+    },
+    Some(
+      """WITH tgt AS (SELECT c_custkey AS tk,
+        |               CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |             FROM customer WHERE c_custkey < 400),
+        |upd AS (SELECT o_custkey AS uk,
+        |          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+        |        FROM orders WHERE o_custkey < 500 GROUP BY 1)
+        |SELECT coalesce(tk, uk) AS key,
+        |  CAST(coalesce(bal, CAST(0 AS DECIMAL(18,2))) +
+        |       coalesce(delta, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  CASE WHEN uk IS NULL THEN 'K' WHEN tk IS NULL THEN 'I'
+        |       ELSE 'U' END AS op
+        |FROM tgt FULL OUTER JOIN upd ON tk = uk
+        |ORDER BY key""".stripMargin))
+
+  /** Time-series gap filling: per-user daily spine (sequence + explode)
+    * left-joined to observed daily counts, then last-observation-carried-
+    * forward via last(ignoreNulls) over an unbounded-preceding frame. */
+  val qForwardFill = QueryDef("q_forward_fill",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id") < 15)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).cast("long").as("n"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          last(col("n"), ignoreNulls = true).over(w).as("filled"),
+          col("n").isNotNull.cast("int").as("observed"))
+        .orderBy("user_id", "day")
+    },
+    Some(
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day
+        |            FROM events WHERE user_id < 15),
+        |daily AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |         FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |            CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |                 AS DATE) AS day
+        |          FROM span),
+        |j AS (SELECT s.user_id, s.day, d.n FROM spine s
+        |      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  last_value(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  CAST(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS observed
+        |FROM j ORDER BY user_id, day""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1057,5 +1166,6 @@ object R3Queries {
     qStreamStreamJoin, qCorrExact, qBitBoolAggs, qArraySetops,
     qFrameSample, qMediaResize, qJoinFullOuter,
     qEditDistance, qDateArith,
-    qParseUrl, qHistogram, qCondAggs, qStratifiedSample)
+    qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
+    qSubqueries, qUpsertMerge, qForwardFill)
 }
