@@ -1154,6 +1154,30 @@ object R3Queries {
         |    AS observed
         |FROM j ORDER BY user_id, day""".stripMargin))
 
+  /** Z-order (Morton) clustering values: interleaved-bit tiles over two
+    * key dimensions — the multi-dim data-layout primitive (sort/range-
+    * partition by z => tight per-file min/max on BOTH columns). The
+    * oracle SQL is generated from the same bit-interleave constants
+    * ([[graft.functions.ZOrder.zSql2]]) — integer-exact cross-engine. */
+  val qZorder = QueryDef("q_zorder",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(pmod(col("l_partkey"), lit(256)).as("zx"),
+        pmod(col("l_suppkey"), lit(256)).as("zy"), col("l_quantity"))
+      .withColumn("tile",
+        shiftright(graft.functions.ZOrder.zValue2(col("zx"), col("zy"), 8), 8))
+      .groupBy("tile")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d2(col("l_quantity"))).cast("double").as("qty"))
+      .orderBy("tile"),
+    Some(
+      s"""WITH b AS (SELECT l_partkey % 256 AS zx, l_suppkey % 256 AS zy,
+         |             l_quantity FROM lineitem),
+         |z AS (SELECT ${graft.functions.ZOrder.zSql2("zx", "zy", 8)} >> 8
+         |        AS tile, l_quantity FROM b)
+         |SELECT tile, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         |FROM z GROUP BY tile ORDER BY tile""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1167,5 +1191,5 @@ object R3Queries {
     qFrameSample, qMediaResize, qJoinFullOuter,
     qEditDistance, qDateArith,
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
-    qSubqueries, qUpsertMerge, qForwardFill)
+    qSubqueries, qUpsertMerge, qForwardFill, qZorder)
 }
