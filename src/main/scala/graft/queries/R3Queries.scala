@@ -1178,6 +1178,42 @@ object R3Queries {
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          |FROM z GROUP BY tile ORDER BY tile""".stripMargin))
 
+  /** Embedding-cosine near-dup clustering: the dedup pipeline's last
+    * modality — similarity edges (rounded cosine over a bounded pair
+    * set; the scale path is sign-LSH bucketing, q_ann_lsh) into
+    * connected components. Verified against a DuckDB recursive-CTE
+    * transitive closure over the identical rounded-cosine edge set. */
+  val qDedupEmbedding = QueryDef("q_dedup_embedding",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 150)
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      val pairs = a.crossJoin(b).where(col("a") < col("b"))
+        .where(round(graft.ext.SimilarityOps.cosine(col("ea"), col("eb")), 4)
+          >= 0.38)
+        .select("a", "b")
+      graft.ext.GraphOps.connectedComponents(s, pairs).orderBy("node")
+    },
+    Some(
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+        |dots AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+        |    sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+        |  FROM e a, e b, generate_series(1, 64) t(i)
+        |  WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM dots
+        |          WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.38),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(node, other) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.node, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.other)
+        |SELECT node, min(other) AS component FROM reach GROUP BY node
+        |ORDER BY node""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1191,5 +1227,5 @@ object R3Queries {
     qFrameSample, qMediaResize, qJoinFullOuter,
     qEditDistance, qDateArith,
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
-    qSubqueries, qUpsertMerge, qForwardFill, qZorder)
+    qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding)
 }
