@@ -1214,6 +1214,49 @@ object R3Queries {
         |SELECT node, min(other) AS component FROM reach GROUP BY node
         |ORDER BY node""".stripMargin))
 
+  /** Window navigation functions: lag / lead / first_value / nth_value
+    * over the per-customer order sequence (unique ordering key ->
+    * deterministic cross-engine). */
+  val qWindowNav = QueryDef("q_window_nav",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders").where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_ok,
+        |  lead(o_orderkey, 1) OVER w AS next_ok,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** Null-preserving explode (`explode_outer`): docs whose filtered
+    * token array is empty still emit one null row — the outer-generator
+    * semantics a LEFT JOIN-style pipeline needs. */
+  val qExplodeOuter = QueryDef("q_explode_outer",
+    (s, dir) => t(s, dir, "documents").where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        explode_outer(expr("filter(split(text, ' '), t -> length(t) >= 8)"))
+          .as("tok"))
+      .orderBy(col("doc_id"), col("tok").asc_nulls_first),
+    Some(
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '),
+        |                         t -> len(t) >= 8) AS arr
+        |           FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |         ELSE arr END) AS tok
+        |FROM d ORDER BY doc_id, tok NULLS FIRST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1227,5 +1270,6 @@ object R3Queries {
     qFrameSample, qMediaResize, qJoinFullOuter,
     qEditDistance, qDateArith,
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
-    qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding)
+    qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding,
+    qWindowNav, qExplodeOuter)
 }
