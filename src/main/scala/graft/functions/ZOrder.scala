@@ -38,11 +38,16 @@ object ZOrder {
   }
 
   /** The same interleave as ANSI SQL over column expressions `x`/`y` —
-    * for DuckDB oracles generated from the same `bits` constant. */
+    * for DuckDB oracles generated from the same `bits` constant. Inputs
+    * are cast to BIGINT to mirror zValue2's long cast: without it,
+    * INTEGER-typed inputs overflow DuckDB's 32-bit left shift at
+    * bits >= 16 even though [1,31] is the documented range. */
   def zSql2(x: String, y: String, bits: Int): String = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xb = s"CAST($x AS BIGINT)"
+    val yb = s"CAST($y AS BIGINT)"
     (0 until bits).map { i =>
-      s"((((($x) >> $i) & 1) << ${2 * i}) | (((($y) >> $i) & 1) << ${2 * i + 1}))"
+      s"(((($xb >> $i) & 1) << ${2 * i}) | ((($yb >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " | ", ")")
   }
 }

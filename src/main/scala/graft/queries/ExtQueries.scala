@@ -32,6 +32,19 @@ object ExtQueries {
        |tri AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
        |        FROM idx)""".stripMargin
 
+  /** Recursive-CTE transitive closure over a `pairs(a, b)` CTE — the
+    * shared oracle tail of every connected-components query (one source
+    * of truth so the closure semantics can't silently diverge between
+    * oracles). Appends CTEs `edges` and `reach(node, other)`; callers
+    * SELECT `node, min(other) AS component` from `reach`. */
+  private[queries] val closureSql: String =
+    """edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION SELECT b, a FROM pairs),
+      |reach(node, other) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other)""".stripMargin
+
   // ---------- dedup ----------
 
   /** Exact dedup: md5 group key + keep-first marking. */
@@ -441,12 +454,7 @@ object ExtQueries {
          |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tri a
          |          JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2),
-         |edges AS (SELECT a AS src, b AS dst FROM pairs
-         |          UNION SELECT b, a FROM pairs),
-         |reach(node, other) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other)
+         |$closureSql
          |SELECT node, min(other) AS component FROM reach GROUP BY node
          |ORDER BY node""".stripMargin))
 
@@ -465,12 +473,7 @@ object ExtQueries {
          |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tri a
          |          JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2),
-         |edges AS (SELECT a AS src, b AS dst FROM pairs
-         |          UNION SELECT b, a FROM pairs),
-         |reach(node, other) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other)
+         |$closureSql
          |SELECT node, min(other) AS component FROM reach GROUP BY node
          |ORDER BY node""".stripMargin))
 
@@ -497,12 +500,7 @@ object ExtQueries {
          |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tri a
          |          JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2),
-         |edges AS (SELECT a AS src, b AS dst FROM pairs
-         |          UNION SELECT b, a FROM pairs),
-         |reach(node, other) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other),
+         |$closureSql,
          |comp AS (SELECT node, min(other) AS component FROM reach GROUP BY node)
          |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical,
          |  CAST(CASE WHEN coalesce(c.component, d.doc_id) <> d.doc_id

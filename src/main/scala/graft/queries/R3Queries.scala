@@ -1195,24 +1195,19 @@ object R3Queries {
       graft.ext.GraphOps.connectedComponents(s, pairs).orderBy("node")
     },
     Some(
-      """WITH RECURSIVE
-        |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
-        |dots AS (SELECT a.vec_id AS a, b.vec_id AS b,
-        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
-        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
-        |    sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
-        |  FROM e a, e b, generate_series(1, 64) t(i)
-        |  WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
-        |pairs AS (SELECT a, b FROM dots
-        |          WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.38),
-        |edges AS (SELECT a AS src, b AS dst FROM pairs
-        |          UNION SELECT b, a FROM pairs),
-        |reach(node, other) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT r.node, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.other)
-        |SELECT node, min(other) AS component FROM reach GROUP BY node
-        |ORDER BY node""".stripMargin))
+      s"""WITH RECURSIVE
+         |emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+         |dots AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+         |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+         |    sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+         |  FROM emb a, emb b, generate_series(1, 64) t(i)
+         |  WHERE a.vec_id < b.vec_id GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM dots
+         |          WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.38),
+         |${ExtQueries.closureSql}
+         |SELECT node, min(other) AS component FROM reach GROUP BY node
+         |ORDER BY node""".stripMargin))
 
   /** Window navigation functions: lag / lead / first_value / nth_value
     * over the per-customer order sequence (unique ordering key ->
@@ -1253,8 +1248,8 @@ object R3Queries {
         |                         t -> len(t) >= 8) AS arr
         |           FROM documents WHERE doc_id < 200)
         |SELECT doc_id,
-        |  unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)]
-        |         ELSE arr END) AS tok
+        |  unnest(CASE WHEN arr IS NULL OR len(arr) = 0
+        |         THEN [CAST(NULL AS VARCHAR)] ELSE arr END) AS tok
         |FROM d ORDER BY doc_id, tok NULLS FIRST""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(

@@ -95,9 +95,12 @@ class ScalePlanSpec extends AnyFunSuite {
       .agg(min("k").as("lo"), max("k").as("hi"))
       .as[(String, Long, Long)].collect().sortBy(_._2)
     assert(ranges.length > 1)
+    // strictly less: equal boundary keys would mean the same key lives in
+    // two files, defeating min/max pruning (RangePartitioner co-locates
+    // equal keys, so strict inequality must hold)
     ranges.sliding(2).foreach {
       case Array((_, _, hi1), (_, lo2, _)) =>
-        assert(hi1 <= lo2, s"overlapping file ranges: $hi1 > $lo2")
+        assert(hi1 < lo2, s"overlapping file ranges: $hi1 >= $lo2")
       case _ =>
     }
     // and the data round-trips completely

@@ -27,27 +27,17 @@ class ZOrderSpec extends AnyFunSuite {
   test("z-sorted layout bounds BOTH dimensions per chunk; x-sorted only one") {
     // full 64x64 uniform grid -> deterministic geometry
     val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
-
-    def chunkBboxArea(sorted: Seq[(Long, Long)], chunks: Int): Long =
-      sorted.grouped(sorted.size / chunks).map { c =>
-        val xs = c.map(_._1); val ys = c.map(_._2)
-        (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
-      }.sum
-
     val byZ = pts.sortBy { case (x, y) => mortonRef(x, y, 6) }
     val byX = pts.sortBy(identity) // linear ORDER BY x, y
-    val zArea = chunkBboxArea(byZ, 16)
-    val xArea = chunkBboxArea(byX, 16)
-    // 16 chunks of a 64x64 grid: z-order gives 16x16 tiles (area 256
-    // each); x-major sort gives 4x64 slabs (area 256 each) — equal area
-    // but the slab spans the FULL y range, so y-predicates prune nothing.
+    // 16 chunks of a 64x64 grid: z-order gives 16x16 tiles, so a chunk's
+    // y-span is 16; the x-major sort gives 4x64 slabs spanning the FULL
+    // y range — y-predicates prune nothing in that layout
     val zYSpan = byZ.grouped(byZ.size / 16)
       .map(c => c.map(_._2).max - c.map(_._2).min + 1).max
     val xYSpan = byX.grouped(byX.size / 16)
       .map(c => c.map(_._2).max - c.map(_._2).min + 1).max
     assert(zYSpan == 16, s"z chunks should span 16 y-values, got $zYSpan")
     assert(xYSpan == 64, s"x-sort chunks span the full y range")
-    assert(zArea <= xArea)
   }
 
   test("writing range-partitioned by z yields per-file bounds on both dims") {
