@@ -1252,6 +1252,40 @@ object R3Queries {
         |         THEN [CAST(NULL AS VARCHAR)] ELSE arr END) AS tok
         |FROM d ORDER BY doc_id, tok NULLS FIRST""".stripMargin))
 
+  /** Sweep-line interval concurrency: each 7-day order window
+    * contributes +1 at its start day and -1 past its end; daily net
+    * deltas accumulate into the number of concurrently-open windows.
+    * The scalable shape: the full point set shuffles ONCE (groupBy day),
+    * and the running-sum window then runs over distinct days only —
+    * never a global sort of the raw rows. */
+  val qSweepline = QueryDef("q_sweepline",
+    (s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderkey") < 2000)
+        .select(to_date(col("o_orderdate")).as("st"))
+        .withColumn("en", date_add(col("st"), 7))
+      val pts = o.select(col("st").as("day"), lit(1L).as("delta"))
+        .unionAll(o.select(col("en").as("day"), lit(-1L).as("delta")))
+      val perDay = pts.groupBy("day")
+        .agg(sum("delta").cast("long").as("net"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("net"), sum(col("net")).over(w).cast("long").as("conc"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS st,
+        |             CAST(o_orderdate AS DATE) + 7 AS en
+        |           FROM orders WHERE o_orderkey < 2000),
+        |pts AS (SELECT st AS day, CAST(1 AS BIGINT) AS delta FROM o
+        |        UNION ALL SELECT en, CAST(-1 AS BIGINT) FROM o),
+        |d AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net
+        |      FROM pts GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, net,
+        |  CAST(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        |FROM d ORDER BY day""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1266,5 +1300,5 @@ object R3Queries {
     qEditDistance, qDateArith,
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
     qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding,
-    qWindowNav, qExplodeOuter)
+    qWindowNav, qExplodeOuter, qSweepline)
 }
