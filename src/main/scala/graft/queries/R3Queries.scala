@@ -1286,6 +1286,63 @@ object R3Queries {
         |    PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
         |FROM d ORDER BY day""".stripMargin))
 
+  /** The LLM training-data cleaning pipeline as ONE declarative plan:
+    * admission (lang + length gate) -> exact dedup (min doc_id per
+    * md5) -> near-dup verification (trigram Jaccard >= 0.5) ->
+    * connected-components clustering -> canonical survivors -> token
+    * counts. Every stage is the same operator exercised by its
+    * standalone query; this proves they compose end-to-end under one
+    * oracle (recursive-CTE closure tail shared via closureSql). */
+  val qPipelineLlm = QueryDef("q_pipeline_llm",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 150)
+        .where(col("lang") === "en" && length(col("text")) >= 50)
+        .select(col("doc_id"), col("text"))
+      val exact = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(docs, "doc_id")
+        .select("doc_id", "text")
+      val sh = exact.select(col("doc_id"),
+        explode(graft.ext.TextOps.wordNgrams(col("text"), 3)).as("shingle"))
+        .distinct()
+      val pairs = graft.ext.DedupOps.jaccardPairs(sh, "doc_id", 0.5)
+        .select("a", "b")
+      val comp = graft.ext.GraphOps.connectedComponents(s, pairs)
+      exact.join(comp, exact("doc_id") === comp("node"), "left_outer")
+        .where(col("doc_id") === coalesce(col("component"), col("doc_id")))
+        .select(col("doc_id"),
+          graft.ext.TextOps.tokenCount(col("text")).as("n_toks"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE
+         |adm AS (SELECT doc_id, text FROM documents
+         |        WHERE doc_id < 150 AND lang = 'en' AND length(text) >= 50),
+         |exact AS (SELECT d.doc_id, d.text FROM adm d
+         |          JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+         |                FROM adm GROUP BY 1) k ON d.doc_id = k.doc_id),
+         |dd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM exact),
+         |idx AS (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 2)) AS i
+         |        FROM dd WHERE len(toks) >= 3),
+         |tri AS (SELECT DISTINCT doc_id,
+         |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+         |        FROM idx),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+         |          FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |          WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+         |${ExtQueries.closureSql},
+         |comp AS (SELECT node, min(other) AS component FROM reach GROUP BY node)
+         |SELECT e.doc_id,
+         |  CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_toks
+         |FROM exact e LEFT JOIN comp c ON e.doc_id = c.node
+         |WHERE coalesce(c.component, e.doc_id) = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1300,5 +1357,5 @@ object R3Queries {
     qEditDistance, qDateArith,
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
     qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding,
-    qWindowNav, qExplodeOuter, qSweepline)
+    qWindowNav, qExplodeOuter, qSweepline, qPipelineLlm)
 }
