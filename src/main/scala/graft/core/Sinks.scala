@@ -89,4 +89,29 @@ object Sinks {
       }
     }
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~ceil(totalBytes / targetFileBytes) files. The standard lake
+    * maintenance op at scale — incremental appends (e.g. [[appendEdges]]
+    * per crawl depth, or a streaming foreachBatch sink) accumulate many
+    * small files whose per-file open/footer cost eventually dominates
+    * scans. Writes to a temp dir then swaps, so a concurrent reader sees
+    * either the old or the new layout, never a half-written mix; returns
+    * the new file count.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(path, true)
+    require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
+    n
+  }
 }

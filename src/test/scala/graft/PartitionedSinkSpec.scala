@@ -49,4 +49,19 @@ class PartitionedSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       .as[(Int, String, String)].collect().toSet
     assert(got == Set((0, "r", "a"), (0, "r", "b"), (1, "a", "c")))
   }
+
+  test("compactParquet merges small files and preserves the data exactly") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    spark.range(20000).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(24) // simulate incremental-append fragmentation
+      .write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 24)
+    val before = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    val n = Sinks.compactParquet(spark, dir, targetFileBytes = 1L << 20)
+    assert(n < 24 && parquetFiles == n)
+    val after = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    assert(after == before)
+  }
 }
