@@ -1343,6 +1343,41 @@ object R3Queries {
          |WHERE coalesce(c.component, e.doc_id) = e.doc_id
          |ORDER BY e.doc_id""".stripMargin))
 
+  /** Embedded-CSV schema-on-read (`from_csv`): rows carry a delimited
+    * payload string that is parsed back into typed fields in-plan. The
+    * payload is synthesized from order columns (DECIMAL-formatted price
+    * so the string is identical cross-engine) and the oracle re-splits
+    * it — proving parse(serialize(x)) == x under both engines. */
+  val qFromCsv = QueryDef("q_from_csv",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val line = concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), d2(col("o_totalprice")).cast("string"))
+      val schema = StructType(Seq(
+        StructField("k2", LongType), StructField("st", StringType),
+        StructField("pri", StringType), StructField("price", DoubleType)))
+      t(s, dir, "orders").where(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), line.as("line"))
+        .select(col("o_orderkey"),
+          from_csv(col("line"), schema, Map("sep" -> "|")).as("p"))
+        .select(col("o_orderkey"), col("p.k2").as("k2"),
+          col("p.st").as("st"), col("p.pri").as("pri"),
+          col("p.price").as("price"))
+        .orderBy("o_orderkey")
+    },
+    Some(
+      """WITH l AS (SELECT o_orderkey,
+        |    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+        |    o_orderpriority || '|' ||
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS line
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT o_orderkey,
+        |  CAST(string_split(line, '|')[1] AS BIGINT) AS k2,
+        |  string_split(line, '|')[2] AS st,
+        |  string_split(line, '|')[3] AS pri,
+        |  CAST(string_split(line, '|')[4] AS DOUBLE) AS price
+        |FROM l ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1357,5 +1392,5 @@ object R3Queries {
     qEditDistance, qDateArith,
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
     qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding,
-    qWindowNav, qExplodeOuter, qSweepline, qPipelineLlm)
+    qWindowNav, qExplodeOuter, qSweepline, qPipelineLlm, qFromCsv)
 }
