@@ -1378,6 +1378,36 @@ object R3Queries {
         |  CAST(string_split(line, '|')[4] AS DOUBLE) AS price
         |FROM l ORDER BY o_orderkey""".stripMargin))
 
+  /** Custom DataSource V2 end-to-end: read the synthetic page graph
+    * through the `graft-pages` connector ([[graft.sources.PagesSource]]
+    * — partition planning + filter pushdown + column pruning), extract
+    * outlink targets from the html with the crawl href extractor, and
+    * parse them back to ids. The oracle regenerates the identical graph
+    * arithmetically from generate_series — no parquet table involved,
+    * so the connector itself is what's under test. */
+  val qSourceV2 = QueryDef("q_source_v2",
+    (s, _) => {
+      val ids = transform(
+        graft.core.LinkOps.extractHrefs(col("html")),
+        h => substring(h, 4, 18).cast("long"))
+      s.read.format("graft-pages")
+        .option("rows", "500").option("parts", "8").load()
+        .where(col("page_id") < 400)
+        .select(col("page_id"),
+          element_at(ids, 1).as("a"),
+          element_at(ids, 2).as("b"),
+          size(graft.core.LinkOps.extractHrefs(col("html")))
+            .cast("int").as("n_links"))
+        .orderBy("page_id")
+    },
+    Some(
+      """SELECT i AS page_id,
+        |  CAST((2 * i + 1) % 500 AS BIGINT) AS a,
+        |  CAST((3 * i + 2) % 500 AS BIGINT) AS b,
+        |  CAST(2 AS INTEGER) AS n_links
+        |FROM generate_series(0, 399) t(i)
+        |ORDER BY page_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1392,5 +1422,6 @@ object R3Queries {
     qEditDistance, qDateArith,
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
     qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding,
-    qWindowNav, qExplodeOuter, qSweepline, qPipelineLlm, qFromCsv)
+    qWindowNav, qExplodeOuter, qSweepline, qPipelineLlm, qFromCsv,
+    qSourceV2)
 }
