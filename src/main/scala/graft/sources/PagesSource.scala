@@ -36,10 +36,14 @@ class PagesSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PagesTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // properties keep the caller's key case — normalize before lookup
+    val opts = new CaseInsensitiveStringMap(properties)
     new PagesTable(
-      Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      Option(properties.get("parts")).map(_.toInt).getOrElse(4))
+      Option(opts.get("rows")).map(_.toLong).getOrElse(1000L),
+      Option(opts.get("parts")).map(_.toInt).getOrElse(4),
+      Option(opts.get("batchRows")).map(_.toLong).getOrElse(0L))
+  }
 }
 
 object PagesTable {
@@ -55,16 +59,19 @@ object PagesTable {
   }
 }
 
-class PagesTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class PagesTable(rows: Long, parts: Int, batchRows: Long) extends Table
+    with SupportsRead {
   override def name(): String = s"graft_pages($rows)"
   override def schema(): StructType = PagesTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagesScanBuilder(rows, parts)
+    new PagesScanBuilder(rows, parts, batchRows)
 }
 
-class PagesScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+class PagesScanBuilder(rows: Long, parts: Int, batchRows: Long)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = rows
@@ -98,13 +105,18 @@ class PagesScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PagesScan(lo, hi, parts, rows, required)
+  override def build(): Scan =
+    new PagesScan(lo, hi, parts, rows, required, batchRows)
 }
 
 class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
-                required: StructType) extends Scan with Batch {
+                required: StructType, batchRows: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagesMicroBatchStream(lo, hi, rows, parts, required,
+      if (batchRows > 0) batchRows else hi - lo)
   // surfaced in explain() — makes the pushed range visible in the plan
   override def description(): String =
     s"PagesScan[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
@@ -122,6 +134,57 @@ class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
 
 case class PagesPartition(start: Long, end: Long, rows: Long)
   extends InputPartition
+
+/** Offset = exclusive upper bound of page ids emitted so far. */
+case class PagesOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** Micro-batch form of the connector: at most `batchRows` pages per
+  * trigger until the table is exhausted — the crawl-as-stream shape
+  * (reference §2.10's per-depth frontier, re-expressed as a bounded
+  * streaming source). Implements [[SupportsTriggerAvailableNow]] (the
+  * admission-control API every rate-limited production source uses —
+  * the same contract as `maxFilesPerTrigger`): `latestOffset(start, _)`
+  * bounds each batch from the engine-supplied start, so it is stateless
+  * and idempotent, while `reportLatestOffset` exposes the true end so
+  * run-to-completion triggers know when to stop. Offsets are plain id
+  * bounds; restarts resume from the checkpointed offset exactly-once. */
+class PagesMicroBatchStream(lo: Long, hi: Long, rows: Long, parts: Int,
+                            required: StructType, batchRows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset = PagesOffset(lo)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control variant latestOffset(start, limit) is used")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    PagesOffset(math.min(hi,
+      start.asInstanceOf[PagesOffset].v + math.max(1L, batchRows)))
+  override def reportLatestOffset(): Offset = PagesOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def deserializeOffset(json: String): Offset =
+    PagesOffset(json.toLong)
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PagesOffset].v
+    val e = end.asInstanceOf[PagesOffset].v
+    val n = math.max(1, parts)
+    val span = math.max(0L, e - s)
+    (0 until n).map { p =>
+      PagesPartition(s + span * p / n, s + span * (p + 1) / n,
+        rows): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagesReaderFactory(required, rows)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class PagesReaderFactory(required: StructType, rows: Long)
     extends PartitionReaderFactory {

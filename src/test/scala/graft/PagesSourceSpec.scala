@@ -41,4 +41,26 @@ class PagesSourceSpec extends AnyFunSuite {
     }
     assert(cols.contains(Seq("page_id")), s"expected pruned schema, got $cols")
   }
+
+  test("micro-batch streaming read delivers all pages across multiple batches") {
+    val q = spark.readStream.format("graft-pages")
+      .option("rows", "300").option("parts", "2").option("batchRows", "100")
+      .load()
+      .writeStream.format("memory").queryName("graft_pages_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // AvailableNow + SupportsTriggerAvailableNow: runs batch-by-batch
+      // to reportLatestOffset, then stops itself
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      val got = spark.sql("SELECT page_id FROM graft_pages_stream")
+        .as[Long].collect()
+      assert(got.length == 300 && got.toSet == (0L until 300L).toSet)
+      // admission control capped each batch at 100 -> >= 3 non-empty
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3, s"expected >=3 batches, got $nonEmpty")
+    } finally q.stop()
+  }
 }
