@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Custom DataSource V2 WRITE path (`graft-memsink`): the staged-commit
+  * contract every exactly-once batch sink implements. Each task buffers
+  * its rows and surfaces them only in its [[WriterCommitMessage]]; the
+  * driver-side [[BatchWrite.commit]] publishes ALL tasks' rows
+  * atomically — a half-failed job publishes nothing (abort discards),
+  * and a speculated/retried task can commit at most once because only
+  * the messages the driver received participate. This is the JDBC/file
+  * committer shape (reference K1's append sink) reduced to an in-memory
+  * store so the semantics are spec-assertable without external state.
+  *
+  * Usage: `df.write.format("graft-memsink").option("key", k).save()`;
+  * read back via [[MemSinkStore.get]].
+  */
+class MemSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-memsink"
+  // write-only source: schema comes from the DataFrame being written
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new MemSinkTable(schema, Option(opts.get("key")).getOrElse("default"))
+  }
+}
+
+object MemSinkStore {
+  private val store = new ConcurrentHashMap[String, Seq[Seq[Any]]]()
+  def get(key: String): Option[Seq[Seq[Any]]] = Option(store.get(key))
+  def clear(key: String): Unit = store.remove(key)
+  private[sources] def publish(key: String, rows: Seq[Seq[Any]]): Unit =
+    store.put(key, rows)
+}
+
+class MemSinkTable(schema: StructType, key: String) extends Table
+    with SupportsWrite {
+  override def name(): String = s"graft_memsink($key)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new MemSinkBatchWrite(
+          key, info.schema())
+      }
+    }
+}
+
+/** Rows captured by one task, surfaced only at task commit. */
+case class MemSinkCommit(rows: Seq[Seq[Any]]) extends WriterCommitMessage
+
+class MemSinkBatchWrite(key: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new MemSinkWriterFactory(schema)
+  // driver-side atomic publish: either every task's rows land, or none
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    MemSinkStore.publish(key,
+      messages.toSeq.flatMap(_.asInstanceOf[MemSinkCommit].rows))
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class MemSinkWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = ArrayBuffer.empty[Seq[Any]]
+      override def write(record: InternalRow): Unit =
+        buf += schema.fields.indices.map { i =>
+          val v = record.get(i, schema.fields(i).dataType)
+          v match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case other => other
+          }
+        }
+      override def commit(): WriterCommitMessage = MemSinkCommit(buf.toSeq)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}

@@ -63,4 +63,18 @@ class PagesSourceSpec extends AnyFunSuite {
       assert(nonEmpty >= 3, s"expected >=3 batches, got $nonEmpty")
     } finally q.stop()
   }
+
+  test("memsink write publishes all task buffers atomically at job commit") {
+    import graft.sources.MemSinkStore
+    MemSinkStore.clear("spec1")
+    pages(200, 4).select($"page_id", $"url")
+      .write.format("graft-memsink").option("key", "spec1")
+      .mode("overwrite").save()
+    val rows = MemSinkStore.get("spec1").getOrElse(Seq.empty)
+    assert(rows.length == 200)
+    assert(rows.map(_.head.asInstanceOf[Long]).toSet == (0L until 200L).toSet)
+    assert(rows.forall(r =>
+      r(1) == s"https://site.example/p/${r.head}"))
+    MemSinkStore.clear("spec1")
+  }
 }
