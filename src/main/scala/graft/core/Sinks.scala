@@ -90,28 +90,65 @@ object Sinks {
     }
   }
 
-  /** Small-file compaction: rewrite a parquet directory into
-    * ~ceil(totalBytes / targetFileBytes) files. The standard lake
+  /** Small-file compaction: rewrite each leaf parquet directory into
+    * ~ceil(leafBytes / targetFileBytes) files. The standard lake
     * maintenance op at scale — incremental appends (e.g. [[appendEdges]]
     * per crawl depth, or a streaming foreachBatch sink) accumulate many
     * small files whose per-file open/footer cost eventually dominates
-    * scans. Writes to a temp dir then swaps, so a concurrent reader sees
-    * either the old or the new layout, never a half-written mix; returns
-    * the new file count.
+    * scans. Partitioned layouts (`col=value/` subdirs) are compacted
+    * leaf-by-leaf, preserving the layout and its partition pruning.
+    *
+    * Each leaf is rewritten to a unique sibling temp dir, then swapped
+    * via rename-to-backup / rename-into-place / delete-backup: a crash
+    * at any point leaves the full data in either the live or the backup
+    * directory (never lost), though a reader racing the swap itself can
+    * momentarily see the path absent — true atomic directory swap needs
+    * a table format. Returns the total new file count.
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
                      targetFileBytes: Long): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(path)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
-    spark.read.parquet(dir).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(path, true)
-    require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
-    n
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // leaf dirs = dirs directly containing parquet files (a flat table
+    // is its own single leaf; partitioned tables have one per partition)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(p).toSeq
+      val here = entries.exists(e =>
+        e.isFile && e.getPath.getName.endsWith(".parquet"))
+      val below = entries.filter(_.isDirectory)
+        .filterNot { d => // metadata dirs + stale tmp/backup from crashes
+          val n = d.getPath.getName; n.startsWith("_") || n.startsWith(".")
+        }
+        .flatMap(d => leaves(d.getPath))
+      if (here) p +: below else below
+    }
+
+    leaves(root).map { leaf =>
+      val bytes = fs.listStatus(leaf)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      val n =
+        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      // unique sibling (never inside the leaf, trailing slashes are
+      // normalized by Path; unique suffix so concurrent runs don't collide)
+      val stamp = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new org.apache.hadoop.fs.Path(leaf.getParent,
+        s".${leaf.getName}_compact_$stamp")
+      val bak = new org.apache.hadoop.fs.Path(leaf.getParent,
+        s".${leaf.getName}_backup_$stamp")
+      // read the leaf only (partition columns live in dir names above it
+      // and are untouched)
+      spark.read.parquet(leaf.toString).repartition(n)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      require(fs.rename(leaf, bak), s"rename $leaf -> $bak failed")
+      if (!fs.rename(tmp, leaf)) {
+        fs.rename(bak, leaf) // roll back; data never lost
+        throw new IllegalStateException(s"rename $tmp -> $leaf failed")
+      }
+      fs.delete(bak, true)
+      n
+    }.sum
   }
 }

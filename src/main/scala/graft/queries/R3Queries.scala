@@ -1396,8 +1396,7 @@ object R3Queries {
         .select(col("page_id"),
           element_at(ids, 1).as("a"),
           element_at(ids, 2).as("b"),
-          size(graft.core.LinkOps.extractHrefs(col("html")))
-            .cast("int").as("n_links"))
+          size(ids).cast("int").as("n_links"))
         .orderBy("page_id")
     },
     Some(

@@ -43,8 +43,12 @@ object MemSinkStore {
   private val store = new ConcurrentHashMap[String, Seq[Seq[Any]]]()
   def get(key: String): Option[Seq[Seq[Any]]] = Option(store.get(key))
   def clear(key: String): Unit = store.remove(key)
-  private[sources] def publish(key: String, rows: Seq[Seq[Any]]): Unit =
-    store.put(key, rows)
+  /** Append semantics (SaveMode.Append / AppendData): merge with prior
+    * contents atomically; `truncate` first for overwrite semantics. */
+  private[sources] def publish(key: String, rows: Seq[Seq[Any]],
+                               truncate: Boolean): Unit =
+    store.compute(key, (_, prior) =>
+      if (truncate || prior == null) rows else prior ++ rows)
 }
 
 class MemSinkTable(schema: StructType, key: String) extends Table
@@ -56,10 +60,27 @@ class MemSinkTable(schema: StructType, key: String) extends Table
       TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
-      override def truncate(): WriteBuilder = this
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new MemSinkBatchWrite(
-          key, info.schema())
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = {
+        // nested values returned by InternalRow.get alias engine-reused
+        // buffers and are not Serializable — refuse loudly rather than
+        // corrupt silently
+        info.schema().fields.foreach { f =>
+          import org.apache.spark.sql.types.{ArrayType, MapType, StructType => ST}
+          val nested = f.dataType match {
+            case _: ArrayType | _: MapType | _: ST => true
+            case _ => false
+          }
+          require(!nested,
+            s"graft-memsink supports atomic column types only; " +
+              s"'${f.name}' is ${f.dataType.simpleString}")
+        }
+        val t = doTruncate
+        new Write {
+          override def toBatch: BatchWrite =
+            new MemSinkBatchWrite(key, info.schema(), t)
+        }
       }
     }
 }
@@ -67,14 +88,15 @@ class MemSinkTable(schema: StructType, key: String) extends Table
 /** Rows captured by one task, surfaced only at task commit. */
 case class MemSinkCommit(rows: Seq[Seq[Any]]) extends WriterCommitMessage
 
-class MemSinkBatchWrite(key: String, schema: StructType) extends BatchWrite {
+class MemSinkBatchWrite(key: String, schema: StructType,
+                        truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new MemSinkWriterFactory(schema)
   // driver-side atomic publish: either every task's rows land, or none
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     MemSinkStore.publish(key,
-      messages.toSeq.flatMap(_.asInstanceOf[MemSinkCommit].rows))
+      messages.toSeq.flatMap(_.asInstanceOf[MemSinkCommit].rows), truncate)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

@@ -57,6 +57,16 @@ object PagesTable {
     val b = (3 * i + 2) % rows
     s"""<html><body><a href="/p/$a">x</a> <a href="/p/$b">y</a></body></html>"""
   }
+  /** Proportional [lo, hi) split shared by the batch and streaming scans. */
+  def split(lo: Long, hi: Long, parts: Int,
+            rows: Long): Array[InputPartition] = {
+    val n = math.max(1, parts)
+    val span = math.max(0L, hi - lo)
+    (0 until n).map { p =>
+      PagesPartition(lo + span * p / n, lo + span * (p + 1) / n,
+        rows): InputPartition
+    }.toArray
+  }
 }
 
 class PagesTable(rows: Long, parts: Int, batchRows: Long) extends Table
@@ -120,14 +130,8 @@ class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
   // surfaced in explain() — makes the pushed range visible in the plan
   override def description(): String =
     s"PagesScan[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, parts)
-    val span = math.max(0L, hi - lo)
-    (0 until n).map { p =>
-      PagesPartition(lo + span * p / n, lo + span * (p + 1) / n,
-        rows): InputPartition
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    PagesTable.split(lo, hi, parts, rows)
   override def createReaderFactory(): PartitionReaderFactory =
     new PagesReaderFactory(required, rows)
 }
@@ -170,16 +174,9 @@ class PagesMicroBatchStream(lo: Long, hi: Long, rows: Long, parts: Int,
   override def deserializeOffset(json: String): Offset =
     PagesOffset(json.toLong)
   override def planInputPartitions(start: Offset,
-                                   end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[PagesOffset].v
-    val e = end.asInstanceOf[PagesOffset].v
-    val n = math.max(1, parts)
-    val span = math.max(0L, e - s)
-    (0 until n).map { p =>
-      PagesPartition(s + span * p / n, s + span * (p + 1) / n,
-        rows): InputPartition
-    }.toArray
-  }
+                                   end: Offset): Array[InputPartition] =
+    PagesTable.split(start.asInstanceOf[PagesOffset].v,
+      end.asInstanceOf[PagesOffset].v, parts, rows)
   override def createReaderFactory(): PartitionReaderFactory =
     new PagesReaderFactory(required, rows)
   override def commit(end: Offset): Unit = ()

@@ -77,4 +77,31 @@ class PagesSourceSpec extends AnyFunSuite {
       r(1) == s"https://site.example/p/${r.head}"))
     MemSinkStore.clear("spec1")
   }
+
+  test("memsink append mode accumulates across jobs; overwrite truncates") {
+    import graft.sources.MemSinkStore
+    MemSinkStore.clear("spec2")
+    def write(loHi: (Long, Long), mode: String): Unit =
+      spark.range(loHi._1, loHi._2).select($"id")
+        .write.format("graft-memsink").option("key", "spec2")
+        .mode(mode).save()
+    write((0L, 50L), "append")
+    write((50L, 80L), "append")
+    assert(MemSinkStore.get("spec2").get.map(_.head).toSet ==
+      (0L until 80L).toSet)
+    write((100L, 110L), "overwrite")
+    assert(MemSinkStore.get("spec2").get.map(_.head).toSet ==
+      (100L until 110L).toSet)
+    MemSinkStore.clear("spec2")
+  }
+
+  test("memsink rejects nested column types loudly") {
+    val err = intercept[Exception] {
+      spark.range(5).select(array($"id").as("a"))
+        .write.format("graft-memsink").option("key", "spec3")
+        .mode("overwrite").save()
+    }
+    assert(err.getMessage.contains("atomic column types only"),
+      s"unexpected error: ${err.getMessage}")
+  }
 }

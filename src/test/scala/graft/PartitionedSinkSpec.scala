@@ -64,4 +64,26 @@ class PartitionedSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val after = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
     assert(after == before)
   }
+
+  test("compactParquet preserves a partitioned layout (per-leaf rewrite)") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
+    spark.range(6000)
+      .select((col("id") % 3).as("p"), col("id").as("v"))
+      .repartition(10).write.partitionBy("p").parquet(dir)
+    val before = spark.read.parquet(dir).select("p", "v")
+      .as[(Long, Long)].collect().toSet
+    Sinks.compactParquet(spark, dir, targetFileBytes = 1L << 20)
+    // layout intact: still one dir per partition value, fewer files each
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("p=")).sortBy(_.getName)
+    assert(partDirs.map(_.getName).toSeq == Seq("p=0", "p=1", "p=2"))
+    partDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    }
+    val after = spark.read.parquet(dir).select("p", "v")
+      .as[(Long, Long)].collect().toSet
+    assert(after == before)
+    // partition pruning still works on the compacted table
+    assert(spark.read.parquet(dir).where(col("p") === 1).count() == 2000)
+  }
 }
