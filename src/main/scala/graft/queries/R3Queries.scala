@@ -1407,6 +1407,74 @@ object R3Queries {
         |FROM generate_series(0, 399) t(i)
         |ORDER BY page_id""".stripMargin))
 
+  /** PII-style redaction (training-data scrubbing): mask email and
+    * phone-shaped spans with placeholder tokens and count the hits.
+    * The fixture text has no PII, so deterministic spans are appended
+    * per doc — both engines redact the identical string (patterns kept
+    * to the Java-regex ∩ RE2 common subset). */
+  val qRedact = QueryDef("q_redact",
+    (s, dir) => {
+      val raw = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example or +1-555-01"), pmod(col("doc_id"), lit(100)))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val phoneRe = "\\+?[0-9][0-9-]{6,}"
+      t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("clean"),
+          regexp_count(col("raw"), lit(emailRe)).cast("int").as("n_email"),
+          regexp_count(col("raw"), lit(phoneRe)).cast("int").as("n_phone"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH r AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example or +1-555-01' ||
+        |    CAST(doc_id % 100 AS VARCHAR) AS raw
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9-]{6,}', '<PHONE>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '\+?[0-9][0-9-]{6,}')) AS INTEGER) AS n_phone
+        |FROM r ORDER BY doc_id""".stripMargin))
+
+  /** Repetition scoring (Gopher-style quality rule): per-doc max-term
+    * ratio and distinct-token ratio — high repetition flags low-quality
+    * generated/boilerplate text. BIGINT counts, double divides. */
+  val qRepetition = QueryDef("q_repetition",
+    (s, dir) => {
+      val perTok = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      perTok.groupBy("doc_id")
+        .agg(sum("c").cast("long").as("total"),
+          max("c").cast("long").as("mx"),
+          count(lit(1)).cast("long").as("dct"))
+        .select(col("doc_id"), col("total"),
+          (col("mx").cast("double") / col("total").cast("double"))
+            .as("max_term_ratio"),
+          (col("dct").cast("double") / col("total").cast("double"))
+            .as("distinct_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents WHERE doc_id < 300),
+        |ct AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+        |          CAST(max(c) AS BIGINT) AS mx,
+        |          CAST(count(*) AS BIGINT) AS dct
+        |        FROM ct GROUP BY 1)
+        |SELECT doc_id, total,
+        |  CAST(mx AS DOUBLE) / CAST(total AS DOUBLE) AS max_term_ratio,
+        |  CAST(dct AS DOUBLE) / CAST(total AS DOUBLE) AS distinct_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1422,5 +1490,5 @@ object R3Queries {
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
     qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding,
     qWindowNav, qExplodeOuter, qSweepline, qPipelineLlm, qFromCsv,
-    qSourceV2)
+    qSourceV2, qRedact, qRepetition)
 }
