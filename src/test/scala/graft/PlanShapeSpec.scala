@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the shuffle/broadcast properties that
+  * PERF.md claims (and that matter at 100 TB) are pinned here so a
+  * refactor that silently adds an exchange or degrades a broadcast join
+  * to sort-merge fails loudly instead of just getting slower.
+  * Budgets are asserted on the pre-AQE physical plan at sf0.001.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // executedPlan AFTER EnsureRequirements (sparkPlan has no exchanges
+  // yet); AQE off so the plan is deterministic without running the query
+  private def plan(name: String): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def hashShuffles(p: SparkPlan): Int = p.collect {
+    case e: ShuffleExchangeExec
+      if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+  }.size
+
+  test("q1_pricing_summary: one hash shuffle (partial+final agg), no joins") {
+    val p = plan("q1_pricing_summary")
+    assert(hashShuffles(p) == 1, p.toString)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("q_join_star_revenue: all-broadcast star, no sort-merge or cartesian") {
+    val p = plan("q_join_star_revenue")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 4,
+      p.toString)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(hashShuffles(p) <= 1, s"star join grew extra shuffles:\n$p")
+  }
+
+  test("q_asof_join: the union+window as-of shape keeps ONE hash shuffle") {
+    val p = plan("q_asof_join")
+    assert(hashShuffles(p) == 1, s"as-of join must shuffle once:\n$p")
+  }
+
+  test("q_histogram: exactly one hash shuffle between partial and final agg") {
+    val p = plan("q_histogram")
+    assert(hashShuffles(p) == 1, p.toString)
+  }
+
+  test("q_sweepline: raw points shuffle once; running sum over distinct days only") {
+    val p = plan("q_sweepline")
+    // one hash shuffle for the per-day aggregation; the window's global
+    // single-partition exchange operates on distinct days, not raw rows
+    assert(hashShuffles(p) == 1, p.toString)
+  }
+}
