@@ -1475,6 +1475,28 @@ object R3Queries {
         |  CAST(dct AS DOUBLE) / CAST(total AS DOUBLE) AS distinct_ratio
         |FROM agg ORDER BY doc_id""".stripMargin))
 
+  /** Two-pass exact heavy hitters: Misra-Gries candidate sketch (k
+    * counters per partition, provable no-false-negatives) + exact
+    * confirmation restricted to candidates. The oracle is the plain
+    * full groupBy with the same integer-exact threshold — equal by the
+    * sketch guarantee, which is precisely the point. */
+  val qHeavyHitters = QueryDef("q_heavy_hitters",
+    (s, dir) => {
+      val toks = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      graft.ext.HeavyHitters.heavyHitters(toks, col("tok"), 40)
+        .withColumnRenamed("v", "tok")
+        .orderBy("tok")
+    },
+    Some(
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents WHERE doc_id < 300),
+        |n AS (SELECT count(*) AS total FROM tk)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tk, n GROUP BY tok, total
+        |HAVING count(*) * 41 > total
+        |ORDER BY tok""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1490,5 +1512,5 @@ object R3Queries {
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
     qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding,
     qWindowNav, qExplodeOuter, qSweepline, qPipelineLlm, qFromCsv,
-    qSourceV2, qRedact, qRepetition)
+    qSourceV2, qRedact, qRepetition, qHeavyHitters)
 }
