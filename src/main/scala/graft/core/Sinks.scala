@@ -111,15 +111,48 @@ object Sinks {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // self-heal leftovers of a crashed earlier run BEFORE scanning for
+    // leaves: a '.X_backup_*' whose live dir X is absent means the crash
+    // hit between the two swap renames — restore it (data is complete
+    // there); orphaned '.X_compact_*' tmp rewrites are safe to delete.
+    // Assumes one compactor per table at a time (like every
+    // non-table-format maintenance op).
+    def heal(p: org.apache.hadoop.fs.Path): Unit = {
+      val entries = fs.listStatus(p).toSeq
+      entries.filter(e => e.isDirectory &&
+          e.getPath.getName.startsWith(".")).foreach { e =>
+        val name = e.getPath.getName
+        val backupRe = "^\\.(.+)_backup_[0-9a-f]{8}$".r
+        val compactRe = "^\\.(.+)_compact_[0-9a-f]{8}$".r
+        name match {
+          case backupRe(orig) =>
+            val live = new org.apache.hadoop.fs.Path(p, orig)
+            if (!fs.exists(live)) {
+              require(fs.rename(e.getPath, live),
+                s"restore of crashed backup ${e.getPath} failed")
+            } else fs.delete(e.getPath, true) // swap completed; stale copy
+          case compactRe(_) => fs.delete(e.getPath, true)
+          case _ =>
+        }
+      }
+      entries.filter(e => e.isDirectory &&
+          !e.getPath.getName.startsWith("."))
+        .foreach(e => heal(e.getPath))
+    }
+    heal(root)
+
     // leaf dirs = dirs directly containing parquet files (a flat table
-    // is its own single leaf; partitioned tables have one per partition)
+    // is its own single leaf; partitioned tables have one per partition
+    // — including '_col=value' names, so only our '.'-hidden dirs and
+    // Hadoop's _temporary are skipped)
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val entries = fs.listStatus(p).toSeq
       val here = entries.exists(e =>
         e.isFile && e.getPath.getName.endsWith(".parquet"))
       val below = entries.filter(_.isDirectory)
-        .filterNot { d => // metadata dirs + stale tmp/backup from crashes
-          val n = d.getPath.getName; n.startsWith("_") || n.startsWith(".")
+        .filterNot { d =>
+          val n = d.getPath.getName
+          n.startsWith(".") || n == "_temporary"
         }
         .flatMap(d => leaves(d.getPath))
       if (here) p +: below else below
@@ -131,8 +164,8 @@ object Sinks {
         .map(_.getLen).sum
       val n =
         math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      // unique sibling (never inside the leaf, trailing slashes are
-      // normalized by Path; unique suffix so concurrent runs don't collide)
+      // unique hidden sibling (never inside the leaf; trailing slashes
+      // are normalized by Path)
       val stamp = java.util.UUID.randomUUID().toString.take(8)
       val tmp = new org.apache.hadoop.fs.Path(leaf.getParent,
         s".${leaf.getName}_compact_$stamp")
@@ -145,6 +178,7 @@ object Sinks {
       require(fs.rename(leaf, bak), s"rename $leaf -> $bak failed")
       if (!fs.rename(tmp, leaf)) {
         fs.rename(bak, leaf) // roll back; data never lost
+        fs.delete(tmp, true) // don't leak the abandoned rewrite
         throw new IllegalStateException(s"rename $tmp -> $leaf failed")
       }
       fs.delete(bak, true)

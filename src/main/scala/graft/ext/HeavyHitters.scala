@@ -47,32 +47,50 @@ object HeavyHitters {
     }
   }
 
-  /** Candidate values whose true count MAY exceed n/(k+1): per-partition
-    * Misra-Gries, summaries merged on the driver. One pass, k counters
-    * per partition, no shuffle. */
-  def mgCandidates(values: DataFrame, k: Int): Seq[String] = {
+  /** One pass over a single-column frame: per-partition (rowCount,
+    * Misra-Gries summary), merged on the driver. Returns (n,
+    * candidates) from the SAME snapshot — folding the count into the
+    * sketch pass both saves a full scan and keeps n consistent with the
+    * candidates (a separate count() over a non-deterministic source
+    * would make the threshold lie). */
+  def mgCandidatesWithCount(values: DataFrame, k: Int): (Long, Seq[String]) = {
     require(k >= 1, "k must be >= 1")
-    val col0 = values.columns.head
-    values.select(col(col0).cast("string")).rdd
+    require(values.columns.length == 1,
+      s"mgCandidatesWithCount expects exactly one column, " +
+        s"got ${values.columns.mkString(", ")}")
+    val partials = values.select(col(values.columns.head).cast("string"))
+      .rdd
       .mapPartitions { it =>
         var st = Map.empty[String, Long]
-        it.foreach { r => if (!r.isNullAt(0)) st = mgInsert(st, r.getString(0), k) }
-        Iterator.single(st)
+        var c = 0L
+        it.foreach { r =>
+          if (!r.isNullAt(0)) { c += 1; st = mgInsert(st, r.getString(0), k) }
+        }
+        Iterator.single((c, st))
       }
       .collect()
+    val n = partials.map(_._1).sum
+    val merged = partials.map(_._2)
       .foldLeft(Map.empty[String, Long])((a, b) => mgMerge(a, b, k))
-      .keys.toSeq
+    (n, merged.keys.toSeq)
   }
+
+  /** Candidate values whose true count MAY exceed n/(k+1). */
+  def mgCandidates(values: DataFrame, k: Int): Seq[String] =
+    mgCandidatesWithCount(values, k)._2
 
   /** Exact heavy hitters: every value of `valueCol` with true count
     * strictly greater than n/(k+1), where n is the total (non-null)
     * value count. Integer-exact threshold (`cnt * (k+1) > n` — no
-    * division), so results are engine-reproducible bit-for-bit. */
+    * division), so results are engine-reproducible bit-for-bit.
+    * Two scans total: sketch+count, then candidate confirmation. The
+    * input must be deterministic across the two scans (as for any
+    * multi-pass algorithm over a recomputed plan — persist it if not).
+    */
   def heavyHitters(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
     val vals = df.select(valueCol.cast("string").as("v"))
       .where(col("v").isNotNull)
-    val n = vals.count()
-    val candidates = mgCandidates(vals, k)
+    val (n, candidates) = mgCandidatesWithCount(vals, k)
     // exact confirmation over candidates only — the shuffle carries just
     // candidate rows, the guarantee makes this equal to a full groupBy
     vals.where(col("v").isin(candidates: _*))

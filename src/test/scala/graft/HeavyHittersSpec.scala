@@ -17,10 +17,14 @@ class HeavyHittersSpec extends AnyFunSuite {
       val data = Seq.fill(500 + rnd.nextInt(1500))(
         s"w${(math.sqrt(rnd.nextInt(400)).toInt)}")
       val df = data.toDF("v").repartition(1 + rnd.nextInt(5))
-      val candidates = HeavyHitters.mgCandidates(df, k).toSet
-      assert(candidates.size <= k * df.rdd.getNumPartitions + k,
-        s"trial $trial: candidate set should stay near k per partition")
+      val (n0, cands) = HeavyHitters.mgCandidatesWithCount(df, k)
+      val candidates = cands.toSet
+      // the driver-side merge folds through mgMerge(k), so the final
+      // summary is itself bounded by k
+      assert(candidates.size <= k,
+        s"trial $trial: merged summary must hold at most k=$k keys")
       val n = data.size
+      assert(n0 == n, s"trial $trial: sketch-pass count mismatch")
       val exact = data.groupBy(identity).view.mapValues(_.size).toMap
       val trueHeavy = exact.filter { case (_, c) => c.toLong * (k + 1) > n }
       trueHeavy.keys.foreach { h =>

@@ -86,4 +86,19 @@ class PartitionedSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // partition pruning still works on the compacted table
     assert(spark.read.parquet(dir).where(col("p") === 1).count() == 2000)
   }
+
+  test("compactParquet heals a crash that left data only in the hidden backup") {
+    val dir = Files.createTempDirectory("graft-compact-heal").toString + "/t"
+    spark.range(1000).select(col("id").as("v")).repartition(4).write.parquet(dir)
+    val before = spark.read.parquet(dir).as[Long].collect().toSet
+    // simulate dying between the two swap renames: live dir gone, full
+    // data stranded in the hidden backup sibling
+    val f = new java.io.File(dir)
+    val bak = new java.io.File(f.getParent, s".${f.getName}_backup_deadbeef")
+    assert(f.renameTo(bak))
+    Sinks.compactParquet(spark, f.getParent, targetFileBytes = 1L << 20)
+    val after = spark.read.parquet(dir).as[Long].collect().toSet
+    assert(after == before, "healed table must contain the stranded data")
+    assert(!bak.exists, "backup dir should be restored away")
+  }
 }
