@@ -1497,6 +1497,28 @@ object R3Queries {
         |HAVING count(*) * 41 > total
         |ORDER BY tok""".stripMargin))
 
+  /** Moving median: exact interpolated percentile as a WINDOW function
+    * over a bounded ROWS frame (Spark `percentile` == DuckDB
+    * `quantile_cont`, same interpolation — the aggregate form's parity
+    * is q_percentiles; this is the sliding form). */
+  val qMovingMedian = QueryDef("q_moving_median",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+      t(s, dir, "orders").where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("percentile(o_totalprice, 0.5)")
+            .over(w).as("med5"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey,
+        |  quantile_cont(o_totalprice, 0.5) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |    AS med5
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1512,5 +1534,5 @@ object R3Queries {
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
     qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding,
     qWindowNav, qExplodeOuter, qSweepline, qPipelineLlm, qFromCsv,
-    qSourceV2, qRedact, qRepetition, qHeavyHitters)
+    qSourceV2, qRedact, qRepetition, qHeavyHitters, qMovingMedian)
 }
