@@ -61,4 +61,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // single-partition exchange operates on distinct days, not raw rows
     assert(hashShuffles(p) == 1, p.toString)
   }
+
+  test("q_moving_median: sliding percentile adds no shuffle beyond the partition key") {
+    val p = plan("q_moving_median")
+    assert(hashShuffles(p) == 1, s"window should reuse one key shuffle:\n$p")
+  }
 }
