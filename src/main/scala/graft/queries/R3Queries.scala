@@ -1519,6 +1519,43 @@ object R3Queries {
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** ANSI LISTAGG ... WITHIN GROUP (ordered string aggregation) — the
+    * SQL-standard form of q_collect_sorted's collect/sort/concat. */
+  val qListagg = QueryDef("q_listagg",
+    (s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("graft_nation_la")
+      s.sql(
+        """SELECT n_regionkey,
+          |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+          |FROM graft_nation_la
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+    Some(
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
+
+  /** ANSI-safe arithmetic: try_divide / TRY_CAST null out instead of
+    * erroring — the semantics a pipeline needs so one bad row can't
+    * kill a 100 TB job. */
+  val qTryArith = QueryDef("q_try_arith",
+    (s, dir) => t(s, dir, "orders").where(col("o_orderkey") < 400)
+      .select(col("o_orderkey"),
+        expr("try_divide(CAST(o_totalprice AS DOUBLE), " +
+          "CAST(o_custkey % 5 AS DOUBLE))").as("per_bucket"),
+        expr("try_cast(o_orderstatus AS INT)").as("bad_cast"),
+        expr("try_cast(CAST(o_orderkey AS STRING) AS INT)").as("good_cast"))
+      .orderBy("o_orderkey"),
+    Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 5 = 0 THEN NULL
+        |       ELSE CAST(o_totalprice AS DOUBLE) /
+        |            CAST(o_custkey % 5 AS DOUBLE) END AS per_bucket,
+        |  TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+        |  TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS good_cast
+        |FROM orders WHERE o_orderkey < 400
+        |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUnpivot, qExceptAll, qIntersectAll, qPosexplode, qMapFuncs,
     qWindowFrames, qNtile, qCsvRoundtrip, qJsonlRoundtrip, qSampleHash,
@@ -1534,5 +1571,6 @@ object R3Queries {
     qParseUrl, qHistogram, qCondAggs, qStratifiedSample,
     qSubqueries, qUpsertMerge, qForwardFill, qZorder, qDedupEmbedding,
     qWindowNav, qExplodeOuter, qSweepline, qPipelineLlm, qFromCsv,
-    qSourceV2, qRedact, qRepetition, qHeavyHitters, qMovingMedian)
+    qSourceV2, qRedact, qRepetition, qHeavyHitters, qMovingMedian,
+    qListagg, qTryArith)
 }
