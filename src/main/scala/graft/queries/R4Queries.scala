@@ -214,6 +214,59 @@ object R4Queries {
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_sum
         |FROM m GROUP BY lower(brand_mixed) ORDER BY brand""".stripMargin))
 
+  // ---------- benchmark decontamination (LLM-pipeline op) -------------
+
+  /** Training-corpus decontamination: drop (here: flag) every training
+    * document that shares an 8-word shingle with the held-out benchmark
+    * set — the CCNet/Dolma-style n-gram overlap rule. The benchmark is
+    * a deterministic slice of `documents` (doc_id % 19 = 3).
+    *
+    * Scale shape: per-doc DISTINCT shingle hashes (md5 here for the
+    * DuckDB-matched oracle; xxhash64 in the unoracled scale path) keep
+    * the join key fixed-width; the benchmark gram set is tiny relative
+    * to a 100 TB corpus, so Catalyst broadcasts it and contamination
+    * detection is a map-side hash probe — the corpus never shuffles.
+    * The inner-join form returns the contaminated doc list; production
+    * flips it to left_anti with identical cost. */
+  val qDecontaminate = QueryDef("q_decontaminate",
+    (s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("arr"))
+        .where(size(col("arr")) >= 8)
+      val grams = w.select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(1, size(arr) - 7)," +
+              " i -> md5(concat_ws(' ', slice(arr, i, 8))))")).as("g"))
+        .distinct()
+      val evalGrams = grams.where(col("doc_id") % 19 === 3)
+        .select("g").distinct()
+      grams.where(col("doc_id") % 19 =!= 3)
+        .join(broadcast(evalGrams), "g")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS arr
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |g0 AS (
+        |  SELECT doc_id, source, arr,
+        |    unnest(generate_series(1, len(arr) - 7)) AS i
+        |  FROM w),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    md5(array_to_string(arr[i:i+7], ' ')) AS g
+        |  FROM g0),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 19 = 3)
+        |SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM g t JOIN ev USING (g)
+        |WHERE t.doc_id % 19 <> 3
+        |GROUP BY t.doc_id, t.source
+        |ORDER BY t.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    qSqlQ5, qSqlQ10, qSqlQ18, qRegrExact, qVariant, qCollatedGroup)
+    qSqlQ5, qSqlQ10, qSqlQ18, qRegrExact, qVariant, qCollatedGroup,
+    qDecontaminate)
 }
