@@ -66,4 +66,30 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_moving_median")
     assert(hashShuffles(p) == 1, s"window should reuse one key shuffle:\n$p")
   }
+
+  test("q_sql_tpch_q5: dimensions broadcast, fact tables sort-merge on the order key") {
+    val p = plan("q_sql_tpch_q5")
+    // region/nation/supplier (and customer at this size) ride broadcasts;
+    // no cartesian may sneak in through the two-condition supplier join
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 3,
+      p.toString)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      p.toString)
+  }
+
+  test("q_sql_tpch_q18: HAVING subquery reuses the l_orderkey shuffle key") {
+    val p = plan("q_sql_tpch_q18")
+    // the IN-subquery agg and the outer join both key on l_orderkey /
+    // o_orderkey — the plan must not add a repartition beyond those aggs
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(hashShuffles(p) <= 4, s"q18 grew extra shuffles:\n$p")
+  }
+
+  test("q_decontaminate: benchmark gram set broadcasts; corpus side never reshuffles for the probe") {
+    val p = plan("q_decontaminate")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size == 1,
+      s"eval grams must broadcast:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"contamination probe degraded to sort-merge:\n$p")
+  }
 }
