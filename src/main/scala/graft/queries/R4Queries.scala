@@ -214,6 +214,88 @@ object R4Queries {
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_sum
         |FROM m GROUP BY lower(brand_mixed) ORDER BY brand""".stripMargin))
 
+  /** TPC-H Q7 shape: bilateral shipping volume between a nation pair by
+    * ship year — two aliased joins of the SAME dimension (supplier
+    * nation vs customer nation), a disjunctive pair predicate, and
+    * EXTRACT(YEAR ...) grouping. Both nation sides broadcast; the
+    * orders⋈lineitem backbone shuffles on the order key only. */
+  private val q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      | CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    EXTRACT(YEAR FROM l_shipdate) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier
+      |   JOIN lineitem ON s_suppkey = l_suppkey
+      |   JOIN orders ON o_orderkey = l_orderkey
+      |   JOIN customer ON c_custkey = o_custkey
+      |   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  val qSqlQ7 = QueryDef("q_sql_tpch_q7",
+    (s, dir) => {
+      views(s, dir, "supplier", "lineitem", "orders", "customer", "nation")
+      s.sql(q7Sql)
+    },
+    Some(q7Sql))
+
+  /** GROUP BY ALL / implicit grouping-key inference (same text on both
+    * engines) — every non-aggregate select item becomes a key. */
+  private val gbAllSql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val qGroupByAll = QueryDef("q_groupby_all",
+    (s, dir) => {
+      views(s, dir, "lineitem")
+      s.sql(gbAllSql)
+    },
+    Some(gbAllSql))
+
+  /** Schema-evolution union: `unionByName(allowMissingColumns = true)`
+    * aligns by column NAME across differently-ordered, differently-shaped
+    * inputs (positional UNION would silently mis-bind). The oracle
+    * spells out the aligned projection — exactly what the engine derives. */
+  val qUnionByName = QueryDef("q_union_by_name",
+    (s, dir) => {
+      val v1 = t(s, dir, "customer").where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      // second branch: different column order AND a missing column
+      val v2 = t(s, dir, "supplier")
+        .select(col("s_name").as("seg"),
+          (col("s_suppkey") + 1000000L).as("key"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy("seg")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("bal").cast("double").as("bal_sum"),
+          min("key").as("min_key"))
+        .orderBy("seg")
+    },
+    Some(
+      """WITH u AS (
+        |  SELECT c_custkey AS key, c_mktsegment AS seg,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000 AS key, s_name AS seg,
+        |    NULL AS bal
+        |  FROM supplier)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(bal) AS DOUBLE) AS bal_sum,
+        |  min(key) AS min_key
+        |FROM u GROUP BY seg ORDER BY seg""".stripMargin))
+
   // ---------- benchmark decontamination (LLM-pipeline op) -------------
 
   /** Training-corpus decontamination: drop (here: flag) every training
@@ -267,6 +349,6 @@ object R4Queries {
         |ORDER BY t.doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    qSqlQ5, qSqlQ10, qSqlQ18, qRegrExact, qVariant, qCollatedGroup,
-    qDecontaminate)
+    qSqlQ5, qSqlQ10, qSqlQ18, qSqlQ7, qGroupByAll, qUnionByName,
+    qRegrExact, qVariant, qCollatedGroup, qDecontaminate)
 }
