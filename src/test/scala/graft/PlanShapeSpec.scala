@@ -92,4 +92,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
       s"contamination probe degraded to sort-merge:\n$p")
   }
+
+  test("q_sql_tpch_q8: 8-way join rides broadcasts; one hash shuffle (the year agg)") {
+    val p = plan("q_sql_tpch_q8")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 5,
+      s"q8 dimensions must broadcast:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty, p.toString)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, p.toString)
+    assert(hashShuffles(p) <= 1, s"q8 grew extra hash shuffles:\n$p")
+  }
+
+  test("q_sql_tpch_q17: correlated avg decorrelates to a broadcast agg join") {
+    val p = plan("q_sql_tpch_q17")
+    // no per-row subquery re-execution: the per-part avg is ONE aggregate
+    // joined back (broadcast at this SF); shuffles = that agg + nothing else
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, p.toString)
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 2,
+      s"part dim and avg-subquery must broadcast:\n$p")
+    assert(hashShuffles(p) <= 2, s"q17 grew extra shuffles:\n$p")
+  }
+
+  test("q_pack_sequences: packing reuses the source partitioning (one hash shuffle)") {
+    val p = plan("q_pack_sequences")
+    // the window shuffles on source; the (source, bin) aggregation is
+    // satisfied by that same partitioning — only the presentation sort
+    // adds a (range) exchange
+    assert(hashShuffles(p) == 1, s"packing must not reshuffle for the agg:\n$p")
+  }
+
+  test("q_line_dedup: two hash shuffles — line first-occurrence, doc reassembly") {
+    val p = plan("q_line_dedup")
+    assert(hashShuffles(p) == 2, s"line dedup shuffle budget:\n$p")
+  }
+
+  test("q_lateral_corr: LATERAL LIMIT rewrites to a rank window with group-limit pushdown") {
+    val p = plan("q_lateral_corr")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, s"expected WindowGroupLimit (top-k pushdown):\n$p")
+    assert(hashShuffles(p) == 1, s"lateral top-2 must shuffle once:\n$p")
+  }
 }
