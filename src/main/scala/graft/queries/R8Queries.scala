@@ -139,5 +139,21 @@ object R8Queries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(qStreamLeftOuter, qHllSketch)
+  /** DSv2 COMPLETE aggregate pushdown: count/min/max over the custom
+    * connector answer from the clamped id range in closed form — the
+    * scan emits one row and Spark plans no aggregation above it
+    * (PagesSourceSpec pins the PagesAggScan + single-partition plan).
+    * Oracle regenerates the same range via generate_series. */
+  val qSourceV2Agg = QueryDef("q_source_v2_agg",
+    (s, dir) => s.read.format("graft-pages")
+      .option("rows", "5000").option("parts", "8").load()
+      .where(col("page_id") >= 500 && col("page_id") < 4200)
+      .agg(count(lit(1)).as("n_pages"),
+        min("page_id").as("first_id"), max("page_id").as("last_id")),
+    Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_pages,
+        |       min(page_id) AS first_id, max(page_id) AS last_id
+        |FROM (SELECT unnest(generate_series(500, 4199)) AS page_id) t""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qStreamLeftOuter, qHllSketch, qSourceV2Agg)
 }

@@ -82,11 +82,38 @@ class PagesTable(rows: Long, parts: Int, batchRows: Long) extends Table
 
 class PagesScanBuilder(rows: Long, parts: Int, batchRows: Long)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required: StructType = PagesTable.schema
+  private var agg: Option[Aggregation] = None
+
+  private def isPageId(e: V2Expr): Boolean = e match {
+    case f: NamedReference => f.fieldNames.sameElements(Array("page_id"))
+    case _ => false
+  }
+  private def supportedAgg(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case c: Count => !c.isDistinct && isPageId(c.column)
+    case m: Min => isPageId(m.column)
+    case m: Max => isPageId(m.column)
+    case _ => false
+  }
+
+  /** COUNT(*)/COUNT/MIN/MAX over page_id are closed-form on the clamped
+    * [lo, hi) range — COMPLETE pushdown: the scan returns one row of
+    * final values and Spark plans no aggregation at all above it. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.forall(supportedAgg)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    supportCompletePushDown(aggregation) && { agg = Some(aggregation); true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
@@ -115,8 +142,53 @@ class PagesScanBuilder(rows: Long, parts: Int, batchRows: Long)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new PagesScan(lo, hi, parts, rows, required, batchRows)
+  override def build(): Scan = agg match {
+    case Some(a) => new PagesAggScan(lo, hi, a)
+    case None    => new PagesScan(lo, hi, parts, rows, required, batchRows)
+  }
+}
+
+/** Scan for a completely-pushed aggregation: emits ONE row of final
+  * values computed in closed form from the clamped id range — no page
+  * row is ever generated. */
+class PagesAggScan(lo: Long, hi: Long,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private val span = math.max(0L, hi - lo)
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map { case (f, i) =>
+      StructField(s"agg_$i", LongType, nullable = !f.isInstanceOf[CountStar])
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PagesAggScan[lo=$lo, hi=$hi, " +
+      s"aggs=${agg.aggregateExpressions.map(_.toString).mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PagesPartition(0, 1, 0))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => span: Any
+      case _: Count     => span: Any
+      case _: Min       => if (span > 0) (lo: Any) else null
+      case _: Max       => if (span > 0) (hi - 1: Any) else null
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+    new SingleRowReaderFactory(values)
+  }
+}
+
+class SingleRowReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,

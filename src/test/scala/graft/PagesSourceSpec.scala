@@ -42,6 +42,25 @@ class PagesSourceSpec extends AnyFunSuite {
     assert(cols.contains(Seq("page_id")), s"expected pruned schema, got $cols")
   }
 
+  test("count/min/max push COMPLETELY into the scan (one closed-form row)") {
+    val df = pages(100000, 8).where($"page_id" >= 500 && $"page_id" < 90000)
+      .agg(count(lit(1)).as("n"), min("page_id").as("mn"),
+        max("page_id").as("mx"))
+    val (n, mn, mx) = df.as[(Long, Long, Long)].head()
+    assert((n, mn, mx) == (89500L, 500L, 89999L))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scan.exists(_.contains("PagesAggScan")),
+      s"aggregation was not pushed into the scan: $scan")
+    // complete pushdown: a single closed-form row feeds the plan — the
+    // scan partition count collapses to 1 regardless of `parts`
+    val parts = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.inputRDD.getNumPartitions
+    }
+    assert(parts.contains(1), s"expected single closed-form partition: $parts")
+  }
+
   test("micro-batch streaming read delivers all pages across multiple batches") {
     val q = spark.readStream.format("graft-pages")
       .option("rows", "300").option("parts", "2").option("batchRows", "100")
