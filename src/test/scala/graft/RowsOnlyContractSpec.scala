@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the rows-only queries (the ones the driver cannot
+  * hash-check against DuckDB because their outputs are engine-specific
+  * by design). Each gets the strongest property we can assert:
+  * estimate-accuracy bounds, agreement with a decimal-exact
+  * recomputation, recall against the exact twin, or bit-for-bit
+  * determinism across runs (reproducibility is the contract a training
+  * pipeline actually needs from sketch/ANN stages). */
+class RowsOnlyContractSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_approx_distinct: HLL++ estimate within 5% of the exact count per group") {
+    run("q_approx_distinct").collect().foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx_parts"))
+      val exact = r.getLong(r.fieldIndex("exact_parts"))
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("q_stats_moments: streaming variance agrees with decimal-exact power sums") {
+    val d = (c: Column) => c.cast(DecimalType(18, 2))
+    val q = col("l_quantity")
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(d(q)).cast("double").as("s1"),
+        sum(d(q) * d(q)).cast("double").as("s2"))
+      .select(col("l_returnflag"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("var_qty"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    run("q_stats_moments").collect().foreach { r =>
+      val sd = r.getDouble(r.fieldIndex("sd_qty"))
+      val want = exact(r.getString(0))
+      assert(math.abs(sd * sd - want) / want < 1e-9,
+        s"${r.getString(0)}: sd^2 ${sd * sd} vs exact var $want")
+    }
+  }
+
+  test("q_ann_ivf: recall@5 vs exact brute force stays above 0.35") {
+    val exact = run("q_knn_cosine").where(col("rn") <= 5)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val ivf = run("q_ann_ivf").select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.keys.toSeq.map { q =>
+      (ivf.getOrElse(q, Set.empty[Long]) & exact(q)).size.toDouble / exact(q).size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.35, s"IVF recall@5 degraded: $recall")
+  }
+
+  for (name <- Seq("q_minhash_lsh", "q_minhash_typed", "q_ann_lsh",
+      "q_ann_ivf", "q_hll_sketch")) {
+    test(s"$name: bit-for-bit deterministic across runs") {
+      val a = run(name).collect().map(_.toString).sorted
+      val b = run(name).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"$name is not reproducible")
+    }
+  }
+}
