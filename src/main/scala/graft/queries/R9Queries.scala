@@ -69,5 +69,32 @@ object R9Queries {
         |  CAST(count(*) AS BIGINT) AS n_distinct
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qPivotMulti, qEntropy)
+  /** Hidden `_metadata` file column: write a hive-partitioned layout,
+    * read it back attributing every row to its physical file, and
+    * recover the partition value from `_metadata.file_path` — the
+    * lineage/debugging surface (which file did this row come from) that
+    * a 100 TB lake job leans on. Oracle = the same counts straight off
+    * the source table. */
+  val qFileMetadata = QueryDef("q_file_metadata",
+    (s, dir) => {
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_meta_" + math.abs(dir.hashCode)).toString
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_orderkey") % 4).as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      s.read.parquet(out)
+        .select(col("l_orderkey"), col("_metadata.file_path").as("fp"))
+        .withColumn("bucket",
+          regexp_extract(col("fp"), "bucket=([0-9]+)", 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n"),
+          min("l_orderkey").as("min_key"))
+        .orderBy("bucket")
+    },
+    Some(
+      """SELECT l_orderkey % 4 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |       min(l_orderkey) AS min_key
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qPivotMulti, qEntropy, qFileMetadata)
 }
