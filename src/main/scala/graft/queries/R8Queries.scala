@@ -96,15 +96,16 @@ object R8Queries {
         .format("memory").queryName("graft_slo_out").start()
       q.processAllAvailable()
       // the outer flush rides a watermark-triggered no-data batch that
-      // processAllAvailable may not wait for — poll until the sink is
-      // stable across three consecutive checks
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var prev = -1L; var stable = 0
-      while (stable < 3 && System.nanoTime() < deadline) {
+      // processAllAvailable may not wait for. Terminal condition: the
+      // join state has drained to exactly the two sentinels (their match
+      // horizons sit past the final watermark by construction) — state
+      // size is load-independent, unlike sink-count stability timing
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def stateRows: Long = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(Long.MaxValue)
+      while (stateRows > 2 && System.nanoTime() < deadline) {
         q.processAllAvailable()
-        val c = s.table("graft_slo_out").count()
-        if (c == prev) stable += 1 else { stable = 0; prev = c }
-        Thread.sleep(150)
+        Thread.sleep(100)
       }
       q.stop()
       // negative ids are the watermark sentinels (held in state or
