@@ -18,13 +18,13 @@ object ExtQueries {
     Tables.load(s, dir, name)
 
   /** distinct word-3-gram shingles per doc, doc_id < `maxDoc`. */
-  private def shingled(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
+  private[queries] def shingled(s: SparkSession, dir: String, maxDoc: Int): DataFrame =
     t(s, dir, "documents").where(col("doc_id") < maxDoc)
       .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), 3)).as("shingle"))
       .distinct()
 
   /** SQL fragment: distinct word-3-gram shingles (tri CTE), doc_id < maxDoc. */
-  private def triSql(maxDoc: Int): String =
+  private[queries] def triSql(maxDoc: Int): String =
     s"""docs AS (SELECT doc_id, string_split(text, ' ') AS toks
        |         FROM documents WHERE doc_id < $maxDoc),
        |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{DedupOps, GraphOps}
+import graft.queries.Queries.QueryDef
+
+/** Tenth wave — quality-weighted dedup survivors and grouping
+  * introspection:
+  *
+  *  - `q_dedup_survivor`: the keep-BEST-per-cluster step of the dedup
+  *    pipeline. `q_dedup_canonical` keeps the min-id doc; production
+  *    pipelines keep the highest-quality member — here the longest doc
+  *    (token count), tie-broken by id, selected with one ranked window
+  *    over the connected components. Oracle re-derives the identical
+  *    clusters via the shared recursive-CTE closure.
+  *  - `q_grouping_id`: grouping()/grouping_id() introspection over a
+  *    ROLLUP — how a consumer tells subtotal rows from data rows whose
+  *    grouping column is genuinely NULL. Same SQL text on both engines.
+  */
+object R10Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val qDedupSurvivor = QueryDef("q_dedup_survivor",
+    (s, dir) => {
+      val pairs = DedupOps.jaccardPairs(
+        ExtQueries.shingled(s, dir, 80), "doc_id", 0.0).select("a", "b")
+      val comp = GraphOps.connectedComponents(s, pairs)
+      val toks = t(s, dir, "documents").where(col("doc_id") < 80)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+      val j = comp.join(toks, col("node") === col("doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("component").orderBy(col("tok").desc, col("node"))))
+      j.groupBy("component")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          max("tok").cast("long").as("max_tok"),
+          min(when(col("rn") === 1, col("node"))).as("survivor"))
+        .orderBy("component")
+    },
+    Some(
+      s"""WITH RECURSIVE ${ExtQueries.triSql(80)},
+         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tri a
+         |          JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |${ExtQueries.closureSql},
+         |comp AS (SELECT node, min(other) AS component FROM reach GROUP BY node),
+         |toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |         FROM documents WHERE doc_id < 80),
+         |j AS (SELECT c.component, c.node, t.tok,
+         |        row_number() OVER (PARTITION BY c.component
+         |                           ORDER BY t.tok DESC, c.node) AS rn
+         |      FROM comp c JOIN toks t ON t.doc_id = c.node)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(max(tok) AS BIGINT) AS max_tok,
+         |       min(CASE WHEN rn = 1 THEN node END) AS survivor
+         |FROM j GROUP BY component ORDER BY component""".stripMargin))
+
+  private val groupingIdSql =
+    """SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |       o_orderstatus, o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  val qGroupingId = QueryDef("q_grouping_id",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(groupingIdSql)
+    },
+    Some(groupingIdSql))
+
+  val all: Seq[QueryDef] = Seq(qDedupSurvivor, qGroupingId)
+}

@@ -54,6 +54,25 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      // a 3-group aggregate shuffled into 64 partitions is mostly empty:
+      // the runtime plan must read far fewer, without changing results
+      "spark.sql.shuffle.partitions" -> "64") {
+      val df = spark.read
+        .parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      assert(df.collect().length == 3)
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"))
+      assert(finalPlan.contains("coalesced"),
+        s"expected AQEShuffleRead coalesced in final plan:\n$finalPlan")
+    }
+  }
+
   test("join strategy is controllable per-join via hints (plan-asserted)") {
     val a = spark.range(1000).select($"id".as("k"), $"id".as("va"))
     val b = spark.range(100).select($"id".as("k"), $"id".as("vb"))
