@@ -78,5 +78,41 @@ object R10Queries {
     },
     Some(groupingIdSql))
 
-  val all: Seq[QueryDef] = Seq(qDedupSurvivor, qGroupingId)
+  /** Named WINDOW clause: two frames share one PARTITION BY/ORDER BY
+    * definition — one shuffle feeds both window functions. Same SQL
+    * text on both engines. */
+  private val windowClauseSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w2 AS DOUBLE) AS run_total
+      |FROM orders
+      |WHERE o_custkey < 20
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  val qWindowClause = QueryDef("q_window_clause",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(windowClauseSql)
+    },
+    Some(windowClauseSql))
+
+  /** approx_percentile (Greenwald-Khanna sketch): rows-only — the
+    * sketch's picks are engine-specific; RowsOnlyContractSpec pins them
+    * to within 2% of the exact percentile. The exact column rides along
+    * for self-documenting comparison. */
+  val qApproxPercentile = QueryDef("q_approx_percentile",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p50_exact"))
+      .orderBy("l_returnflag"),
+    None)
+
+  val all: Seq[QueryDef] = Seq(qDedupSurvivor, qGroupingId, qWindowClause,
+    qApproxPercentile)
 }

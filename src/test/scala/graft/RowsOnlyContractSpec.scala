@@ -60,6 +60,15 @@ class RowsOnlyContractSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"IVF recall@5 degraded: $recall")
   }
 
+  test("q_approx_percentile: GK sketch within 2% of the exact percentile per group") {
+    run("q_approx_percentile").collect().foreach { r =>
+      val approx = r.getDouble(r.fieldIndex("p50_approx"))
+      val exact = r.getDouble(r.fieldIndex("p50_exact"))
+      assert(math.abs(approx - exact) / exact < 0.02,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   for (name <- Seq("q_minhash_lsh", "q_minhash_typed", "q_ann_lsh",
       "q_ann_ivf", "q_hll_sketch")) {
     test(s"$name: bit-for-bit deterministic across runs") {
