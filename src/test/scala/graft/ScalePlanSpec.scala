@@ -73,6 +73,53 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    val out = Files.createTempDirectory("graft_dpp").toString
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("bucket", $"l_orderkey" % 10)
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    withConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      // tiny test data: let DPP fire regardless of its stats heuristics
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100.0") {
+      val fact = spark.read.parquet(out)
+      val dim = spark.range(10).select($"id".as("k"))
+        .where($"k" === 3 || $"k" === 7)
+      val j = fact.join(dim, fact("bucket") === dim("k"))
+        .agg(count(lit(1)).as("n"))
+      val n = j.as[Long].head()
+      val want = spark.read.parquet(out)
+        .where($"bucket" === 3 || $"bucket" === 7).count()
+      assert(n == want)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected a dynamic-pruning partition filter on the fact scan:\n$plan")
+    }
+  }
+
+  test("runtime bloom filter: a selective shuffle join seeds might_contain on the big side") {
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // force the shuffle-join path (bloom filters don't apply to
+      // broadcast joins, where the hash set itself prunes) and drop the
+      // size thresholds so the tiny fixture qualifies
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      val big = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .where($"o_totalprice" > 450000)
+      val j = li.join(big, $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)).as("n"))
+      assert(j.as[Long].head() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the lineitem side:\n$plan")
+    }
+  }
+
   test("join strategy is controllable per-join via hints (plan-asserted)") {
     val a = spark.range(1000).select($"id".as("k"), $"id".as("va"))
     val b = spark.range(100).select($"id".as("k"), $"id".as("vb"))
