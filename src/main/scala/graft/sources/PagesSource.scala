@@ -192,7 +192,29 @@ class SingleRowReaderFactory(values: Array[Any])
 }
 
 class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
-                required: StructType, batchRows: Long) extends Scan with Batch {
+                required: StructType, batchRows: Long) extends Scan with Batch
+    with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  // runtime (post-planning) page_id pruning fed by joins at execution
+  // time — the DSv2 form of dynamic partition pruning: a broadcast dim's
+  // key set arrives as an In filter and clamps what this scan generates
+  private var keep: Option[Array[Long]] = None
+  private var rlo = lo
+  private var rhi = hi
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("page_id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("page_id", vs) =>
+      val ids = vs.collect { case n: Number => n.longValue() }
+        .filter(v => v >= rlo && v < rhi).sorted
+      keep = Some(ids)
+      if (ids.nonEmpty) { rlo = ids.head; rhi = ids.last + 1 }
+      else { rhi = rlo }
+    case _ =>
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -202,11 +224,23 @@ class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
   // surfaced in explain() — makes the pushed range visible in the plan
   override def description(): String =
     s"PagesScan[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
-  override def planInputPartitions(): Array[InputPartition] =
-    PagesTable.split(lo, hi, parts, rows)
+  override def planInputPartitions(): Array[InputPartition] = keep match {
+    case Some(ids) =>
+      // enumerate exactly the runtime-filtered ids, split proportionally
+      val n = math.max(1, math.min(parts, ids.length))
+      (0 until n).map { p =>
+        PagesIdListPartition(
+          ids.slice(ids.length * p / n, ids.length * (p + 1) / n), rows)
+          : InputPartition
+      }.toArray
+    case None => PagesTable.split(rlo, rhi, parts, rows)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PagesReaderFactory(required, rows)
 }
+
+case class PagesIdListPartition(ids: Array[Long], rows: Long)
+  extends InputPartition
 
 case class PagesPartition(start: Long, end: Long, rows: Long)
   extends InputPartition
@@ -255,25 +289,44 @@ class PagesMicroBatchStream(lo: Long, hi: Long, rows: Long, parts: Int,
   override def stop(): Unit = ()
 }
 
+/** JVM-local counter of rows actually generated — lets specs prove that
+  * runtime filtering reached the readers (rows are never produced, not
+  * produced-then-dropped). local-mode introspection only. */
+object PagesSourceMetrics {
+  val rowsProduced = new java.util.concurrent.atomic.AtomicLong
+}
+
 class PagesReaderFactory(required: StructType, rows: Long)
     extends PartitionReaderFactory {
-  override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[PagesPartition]
-    new PartitionReader[InternalRow] {
-      private var i = p.start - 1
-      override def next(): Boolean = { i += 1; i < p.end }
-      override def get(): InternalRow = {
-        val vals: Seq[Any] = required.fieldNames.toSeq.map {
-          case "page_id" => i
-          case "url"     => UTF8String.fromString(PagesTable.url(i))
-          case "html"    => UTF8String.fromString(PagesTable.html(i, rows))
-          case other => throw new IllegalArgumentException(
-            s"unknown column $other")
-        }
-        InternalRow.fromSeq(vals)
-      }
-      override def close(): Unit = ()
+
+  private def mkRow(i: Long): InternalRow = {
+    PagesSourceMetrics.rowsProduced.incrementAndGet()
+    val vals: Seq[Any] = required.fieldNames.toSeq.map {
+      case "page_id" => i
+      case "url"     => UTF8String.fromString(PagesTable.url(i))
+      case "html"    => UTF8String.fromString(PagesTable.html(i, rows))
+      case other => throw new IllegalArgumentException(
+        s"unknown column $other")
     }
+    InternalRow.fromSeq(vals)
   }
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: PagesPartition =>
+        new PartitionReader[InternalRow] {
+          private var i = p.start - 1
+          override def next(): Boolean = { i += 1; i < p.end }
+          override def get(): InternalRow = mkRow(i)
+          override def close(): Unit = ()
+        }
+      case p: PagesIdListPartition =>
+        new PartitionReader[InternalRow] {
+          private var idx = -1
+          override def next(): Boolean = { idx += 1; idx < p.ids.length }
+          override def get(): InternalRow = mkRow(p.ids(idx))
+          override def close(): Unit = ()
+        }
+    }
 }

@@ -61,6 +61,37 @@ class PagesSourceSpec extends AnyFunSuite {
     assert(parts.contains(1), s"expected single closed-form partition: $parts")
   }
 
+  test("runtime filtering: a broadcast dim's key set reaches the scan (rows never generated)") {
+    import graft.sources.PagesSourceMetrics
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      // tiny fixture: bypass the stats-based benefit estimate
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100.0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the dim needs a selective predicate — that is what marks the
+      // build side as a pruning-filter source for the DPP rule
+      val dim = spark.range(10).select(($"id" * 1000).as("k"))
+        .where($"k" < 5000)
+      val fact = pages(100000, 8)
+      val j = fact.join(broadcast(dim), $"page_id" === $"k")
+        .select("page_id", "url")
+      PagesSourceMetrics.rowsProduced.set(0)
+      assert(j.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 1000L, 2000L, 3000L, 4000L))
+      val produced = PagesSourceMetrics.rowsProduced.get()
+      // without SupportsRuntimeFiltering the scan generates all 100k
+      // rows; with it, only the dim's 5 keys are ever produced
+      assert(produced <= 5L,
+        s"runtime filter did not reach the scan: produced $produced rows")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("micro-batch streaming read delivers all pages across multiple batches") {
     val q = spark.readStream.format("graft-pages")
       .option("rows", "300").option("parts", "2").option("batchRows", "100")
