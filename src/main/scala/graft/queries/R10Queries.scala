@@ -113,6 +113,33 @@ object R10Queries {
       .orderBy("l_returnflag"),
     None)
 
+  /** Crawl-as-stream end to end: the custom DSv2 micro-batch source
+    * (admission-controlled, 500 pages per trigger) feeds the REAL href
+    * extraction path (`LinkOps.extractHrefs` regexp + explode) and a
+    * streaming aggregation in complete mode. The finite deterministic
+    * page graph drains in 4 batches; the oracle regenerates the same
+    * outlink distribution arithmetically via generate_series. */
+  val qCrawlStream = QueryDef("q_crawl_stream",
+    (s, dir) => {
+      val q = s.readStream.format("graft-pages")
+        .option("rows", "2000").option("parts", "4")
+        .option("batchRows", "500").load()
+        .select(explode(graft.core.LinkOps.extractHrefs(col("html")))
+          .as("href"))
+        .groupBy("href").agg(count(lit(1)).cast("long").as("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_crawl_stream").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_crawl_stream").orderBy("href")
+    },
+    Some(
+      """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+        |h AS (SELECT i, '/p/' || CAST((2*i+1) % 2000 AS VARCHAR) AS a,
+        |             '/p/' || CAST((3*i+2) % 2000 AS VARCHAR) AS b FROM p),
+        |x AS (SELECT a AS href FROM h UNION ALL SELECT b AS href FROM h)
+        |SELECT href, CAST(count(*) AS BIGINT) AS n
+        |FROM x GROUP BY href ORDER BY href""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qDedupSurvivor, qGroupingId, qWindowClause,
-    qApproxPercentile)
+    qApproxPercentile, qCrawlStream)
 }
