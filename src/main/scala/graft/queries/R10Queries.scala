@@ -140,6 +140,35 @@ object R10Queries {
         |SELECT href, CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY href ORDER BY href""".stripMargin))
 
+  /** zip_with pairwise vector arithmetic: elementwise sum of two
+    * embeddings folded to an L2 norm with `aggregate` — the in-order
+    * fold matches DuckDB's generate_series-ordered sum (the q_knn_cosine
+    * parity discipline); each element widens to DOUBLE before adding on
+    * both engines. */
+  val qZipWith = QueryDef("q_zip_with",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 50)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.join(b, col("b_id") === col("a_id") + 25)
+        .select(col("a_id"), col("b_id"),
+          sqrt(aggregate(
+            zip_with(col("ea"), col("eb"),
+              (x, y) => x.cast("double") + y.cast("double")),
+            lit(0.0), (acc, v) => acc + v * v)).as("norm_sum"))
+        .orderBy("a_id")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |             a.embedding AS ea, b.embedding AS eb
+        |      FROM e a JOIN e b ON b.vec_id = a.vec_id + 25),
+        |s AS (SELECT a_id, b_id,
+        |        sum((CAST(ea[i] AS DOUBLE) + CAST(eb[i] AS DOUBLE))
+        |          * (CAST(ea[i] AS DOUBLE) + CAST(eb[i] AS DOUBLE))) AS ss
+        |      FROM p, generate_series(1, 64) t(i) GROUP BY a_id, b_id)
+        |SELECT a_id, b_id, sqrt(ss) AS norm_sum FROM s ORDER BY a_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qDedupSurvivor, qGroupingId, qWindowClause,
-    qApproxPercentile, qCrawlStream)
+    qApproxPercentile, qCrawlStream, qZipWith)
 }
