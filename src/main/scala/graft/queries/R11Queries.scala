@@ -148,5 +148,45 @@ object R11Queries {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM z GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention, qStreamSessionWindow)
+  /** Last-touch attribution: each purchase as-of joins its user's most
+    * recent click (union+window AsOfJoin — ONE shuffle of |P|+|C|, no
+    * pair blowup), attributed only within a 24 h lookback; revenue
+    * aggregated decimal-exactly per attribution bucket. */
+  val qAttribution = QueryDef("q_attribution",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_uid",
+        leftTime = "ts", rightTime = "c_ts",
+        rightTie = "click_id", rightVals = Seq("click_id", "c_ts"))
+        .withColumn("attributed",
+          (col("click_id").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("c_ts")) <= 86400000000L)
+            .cast("int"))
+        .groupBy("attributed")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .orderBy("attributed")
+    },
+    Some(
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_uid, ts AS c_ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.value, l.click_id, l.c_ts, p.ts FROM p LEFT JOIN LATERAL (
+        |  SELECT click_id, c_ts FROM c WHERE c_uid = p.user_id AND c_ts <= p.ts
+        |  ORDER BY c_ts DESC, click_id DESC LIMIT 1) l ON TRUE),
+        |a AS (SELECT CAST(CASE WHEN click_id IS NOT NULL
+        |         AND epoch_us(ts) - epoch_us(c_ts) <= 86400000000
+        |         THEN 1 ELSE 0 END AS INTEGER) AS attributed, value FROM j)
+        |SELECT attributed, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM a GROUP BY attributed ORDER BY attributed""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qFunnel, qCohortRetention, qStreamSessionWindow,
+    qAttribution)
 }
