@@ -153,4 +153,91 @@ object DedupOps {
       .groupBy(col(idCol))
       .agg(sum(when(col("vote") > 0,
         pow(lit(2), col("j")).cast("long")).otherwise(0L)).as("simhash"))
+
+  /** All pairs within Hamming distance `maxDist` of each other's SimHash,
+    * by pigeonhole banding: split the `bits`-bit fingerprint into
+    * `maxDist + 1` contiguous chunks — two fingerprints differing in at
+    * most `maxDist` bits must agree on at least one whole chunk, so an
+    * equi-join on (chunk index, chunk value) generates candidates with NO
+    * false negatives; `bit_count(a XOR b) <= maxDist` then verifies
+    * exactly. This is the O(n²)-free Hamming search (Manku et al.,
+    * "Detecting Near-Duplicates for Web Crawling", WWW 2007): candidate
+    * volume is bounded by bucket collisions, not the pair space, and the
+    * chunk join shuffles only (id, 2·chunk-bits) rows.
+    *
+    * @param simhashed (id, simhash) — e.g. [[simhash16]] output
+    * @return (doc_a, doc_b, hamming) with doc_a < doc_b
+    */
+  def simhashHammingPairs(simhashed: DataFrame, idCol: String,
+                          maxDist: Int, bits: Int = 16): DataFrame = {
+    val chunks = maxDist + 1
+    require(bits % chunks == 0,
+      s"bits=$bits must divide into maxDist+1=$chunks equal chunks")
+    val w = bits / chunks
+    val banded = simhashed.select(
+      col(idCol), col("simhash"),
+      explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .select(col(idCol), col("simhash"), col("chunk"),
+        expr(s"shiftright(simhash, chunk * $w) & ${(1L << w) - 1}")
+          .as("chunk_val"))
+    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sim_a"),
+      col("chunk"), col("chunk_val"))
+    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("sim_b"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sim_a ^ sim_b) AS INT)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Set-similarity self-join with prefix filtering (Chaudhuri et al.
+    * ICDE'06 / Bayardo et al. WWW'07): exact Jaccard ≥ tNum/tDen pairs
+    * without the all-pairs token join. Tokens are globally ordered by
+    * (document frequency, token) — rarest first; a document's PREFIX is
+    * its first `n - ⌈t·n⌉ + 1` tokens in that order. Two sets with
+    * Jaccard ≥ t must share at least one prefix token, so candidates
+    * come from an equi-join on prefix tokens only — at scale the prefix
+    * is the rare ~(1-t) fraction of each document, so bucket sizes stay
+    * tiny where a raw token join explodes on stopwords. Verification
+    * computes exact intersection sizes for candidates only, and the
+    * threshold test is integer cross-multiplication (no float).
+    *
+    * The threshold is a rational tNum/tDen so ⌈t·n⌉ = (tNum·n + tDen - 1)
+    * div tDen is integer-exact — a double `ceil(0.6*n)` can round the
+    * prefix the WRONG way (0.6*5 = 3.0000000000000004 in IEEE) and lose
+    * pairs.
+    *
+    * @param tokens distinct (id, tok) pairs per document
+    * @return (doc_a, doc_b, inter, n_a, n_b, jaccard), doc_a < doc_b
+    */
+  def prefixFilterJoin(tokens: DataFrame, idCol: String,
+                       tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"need 0 < $tNum/$tDen <= 1")
+    val toks = tokens.select(col(idCol).as("id"), col("tok"))
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
+    val ordered = toks.join(df, "tok")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+    val prefix = ordered.where(
+      col("rn") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
+    val cands = prefix.select(col("id").as("doc_a"), col("tok"))
+      .join(prefix.select(col("id").as("doc_b"), col("tok")), "tok")
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(toks.select(col("id").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .where(lit(tDen) * col("inter") >=
+        lit(tNum) * (col("n_a") + col("n_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+  }
 }

@@ -193,4 +193,110 @@ object GraphOps {
     persisted.foreach(_.unpersist(blocking = false))
     result
   }
+
+  /** PageRank over a directed edge list, integer-scaled so every engine
+    * (and every partitioning) produces the bit-identical result: ranks
+    * are BIGINTs in units of 1e-9 (r0 = 10^9), each edge contributes
+    * `r div outdeg`, and the update is
+    * `r' = 0.15e9 + (85 * sum(contribs)) div 100`. All arithmetic is
+    * integer — no float summation order, no decimal→double rounding —
+    * which is what makes the fixed-iteration result oracle-checkable;
+    * the ≤1e-9-per-op quantization is far below PageRank's own
+    * convergence tolerance. Dangling nodes simply leak their mass
+    * (standard simplification); every node in `nodes` gets a rank.
+    *
+    * Per iteration: one equi-join edges⋈ranks (ranks are tiny next to
+    * edges — broadcastable at any corpus scale) and one aggregation on
+    * dst. Lineage is truncated every round like the components loops.
+    *
+    * @param edges directed (src, dst), numeric ids, no self-loops
+    * @param nodes one column `node` — the full vertex set (rank output
+    *              covers exactly these)
+    * @return (node, rank_scaled BIGINT) — rank = rank_scaled / 1e9
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+               iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      .persist()
+    val n = nodes.select(col("node")).persist()
+    var ranks = n.select(col("node"), lit(1000000000L).as("r"))
+      .localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("c"))
+      val next = n.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          expr("150000000L + (85L * coalesce(c, 0L)) div 100L").as("r"))
+      val nextP = next.localCheckpoint()
+      GraftSqlBridge.freeLocalCheckpoint(ranks)
+      ranks = nextP
+    }
+    val result = ranks.select(col("node"), col("r").as("rank_scaled"))
+      .localCheckpoint()
+    GraftSqlBridge.freeLocalCheckpoint(ranks)
+    Seq(e, outdeg, n).foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** Single-source shortest paths by distributed Bellman-Ford
+    * relaxation: dist starts at 0 for the source; each round every edge
+    * proposes `dist(src) + w` to its dst and each node keeps the
+    * minimum. Integer weights ⇒ exact. Converges in ≤ |V|-1 rounds
+    * (longest shortest path in hops); convergence is detected by the
+    * same monotone-sum trick as [[connectedComponents]] — distances
+    * only ever decrease, so an unchanged sum is a fixpoint, one cheap
+    * aggregation per round.
+    *
+    * Per round: one join edges⋈dists + one min-aggregation, both on
+    * node keys — exactly the shuffles a groupBy on the key costs, so it
+    * scales wherever the edge list itself is tractable.
+    *
+    * @param edges directed (src, dst, w) with non-negative integer w
+    * @param source source node id
+    * @return (node, dist) for every node reachable from the source
+    */
+  def shortestPaths(spark: SparkSession, edges: DataFrame, source: Long,
+                    maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    var dists = e.sparkSession.range(1).select(
+      lit(source).as("node"), lit(0L).as("dist")).localCheckpoint()
+    // convergence needs BOTH count and sum: newly-reached nodes grow the
+    // sum while relaxations shrink it, so sum alone could coincide across
+    // a real change. The node set is monotone non-shrinking (union keeps
+    // every prior node) and per-node dist is monotone non-increasing, so
+    // count-equal ∧ sum-equal ⇔ fixpoint. One aggregation yields both.
+    def state(d: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = d.agg(count(lit(1)),
+        sum(col("dist").cast("decimal(38,0)"))).first()
+      (row.getLong(0), row.getDecimal(1))
+    }
+    var prev = state(dists)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val relaxed = e
+        .join(dists.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dists.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+      val nextP = next.localCheckpoint(eager = false)
+      val now = state(nextP)
+      GraftSqlBridge.freeLocalCheckpoint(dists)
+      converged = now._1 == prev._1 && now._2 != null &&
+        now._2.compareTo(prev._2) == 0
+      dists = nextP
+      prev = now
+      it += 1
+    }
+    require(converged,
+      s"shortestPaths did not converge in $maxIters rounds")
+    val result = dists.localCheckpoint()
+    GraftSqlBridge.freeLocalCheckpoint(dists)
+    e.unpersist(blocking = false)
+    result
+  }
 }
