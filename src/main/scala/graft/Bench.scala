@@ -38,7 +38,9 @@ object Bench {
     // total = successful queries only; time-to-crash of a failed query is
     // not a throughput number and would disagree with its -1 entry
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // total fields go LAST: the driver's log capture truncates the HEAD of
+    // long lines, so the parseable summary must sit at the tail
+    println(s"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","unit":"sec","value":${f(total)}}""")
     spark.stop()
   }
 }

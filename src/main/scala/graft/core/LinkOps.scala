@@ -26,17 +26,51 @@ object LinkOps {
     "youtube", "mail", "app", "App", "help", "sponsor", "terms",
     "twitter", "@")
 
-  /** Lenient `<a href="...">` extractor over raw HTML -> ARRAY<STRING>.
+  /** Regex shared by [[extractHrefs]], the `ExtractHrefs` Generator and
+    * the DuckDB oracle: matches BeautifulSoup's `html.parser` behavior
+    * (`web_spider_oo.py:251-263`) — tag and attribute names are
+    * case-insensitive and attribute values may be double-quoted,
+    * single-quoted, or unquoted (unquoted ends at whitespace/`>`).
+    * Group 1 captures the value WITH its surrounding quotes (if any);
+    * callers strip one leading/trailing quote.
+    */
+  val hrefPattern: String =
+    """(?i)<a\s[^>]*?href\s*=\s*("[^"]*"|'[^']*'|[^\s>'"]+)"""
+
+  /** Lenient `<a href=...>` extractor over raw HTML -> ARRAY<STRING>.
     * Re-expresses BeautifulSoup link mining (`web_spider_oo.py:251-263`)
     * with a codegen'd regexp (no external parser dep; offline build).
+    * Case-insensitive, accepts `"v"`, `'v'` and bare `v` values like
+    * `html.parser` does.
     */
   def extractHrefs(html: Column): Column =
-    regexp_extract_all(html, lit("""<a\s[^>]*?href\s*=\s*"([^"]*)""""), lit(1))
+    transform(
+      regexp_extract_all(html, lit(hrefPattern), lit(1)),
+      v => regexp_replace(v, "^[\"']|[\"']$", ""))
 
-  /** HTML -> visible text (tag strip), the K2 text-sink transform
-    * (`soup.text`, `web_spider_oo.py:355,359`). */
-  def htmlToText(html: Column): Column =
-    trim(regexp_replace(regexp_replace(html, "<[^>]*>", " "), " +", " "))
+  /** Standard HTML entities decoded by [[htmlToText]] (and mirrored into
+    * the DuckDB oracle as the same chained replaces — one source of
+    * truth). Order matters: every non-`&amp;` entity first, then the
+    * ampersand forms LAST, so a double-escaped `&amp;lt;` decodes exactly
+    * one level — the single-pass behavior of Python's `html.unescape`
+    * that BeautifulSoup's `soup.text` applies (`web_spider_oo.py:355`). */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&#39;" -> "'", "&#34;" -> "\"", "&#60;" -> "<", "&#62;" -> ">",
+    "&nbsp;" -> " ", "&#160;" -> " ",
+    "&#38;" -> "&", "&amp;" -> "&")
+
+  /** HTML -> visible text (tag strip + entity decode), the K2 text-sink
+    * transform (`soup.text`, `web_spider_oo.py:355,359`). Entities decode
+    * AFTER the tag strip (like soup.text) and before the whitespace
+    * normalization. */
+  def htmlToText(html: Column): Column = {
+    val stripped = regexp_replace(html, "<[^>]*>", " ")
+    val decoded = htmlEntities.foldLeft(stripped) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, " +", " "))
+  }
 
   /** F1: drop null hrefs and the bare root self-link "/"
     * (`web_spider_oo.py:293-297`). */
@@ -68,6 +102,17 @@ object LinkOps {
     * `web_spider_oo.py:292-299`. */
   def keepLink(link: Column): Column =
     keepNonRoot(link) && !hitsBlacklist(link) && isRelative(link)
+
+  /** J2: the superseded pipeline's BUGGY word filter, reproduced
+    * faithfully (`web_spider.py:106-136`): the `product(links, words)`
+    * loop appends a link whenever ANY word is absent from it, so a link
+    * is dropped only when it contains EVERY blacklist word — the
+    * intended `not any(...)` became `exists not-in`. Kept as documented
+    * history; [[keepLink]] is the fixed semantics the OO rewrite intended.
+    */
+  def keepLinkSuperseded(link: Column): Column =
+    link.isNotNull && link =!= "/" &&
+      !filterWords.map(link.contains(_)).reduce(_ && _)
 
   /** K5/C7: filename sanitization — each of `\ / ? :` -> `_`
     * (`web_spider_oo.py:382-385`), single-pass `translate`. */

@@ -34,6 +34,22 @@ object Tables {
     stageDir.toString
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
+    * the micro-batch startup knob for the finite-fixture streaming
+    * queries. A stateful streaming operator materializes one state store
+    * instance PER shuffle partition PER operator, and every micro-batch
+    * pays commit/snapshot bookkeeping for each; at the bench's 32
+    * partitions that fixed cost dwarfs the (tiny) data. The partition
+    * count is read once at `start()`, so wrapping query construction +
+    * execution is enough; results are partitioning-independent. Restores
+    * the previous value even on failure. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** `events` with a proper TimestampType `ts`: the fixture stores
     * TIMESTAMP(NANOS) which Spark's parquet reader has no native type for;
     * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and this

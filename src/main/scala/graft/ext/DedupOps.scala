@@ -174,11 +174,15 @@ object DedupOps {
     require(bits % chunks == 0,
       s"bits=$bits must divide into maxDist+1=$chunks equal chunks")
     val w = bits / chunks
+    // JVM shifts are mod 64: (1L << 64) - 1 == 0, which would collapse
+    // every chunk_val to 0 and silently degrade the candidate join to an
+    // all-pairs cross join — mask with -1L (all ones) in the w == 64 case
+    val mask = if (w == 64) -1L else (1L << w) - 1
     val banded = simhashed.select(
       col(idCol), col("simhash"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .select(col(idCol), col("simhash"), col("chunk"),
-        expr(s"shiftright(simhash, chunk * $w) & ${(1L << w) - 1}")
+        expr(s"shiftright(simhash, chunk * $w) & $mask")
           .as("chunk_val"))
     val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sim_a"),
       col("chunk"), col("chunk_val"))
@@ -220,8 +224,14 @@ object DedupOps {
     val ordered = toks.join(df, "tok")
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+    // the prefix subtree (df join + two windows over the full token table)
+    // is the heaviest part of the plan and feeds BOTH sides of the
+    // candidate self-join — persist so it is computed once, not twice.
+    // Freed by Spark's ContextCleaner when the result goes out of scope
+    // (the result is lazy, so an eager unpersist here would defeat it).
     val prefix = ordered.where(
       col("rn") <= col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
+      .persist()
     val cands = prefix.select(col("id").as("doc_a"), col("tok"))
       .join(prefix.select(col("id").as("doc_b"), col("tok")), "tok")
       .where(col("doc_a") < col("doc_b"))

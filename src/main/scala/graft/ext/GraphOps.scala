@@ -228,9 +228,13 @@ object GraphOps {
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum("c").as("c"))
+      // the 85·sum multiply runs in decimal(38,0): a supernode absorbing
+      // mass from ~1e8+ nodes pushes 85·sum past LONG range, which under
+      // ANSI mode throws mid-iteration (and wraps silently with ANSI off)
       val next = n.join(contribs, Seq("node"), "left_outer")
         .select(col("node"),
-          expr("150000000L + (85L * coalesce(c, 0L)) div 100L").as("r"))
+          expr("CAST(150000000 + (85 * CAST(coalesce(c, 0L) AS DECIMAL(38,0)))" +
+            " div 100 AS LONG)").as("r"))
       val nextP = next.localCheckpoint()
       GraftSqlBridge.freeLocalCheckpoint(ranks)
       ranks = nextP

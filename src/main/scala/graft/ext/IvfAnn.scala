@@ -36,6 +36,17 @@ object IvfAnn {
   def clusterOf(emb: Column, centroids: Array[Array[Double]]): Column =
     array_min(distStructs(emb, centroids)).getField("j")
 
+  /** L2-normalize an embedding column (zero vectors pass through). The
+    * search ranks by COSINE, so bucketing must agree with that metric:
+    * on unit vectors, L2-argmin over (unit) centroids IS cosine-argmax —
+    * without this the coarse quantizer and the ranking disagree and
+    * recall is lost to metric mismatch, not to probe count. */
+  def unit(emb: Column): Column = {
+    val n = SimilarityOps.norm(emb)
+    when(n === lit(0.0), transform(emb, x => x.cast("double")))
+      .otherwise(transform(emb, x => x / n))
+  }
+
   /** `nprobe` nearest centroid ids, closest first. */
   def probesOf(emb: Column, centroids: Array[Array[Double]],
                nprobe: Int): Column =
@@ -51,9 +62,16 @@ object IvfAnn {
     * assignment of the actual corpus stays a distributed expression. */
   def trainCentroids(vectors: DataFrame, k: Int, iters: Int,
                      sampleSize: Int = 2048): Array[Array[Double]] = {
+    // spherical k-means: train on unit vectors and re-normalize each
+    // round's means, so centroids quantize DIRECTION — the quantity the
+    // cosine ranking actually searches
+    def unitize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
     val sample: Array[Array[Double]] = vectors.orderBy("vec_id")
       .limit(sampleSize).select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(r => unitize(r.getSeq[Float](0).map(_.toDouble).toArray))
     require(sample.length >= k, s"need >= $k sample vectors")
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -77,7 +95,7 @@ object IvfAnn {
         while (i < v.length) { sums(c)(i) += v(i); i += 1 }
       }
       centroids = centroids.zipWithIndex.map { case (old, j) =>
-        if (counts(j) == 0) old else sums(j).map(_ / counts(j))
+        if (counts(j) == 0) old else unitize(sums(j).map(_ / counts(j)))
       }
     }
     centroids
@@ -88,10 +106,10 @@ object IvfAnn {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
-      clusterOf(col("embedding"), centroids).as("cluster"))
+      clusterOf(unit(col("embedding")), centroids).as("cluster"))
     val probed = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
-      explode(probesOf(col("embedding"), centroids, nprobe)).as("cluster"))
+      explode(probesOf(unit(col("embedding")), centroids, nprobe)).as("cluster"))
     val scored = probed.join(bucketed, "cluster")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

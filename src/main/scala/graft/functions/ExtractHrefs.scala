@@ -42,9 +42,10 @@ case class ExtractHrefs(child: Expression)
   }
 
   // same lenient pattern as LinkOps.extractHrefs — the two forms are
-  // property-tested equivalent in LinkOpsSpec
+  // property-tested equivalent in LinkOpsSpec. Group 1 carries the value
+  // with its quotes (if quoted); strip one symmetric pair here.
   @transient private lazy val pattern =
-    java.util.regex.Pattern.compile("""<a\s[^>]*?href\s*=\s*"([^"]*)"""")
+    java.util.regex.Pattern.compile(graft.core.LinkOps.hrefPattern)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val h = child.eval(input)
@@ -54,7 +55,12 @@ case class ExtractHrefs(child: Expression)
       private var ready = m.find()
       override def hasNext: Boolean = ready
       override def next(): InternalRow = {
-        val row = InternalRow(UTF8String.fromString(m.group(1)))
+        val raw = m.group(1)
+        val v =
+          if (raw.nonEmpty && (raw.head == '"' || raw.head == '\''))
+            raw.substring(1, raw.length - 1)
+          else raw
+        val row = InternalRow(UTF8String.fromString(v))
         ready = m.find()
         row
       }

@@ -39,4 +39,50 @@ object SkewOps {
       salted(skewedKey) === fanned(repKey) && salted("__salt") === fanned("__salt"))
       .drop("__salt")
   }
+
+  /** Inner equi-join that salts ONLY the heavy keys.
+    *
+    * [[saltedInnerJoin]] replicates the ENTIRE build side `saltFactor`
+    * times — correct, but at scale the replication is wasted work for the
+    * (vast) majority of keys that aren't skewed. This form first runs an
+    * exact per-key count over the skewed side (map-side partial combine:
+    * the shuffle carries one (key, count) row per key per input
+    * partition — key-sized, not data-sized, and deterministic where a
+    * sample would not be), then:
+    *
+    *  - keys with count >= `heavyThreshold` go through the salted join
+    *    (skewed side salted, build side replicated `saltFactor`×);
+    *  - every other key goes through the plain join with NO fan-out;
+    *  - the union of the two is row-identical to the plain join.
+    *
+    * The heavy-key set is persisted and broadcast into semi/anti-join
+    * splitters on both sides — it has at most |skewed|/heavyThreshold
+    * keys, small by construction. Inner-join semantics make the split
+    * exact: null keys match nothing in either branch.
+    */
+  def saltedInnerJoinSkewOnly(skewed: DataFrame, replicated: DataFrame,
+                              skewedKey: String, repKey: String,
+                              saltFactor: Int,
+                              heavyThreshold: Long): DataFrame = {
+    require(heavyThreshold > 0, "heavyThreshold must be positive")
+    val heavy = skewed.groupBy(col(skewedKey))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= heavyThreshold)
+      .select(col(skewedKey).as("__hk"))
+      .persist() // feeds 4 splitters below; freed by the ContextCleaner
+    val sHeavy = skewed.join(broadcast(heavy),
+      skewed(skewedKey) === heavy("__hk"), "left_semi")
+    val sLight = skewed.join(broadcast(heavy),
+      skewed(skewedKey) === heavy("__hk"), "left_anti")
+    val rHeavy = replicated.join(broadcast(heavy),
+      replicated(repKey) === heavy("__hk"), "left_semi")
+    val rLight = replicated.join(broadcast(heavy),
+      replicated(repKey) === heavy("__hk"), "left_anti")
+    val saltedPart =
+      saltedInnerJoin(sHeavy, rHeavy, skewedKey, repKey, saltFactor)
+    val plainPart = sLight.join(rLight, sLight(skewedKey) === rLight(repKey))
+    // both branches emit skewed-columns ++ replicated-columns — positional
+    // union is exact
+    saltedPart.union(plainPart)
+  }
 }

@@ -509,14 +509,18 @@ object ExtQueries {
          |LEFT JOIN comp c ON c.node = d.doc_id
          |ORDER BY d.doc_id""".stripMargin))
 
-  /** IVF ANN: deterministic k-means centroids + nprobe bucket search.
-    * Rows-only (approximate by construction). */
+  /** IVF ANN: deterministic k-means centroids + multi-probe bucket
+    * search. Rows-only (approximate by construction); the recall@5
+    * contract vs exact brute force lives in RowsOnlyContractSpec.
+    * nprobe=5 of k=8 buckets: recall climbs steeply with probes while
+    * the candidate set stays ~nprobe/k of the corpus — the standard
+    * IVF quality/throughput dial. */
   val qAnnIvf = QueryDef("q_ann_ivf",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = graft.ext.IvfAnn.trainCentroids(emb, k = 8, iters = 3)
+      val centroids = graft.ext.IvfAnn.trainCentroids(emb, k = 8, iters = 5)
       graft.ext.IvfAnn.ivfTopK(emb.where(col("vec_id") < 5), emb,
-        centroids, k = 5, nprobe = 2)
+        centroids, k = 5, nprobe = 5)
         .select("query_id", "vec_id", "cos_sim", "rn")
         .orderBy("query_id", "rn")
     },

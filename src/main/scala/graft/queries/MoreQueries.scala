@@ -39,11 +39,13 @@ object MoreQueries {
         |ORDER BY e.event_id""".stripMargin))
 
   /** Skew-salted equi-join — result must equal the plain join (the salt is
-    * purely physical). */
+    * purely physical). Heavy-key-only form: keys at the per-order
+    * lineitem-count maximum (7) are salted, the rest take the plain-join
+    * branch with no fan-out — both code paths execute on TPC-H data. */
   val qSaltedJoin = QueryDef("q_salted_join",
-    (s, dir) => SkewOps.saltedInnerJoin(
+    (s, dir) => SkewOps.saltedInnerJoinSkewOnly(
       t(s, dir, "lineitem"), t(s, dir, "orders"),
-      "l_orderkey", "o_orderkey", saltFactor = 8)
+      "l_orderkey", "o_orderkey", saltFactor = 8, heavyThreshold = 7)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).cast("long").as("n"),
         sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))

@@ -36,13 +36,13 @@ object Queries {
 
   /** F2 blacklist as a DuckDB predicate — generated from
     * [[LinkOps.filterWords]] so both engines test the identical word list. */
-  private val blacklistSql: String =
+  private[queries] val blacklistSql: String =
     LinkOps.filterWords.map(w => s"contains(link, '$w')").mkString(" OR ")
 
   /** Synthetic raw-links column over `part` (CASE arms exercise F1 null,
     * "/" root, absolute-link drop, blacklist hit, #-fragment hit, and the
     * happy path — FIXTURES.md A1 edge cases re-expressed over testdata). */
-  private val linkCaseSql: String =
+  private[queries] val linkCaseSql: String =
     """CASE
       | WHEN p_partkey % 13 = 0 THEN NULL
       | WHEN p_partkey % 11 = 0 THEN '/'
@@ -51,7 +51,7 @@ object Queries {
       | WHEN p_partkey % 3 = 0 THEN '/docs/' || replace(p_name, ' ', '-') || '#section'
       | ELSE '/item/' || replace(p_name, ' ', '-') END""".stripMargin
 
-  private def linkCaseCol(): Column = {
+  private[queries] def linkCaseCol(): Column = {
     val slug = expr("replace(p_name, ' ', '-')")
     val k = col("p_partkey")
     when(k % 13 === 0, lit(null).cast("string"))

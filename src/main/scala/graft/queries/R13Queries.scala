@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{LinkOps, Tables}
+import graft.queries.Queries.QueryDef
+
+/** Thirteenth wave — reference-fidelity closures from the round-3 verdict:
+  *
+  *  - `q_link_extract_messy`: S3 href extraction over MESSY HTML —
+  *    uppercase tags/attrs, single-quoted and unquoted values — the
+  *    html.parser behaviors the original lowercase/double-quote-only
+  *    regex missed (`web_spider_oo.py:251-263`);
+  *  - `q_html_entities`: K2 text extraction with HTML entity decoding
+  *    (`soup.text` decodes `&amp;`/`&#39;`/... — `web_spider_oo.py:355`);
+  *    the DuckDB oracle replays the SAME entity table as chained
+  *    replaces, generated from one Scala constant;
+  *  - `q_links_clean_superseded`: the superseded pipeline's BUGGY
+  *    product-loop word filter (`web_spider.py:106-136`) reproduced
+  *    under oracle — a link is dropped only when it contains EVERY
+  *    blacklist word — proving the engine expresses both the historic
+  *    and the fixed (q_links_clean) semantics.
+  */
+object R13Queries {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  // ---------- q_link_extract_messy ----------
+
+  /** Messy-HTML fixture: every quoting/case style html.parser accepts.
+    * Deterministic per doc_id so both engines synthesize bit-identical
+    * input. */
+  private def messyDocHtml: Column = concat(
+    lit("<html><body><A CLASS=\"h\" HREF=\"/doc/"),
+    col("doc_id").cast("string"), lit("\">d</A>"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("<a href='/cat/"), col("lang"), lit("'>c</a>")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 4 === 0,
+      concat(lit("<a href=/bare/"), col("doc_id").cast("string"), lit(">b</a>")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit("<a data-x='1' Href = \"/sp/"), col("doc_id").cast("string"),
+        lit("\">p</a>")))
+      .otherwise(lit("")),
+    lit("<img src=\"/not-a-link\"></body></html>"))
+
+  // concat operators sit at line ENDS: a leading "||" would lose a pipe
+  // to the enclosing oracle template's stripMargin
+  private val messyDocHtmlSql: String =
+    """'<html><body><A CLASS="h" HREF="/doc/' || CAST(doc_id AS VARCHAR) || '">d</A>' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '<a href=''/cat/' || lang || '''>c</a>' ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN '<a href=/bare/' || CAST(doc_id AS VARCHAR) || '>b</a>' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '<a data-x=''1'' Href = "/sp/' || CAST(doc_id AS VARCHAR) || '">p</a>' ELSE '' END ||
+      |  '<img src="/not-a-link"></body></html>'""".stripMargin
+
+  /** The Scala-side pattern, SQL-escaped for DuckDB (RE2 handles `(?i)`
+    * and lazy `*?` identically here). */
+  private val hrefPatternSql: String = LinkOps.hrefPattern.replace("'", "''")
+
+  val qLinkExtractMessy = QueryDef("q_link_extract_messy",
+    (s, dir) => t(s, dir, "documents").select(messyDocHtml.as("html"))
+      .select(explode(LinkOps.extractHrefs(col("html"))).as("href"))
+      .groupBy("href").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("href"),
+    Some(
+      s"""WITH h AS (SELECT $messyDocHtmlSql AS html FROM documents),
+         |x AS (SELECT unnest(list_transform(
+         |         regexp_extract_all(html, '$hrefPatternSql', 1),
+         |         v -> regexp_replace(v, '^["'']|["'']$$', '', 'g'))) AS href
+         |      FROM h)
+         |SELECT href, CAST(count(*) AS BIGINT) AS n
+         |FROM x GROUP BY href ORDER BY href""".stripMargin))
+
+  // ---------- q_html_entities ----------
+
+  /** Entity-laden fixture page. The lang column rides along so the decode
+    * runs over varying document content, not one constant string. */
+  private def entityDocHtml: Column = concat(
+    lit("<p>Fish &amp; Chips &lt;"), col("lang"),
+    lit("&gt; say &quot;hi&quot; it&#39;s A&nbsp;B &amp;lt;keep&amp;gt;</p>"))
+
+  private val entityDocHtmlSql: String =
+    """'<p>Fish &amp; Chips &lt;' || lang ||
+      |   '&gt; say &quot;hi&quot; it&#39;s A&nbsp;B &amp;lt;keep&amp;gt;</p>'""".stripMargin
+
+  /** The [[LinkOps.htmlEntities]] table as DuckDB chained replaces —
+    * generated, not hand-copied, so both engines decode the identical
+    * entity list in the identical order. */
+  private def entityReplaceChainSql(inner: String): String =
+    LinkOps.htmlEntities.foldLeft(inner) { case (acc, (ent, ch)) =>
+      s"replace($acc, '$ent', '${ch.replace("'", "''")}')"
+    }
+
+  val qHtmlEntities = QueryDef("q_html_entities",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), entityDocHtml.as("html"))
+      .select(col("doc_id"), LinkOps.htmlToText(col("html")).as("text_out"))
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH h AS (SELECT doc_id, $entityDocHtmlSql AS html FROM documents)
+         |SELECT doc_id,
+         |  trim(regexp_replace(
+         |    ${entityReplaceChainSql("regexp_replace(html, '<[^>]*>', ' ', 'g')")},
+         |    ' +', ' ', 'g')) AS text_out
+         |FROM h ORDER BY doc_id""".stripMargin))
+
+  // ---------- q_links_clean_superseded ----------
+
+  /** The buggy drop-condition in SQL: contains EVERY word. */
+  private val allWordsSql: String =
+    LinkOps.filterWords.map(w => s"contains(link, '$w')").mkString(" AND ")
+
+  val qLinksCleanSuperseded = QueryDef("q_links_clean_superseded",
+    (s, dir) => t(s, dir, "part")
+      .select(Queries.linkCaseCol().as("link"))
+      .filter(LinkOps.keepLinkSuperseded(col("link")))
+      .distinct()
+      .orderBy("link"),
+    Some(
+      s"""WITH links AS (SELECT ${Queries.linkCaseSql} AS link FROM part)
+         |SELECT DISTINCT link FROM links
+         |WHERE link IS NOT NULL AND link <> '/'
+         |  AND NOT ($allWordsSql)
+         |ORDER BY link""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(qLinkExtractMessy, qHtmlEntities, qLinksCleanSuperseded)
+}

@@ -719,7 +719,7 @@ object R3Queries {
     * mode; the finite fixture drains in one batch so the emitted match
     * set equals the batch self-join. */
   val qStreamStreamJoin = QueryDef("q_stream_stream_join",
-    (s, dir) => {
+    (s, dir) => Tables.withShufflePartitions(s, 4) {
       val stageDir = Tables.stageEventsDir(dir, "graft_s2_src")
       def src = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")

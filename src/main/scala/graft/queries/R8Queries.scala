@@ -71,7 +71,7 @@ object R8Queries {
     * evicted (and the null-padded row emitted) when the watermark
     * passes its match horizon. */
   val qStreamLeftOuter = QueryDef("q_stream_left_outer",
-    (s, dir) => {
+    (s, dir) => Tables.withShufflePartitions(s, 4) {
       val stageDir = stageWithSentinel(s, dir)
       val src = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING")
@@ -113,6 +113,7 @@ object R8Queries {
       s.table("graft_slo_out").where(col("l_id") >= 0)
         .orderBy(col("l_id"), col("r_id").asc_nulls_first)
     },
+
     Some(
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
         |           FROM events WHERE user_id BETWEEN 0 AND 59),

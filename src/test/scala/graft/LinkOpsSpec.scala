@@ -64,18 +64,56 @@ class LinkOpsSpec extends AnyFunSuite {
   }
 
   test("S3 extractHrefs handles attributes, spacing, and ignores non-href") {
-    val html = """<a class="x" href="/a">1</a> <A HREF="/up">no</A>
+    val html = """<a class="x" href="/a">1</a> <A HREF="/up">up</A>
                  |<a href = "/b">2</a><img src="/c"><a name="z">3</a>""".stripMargin
     val out = Seq(html).toDF("html")
       .select(explode(LinkOps.extractHrefs($"html")).as("h"))
       .as[String].collect().toSeq
-    assert(out == Seq("/a", "/b")) // case-sensitive like the reference's parse
+    // html.parser normalizes tag/attribute case, so <A HREF=...> IS a link
+    assert(out == Seq("/a", "/up", "/b"))
+  }
+
+  test("S3 extractHrefs matches html.parser on quote styles and case") {
+    // BeautifulSoup with html.parser extracts all of these
+    // (web_spider_oo.py:251-263): uppercase tags/attrs, single-quoted and
+    // unquoted values; unquoted values end at whitespace or '>'
+    val html = """<A HREF='/up'>u</A><a Href=/bare>b</a>
+                 |<a class='q' href= '/sq'>s</a><a href=/sp x=1>t</a>""".stripMargin
+    val viaArray = Seq(html).toDF("html")
+      .select(explode(LinkOps.extractHrefs($"html")).as("h"))
+      .as[String].collect().toSeq
+    val viaGen = Seq(html).toDF("html")
+      .select(graft.functions.ExtractHrefs($"html").as("h"))
+      .as[String].collect().toSeq
+    assert(viaArray == Seq("/up", "/bare", "/sq", "/sp"))
+    assert(viaGen == viaArray)
   }
 
   test("htmlToText strips tags and collapses whitespace") {
     val out = Seq("<p>Hello  <b>world</b></p>").toDF("h")
       .select(LinkOps.htmlToText($"h")).as[String].head()
     assert(out == "Hello world")
+  }
+
+  test("htmlToText decodes entities one level, like soup.text / html.unescape") {
+    val out = Seq("<p>A &amp; B &lt;x&gt; it&#39;s &quot;q&quot; &amp;lt;raw</p>")
+      .toDF("h").select(LinkOps.htmlToText($"h")).as[String].head()
+    // &amp;lt; decodes exactly ONE level: to the literal text "&lt;"
+    assert(out == "A & B <x> it's \"q\" &lt;raw")
+  }
+
+  test("J2 superseded buggy filter keeps single-word links, fixed drops them") {
+    // the product-loop bug (web_spider.py:106-136): a link survives when
+    // ANY word is absent, so only a link containing EVERY word is dropped
+    val allWords = "/" + LinkOps.filterWords.mkString("")
+    val links = Seq("/login/x", allWords, "/ok", "/", null)
+    val fixed = links.toDF("link")
+      .filter(LinkOps.keepLink($"link")).as[String].collect().toSet
+    val buggy = links.toDF("link")
+      .filter(LinkOps.keepLinkSuperseded($"link")).as[String].collect().toSet
+    assert(fixed == Set("/ok"))                 // intended semantics
+    assert(buggy == Set("/login/x", "/ok"))    // bug: one word absent => kept
+    assert((buggy -- fixed) == Set("/login/x")) // the documented divergence
   }
 
   test("K5 filename sanitization replaces each of \\ / ? : with _") {

@@ -130,4 +130,56 @@ class OperatorsSpec extends AnyFunSuite {
       .select("k", "payload", "name").as[(Long, Int, String)].collect().toSet
     assert(salted == plain && plain.nonEmpty)
   }
+
+  test("skew-only salted join == plain join; duplicate rows preserved") {
+    // k=1 is heavy (1667 rows), every other key is light (1 row); payload
+    // duplicates make set-compare insufficient — compare as multiset
+    val big = (1 to 5000).map(i => (if (i % 3 == 0) 1L else i.toLong, i % 7))
+      .toDF("k", "payload")
+    val small = (1L to 100L).map(k => (k, s"dim_$k")).toDF("k2", "name")
+    def multiset(rows: Array[(Long, Int, String)]) =
+      rows.groupBy(identity).view.mapValues(_.length).toMap
+    val plain = multiset(big.join(small, $"k" === $"k2")
+      .select("k", "payload", "name").as[(Long, Int, String)].collect())
+    val skewOnly = multiset(SkewOps.saltedInnerJoinSkewOnly(
+      big, small, "k", "k2", saltFactor = 16, heavyThreshold = 100)
+      .select("k", "payload", "name").as[(Long, Int, String)].collect())
+    assert(skewOnly == plain && plain.nonEmpty)
+  }
+
+  test("skew-only salted join: no heavy keys at all degrades to zero fan-out") {
+    val big = (1L to 200L).map(k => (k, k * 2)).toDF("k", "payload")
+    val small = (1L to 100L).map(k => (k, s"dim_$k")).toDF("k2", "name")
+    val joined = SkewOps.saltedInnerJoinSkewOnly(
+      big, small, "k", "k2", saltFactor = 8, heavyThreshold = 2)
+    val got = joined.select("k", "payload", "name")
+      .as[(Long, Long, String)].collect().toSet
+    val plain = big.join(small, $"k" === $"k2")
+      .select("k", "payload", "name").as[(Long, Long, String)].collect().toSet
+    assert(got == plain)
+  }
+
+  test("skew-only salted join fans out ONLY the heavy branch (plan pin)") {
+    val big = (1 to 3000).map(i => (if (i % 2 == 0) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val small = (1L to 50L).map(k => (k, s"dim_$k")).toDF("k2", "name")
+    val joined = SkewOps.saltedInnerJoinSkewOnly(
+      big, small, "k", "k2", saltFactor = 8, heavyThreshold = 1000)
+    // exactly ONE Generate (the explode replicating the heavy build rows);
+    // the light branch joins without any fan-out. The full-replication
+    // form (saltedInnerJoin) also has one Generate but applies it to the
+    // ENTIRE build side — here the generator's input is filtered first.
+    val plan = joined.queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.size == 1, s"expected one explode, got ${gens.size}")
+    // the heavy-branch explode consumes a semi-join-filtered input, never
+    // the raw build relation
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType
+    }
+    assert(joins.count(_.sql.contains("SEMI")) >= 2) // both sides split
+    assert(joins.count(_.sql.contains("ANTI")) >= 2)
+  }
 }
