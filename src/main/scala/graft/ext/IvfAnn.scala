@@ -33,19 +33,15 @@ object IvfAnn {
       struct(score(emb, c).as("d"), lit(j).as("j"))
     }: _*).cast("array<struct<d:double,j:int>>") // cast pins the field names
 
+  /** Nearest-centroid id. With UNIT centroids (trainCentroids
+    * normalizes every round — spherical k-means) the score
+    * `|c|² - 2x·c = 1 - 2x·c` has its argmin exactly at the cosine
+    * argmax for ANY |x|, so the assignment agrees with the cosine
+    * ranking the search uses without normalizing the (much larger)
+    * corpus side — one dot product per centroid per row, no per-row
+    * norm. */
   def clusterOf(emb: Column, centroids: Array[Array[Double]]): Column =
     array_min(distStructs(emb, centroids)).getField("j")
-
-  /** L2-normalize an embedding column (zero vectors pass through). The
-    * search ranks by COSINE, so bucketing must agree with that metric:
-    * on unit vectors, L2-argmin over (unit) centroids IS cosine-argmax —
-    * without this the coarse quantizer and the ranking disagree and
-    * recall is lost to metric mismatch, not to probe count. */
-  def unit(emb: Column): Column = {
-    val n = SimilarityOps.norm(emb)
-    when(n === lit(0.0), transform(emb, x => x.cast("double")))
-      .otherwise(transform(emb, x => x / n))
-  }
 
   /** `nprobe` nearest centroid ids, closest first. */
   def probesOf(emb: Column, centroids: Array[Array[Double]],
@@ -106,10 +102,10 @@ object IvfAnn {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
-      clusterOf(unit(col("embedding")), centroids).as("cluster"))
+      clusterOf(col("embedding"), centroids).as("cluster"))
     val probed = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
-      explode(probesOf(unit(col("embedding")), centroids, nprobe)).as("cluster"))
+      explode(probesOf(col("embedding"), centroids, nprobe)).as("cluster"))
     val scored = probed.join(bucketed, "cluster")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
