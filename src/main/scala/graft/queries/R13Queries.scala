@@ -126,6 +126,81 @@ object R13Queries {
          |  AND NOT ($allWordsSql)
          |ORDER BY link""".stripMargin))
 
+  // ---------- q_pagerank ----------
+
+  /** PageRank over a deterministic synthetic graph (events-derived),
+    * 3 iterations. GraphOps.pageRank is integer-scaled (BIGINT units of
+    * 1e-9) precisely so a fixed-iteration run is hash-checkable: the
+    * DuckDB oracle unrolls the same three integer-exact updates.
+    * Citation: the reference's link graph is the crawl edge list
+    * (`web_spider_oo.py:123-128`); rank over it is the canonical
+    * "which page matters" analysis on that output. */
+  val qPageRank = QueryDef("q_pagerank",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val e = ev.select((col("user_id") % 40).as("src"),
+        (col("event_id") % 40).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      graft.ext.GraphOps.pageRank(s, e, nodes, iterations = 3)
+        .orderBy("node")
+    },
+    Some(
+      """WITH e AS (SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+        |           FROM events WHERE user_id % 40 <> event_id % 40),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.dst AS node, sum(r.r // d.deg) AS c
+        |       FROM e JOIN r0 r ON r.node = e.src JOIN d ON d.src = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c1 c ON c.node = n.node),
+        |c2 AS (SELECT e.dst AS node, sum(r.r // d.deg) AS c
+        |       FROM e JOIN r1 r ON r.node = e.src JOIN d ON d.src = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c2 c ON c.node = n.node),
+        |c3 AS (SELECT e.dst AS node, sum(r.r // d.deg) AS c
+        |       FROM e JOIN r2 r ON r.node = e.src JOIN d ON d.src = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c3 c ON c.node = n.node)
+        |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin))
+
+  // ---------- q_sssp ----------
+
+  /** Single-source shortest paths over a deterministic DAG whose edges
+    * only step FORWARD by 4..8 node ids — that bounds both the diameter
+    * (≤6 hops from node 0 over 25 nodes) and the oracle's path
+    * enumeration (out-degree ≤5, so ≤5^6 paths), which is what makes a
+    * recursive-CTE oracle terminate: on a cyclic graph with positive
+    * weights the walk CTE would extend forever. The distributed side
+    * (GraphOps.shortestPaths) handles cycles fine — the DAG restriction
+    * is purely for the oracle's sake. */
+  val qSssp = QueryDef("q_sssp",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val e = ev.select((col("event_id") % 25).as("src"),
+        ((col("event_id") % 25) + lit(4) + (col("user_id") % 5)).as("dst"),
+        (lit(1) + col("event_id") % 9).as("w"))
+        .where(col("dst") <= 24)
+        .groupBy("src", "dst").agg(min("w").as("w"))
+      graft.ext.GraphOps.shortestPaths(s, e, source = 0L)
+        .orderBy("node")
+    },
+    Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT src, dst, min(w) AS w FROM (
+        |    SELECT event_id % 25 AS src,
+        |           event_id % 25 + 4 + user_id % 5 AS dst,
+        |           1 + event_id % 9 AS w
+        |    FROM events) WHERE dst <= 24 GROUP BY src, dst),
+        |walk(node, dist) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        |  UNION ALL
+        |  SELECT e.dst, w.dist + e.w FROM walk w JOIN e ON e.src = w.node)
+        |SELECT node, min(dist) AS dist FROM walk GROUP BY node ORDER BY node""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(qLinkExtractMessy, qHtmlEntities, qLinksCleanSuperseded)
+    Seq(qLinkExtractMessy, qHtmlEntities, qLinksCleanSuperseded,
+      qPageRank, qSssp)
 }
