@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) approximate nearest neighbor — Jégou et
+  * al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+  *
+  * The vector is split into `m` subvectors; each subspace gets its own
+  * tiny k-means codebook; a vector is stored as `m` small codes
+  * (m·log2(k) bits — 16 bytes here vs 256 bytes of floats). Search is
+  * asymmetric distance computation (ADC): the query stays exact, the
+  * corpus side is its codes, and the approximate inner product is a
+  * sum of per-subspace table lookups.
+  *
+  * Scale shape (billions of vectors):
+  *  - codebooks are model-sized (m·k·(dim/m) doubles), trained once on
+  *    a bounded sample and folded into the plan as literals — encoding
+  *    and ADC are pure codegen'd column expressions, no shuffle;
+  *  - the ADC scan reads ONLY the 16-byte code column — a ~16× memory-
+  *    bandwidth win over scanning raw vectors, which is the entire
+  *    point of PQ at 100 TB (the raw vectors never leave their store);
+  *  - a constant-size shortlist per query is re-ranked EXACTLY by
+  *    joining the raw vectors back BY ID — the standard two-stage
+  *    recipe; only shortlist·queries vectors are ever fetched.
+  *
+  * Deterministic end to end: farthest-point init, fixed Lloyd rounds,
+  * no RNG (same discipline as [[IvfAnn]]).
+  */
+object PqAnn {
+
+  /** Per-subspace codebooks: result(j)(c) is centroid c of subspace j.
+    *
+    * @param vectors    (vec_id, embedding ARRAY<FLOAT>)
+    * @param m          number of subvectors (must divide the dimension)
+    * @param k          codes per subspace
+    * @param iters      Lloyd rounds per subspace
+    * @param sampleSize training sample (lowest vec_ids — model-sized
+    *                   collect, the standard codebook recipe)
+    */
+  def trainCodebooks(vectors: DataFrame, m: Int, k: Int, iters: Int,
+                     sampleSize: Int = 2048): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = vectors.orderBy("vec_id")
+      .limit(sampleSize).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(sample.length >= k, s"need >= $k sample vectors")
+    val ds = dim / m
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    Array.tabulate(m) { j =>
+      val sub = sample.map(_.slice(j * ds, (j + 1) * ds))
+      val seeds = scala.collection.mutable.ArrayBuffer(sub(0))
+      while (seeds.size < k) {
+        seeds += sub.maxBy(v => seeds.map(d2(v, _)).min)
+      }
+      var centroids = seeds.toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](ds))
+        val counts = new Array[Long](k)
+        sub.foreach { v =>
+          val c = (0 until k).minBy(i => d2(v, centroids(i)))
+          counts(c) += 1
+          var i = 0
+          while (i < ds) { sums(c)(i) += v(i); i += 1 }
+        }
+        centroids = centroids.zipWithIndex.map { case (old, i) =>
+          if (counts(i) == 0) old else sums(i).map(_ / counts(i))
+        }
+      }
+      centroids
+    }
+  }
+
+  private def subvector(emb: Column, j: Int, ds: Int): Column =
+    slice(emb, j * ds + 1, ds)
+
+  /** Encode an embedding as its `m` nearest-centroid codes
+    * (ARRAY<INT>) — the 16-byte representation the ADC scan reads. */
+  def encode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val ds = codebooks(0)(0).length
+    array(codebooks.indices.map { j =>
+      val scored = array(codebooks(j).zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(c.map(x => x * x).sum) -
+            lit(2.0) * SimilarityOps.dot(subvector(emb, j, ds),
+              array(c.map(lit(_)): _*))).as("d"),
+          lit(i).as("i"))
+      }: _*).cast("array<struct<d:double,i:int>>")
+      array_min(scored).getField("i")
+    }: _*)
+  }
+
+  /** ADC approximate inner product of an exact query embedding against
+    * a code column: Σ_j q_sub_j · codebook_j[code_j]. */
+  def adcScore(qEmb: Column, codes: Column,
+               codebooks: Array[Array[Array[Double]]]): Column = {
+    val ds = codebooks(0)(0).length
+    codebooks.indices.map { j =>
+      val cbLit = array(codebooks(j).map(c => array(c.map(lit(_)): _*)): _*)
+      SimilarityOps.dot(subvector(qEmb, j, ds),
+        element_at(cbLit, element_at(codes, j + 1) + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Two-stage PQ search: ADC shortlist over codes, exact cosine
+    * re-rank of the shortlist fetched BY ID from the raw vectors.
+    *
+    * @param shortlist ADC candidates per query re-ranked exactly —
+    *                  recall@k rises steeply with it while the exact
+    *                  work stays shortlist·|queries|, independent of
+    *                  corpus size
+    * @return (query_id, vec_id, cos_sim, rn) — top `k` per query
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             codebooks: Array[Array[Array[Double]]],
+             k: Int, shortlist: Int): DataFrame = {
+    // at scale the codes table is precomputed and stored; the raw
+    // vectors are read again only for the shortlist re-rank join
+    val codes = corpus.select(col("vec_id"),
+      encode(col("embedding"), codebooks).as("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val adc = codes.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q_emb"),
+        adcScore(col("q_emb"), col("codes"), codebooks).as("adc"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id"))
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= shortlist)
+      .select("query_id", "vec_id", "q_emb")
+    // exact re-rank: fetch the shortlist's raw vectors by id
+    val exact = short
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(SimilarityOps.cosine(col("q_emb"), col("embedding")), 4)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+}

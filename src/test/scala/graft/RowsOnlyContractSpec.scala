@@ -62,6 +62,21 @@ class RowsOnlyContractSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall@5 degraded: $recall")
   }
 
+  test("q_ann_pq: recall@5 vs exact brute force stays above 0.8") {
+    val exact = run("q_knn_cosine").where(col("rn") <= 5)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val pq = run("q_ann_pq").select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.keys.toSeq.map { q =>
+      (pq.getOrElse(q, Set.empty[Long]) & exact(q)).size.toDouble / exact(q).size
+    }
+    val recall = recalls.sum / recalls.size
+    // ADC shortlist=50 + exact re-rank: measured 1.0 on this corpus;
+    // 0.8 leaves headroom for codebook drift under future param changes
+    assert(recall >= 0.8, s"PQ recall@5 degraded: $recall")
+  }
+
   test("q_approx_percentile: GK sketch within 2% of the exact percentile per group") {
     run("q_approx_percentile").collect().foreach { r =>
       val approx = r.getDouble(r.fieldIndex("p50_approx"))
@@ -72,7 +87,7 @@ class RowsOnlyContractSpec extends AnyFunSuite {
   }
 
   for (name <- Seq("q_minhash_lsh", "q_minhash_typed", "q_ann_lsh",
-      "q_ann_ivf", "q_hll_sketch")) {
+      "q_ann_ivf", "q_ann_pq", "q_hll_sketch")) {
     test(s"$name: bit-for-bit deterministic across runs") {
       val a = run(name).collect().map(_.toString).sorted
       val b = run(name).collect().map(_.toString).sorted
