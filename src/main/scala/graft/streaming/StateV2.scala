@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Arbitrary stateful processing on the state-API-v2 path:
+  * `transformWithState` + [[StatefulProcessor]] (Spark 4), the
+  * production successor to `flatMapGroupsWithState` ([[Sessionize]]
+  * keeps the v1 form). What v2 buys at 100 TB:
+  *
+  *  - typed state PRIMITIVES instead of one opaque blob: a ValueState
+  *    update rewrites a single key, a MapState entry is its own store
+  *    row — so per-key state can grow (distinct sets, timelines)
+  *    without rewriting everything on every event;
+  *  - state lives in the RocksDB store's column families (v2 REQUIRES
+  *    the RocksDB provider), i.e. on local SSD with bounded heap —
+  *    the same reason RocksDBStateStoreSpec pins that backend;
+  *  - schema evolution + TTL per state variable.
+  *
+  * The processor here is the crawl/analytics staple: per-user running
+  * totals (ValueState) plus a distinct event-type registry (MapState),
+  * the streaming twin of `GROUP BY user_id` with `count`, `sum`,
+  * `count(DISTINCT event_type)`. The reference's visited-set
+  * (`web_spider_oo.py:87,99-101`) is exactly this shape of state —
+  * membership keyed by value — held here per group key in MapState.
+  *
+  * Emission contract: one row per (key, micro-batch) in Update mode,
+  * carrying the running totals AFTER folding that batch. `n` is
+  * strictly increasing per key, so `max_by(struct, n)` downstream
+  * recovers the final totals independent of batch layout — which is
+  * what [[finalTotals]] does, making the result equal to the batch
+  * aggregate bit-for-bit (cents are floor-quantized to LONG).
+  */
+object StateV2 {
+
+  case class Ev(user_id: Long, event_id: Long, cents: Long, event_type: String)
+  case class Totals(n: Long, cents: Long)
+  case class UserTotals(user_id: Long, n: Long, cents: Long, n_types: Long)
+
+  /** Running (count, cents-sum, distinct-type-count) per user. */
+  class RunningTotals extends StatefulProcessor[Long, Ev, UserTotals] {
+    @transient private var totals: ValueState[Totals] = _
+    @transient private var types: MapState[String, Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[Totals]("totals",
+        Encoders.product[Totals], TTLConfig.NONE)
+      types = getHandle.getMapState[String, Boolean]("types",
+        Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      var t = if (totals.exists()) totals.get() else Totals(0L, 0L)
+      rows.foreach { e =>
+        t = Totals(t.n + 1, t.cents + e.cents)
+        if (!types.containsKey(e.event_type)) types.updateValue(e.event_type, true)
+      }
+      totals.update(t)
+      // keys() streams the map's store rows — no whole-set deserialize
+      var nTypes = 0L
+      types.keys().foreach(_ => nTypes += 1)
+      Iterator.single(UserTotals(key, t.n, t.cents, nTypes))
+    }
+  }
+
+  /** events(user_id, event_id, value, event_type) → per-batch running
+    * totals per user. Input must be a STREAMING DataFrame. */
+  def runningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotals] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Collapse Update-mode per-batch emissions to the final totals:
+    * `n` strictly increases per key, so the lexicographically-max
+    * struct is the last batch's row. */
+  def finalTotals(perBatch: DataFrame): DataFrame =
+    perBatch
+      .groupBy("user_id")
+      .agg(max(struct(col("n"), col("cents"), col("n_types"))).as("t"))
+      .select(col("user_id"), col("t.n").as("n"), col("t.cents").as("cents"),
+        col("t.n_types").as("n_types"))
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StateV2
+
+/** transformWithState (state API v2): the RunningTotals processor's
+  * cross-batch state — ValueState survives micro-batch boundaries,
+  * MapState counts each distinct event type once no matter how many
+  * batches repeat it, and Update-mode emissions are per-(key, batch)
+  * so `finalTotals` must recover exactly the batch aggregate. */
+class StateV2Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withRocksDB[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** (event_id, user_id, value, event_type) rows → one parquet file in dir. */
+  private def writeBatch(dir: String,
+      rows: Seq[(Long, Long, Double, String)]): Unit =
+    rows.toDF("event_id", "user_id", "value", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  test("ValueState and MapState persist across micro-batches; finalTotals == batch aggregate") {
+    withRocksDB {
+      val in = Files.createTempDirectory("graft_tws_in").toString
+      val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+      // batch 1: user 1 twice (types a, a), user 2 once (type b)
+      writeBatch(in, Seq((1L, 1L, 1.50, "a"), (2L, 1L, 2.25, "a"),
+        (3L, 2L, 10.0, "b")))
+
+      val src = spark.readStream
+        .schema("event_id LONG, user_id LONG, value DOUBLE, event_type STRING")
+        .option("maxFilesPerTrigger", "1") // one staged file per micro-batch
+        .parquet(in)
+      val q = StateV2.runningTotals(spark, src)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("tws_spec_out").start()
+      q.processAllAvailable()
+      // batch 2: user 1 again with a REPEATED type (map state must not
+      // double-count) and a new type; user 3 appears fresh
+      writeBatch(in, Seq((4L, 1L, 0.25, "a"), (5L, 1L, 1.00, "c"),
+        (6L, 3L, 5.0, "a")))
+      q.processAllAvailable()
+      q.stop()
+
+      val perBatch = spark.table("tws_spec_out")
+      // user 1 emitted once per batch it appeared in, with running n
+      val u1 = perBatch.where($"user_id" === 1).orderBy("n")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(u1.map(_._2).toSeq == Seq(2L, 4L)) // n after each batch
+      assert(u1.last == ((1L, 4L, 500L, 2L)))   // 5.00 in cents, types {a,c}
+
+      val fin = StateV2.finalTotals(perBatch).orderBy("user_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(fin == Seq((1L, 4L, 500L, 2L), (2L, 1L, 1000L, 1L),
+        (3L, 1L, 500L, 1L)))
+    }
+  }
+
+  test("cents quantization floors like the oracle (negative values too)") {
+    withRocksDB {
+      val in = Files.createTempDirectory("graft_tws_in2").toString
+      // floor(-1.011*100) = floor(-101.1) = -102, floor(2.999*100) = 299
+      writeBatch(in, Seq((1L, 7L, -1.011, "x"), (2L, 7L, 2.999, "x")))
+      val src = spark.readStream
+        .schema("event_id LONG, user_id LONG, value DOUBLE, event_type STRING")
+        .parquet(in)
+      val q = StateV2.runningTotals(spark, src)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_spec_out2").start()
+      q.processAllAvailable()
+      q.stop()
+      val fin = StateV2.finalTotals(spark.table("tws_spec_out2"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(fin == Seq((7L, 2L, 197L, 1L)))
+    }
+  }
+}
