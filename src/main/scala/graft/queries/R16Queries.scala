@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Queries.QueryDef
+import graft.streaming.StateV2
+
+/** Sixteenth wave — warm-started streaming state and the ORC format:
+  *
+  *  - `q_stream_tws_init`: `transformWithState` with INITIAL STATE —
+  *    history events are batch-aggregated into per-user seeds, the
+  *    remaining events replay as a stream on top of that state, and
+  *    the final totals hash-match the full-table aggregate. This is
+  *    the incremental-pipeline bootstrap: the reference's resumed
+  *    crawl reloads its visited set the same way (SURVEY §1.1
+  *    distinct-set state), and a 100 TB daily pipeline seeds today's
+  *    stream from yesterday's aggregates instead of reprocessing.
+  *  - `q_orc_roundtrip`: ORC sink + source round trip (explicit
+  *    schema), aggregate equality vs the parquet original — the third
+  *    columnar/text format beside the CSV and JSON-lines round trips.
+  */
+object R16Queries {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  private def tmpPath(prefix: String, dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      prefix + "_" + math.abs(dir.hashCode)).toString
+
+  private def withRocksDB[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  // ---------- q_stream_tws_init ----------
+
+  /** Even event_ids are "yesterday" (batch history → seeds); odd ones
+    * replay as the stream. Only users with ≥1 stream event emit (Update
+    * mode), so the oracle keeps exactly those users — over BOTH halves. */
+  val qStreamTwsInit = QueryDef("q_stream_tws_init",
+    (s, dir) => Tables.withShufflePartitions(s, 4) {
+      withRocksDB(s) {
+        val ev = t(s, dir, "events")
+          .where(col("user_id") >= 40 && col("user_id") < 80)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+        val seeds = ev.where(col("event_id") % 2 === 0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100).cast("long")).as("cents"),
+            collect_set(col("event_type")).as("types"))
+        val stage = tmpPath("graft_tws_init_src", dir)
+        ev.where(col("event_id") % 2 === 1)
+          .write.mode("overwrite").parquet(stage)
+        val src = s.readStream
+          .schema("event_id LONG, user_id LONG, value DOUBLE, event_type STRING")
+          .parquet(stage)
+        val q = StateV2.runningTotalsWarmStart(s, src, seeds)
+          .writeStream.outputMode("update")
+          .format("memory").queryName("graft_tws_init_out").start()
+        q.processAllAvailable()
+        q.stop()
+        StateV2.finalTotals(s.table("graft_tws_init_out")).orderBy("user_id")
+      }
+    },
+    Some(
+      """WITH in_range AS (SELECT * FROM events
+        |                  WHERE user_id >= 40 AND user_id < 80)
+        |SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM in_range
+        |WHERE user_id IN (SELECT user_id FROM in_range WHERE event_id % 2 = 1)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  // ---------- q_orc_roundtrip ----------
+
+  val qOrcRoundtrip = QueryDef("q_orc_roundtrip",
+    (s, dir) => {
+      val out = tmpPath("graft_orc_roundtrip", dir)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+        .write.mode("overwrite").orc(out)
+      s.read
+        .schema("l_returnflag STRING, l_linestatus STRING, qty DECIMAL(18,2), price DECIMAL(18,2)")
+        .orc(out)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("qty")).cast("double").as("sum_qty"),
+          sum(col("price")).cast("double").as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qStreamTwsInit, qOrcRoundtrip)
+}

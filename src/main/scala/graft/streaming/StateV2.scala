@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Arbitrary stateful processing on the state-API-v2 path:
   * `transformWithState` + [[StatefulProcessor]] (Spark 4), the
@@ -38,11 +39,14 @@ object StateV2 {
   case class Ev(user_id: Long, event_id: Long, cents: Long, event_type: String)
   case class Totals(n: Long, cents: Long)
   case class UserTotals(user_id: Long, n: Long, cents: Long, n_types: Long)
+  /** Warm-start seed: a user's pre-aggregated history. */
+  case class Seed(user_id: Long, n: Long, cents: Long, types: Array[String])
 
-  /** Running (count, cents-sum, distinct-type-count) per user. */
-  class RunningTotals extends StatefulProcessor[Long, Ev, UserTotals] {
-    @transient private var totals: ValueState[Totals] = _
-    @transient private var types: MapState[String, Boolean] = _
+  /** Shared fold: state init + per-batch input handling, reused by the
+    * cold-start and warm-start processor shells below. */
+  sealed trait TotalsLogic { self: StatefulProcessor[Long, Ev, UserTotals] =>
+    @transient protected var totals: ValueState[Totals] = _
+    @transient protected var types: MapState[String, Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       totals = getHandle.getValueState[Totals]("totals",
@@ -66,6 +70,24 @@ object StateV2 {
     }
   }
 
+  /** Running (count, cents-sum, distinct-type-count) per user. */
+  class RunningTotals extends StatefulProcessor[Long, Ev, UserTotals]
+    with TotalsLogic
+
+  /** Same fold, warm-started: each key's state is seeded from a batch
+    * [[Seed]] before the first micro-batch — the incremental-crawl
+    * bootstrap (the reference reloads its visited set when a crawl
+    * resumes; here yesterday's aggregates seed today's stream). */
+  class RunningTotalsWarmStart
+    extends StatefulProcessorWithInitialState[Long, Ev, UserTotals, Seed]
+    with TotalsLogic {
+    override def handleInitialState(key: Long, seed: Seed,
+        timerValues: TimerValues): Unit = {
+      totals.update(Totals(seed.n, seed.cents))
+      seed.types.foreach(t => types.updateValue(t, true))
+    }
+  }
+
   /** events(user_id, event_id, value, event_type) → per-batch running
     * totals per user. Input must be a STREAMING DataFrame. */
   def runningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotals] = {
@@ -76,6 +98,23 @@ object StateV2 {
       .as[Ev]
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Warm-start variant of [[runningTotals]]: `seeds` is a BATCH
+    * DataFrame (user_id, n, cents, types ARRAY<STRING>) loaded into
+    * state before the first micro-batch. Keys that never appear in the
+    * stream emit nothing (Update mode emits on input only). */
+  def runningTotalsWarmStart(spark: SparkSession, events: DataFrame,
+      seeds: DataFrame): Dataset[UserTotals] = {
+    import spark.implicits._
+    val init = seeds.as[Seed].groupByKey(_.user_id)
+    events
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsWarmStart, TimeMode.None(),
+        OutputMode.Update(), init)
   }
 
   /** Collapse Update-mode per-batch emissions to the final totals:

@@ -72,6 +72,32 @@ class StateV2Spec extends AnyFunSuite {
     }
   }
 
+  test("warm start: initial-state seeds fold with streamed rows; repeated seed types dedup") {
+    withRocksDB {
+      val in = Files.createTempDirectory("graft_tws_ws_in").toString
+      // user 1: seeded (n=3, 1000 cents, types {a,b}); streams one more
+      // 'a' (map state must not double-count) and one 'c'.
+      // user 2: seeded but silent — must NOT appear in Update output.
+      // user 3: unseeded cold start.
+      writeBatch(in, Seq((10L, 1L, 0.50, "a"), (11L, 1L, 1.00, "c"),
+        (12L, 3L, 2.00, "z")))
+      val seeds = Seq((1L, 3L, 1000L, Seq("a", "b")),
+        (2L, 9L, 9000L, Seq("x")))
+        .toDF("user_id", "n", "cents", "types")
+      val src = spark.readStream
+        .schema("event_id LONG, user_id LONG, value DOUBLE, event_type STRING")
+        .parquet(in)
+      val q = StateV2.runningTotalsWarmStart(spark, src, seeds)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_ws_out").start()
+      q.processAllAvailable()
+      q.stop()
+      val fin = StateV2.finalTotals(spark.table("tws_ws_out"))
+        .orderBy("user_id").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(fin == Seq((1L, 5L, 1150L, 3L), (3L, 1L, 200L, 1L)))
+    }
+  }
+
   test("cents quantization floors like the oracle (negative values too)") {
     withRocksDB {
       val in = Files.createTempDirectory("graft_tws_in2").toString
