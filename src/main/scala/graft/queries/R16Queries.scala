@@ -83,6 +83,49 @@ object R16Queries {
         |WHERE user_id IN (SELECT user_id FROM in_range WHERE event_id % 2 = 1)
         |GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  // ---------- q_stream_tws_timer ----------
+
+  /** Event-time timers: per-user totals are emitted ONLY when the
+    * watermark proves the user idle ([[StateV2.IdleFlush]]). A
+    * far-future sentinel (negative user_id, filtered from the result)
+    * advances the final watermark past every user's idle horizon, so
+    * the finite stream emits exactly the batch GROUP BY. Terminal
+    * condition: state drains to the sentinel's single row — load-
+    * independent, like q_stream_left_outer. */
+  val qStreamTwsTimer = QueryDef("q_stream_tws_timer",
+    (s, dir) => Tables.withShufflePartitions(s, 4) {
+      withRocksDB(s) {
+        val stage = tmpPath("graft_tws_timer_src", dir)
+        val ev = Tables.events(s, dir)
+          .where(col("user_id") >= 80 && col("user_id") < 120)
+          .select(col("user_id"), col("ts"))
+        val sentinel = s.range(1)
+          .select(lit(-1L).as("user_id"),
+            lit("2025-07-01 00:00:00").cast("timestamp").as("ts"))
+        ev.union(sentinel).write.mode("overwrite").parquet(stage)
+        val src = s.readStream.schema("user_id LONG, ts TIMESTAMP")
+          .parquet(stage)
+        val q = StateV2.idleFlush(s, src, gapMs = 60000L)
+          .writeStream.outputMode("append")
+          .format("memory").queryName("graft_tws_timer_out").start()
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        def stateRows: Long = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(Long.MaxValue)
+        while (stateRows > 1 && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          Thread.sleep(100)
+        }
+        q.stop()
+        s.table("graft_tws_timer_out").where(col("user_id") >= 0)
+          .orderBy("user_id")
+      }
+    },
+    Some(
+      """SELECT user_id, count(*) AS n, max(epoch_us(ts)) AS last_us
+        |FROM events WHERE user_id BETWEEN 80 AND 119
+        |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   // ---------- q_orc_roundtrip ----------
 
   val qOrcRoundtrip = QueryDef("q_orc_roundtrip",
@@ -109,5 +152,6 @@ object R16Queries {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qStreamTwsInit, qOrcRoundtrip)
+  val all: Seq[QueryDef] =
+    Seq(qStreamTwsInit, qStreamTwsTimer, qOrcRoundtrip)
 }

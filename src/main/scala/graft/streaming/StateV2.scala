@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+  StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Arbitrary stateful processing on the state-API-v2 path:
   * `transformWithState` + [[StatefulProcessor]] (Spark 4), the
@@ -86,6 +86,61 @@ object StateV2 {
       totals.update(Totals(seed.n, seed.cents))
       seed.types.foreach(t => types.updateValue(t, true))
     }
+  }
+
+  case class TimedEv(user_id: Long, us: Long,
+                     ts: java.sql.Timestamp = new java.sql.Timestamp(0))
+  case class IdleOut(user_id: Long, n: Long, last_us: Long)
+
+  /** Event-time timers (state API v2's third leg beside typed state and
+    * initial state): accumulate per-user (count, last-seen), keep ONE
+    * timer parked at last_us + gap, and when the WATERMARK passes it,
+    * emit the user's totals and clear state — the idle-key flush that
+    * caps state size on an unbounded keyspace (the crawl analogue:
+    * evict a host's politeness/visited context once it has gone quiet).
+    * Append-mode output: rows exist only when a key goes idle, so a
+    * finite fixture plus a far-future watermark sentinel emits exactly
+    * one row per user — the batch GROUP BY, hash-checkable. */
+  class IdleFlush(gapMs: Long) extends StatefulProcessor[Long, TimedEv, IdleOut] {
+    @transient private var totals: ValueState[Totals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[Totals]("idle_totals",
+        Encoders.product[Totals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEv],
+        timerValues: TimerValues): Iterator[IdleOut] = {
+      // Totals.cents doubles as last-seen micros here
+      var t = if (totals.exists()) totals.get() else Totals(0L, Long.MinValue)
+      rows.foreach(e => t = Totals(t.n + 1, math.max(t.cents, e.us)))
+      totals.update(t)
+      // one live timer per key: re-park it at the new idle horizon
+      getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts))
+      getHandle.registerTimer(t.cents / 1000 + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[IdleOut] = {
+      val out = totals.get()
+      totals.clear()
+      Iterator.single(IdleOut(key, out.n, out.cents))
+    }
+  }
+
+  /** events(user_id, ts TIMESTAMP) → one (user_id, n, last_us) row per
+    * idle period. Input must be a STREAMING DataFrame; the watermark
+    * drives timer expiry. */
+  def idleFlush(spark: SparkSession, events: DataFrame, gapMs: Long,
+      watermarkDelay: String = "1 hour"): Dataset[IdleOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[TimedEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleFlush(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** events(user_id, event_id, value, event_type) → per-batch running

@@ -98,6 +98,42 @@ class StateV2Spec extends AnyFunSuite {
     }
   }
 
+  test("idle flush: timer re-parks while a key stays active, fires once on idle") {
+    withRocksDB {
+      val in = Files.createTempDirectory("graft_tws_tm_in").toString
+      def mkBatch(rows: Seq[(Long, String)]): Unit =
+        rows.map { case (uid, ts) => (uid, java.sql.Timestamp.valueOf(ts)) }
+          .toDF("user_id", "ts")
+          .coalesce(1).write.mode("append").parquet(in)
+      // batch 1: user 5 twice within the gap
+      mkBatch(Seq((5L, "2026-01-01 10:00:00"), (5L, "2026-01-01 10:00:30")))
+      val src = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val q = StateV2.idleFlush(spark, src, gapMs = 60000L,
+          watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_tm_out").start()
+      q.processAllAvailable()
+      // still within gap of the re-parked timer: nothing emitted yet
+      assert(spark.table("tws_tm_out").count() == 0)
+      // batch 2: user 5 again (re-park), then a sentinel far past the
+      // idle horizon forces the flush — ONE row, total n = 3
+      mkBatch(Seq((5L, "2026-01-01 10:01:00"), (99L, "2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("tws_tm_out").where($"user_id" === 5).count() < 1 &&
+          System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      q.stop()
+      val got = spark.table("tws_tm_out").where($"user_id" === 5)
+        .as[(Long, Long, Long)].collect().toSeq
+      val lastUs = java.sql.Timestamp.valueOf("2026-01-01 10:01:00").getTime * 1000
+      assert(got == Seq((5L, 3L, lastUs)))
+    }
+  }
+
   test("cents quantization floors like the oracle (negative values too)") {
     withRocksDB {
       val in = Files.createTempDirectory("graft_tws_in2").toString
