@@ -152,6 +152,46 @@ object R16Queries {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
+  // ---------- q_managed_table ----------
+
+  /** SQL DDL surface: CREATE TABLE ... USING parquet at an explicit
+    * LOCATION, INSERT INTO ... SELECT, then aggregate the catalog table
+    * — the warehouse-managed write path (the reference's `raw.indexing`
+    * DDL + append, `spider_indexing_dataclass.py:17-21`, expressed as
+    * Spark SQL). Oracle aggregates the same rows straight off parquet. */
+  val qManagedTable = QueryDef("q_managed_table",
+    (s, dir) => {
+      val loc = tmpPath("graft_managed_tbl", dir)
+      // LOCATION makes the table external: DROP leaves files behind, so a
+      // rerun would re-adopt (and then double) the previous run's rows —
+      // clear the directory first
+      val locPath = java.nio.file.Paths.get(loc)
+      if (java.nio.file.Files.exists(locPath)) {
+        val walk = java.nio.file.Files.walk(locPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      t(s, dir, "nation").createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS graft_nation_tbl")
+      s.sql(s"CREATE TABLE graft_nation_tbl " +
+        s"(n_nationkey BIGINT, n_regionkey BIGINT, n_name STRING) " +
+        s"USING parquet LOCATION '$loc'")
+      // two appends = the reference's per-depth INSERT cadence
+      s.sql("INSERT INTO graft_nation_tbl " +
+        "SELECT n_nationkey, n_regionkey, n_name FROM nation_src WHERE n_nationkey % 2 = 0")
+      s.sql("INSERT INTO graft_nation_tbl " +
+        "SELECT n_nationkey, n_regionkey, n_name FROM nation_src WHERE n_nationkey % 2 = 1")
+      s.sql(
+        """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+          |  min(n_name) AS first_name
+          |FROM graft_nation_tbl GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+    Some(
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+        |  min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(qStreamTwsInit, qStreamTwsTimer, qOrcRoundtrip)
+    Seq(qStreamTwsInit, qStreamTwsTimer, qOrcRoundtrip, qManagedTable)
 }
