@@ -134,6 +134,37 @@ class StateV2Spec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState state survives a query restart through the checkpoint") {
+    withRocksDB {
+      val in = Files.createTempDirectory("graft_tws_rs_in").toString
+      val ckpt = Files.createTempDirectory("graft_tws_rs_ckpt").toString
+      val out = Files.createTempDirectory("graft_tws_rs_out").toString
+
+      def runOnce(): Unit = {
+        val src = spark.readStream
+          .schema("event_id LONG, user_id LONG, value DOUBLE, event_type STRING")
+          .parquet(in)
+        val q = StateV2.runningTotals(spark, src)
+          .writeStream.outputMode("append") // parquet sink; Update not supported
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", out)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+      }
+      // run 1: user 9 twice
+      writeBatch(in, Seq((1L, 9L, 1.00, "a"), (2L, 9L, 2.00, "b")))
+      runOnce()
+      // run 2 (fresh query, same checkpoint): one more event — the fold
+      // must CONTINUE from n=2, not restart from zero
+      writeBatch(in, Seq((3L, 9L, 4.00, "a")))
+      runOnce()
+      val rows = spark.read.parquet(out).orderBy("n")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(rows == Seq((9L, 2L, 300L, 2L), (9L, 3L, 700L, 2L)))
+    }
+  }
+
   test("cents quantization floors like the oracle (negative values too)") {
     withRocksDB {
       val in = Files.createTempDirectory("graft_tws_in2").toString
