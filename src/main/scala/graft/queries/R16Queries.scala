@@ -192,6 +192,19 @@ object R16Queries {
         |  min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
 
+  // ---------- q_bpe_merges ----------
+
+  /** BPE-merge vocabulary induction ([[graft.ext.BpeOps]]): 4 greedy
+    * merge rounds over a 2000-doc slice, each round one pair-count
+    * shuffle + one scalar replace pass; the DuckDB oracle unrolls the
+    * SAME rounds as CTE levels generated from the same constants. */
+  val qBpeMerges = QueryDef("q_bpe_merges",
+    (s, dir) => graft.ext.BpeOps.trainMerges(s,
+      t(s, dir, "documents").where(col("doc_id") < 2000), "text",
+      iterations = 4),
+    Some(graft.ext.BpeOps.trainMergesOracleSql(maxDoc = 2000, iterations = 4)))
+
   val all: Seq[QueryDef] =
-    Seq(qStreamTwsInit, qStreamTwsTimer, qOrcRoundtrip, qManagedTable)
+    Seq(qStreamTwsInit, qStreamTwsTimer, qOrcRoundtrip, qManagedTable,
+      qBpeMerges)
 }
