@@ -96,6 +96,27 @@ object BpeOps {
     merges.toSeq.toDF("rank", "w1", "w2", "n")
   }
 
+  /** Apply trained merges (rank order) to a corpus: the ENCODE step.
+    * Chained scalar replaces — merges ship to executors as literals in
+    * one projection, so encoding any corpus size is a single map-side
+    * pass (this is how a trained tokenizer is applied at 100 TB: the
+    * vocabulary is model-sized, the data never re-shuffles). */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val corpus = docs.select(col(idCol),
+      concat(lit("  "),
+        array_join(filter(split(col(textCol), " "), t => length(t) > 0), "  "),
+        lit("  ")).as("s"))
+    val encoded = merges.sortBy(_.rank).foldLeft(corpus) { (df, m) =>
+      df.withColumn("s",
+        replace(col("s"), lit(s" ${m.w1}  ${m.w2} "), lit(s" ${m.w1}${m.w2} ")))
+    }
+    encoded.select(col(idCol),
+      when(length(trim(col("s"))) === 0, lit(0L))
+        .otherwise(size(split(trim(col("s")), "  ")).cast("long"))
+        .as("n_tokens"))
+  }
+
   /** DuckDB oracle for [[trainMerges]]: the same `iterations` rounds
     * unrolled as CTE levels, generated from the same constants. */
   def trainMergesOracleSql(maxDoc: Int, iterations: Int): String = {
@@ -120,5 +141,49 @@ object BpeOps {
       .map(r => s"SELECT $r AS rank, w1, w2, n FROM b$r")
       .mkString("\nUNION ALL\n")
     s"WITH ${(base +: levels).mkString(",\n")}\n$union\nORDER BY rank"
+  }
+
+  /** DuckDB oracle for train-then-[[encode]]: the training CTE levels
+    * plus chained replaces whose search/replacement strings come from
+    * scalar subqueries over each round's argmax row. */
+  def encodeOracleSql(trainMaxDoc: Int, iterations: Int,
+      encodeMaxDoc: Int): String = {
+    val base =
+      s"""docs0 AS (SELECT '  ' || array_to_string(
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0), '  ')
+         |    || '  ' AS s
+         |  FROM documents WHERE doc_id < $trainMaxDoc)""".stripMargin
+    val levels = (1 to iterations).map { r =>
+      s"""p$r AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
+         |  FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+         |        FROM (SELECT string_split(trim(s), '  ') AS arr
+         |              FROM docs${r - 1})
+         |        WHERE len(arr) >= 2)),
+         |b$r AS (SELECT w1, w2 FROM p$r
+         |  GROUP BY w1, w2 ORDER BY count(*) DESC, w1, w2 LIMIT 1),
+         |docs$r AS (SELECT replace(s, ' ' || b.w1 || '  ' || b.w2 || ' ',
+         |    ' ' || b.w1 || b.w2 || ' ') AS s
+         |  FROM docs${r - 1}, b$r b)""".stripMargin
+    }
+    val enc0 =
+      s"""enc0 AS (SELECT doc_id, '  ' || array_to_string(
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0), '  ')
+         |    || '  ' AS s
+         |  FROM documents WHERE doc_id < $encodeMaxDoc)""".stripMargin
+    val encLevels = (1 to iterations).map { r =>
+      s"""enc$r AS (SELECT doc_id, replace(s,
+         |    (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM b$r),
+         |    (SELECT ' ' || w1 || w2 || ' ' FROM b$r)) AS s
+         |  FROM enc${r - 1})""".stripMargin
+    }
+    // no outer stripMargin: the interpolated fragments contain lines that
+    // BEGIN with the SQL || operator, which stripMargin would mangle
+    s"WITH ${(base +: levels).mkString(",\n")},\n" +
+      s"${(enc0 +: encLevels).mkString(",\n")}\n" +
+      "SELECT doc_id,\n" +
+      "  CASE WHEN len(trim(s)) = 0 THEN 0\n" +
+      "       ELSE CAST(len(string_split(trim(s), '  ')) AS BIGINT) END\n" +
+      "    AS n_tokens\n" +
+      s"FROM enc$iterations ORDER BY doc_id"
   }
 }

@@ -204,7 +204,25 @@ object R16Queries {
       iterations = 4),
     Some(graft.ext.BpeOps.trainMergesOracleSql(maxDoc = 2000, iterations = 4)))
 
+  // ---------- q_bpe_encode ----------
+
+  /** Train-then-apply: the 4 trained merges (a model-sized driver
+    * value) are folded into ONE chained-replace projection over the
+    * target corpus — encoding is a single map-side pass, no shuffle. */
+  val qBpeEncode = QueryDef("q_bpe_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.BpeOps.trainMerges(s,
+        docs.where(col("doc_id") < 2000), "text", iterations = 4)
+        .collect().map(r => graft.ext.BpeOps.Merge(
+          r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      graft.ext.BpeOps.encode(docs.where(col("doc_id") < 300),
+        "text", "doc_id", merges).orderBy("doc_id")
+    },
+    Some(graft.ext.BpeOps.encodeOracleSql(trainMaxDoc = 2000,
+      iterations = 4, encodeMaxDoc = 300)))
+
   val all: Seq[QueryDef] =
     Seq(qStreamTwsInit, qStreamTwsTimer, qOrcRoundtrip, qManagedTable,
-      qBpeMerges)
+      qBpeMerges, qBpeEncode)
 }

@@ -61,6 +61,17 @@ class BpeOpsSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", "b", 1L)))
   }
 
+  test("encode applies merges in rank order and counts resulting tokens") {
+    // merges: (a,b) then (ab,c) — "a b c d" encodes to [abc, d] = 2 tokens;
+    // rank order matters: applying (ab,c) first would find nothing
+    val ms = Seq(BpeOps.Merge(1, "a", "b", 0L), BpeOps.Merge(2, "ab", "c", 0L))
+    val docs = Seq((1L, "a b c d"), (2L, "c a b"), (3L, ""), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = BpeOps.encode(docs, "text", "doc_id", ms)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 0L), (4L, 1L)))
+  }
+
   test("no persisted corpus RDDs leak after training") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     merges(Seq("a b c a b", "c a b"), 3)
