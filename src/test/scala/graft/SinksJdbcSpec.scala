@@ -67,4 +67,37 @@ class SinksJdbcSpec extends AnyFunSuite {
     }
     assert(reader.load().count() == 2)
   }
+
+  test("K1 production shape: streaming foreachBatch appends each micro-batch to Derby") {
+    val in = Files.createTempDirectory("graft_jdbc_stream_in").toString
+    def mkBatch(rows: Seq[(Int, String, String)]): Unit =
+      rows.toDF("pen_depth", "parent_link", "child_link")
+        .coalesce(1).write.mode("append").parquet(in)
+    mkBatch(Seq((1, "root", "a"), (1, "root", "b")))
+
+    val q = spark.readStream
+      .schema("pen_depth INT, parent_link STRING, child_link STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sinks.jdbcAppend(batch, url, "indexing_stream", driverProps, batchSize = 2)
+      }
+      .start()
+    q.processAllAvailable()
+    mkBatch(Seq((2, "a", "c"), (2, "b", "d")))
+    q.processAllAvailable()
+    q.stop()
+
+    val reader = driverProps.foldLeft(
+      spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "indexing_stream")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val back = reader.load()
+      .select($"pen_depth".cast("int"), $"parent_link", $"child_link")
+      .as[(Int, String, String)].collect().toSeq.sorted
+    assert(back == Seq((1, "root", "a"), (1, "root", "b"),
+      (2, "a", "c"), (2, "b", "d")))
+  }
 }
