@@ -222,7 +222,48 @@ object R16Queries {
     Some(graft.ext.BpeOps.encodeOracleSql(trainMaxDoc = 2000,
       iterations = 4, encodeMaxDoc = 300)))
 
+  // ---------- q_interval_join ----------
+
+  /** Large×large interval-overlap join via bin co-location
+    * ([[graft.operators.IntervalJoin]]): 30-day order windows from two
+    * customer slices, overlap pairs counted per left order status. The
+    * oracle is the plain theta join — the binned plan must produce the
+    * SAME pairs with an equi-shuffle instead of a nested loop. */
+  val qIntervalJoin = QueryDef("q_interval_join",
+    (s, dir) => {
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 30)
+      val left = ords.where(col("o_custkey") < 60)
+        .select(col("o_orderkey").as("l_key"), col("o_orderstatus").as("l_status"),
+          col("lo").as("l_lo"), col("hi").as("l_hi"))
+      val right = ords.where(col("o_custkey") >= 60 && col("o_custkey") < 120)
+        .select(col("o_orderkey").as("r_key"),
+          col("lo").as("r_lo"), col("hi").as("r_hi"))
+      graft.operators.IntervalJoin
+        .binnedOverlapJoin(left, "l_lo", "l_hi", right, "r_lo", "r_hi",
+          binWidth = 32)
+        .groupBy("l_status")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("l_key")).cast("long").as("n_left"))
+        .orderBy("l_status")
+    },
+    Some(
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS lo,
+        |    CAST(datediff('day', DATE '1992-01-01', o_orderdate) + 30 AS BIGINT) AS hi
+        |  FROM orders),
+        |l AS (SELECT o_orderkey AS l_key, o_orderstatus AS l_status,
+        |             lo AS l_lo, hi AS l_hi FROM o WHERE o_custkey < 60),
+        |r AS (SELECT o_orderkey AS r_key, lo AS r_lo, hi AS r_hi
+        |      FROM o WHERE o_custkey >= 60 AND o_custkey < 120)
+        |SELECT l_status, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT l_key) AS BIGINT) AS n_left
+        |FROM l JOIN r ON l_lo < r_hi AND r_lo < l_hi
+        |GROUP BY l_status ORDER BY l_status""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qStreamTwsInit, qStreamTwsTimer, qOrcRoundtrip, qManagedTable,
-      qBpeMerges, qBpeEncode)
+      qBpeMerges, qBpeEncode, qIntervalJoin)
 }
