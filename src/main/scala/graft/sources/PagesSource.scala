@@ -193,8 +193,24 @@ class SingleRowReaderFactory(values: Array[Any])
 
 class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
                 required: StructType, batchRows: Long) extends Scan with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  /** Post-pushdown statistics: the optimizer sees the CLAMPED range, so
+    * a pushed `page_id` predicate shrinks the reported size and a join
+    * against the filtered scan can qualify for broadcast on stats the
+    * source computed in closed form (no files to measure). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val n = math.max(0L, hi - lo)
+      private val width = required.fields.map(_.dataType.defaultSize).sum.toLong
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n * math.max(1L, width))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+    }
 
   // runtime (post-planning) page_id pruning fed by joins at execution
   // time — the DSv2 form of dynamic partition pruning: a broadcast dim's

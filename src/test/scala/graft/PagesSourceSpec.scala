@@ -33,6 +33,19 @@ class PagesSourceSpec extends AnyFunSuite {
       s"expected clamped range in scan description, got $scan")
   }
 
+  test("reported statistics track the pushed range (SupportsReportStatistics)") {
+    // stats come from the SCAN after pushdown, so the optimizer sees the
+    // clamped range — the closed-form DSv2 analogue of ANALYZE TABLE
+    val full = pages(100000, 4)
+    val clamped = pages(100000, 4).where($"page_id" < 1000)
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    val clampedStats = clamped.queryExecution.optimizedPlan.stats
+    assert(fullStats.rowCount.contains(BigInt(100000)), s"got $fullStats")
+    assert(clampedStats.rowCount.contains(BigInt(1000)), s"got $clampedStats")
+    assert(clampedStats.sizeInBytes * 50 < fullStats.sizeInBytes,
+      s"pushed filter must shrink reported bytes: $clampedStats vs $fullStats")
+  }
+
   test("column pruning reaches the scan (html never built for a 1-col read)") {
     val df = pages(100, 2).select("page_id")
     assert(df.as[Long].collect().sorted.toSeq == (0L until 100L))
