@@ -34,6 +34,30 @@ object Tables {
     stageDir.toString
   }
 
+  /** Deterministic per-sfDir temp path (same recipe as
+    * [[stageEventsDir]]): reruns against the same data dir reuse —
+    * and therefore overwrite — the same staging location. */
+  def tmpPath(prefix: String, dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      prefix + "_" + math.abs(dir.hashCode)).toString
+
+  /** Run `body` with the RocksDB state store provider active —
+    * required by every `transformWithState` operator (typed state
+    * variables map to column families the HDFS-backed store lacks) and
+    * the production backend for all stateful streaming. Restores the
+    * previous provider even on failure. */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
     * the micro-batch startup knob for the finite-fixture streaming
     * queries. A stateful streaming operator materializes one state store

@@ -76,11 +76,17 @@ object BpeOps {
     val merges = ArrayBuffer.empty[Merge]
     var corpus = corpusForm(docs, textCol).persist()
     try {
-      for (r <- 1 to iterations) {
+      var r = 1
+      var exhausted = false
+      while (r <= iterations && !exhausted) {
         val best = pairCounts(corpus)
           .orderBy(col("n").desc, col("w1"), col("w2"))
           .limit(1).collect()
-        if (best.nonEmpty) {
+        if (best.isEmpty) {
+          // no adjacent pair anywhere: every later round would re-run the
+          // full count shuffle just to find the same nothing — stop now
+          exhausted = true
+        } else {
           val (w1, w2, n) = (best(0).getString(0), best(0).getString(1),
             best(0).getLong(2))
           merges += Merge(r, w1, w2, n)
@@ -90,6 +96,7 @@ object BpeOps {
           next.count() // materialize before dropping the parent
           corpus.unpersist()
           corpus = next
+          r += 1
         }
       }
     } finally corpus.unpersist()
@@ -117,26 +124,33 @@ object BpeOps {
         .as("n_tokens"))
   }
 
+  /** Corpus-form SQL fragment. coalesce: DuckDB's array_to_string of an
+    * EMPTY list is NULL (Spark's array_join is ''), so a zero-token doc
+    * would otherwise poison its whole row with NULL. */
+  private def corpusFormSql(cte: String, cols: String, maxDoc: Int): String =
+    s"""$cte AS (SELECT $cols'  ' || coalesce(array_to_string(
+       |    list_filter(string_split(text, ' '), x -> len(x) > 0), '  '), '')
+       |    || '  ' AS s
+       |  FROM documents WHERE doc_id < $maxDoc)""".stripMargin
+
+  /** Per-round training CTE level (pairs → argmax → merged corpus). */
+  private def trainLevelSql(r: Int): String =
+    s"""p$r AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
+       |  FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+       |        FROM (SELECT string_split(trim(s), '  ') AS arr
+       |              FROM docs${r - 1})
+       |        WHERE len(arr) >= 2)),
+       |b$r AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM p$r
+       |  GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 1),
+       |docs$r AS (SELECT replace(s, ' ' || b.w1 || '  ' || b.w2 || ' ',
+       |    ' ' || b.w1 || b.w2 || ' ') AS s
+       |  FROM docs${r - 1}, b$r b)""".stripMargin
+
   /** DuckDB oracle for [[trainMerges]]: the same `iterations` rounds
     * unrolled as CTE levels, generated from the same constants. */
   def trainMergesOracleSql(maxDoc: Int, iterations: Int): String = {
-    val base =
-      s"""docs0 AS (SELECT '  ' || array_to_string(
-         |    list_filter(string_split(text, ' '), x -> len(x) > 0), '  ')
-         |    || '  ' AS s
-         |  FROM documents WHERE doc_id < $maxDoc)""".stripMargin
-    val levels = (1 to iterations).map { r =>
-      s"""p$r AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
-         |  FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
-         |        FROM (SELECT string_split(trim(s), '  ') AS arr
-         |              FROM docs${r - 1})
-         |        WHERE len(arr) >= 2)),
-         |b$r AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM p$r
-         |  GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 1),
-         |docs$r AS (SELECT replace(s, ' ' || b.w1 || '  ' || b.w2 || ' ',
-         |    ' ' || b.w1 || b.w2 || ' ') AS s
-         |  FROM docs${r - 1}, b$r b)""".stripMargin
-    }
+    val base = corpusFormSql("docs0", "", maxDoc)
+    val levels = (1 to iterations).map(trainLevelSql)
     val union = (1 to iterations)
       .map(r => s"SELECT $r AS rank, w1, w2, n FROM b$r")
       .mkString("\nUNION ALL\n")
@@ -148,32 +162,18 @@ object BpeOps {
     * scalar subqueries over each round's argmax row. */
   def encodeOracleSql(trainMaxDoc: Int, iterations: Int,
       encodeMaxDoc: Int): String = {
-    val base =
-      s"""docs0 AS (SELECT '  ' || array_to_string(
-         |    list_filter(string_split(text, ' '), x -> len(x) > 0), '  ')
-         |    || '  ' AS s
-         |  FROM documents WHERE doc_id < $trainMaxDoc)""".stripMargin
-    val levels = (1 to iterations).map { r =>
-      s"""p$r AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
-         |  FROM (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
-         |        FROM (SELECT string_split(trim(s), '  ') AS arr
-         |              FROM docs${r - 1})
-         |        WHERE len(arr) >= 2)),
-         |b$r AS (SELECT w1, w2 FROM p$r
-         |  GROUP BY w1, w2 ORDER BY count(*) DESC, w1, w2 LIMIT 1),
-         |docs$r AS (SELECT replace(s, ' ' || b.w1 || '  ' || b.w2 || ' ',
-         |    ' ' || b.w1 || b.w2 || ' ') AS s
-         |  FROM docs${r - 1}, b$r b)""".stripMargin
-    }
-    val enc0 =
-      s"""enc0 AS (SELECT doc_id, '  ' || array_to_string(
-         |    list_filter(string_split(text, ' '), x -> len(x) > 0), '  ')
-         |    || '  ' AS s
-         |  FROM documents WHERE doc_id < $encodeMaxDoc)""".stripMargin
+    val base = corpusFormSql("docs0", "", trainMaxDoc)
+    val levels = (1 to iterations).map(trainLevelSql)
+    val enc0 = corpusFormSql("enc0", "doc_id, ", encodeMaxDoc)
     val encLevels = (1 to iterations).map { r =>
+      // if round r found no pair, b_r is empty and both scalar subqueries
+      // are NULL; coalescing BOTH to the same placeholder makes the
+      // replace an identity (search == replacement), matching Spark's
+      // "apply only the merges that exist" — replace(s, NULL, ...) would
+      // instead NULL the whole corpus
       s"""enc$r AS (SELECT doc_id, replace(s,
-         |    (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM b$r),
-         |    (SELECT ' ' || w1 || w2 || ' ' FROM b$r)) AS s
+         |    coalesce((SELECT ' ' || w1 || '  ' || w2 || ' ' FROM b$r), '~'),
+         |    coalesce((SELECT ' ' || w1 || w2 || ' ' FROM b$r), '~')) AS s
          |  FROM enc${r - 1})""".stripMargin
     }
     // no outer stripMargin: the interpolated fragments contain lines that

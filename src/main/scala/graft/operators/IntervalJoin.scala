@@ -29,9 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Floor division on LONG columns. `floor(col / w)` would divide in
+    * DOUBLE and corrupt bins beyond 2^53 (nanosecond epochs are ~1.7e18
+    * — the same hazard Tables.events documents); `div` truncates toward
+    * zero, which is wrong for negative bounds. Decimal division is
+    * exact over the full long range and floor() gives true floor. */
+  private def floorDiv(c: Column, w: Long): Column =
+    floor(c.cast("decimal(28,0)") / w).cast("long")
+
   private def bins(lo: Column, hi: Column, w: Long): Column =
-    sequence(floor(lo / w).cast("long"),
-      floor((hi - 1) / w).cast("long"))
+    sequence(floorDiv(lo, w), floorDiv(hi - 1, w))
 
   /** Inner overlap join. `left` needs (lo, hi) columns named by
     * `leftLo`/`leftHi`, same for `right`; output = left columns then
@@ -59,8 +66,8 @@ object IntervalJoin {
           lc(leftLo) < rc(rightHi) && rc(rightLo) < lc(leftHi) &&
           // first shared bin: dedup as a scalar predicate, no distinct
           lc("__bin") === greatest(
-            floor(lc(leftLo) / binWidth).cast("long"),
-            floor(rc(rightLo) / binWidth).cast("long")))
+            floorDiv(lc(leftLo), binWidth),
+            floorDiv(rc(rightLo), binWidth)))
       .drop("__bin")
   }
 }

@@ -34,19 +34,8 @@ object R15Queries {
   private def t(s: SparkSession, dir: String, name: String) =
     Tables.load(s, dir, name)
 
-  /** transformWithState requires the RocksDB provider (typed state
-    * variables map to column families the HDFS-backed store lacks). */
-  private def withRocksDB[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+  private def withRocksDB[T](s: SparkSession)(body: => T): T =
+    Tables.withRocksDbStateStore(s)(body)
 
   // ---------- q_stream_tws ----------
 

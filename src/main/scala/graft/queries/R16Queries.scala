@@ -27,20 +27,10 @@ object R16Queries {
     Tables.load(s, dir, name)
 
   private def tmpPath(prefix: String, dir: String): String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      prefix + "_" + math.abs(dir.hashCode)).toString
+    Tables.tmpPath(prefix, dir)
 
-  private def withRocksDB[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+  private def withRocksDB[T](s: SparkSession)(body: => T): T =
+    Tables.withRocksDbStateStore(s)(body)
 
   // ---------- q_stream_tws_init ----------
 

@@ -23,8 +23,7 @@ object R17Queries {
 
   val qStreamSessionize = QueryDef("q_stream_sessionize",
     (s, dir) => Tables.withShufflePartitions(s, 4) {
-      val stage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_ssz_src_" + math.abs(dir.hashCode)).toString
+      val stage = Tables.tmpPath("graft_ssz_src", dir)
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
       val sentinel = s.range(1)
         .select(lit(-1L).as("user_id"),

@@ -200,12 +200,26 @@ class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
   /** Post-pushdown statistics: the optimizer sees the CLAMPED range, so
     * a pushed `page_id` predicate shrinks the reported size and a join
     * against the filtered scan can qualify for broadcast on stats the
-    * source computed in closed form (no files to measure). */
+    * source computed in closed form (no files to measure). String
+    * widths are SAMPLED from the actual generator (dataType.defaultSize
+    * pegs every string at 20 B, which undersells the html payload and
+    * could green-light broadcasting a too-large side). */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       private val n = math.max(0L, hi - lo)
-      private val width = required.fields.map(_.dataType.defaultSize).sum.toLong
+      private val sampleIds: Seq[Long] =
+        if (n <= 0) Seq(0L)
+        else Seq(lo, lo + n / 3, lo + 2 * n / 3, hi - 1).distinct
+      private def avgLen(gen: Long => String): Long =
+        sampleIds.map(i => gen(i).length.toLong).sum / sampleIds.length
+      private val width = required.fields.map { f =>
+        f.name match {
+          case "url"  => avgLen(PagesTable.url)
+          case "html" => avgLen(PagesTable.html(_, rows))
+          case _      => f.dataType.defaultSize.toLong
+        }
+      }.sum
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(n * math.max(1L, width))
       override def numRows(): java.util.OptionalLong =

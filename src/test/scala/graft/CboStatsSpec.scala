@@ -15,7 +15,7 @@ class CboStatsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
+  private def withConf[T](kv: (String, String)*)(body: => T): T = {
     val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
@@ -59,7 +59,7 @@ class CboStatsSpec extends AnyFunSuite {
     // threshold sits between the FILTERED dim's CBO estimate (~1/1000 of
     // 150k rows, a few KB) and the full table's on-disk size (~1 MB) —
     // only selectivity-aware stats can justify the broadcast
-    def planOf(cbo: Boolean): String = withConfV(
+    def planOf(cbo: Boolean): String = withConf(
       "spark.sql.cbo.enabled" -> cbo.toString,
       "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString,
       "spark.sql.adaptive.enabled" -> "false") {
@@ -75,13 +75,4 @@ class CboStatsSpec extends AnyFunSuite {
       "expected sort-merge join when selectivity stats are ignored")
   }
 
-  private def withConfV[T](kv: (String, String)*)(body: => T): T = {
-    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
 }

@@ -45,6 +45,34 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(pairs(10000) == expected)
   }
 
+  test("nanosecond-epoch bounds beyond 2^53 bin exactly (no double corruption)") {
+    // ~1.7e18 ns with widths of a few hundred ns: a double divide loses
+    // ~256 ns of precision here and mis-bins boundary intervals
+    val base = 1700000000000000000L
+    val l = (0 until 60).map { i =>
+      (i.toLong, base + i * 333L, base + i * 333L + 1 + (i % 5) * 100L)
+    }.toDF("l_id", "l_lo", "l_hi")
+    val r = (0 until 70).map { i =>
+      (i.toLong, base + i * 287L + 13L, base + i * 287L + 14L + (i % 7) * 90L)
+    }.toDF("r_id", "r_lo", "r_hi")
+    val got = IntervalJoin
+      .binnedOverlapJoin(l, "l_lo", "l_hi", r, "r_lo", "r_hi", 256)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+    val want = l.crossJoin(r)
+      .where(col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("negative bounds use floor (not truncate-toward-zero) binning") {
+    val l = Seq((1L, -95L, -80L), (2L, -10L, 5L)).toDF("l_id", "l_lo", "l_hi")
+    val r = Seq((1L, -85L, -60L), (2L, -3L, 1L)).toDF("r_id", "r_lo", "r_hi")
+    val got = IntervalJoin
+      .binnedOverlapJoin(l, "l_lo", "l_hi", r, "r_lo", "r_hi", 32)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("empty and null intervals are dropped, not matched") {
     val l = Seq((1L, 10L, 10L), (2L, 5L, 6L)).toDF("l_id", "l_lo", "l_hi")
     val r = spark.sql(

@@ -44,6 +44,10 @@ class PagesSourceSpec extends AnyFunSuite {
     assert(clampedStats.rowCount.contains(BigInt(1000)), s"got $clampedStats")
     assert(clampedStats.sizeInBytes * 50 < fullStats.sizeInBytes,
       s"pushed filter must shrink reported bytes: $clampedStats vs $fullStats")
+    // string widths are sampled from the generator, not the 20-byte
+    // defaultSize: the html payload alone is ~65+ bytes per row
+    assert(clampedStats.sizeInBytes >= BigInt(1000L * 80),
+      s"row width must reflect the real payload: $clampedStats")
   }
 
   test("column pruning reaches the scan (html never built for a 1-col read)") {

@@ -16,17 +16,8 @@ class StateV2Spec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def withRocksDB[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  private def withRocksDB[T](body: => T): T =
+    graft.core.Tables.withRocksDbStateStore(spark)(body)
 
   /** (event_id, user_id, value, event_type) rows → one parquet file in dir. */
   private def writeBatch(dir: String,
