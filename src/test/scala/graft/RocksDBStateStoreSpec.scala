@@ -21,17 +21,8 @@ class RocksDBStateStoreSpec extends AnyFunSuite {
   private val schema = StructType(Seq(
     StructField("user_id", LongType), StructField("ts", TimestampType)))
 
-  private def withRocksDB[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  private def withRocksDB[T](body: => T): T =
+    graft.core.Tables.withRocksDbStateStore(spark)(body)
 
   test("windowed aggregation state lives in RocksDB and survives restart") {
     withRocksDB {
