@@ -64,5 +64,67 @@ object R17Queries {
         |FROM z GROUP BY user_id, session_seq
         |ORDER BY user_id, start_us""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qStreamSessionize)
+  // ---------- q_corrupt_records ----------
+
+  /** Error-tolerant ingestion: a feed where ~1 in 40 payloads is
+    * malformed must not kill the job (the streaming twin of K1's "one
+    * bad row" hazard). PERMISSIVE `from_json` yields a NULL struct for
+    * bad payloads; the query routes rows into valid/corrupt counts per
+    * type. Oracle detects the same malformed payloads structurally. */
+  val qCorruptRecords = QueryDef("q_corrupt_records",
+    (s, dir) => {
+      // coalesce: a NULL value would NULL the whole payload via concat and
+      // miscount as corrupt (the BpeOps-oracle lesson applied up front)
+      val v = coalesce(col("value"), lit(0.0)).cast("string")
+      val payload = when(col("event_id") % 40 === 0,
+        concat(lit("{\"v\":"), v)) // unclosed
+        .otherwise(concat(lit("{\"v\":"), v, lit("}")))
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), payload.as("js"))
+        .select(col("event_type"),
+          from_json(col("js"), org.apache.spark.sql.types.StructType.fromDDL(
+            "v DOUBLE")).as("p"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("p").isNull || col("p.v").isNull, 1L).otherwise(0L))
+            .as("n_corrupt"))
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_id % 40 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // ---------- q_merge_schema ----------
+
+  /** Lake schema evolution: two parquet drops with different column
+    * sets read back as ONE table via mergeSchema — late columns are
+    * NULL for early files (the additive-evolution contract every
+    * long-lived 100 TB lake relies on). */
+  val qMergeSchema = QueryDef("q_merge_schema",
+    (s, dir) => {
+      val out = Tables.tmpPath("graft_merge_schema", dir)
+      val ev = Tables.load(s, dir, "events")
+      ev.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$out/gen=old")
+      ev.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$out/gen=new")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          countDistinct("user_id").cast("long").as("n_users"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some(
+      """SELECT CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END
+        |    AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(qStreamSessionize, qCorruptRecords, qMergeSchema)
 }
