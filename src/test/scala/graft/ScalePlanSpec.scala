@@ -172,4 +172,24 @@ class ScalePlanSpec extends AnyFunSuite {
     // and the data round-trips completely
     assert(spark.read.parquet(out).count() == 10000)
   }
+
+  test("nested schema pruning: reading struct.a never deserializes the wide sibling") {
+    // the struct analogue of column pruning — at 100 TB a metadata
+    // struct routinely carries a wide payload field; selecting one leaf
+    // must prune the rest out of the parquet ReadSchema
+    val out = Files.createTempDirectory("graft_nested_prune").toString
+    spark.range(2000)
+      .selectExpr("id", "named_struct('a', id % 7, 'b', id % 11, " +
+        "'huge', repeat('x', 200)) AS s")
+      .write.mode("overwrite").parquet(out)
+    val q = spark.read.parquet(out).where($"s.a" === 3).select($"id", $"s.a")
+    assert(q.count() == 286)
+    val scan = q.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(scan)
+    assert(readSchema.contains("s:struct<a:bigint>"),
+      s"expected nested pruning to a:bigint only, got: $readSchema")
+    assert(!readSchema.contains("huge"),
+      s"wide sibling leaked into the scan: $readSchema")
+  }
 }
