@@ -125,6 +125,60 @@ object R17Queries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin))
 
+  // ---------- q_text_corpus_roundtrip ----------
+
+  /** K2 ROUND TRIP: the reference's file-per-page text corpus
+    * (2-line `root_site:`/`web_url:` header, `web_spider_oo.py:352-359`)
+    * written by `Sinks.writeTextFiles`, then RE-INGESTED through
+    * Spark's wholetext source and parsed back to (url, text) — the
+    * "crawl once, re-read the corpus forever" path a training pipeline
+    * actually takes. Oracle reconstructs the expected rows straight
+    * from `documents`. */
+  val qTextCorpusRoundtrip = QueryDef("q_text_corpus_roundtrip",
+    (s, dir) => {
+      val root = "https://h.test/"
+      val out = Tables.tmpPath("graft_text_corpus", dir)
+      val docs = Tables.load(s, dir, "documents").where(col("doc_id") < 200)
+        .select(concat(lit(root), col("doc_id").cast("string")).as("url"),
+          col("text"))
+      graft.core.Sinks.writeTextFiles(docs, root, out)
+      s.read.option("wholetext", "true").text(out)
+        .select(split(col("value"), "\n", 3).as("parts"))
+        .select(
+          regexp_replace(element_at(col("parts"), 2), "^web_url: ", "")
+            .as("url"),
+          length(element_at(col("parts"), 3)).cast("long").as("text_len"))
+        .orderBy("url")
+    },
+    Some(
+      """SELECT 'https://h.test/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents WHERE doc_id < 200 ORDER BY url""".stripMargin))
+
+  // ---------- q_binary_source ----------
+
+  /** K3 ROUND TRIP through the `binaryFile` source: verbatim bytes
+    * written per row by `Sinks.writeBinaryFiles`, read back as
+    * (content BINARY, length) — fingerprints and byte counts must
+    * survive untouched (the PDF-corpus shape; fixture text stands in
+    * for the bytes). */
+  val qBinarySource = QueryDef("q_binary_source",
+    (s, dir) => {
+      val root = "https://b.test/"
+      val out = Tables.tmpPath("graft_binary_corpus", dir)
+      val docs = Tables.load(s, dir, "documents").where(col("doc_id") < 150)
+        .select(concat(lit(root), col("doc_id").cast("string")).as("url"),
+          col("text").cast("binary").as("content"))
+      graft.core.Sinks.writeBinaryFiles(docs, root, out)
+      s.read.format("binaryFile").load(out)
+        .select(md5(col("content")).as("fp"), col("length"))
+        .orderBy("fp", "length")
+    },
+    Some(
+      """SELECT md5(text) AS fp, CAST(strlen(text) AS BIGINT) AS length
+        |FROM documents WHERE doc_id < 150 ORDER BY fp, length""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(qStreamSessionize, qCorruptRecords, qMergeSchema)
+    Seq(qStreamSessionize, qCorruptRecords, qMergeSchema,
+      qTextCorpusRoundtrip, qBinarySource)
 }
