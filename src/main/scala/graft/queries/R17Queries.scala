@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
 
-/** Seventeenth wave — closing the custom-state v1 loop:
+/** Seventeenth wave — the custom-state v1 loop, ingestion robustness,
+  * and the reference corpus's read path:
   *
   *  - `q_stream_sessionize`: [[graft.streaming.Sessionize]]'s
   *    `flatMapGroupsWithState` path (interval-merge state + event-time
@@ -18,6 +19,12 @@ import graft.queries.Queries.QueryDef
   *    hand-rolled state machine itself. A far-future sentinel advances
   *    the watermark so every real session times out and flushes; the
   *    sentinel's own open session is the terminal 1-row state.
+  *  - `q_corrupt_records` / `q_merge_schema`: malformed-payload
+  *    tolerance and additive schema evolution — the two failure modes
+  *    a long-lived ingestion pipeline hits first.
+  *  - `q_text_corpus_roundtrip` / `q_binary_source`: the K2/K3 file
+  *    corpus REaD back (wholetext + binaryFile sources) — write-side
+  *    sinks existed since round 1; this closes the loop.
   */
 object R17Queries {
 
