@@ -41,6 +41,23 @@ object Tables {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       prefix + "_" + math.abs(dir.hashCode)).toString
 
+  /** Drain a finite stream until its stateful operators hold at most
+    * `targetRows` rows (the watermark-sentinel termination idiom: the
+    * sentinels' own state is the load-independent terminal condition).
+    * Watermark-triggered flushes ride no-data micro-batches that
+    * `processAllAvailable` alone may not wait for, hence the poll. */
+  def drainStateTo(q: org.apache.spark.sql.streaming.StreamingQuery,
+                   targetRows: Long, timeoutSec: Long = 60): Unit = {
+    q.processAllAvailable()
+    val deadline = System.nanoTime() + timeoutSec * 1000L * 1000 * 1000
+    def stateRows: Long = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(Long.MaxValue)
+    while (stateRows > targetRows && System.nanoTime() < deadline) {
+      q.processAllAvailable()
+      Thread.sleep(100)
+    }
+  }
+
   /** Run `body` with the RocksDB state store provider active —
     * required by every `transformWithState` operator (typed state
     * variables map to column families the HDFS-backed store lacks) and

@@ -29,13 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** Floor division on LONG columns. `floor(col / w)` would divide in
-    * DOUBLE and corrupt bins beyond 2^53 (nanosecond epochs are ~1.7e18
-    * — the same hazard Tables.events documents); `div` truncates toward
-    * zero, which is wrong for negative bounds. Decimal division is
-    * exact over the full long range and floor() gives true floor. */
+  /** Floor division on LONG columns, exact over the FULL long range.
+    * `floor(col / w)` divides in DOUBLE and corrupts bins beyond 2^53
+    * (nanosecond epochs are ~1.7e18 — the hazard Tables.events
+    * documents); decimal division rounds HALF_UP at its derived scale
+    * before floor(), mis-binning values within w·5e-11 of a boundary
+    * once w ≥ ~2e10 (minute/hour-wide ns bins). So: stay in integer
+    * arithmetic. `div` truncates toward zero — already floor for c ≥ 0;
+    * for c < 0, floor(c/w) = -((-c-1) div w) - 1, where -(c+1) cannot
+    * overflow (c = Long.MinValue maps to Long.MaxValue). */
   private def floorDiv(c: Column, w: Long): Column =
-    floor(c.cast("decimal(28,0)") / w).cast("long")
+    when(c >= 0, call_function("div", c, lit(w)))
+      .otherwise(-call_function("div", -(c + 1), lit(w)) - 1)
 
   private def bins(lo: Column, hi: Column, w: Long): Column =
     sequence(floorDiv(lo, w), floorDiv(hi - 1, w))

@@ -124,14 +124,7 @@ object R11Queries {
           unix_micros(col("session_window.end")).as("end_us"), col("n"))
         .writeStream.outputMode("append")
         .format("memory").queryName("graft_ssw_out").start()
-      q.processAllAvailable()
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def stateRows: Long = Option(q.lastProgress)
-        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(Long.MaxValue)
-      while (stateRows > 1 && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        Thread.sleep(100)
-      }
+      Tables.drainStateTo(q, targetRows = 1)
       q.stop()
       s.table("graft_ssw_out").where(col("user_id") >= 0)
         .orderBy("user_id", "start_us")

@@ -98,14 +98,7 @@ object R16Queries {
         val q = StateV2.idleFlush(s, src, gapMs = 60000L)
           .writeStream.outputMode("append")
           .format("memory").queryName("graft_tws_timer_out").start()
-        q.processAllAvailable()
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        def stateRows: Long = Option(q.lastProgress)
-          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(Long.MaxValue)
-        while (stateRows > 1 && System.nanoTime() < deadline) {
-          q.processAllAvailable()
-          Thread.sleep(100)
-        }
+        Tables.drainStateTo(q, targetRows = 1)
         q.stop()
         s.table("graft_tws_timer_out").where(col("user_id") >= 0)
           .orderBy("user_id")

@@ -42,15 +42,8 @@ object R17Queries {
         .streamingSessions(s, src, gapMinutes = 30, watermarkDelay = "1 hour")
         .writeStream.outputMode("append")
         .format("memory").queryName("graft_ssz_out").start()
-      q.processAllAvailable()
       // drain until only the sentinel's open session remains in state
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def stateRows: Long = Option(q.lastProgress)
-        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(Long.MaxValue)
-      while (stateRows > 1 && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        Thread.sleep(100)
-      }
+      Tables.drainStateTo(q, targetRows = 1)
       q.stop()
       s.table("graft_ssz_out").where(col("user_id") >= 0)
         .orderBy("user_id", "start_us")

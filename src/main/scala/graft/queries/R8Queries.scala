@@ -94,19 +94,12 @@ object R8Queries {
         .select(col("l_id"), col("r_id"))
         .writeStream.outputMode("append")
         .format("memory").queryName("graft_slo_out").start()
-      q.processAllAvailable()
       // the outer flush rides a watermark-triggered no-data batch that
       // processAllAvailable may not wait for. Terminal condition: the
       // join state has drained to exactly the two sentinels (their match
       // horizons sit past the final watermark by construction) — state
       // size is load-independent, unlike sink-count stability timing
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def stateRows: Long = Option(q.lastProgress)
-        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(Long.MaxValue)
-      while (stateRows > 2 && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        Thread.sleep(100)
-      }
+      Tables.drainStateTo(q, targetRows = 2)
       q.stop()
       // negative ids are the watermark sentinels (held in state or
       // emitted null-padded, either way not part of the result)

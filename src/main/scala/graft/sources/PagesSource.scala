@@ -209,11 +209,12 @@ class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
     new org.apache.spark.sql.connector.read.Statistics {
       private val n = math.max(0L, hi - lo)
       private val sampleIds: Seq[Long] =
-        if (n <= 0) Seq(0L)
-        else Seq(lo, lo + n / 3, lo + 2 * n / 3, hi - 1).distinct
+        Seq(lo, lo + n / 3, lo + 2 * n / 3, hi - 1).distinct
       private def avgLen(gen: Long => String): Long =
         sampleIds.map(i => gen(i).length.toLong).sum / sampleIds.length
-      private val width = required.fields.map { f =>
+      // n == 0 guard: html(i, rows) takes `% rows`, so sampling an empty
+      // table (rows=0) would divide by zero during PLANNING
+      private val width = if (n == 0) 0L else required.fields.map { f =>
         f.name match {
           case "url"  => avgLen(PagesTable.url)
           case "html" => avgLen(PagesTable.html(_, rows))

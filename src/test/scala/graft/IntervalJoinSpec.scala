@@ -55,13 +55,18 @@ class IntervalJoinSpec extends AnyFunSuite {
     val r = (0 until 70).map { i =>
       (i.toLong, base + i * 287L + 13L, base + i * 287L + 14L + (i % 7) * 90L)
     }.toDF("r_id", "r_lo", "r_hi")
-    val got = IntervalJoin
-      .binnedOverlapJoin(l, "l_lo", "l_hi", r, "r_lo", "r_hi", 256)
-      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
     val want = l.crossJoin(r)
       .where(col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
       .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
-    assert(got == want && want.nonEmpty)
+    // narrow bins stress 2^53 double corruption; minute-wide ns bins
+    // (6e10) stress decimal HALF_UP rounding at the derived scale —
+    // integer floor division must survive both
+    for (w <- Seq(256L, 60L * 1000 * 1000 * 1000)) {
+      val got = IntervalJoin
+        .binnedOverlapJoin(l, "l_lo", "l_hi", r, "r_lo", "r_hi", w)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want && want.nonEmpty, s"binWidth=$w")
+    }
   }
 
   test("negative bounds use floor (not truncate-toward-zero) binning") {
