@@ -178,7 +178,43 @@ object R17Queries {
       """SELECT md5(text) AS fp, CAST(strlen(text) AS BIGINT) AS length
         |FROM documents WHERE doc_id < 150 ORDER BY fp, length""".stripMargin))
 
+  // ---------- q_domain_mix_temp ----------
+
+  /** Temperature-scaled corpus mixing (the multilingual upsampling
+    * recipe: sampling share ∝ natural-share^(1/T), T > 1 flattens the
+    * head and lifts the tail). Complements `q_domain_mix`'s hard
+    * uniform target with the standard smooth reweighting. All heavy
+    * work is one aggregation; the reweighting runs on the
+    * |sources|-row aggregate. round(4) absorbs libm pow() divergence
+    * between engines (the q_tfidf_top discipline). */
+  val qDomainMixTemp = QueryDef("q_domain_mix_temp",
+    (s, dir) => {
+      val t = 3.3 // XLM-R-style temperature
+      val g = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum("n_chars").as("tokens"))
+        .withColumn("share",
+          col("tokens").cast("double") / sum("tokens").over(g).cast("double"))
+        .withColumn("w", pow(col("share"), 1.0 / t))
+        .withColumn("mix_share", round(col("w") / sum("w").over(g), 4))
+        .select(col("source"), col("tokens"), round(col("share"), 4).as("share"),
+          col("mix_share"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+        |             FROM documents GROUP BY source),
+        |sh AS (SELECT source, tokens,
+        |         CAST(tokens AS DOUBLE)
+        |           / CAST(CAST(sum(tokens) OVER () AS BIGINT) AS DOUBLE) AS share
+        |       FROM per),
+        |w AS (SELECT source, tokens, share, pow(share, 1.0 / 3.3) AS w FROM sh)
+        |SELECT source, tokens, round(share, 4) AS share,
+        |       round(w / sum(w) OVER (), 4) AS mix_share
+        |FROM w ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qStreamSessionize, qCorruptRecords, qMergeSchema,
-      qTextCorpusRoundtrip, qBinarySource)
+      qTextCorpusRoundtrip, qBinarySource, qDomainMixTemp)
 }
