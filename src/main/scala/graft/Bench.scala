@@ -18,7 +18,12 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // optional local-iteration filter (comma-separated name prefixes);
     // the driver never sets it, so the graded run measures everything
-    val only: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
+    val onlyFilter = sys.env.get("SPARK_GRAFT_ONLY")
+    // a leaked filter in a graded run must be LOUD: stderr warning up
+    // front AND a tag inside the results JSON itself
+    onlyFilter.foreach(p => System.err.println(
+      s"WARNING: SPARK_GRAFT_ONLY=$p — PARTIAL benchmark run, results cover a query subset"))
+    val only: String => Boolean = onlyFilter match {
       case Some(p) => val ps = p.split(",").toSeq; n => ps.exists(n.startsWith)
       case None => _ => true
     }
@@ -45,9 +50,17 @@ object Bench {
     // total = successful queries only; time-to-crash of a failed query is
     // not a throughput number and would disagree with its -1 entry
     val total = results.collect { case (_, v, true) => v }.sum
+    // slowest-10 duplicated right before the total: the alphabetical
+    // per-query map gets head-truncated by the driver's log capture, which
+    // in r4 hid the most expensive queries — the headliners must sit in
+    // the tail that always survives
+    val slowest = results.filter(_._3).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val partial = onlyFilter.map(p => s""""partial":"$p",""").getOrElse("")
     // total fields go LAST: the driver's log capture truncates the HEAD of
     // long lines, so the parseable summary must sit at the tail
-    println(s"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","unit":"sec","value":${f(total)}}""")
+    println(s"""{"queries":$qs,"failed":$failed,$partial"sf":"$sfDir","slowest10":$slowest,"metric":"total","unit":"sec","value":${f(total)}}""")
     spark.stop()
   }
 }

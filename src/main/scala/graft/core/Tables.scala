@@ -41,6 +41,20 @@ object Tables {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       prefix + "_" + math.abs(dir.hashCode)).toString
 
+  /** Recursively delete a staging directory. File-dump sinks re-ingested
+    * via directory-globbing sources (wholetext/binaryFile) MUST start from
+    * an empty dir: stale files from an earlier code version with different
+    * filenames would otherwise ride along into the read-back. */
+  def clearDir(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   /** Drain a finite stream until its stateful operators hold at most
     * `targetRows` rows (the watermark-sentinel termination idiom: the
     * sentinels' own state is the load-independent terminal condition).

@@ -138,6 +138,10 @@ object R17Queries {
     (s, dir) => {
       val root = "https://h.test/"
       val out = Tables.tmpPath("graft_text_corpus", dir)
+      // the deterministic tmp dir survives across runs: clear it so stale
+      // files from an earlier code version can't ride into the wholetext
+      // read-back (the q_managed_table pre-clean discipline)
+      Tables.clearDir(out)
       val docs = Tables.load(s, dir, "documents").where(col("doc_id") < 200)
         .select(concat(lit(root), col("doc_id").cast("string")).as("url"),
           col("text"))
@@ -166,6 +170,7 @@ object R17Queries {
     (s, dir) => {
       val root = "https://b.test/"
       val out = Tables.tmpPath("graft_binary_corpus", dir)
+      Tables.clearDir(out) // same stale-file guard as the text roundtrip
       val docs = Tables.load(s, dir, "documents").where(col("doc_id") < 150)
         .select(concat(lit(root), col("doc_id").cast("string")).as("url"),
           col("text").cast("binary").as("content"))
