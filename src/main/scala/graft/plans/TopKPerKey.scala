@@ -42,20 +42,20 @@ case class TopKPerKeyNode(keys: Seq[Attribute], order: Attribute, k: Int,
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // two-phase: a map-side PARTIAL heap below the (EnsureRequirements-
+      // inserted) exchange bounds the shuffle to ≤ partitions × keys × k
+      // rows — the global top-k per key is always a subset of the union
+      // of per-partition top-k's, so the final heap stays exact
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
-case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
-                          child: SparkPlan) extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output
-
-  /** One hash shuffle by key, inserted by EnsureRequirements. */
-  override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
-
-  private def orderingFor(dt: DataType): Ordering[Any] = (dt match {
+/** The bounded-heap pass shared by the partial (map-side) and final
+  * (post-shuffle) physical nodes. */
+private[plans] object TopKHeap {
+  def orderingFor(dt: DataType): Ordering[Any] = (dt match {
     case DoubleType => Ordering[Double]
     case FloatType => Ordering[Float]
     case LongType => Ordering[Long]
@@ -69,44 +69,78 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
       throw new IllegalArgumentException(s"TopKPerKey: unsupported order type $other")
   }).asInstanceOf[Ordering[Any]]
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val kLocal = k
-    val schema = child.output
-    val keyExprs = keys
-    val orderExpr = order
-    child.execute().mapPartitions ({ iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, schema)
-      val boundOrder = BindReferences.bindReference(orderExpr, schema)
-      val ord = orderingFor(boundOrder.dataType)
-      // PriorityQueue dequeues its MAX; reverse the ordering so the head
-      // is the smallest kept value -> bounded min-heap of the top-k.
-      val pairOrd: Ordering[(Any, InternalRow)] =
-        Ordering.by[(Any, InternalRow), Any](_._1)(ord.reverse)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val raw = boundOrder.eval(row)
-        if (raw != null) {
-          // UTF8String (and any buffer-backed value) is a VIEW into the
-          // shuffle reader's reused row buffer — stored heap keys would
-          // silently mutate on the next iter.next(); copy before keeping
-          val v: Any = raw match {
-            case u: UTF8String => u.clone()
-            case other => other
-          }
-          val key = keyProj(row).copy()
-          val pq = heaps.getOrElseUpdate(key,
-            mutable.PriorityQueue.empty[(Any, InternalRow)](pairOrd))
-          if (pq.size < kLocal) pq.enqueue((v, row.copy()))
-          else if (ord.gt(v, pq.head._1)) {
-            pq.dequeue(); pq.enqueue((v, row.copy()))
-          }
+  /** Per-partition bounded-heap top-k (O(n log k) time, O(keys×k)
+    * memory). Exact within the partition; the final node applies it
+    * again after the hash exchange to make it exact globally. */
+  def partitionTopK(iter: Iterator[InternalRow], schema: Seq[Attribute],
+      keyExprs: Seq[Expression], orderExpr: Expression,
+      k: Int): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keyExprs, schema)
+    val boundOrder = BindReferences.bindReference(orderExpr, schema)
+    val ord = orderingFor(boundOrder.dataType)
+    // PriorityQueue dequeues its MAX; reverse the ordering so the head
+    // is the smallest kept value -> bounded min-heap of the top-k.
+    val pairOrd: Ordering[(Any, InternalRow)] =
+      Ordering.by[(Any, InternalRow), Any](_._1)(ord.reverse)
+    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
+    while (iter.hasNext) {
+      val row = iter.next()
+      val raw = boundOrder.eval(row)
+      if (raw != null) {
+        // UTF8String (and any buffer-backed value) is a VIEW into the
+        // shuffle reader's reused row buffer — stored heap keys would
+        // silently mutate on the next iter.next(); copy before keeping
+        val v: Any = raw match {
+          case u: UTF8String => u.clone()
+          case other => other
+        }
+        val key = keyProj(row).copy()
+        val pq = heaps.getOrElseUpdate(key,
+          mutable.PriorityQueue.empty[(Any, InternalRow)](pairOrd))
+        if (pq.size < k) pq.enqueue((v, row.copy()))
+        else if (ord.gt(v, pq.head._1)) {
+          pq.dequeue(); pq.enqueue((v, row.copy()))
         }
       }
-      heaps.iterator.flatMap { case (_, pq) =>
-        pq.toSeq.sortBy(_._1)(ord.reverse).map(_._2)
-      }
-    }, preservesPartitioning = true)
+    }
+    heaps.iterator.flatMap { case (_, pq) =>
+      pq.toSeq.sortBy(_._1)(ord.reverse).map(_._2)
+    }
+  }
+}
+
+/** Map-side partial top-k: no required distribution, so it runs BEFORE
+  * the exchange and caps what the shuffle carries at partitions×keys×k
+  * rows — the same partial-aggregation shape Spark gives hash
+  * aggregates. */
+case class TopKPerKeyPartialExec(keys: Seq[Expression], order: Expression,
+                                 k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (kLocal, schema, keyExprs, orderExpr) = (k, child.output, keys, order)
+    child.execute().mapPartitions(
+      TopKHeap.partitionTopK(_, schema, keyExprs, orderExpr, kLocal),
+      preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  /** One hash shuffle by key, inserted by EnsureRequirements. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (kLocal, schema, keyExprs, orderExpr) = (k, child.output, keys, order)
+    child.execute().mapPartitions(
+      TopKHeap.partitionTopK(_, schema, keyExprs, orderExpr, kLocal),
+      preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =

@@ -78,4 +78,58 @@ class BpeOpsSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
   }
+
+  // ---------- word-level (production) trainer ----------
+
+  import org.apache.spark.sql.functions._
+
+  private def wordMerges(texts: Seq[String], iters: Int,
+      maxWords: Int): Seq[(Int, String, String, Long)] =
+    BpeOps.trainMergesWordLevel(spark, texts.toDF("text"), "text",
+      iters, maxWords).orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+
+  test("word-table trainer ≡ corpus-form trainer on char-exploded words") {
+    // the verdict-r4 equivalence pin: exploding every word OCCURRENCE
+    // into a row of single-space-joined characters makes the sequence-
+    // level trainer compute exactly the word-level semantics (pairs
+    // cannot cross rows = cannot cross words); the incremental
+    // word-table loop must reproduce it merge for merge
+    val texts = Seq("the cat sat on the mat", "the cat cat", "mat on mat",
+      "aaa aa a the", "", "  ", "sat")
+    val docs = texts.toDF("text")
+    val viaWordTable = wordMerges(texts, 6, maxWords = 1000)
+    val charRows = docs.select(explode(filter(split(col("text"), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      .select(array_join(filter(split(col("w"), ""), c => length(c) > 0), " ")
+        .as("text"))
+    val viaCorpusForm = BpeOps.trainMerges(spark, charRows, "text", 6)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(viaWordTable == viaCorpusForm)
+  }
+
+  test("word-level merges are within-word and frequency-weighted") {
+    // 'ab' appears 3×, 'cd' 2× -> (a,b) n=3 wins round 1; no pair ever
+    // spans the word boundary (e.g. (b,c) must NOT appear)
+    val got = wordMerges(Seq("ab cd ab", "ab cd"), 2, maxWords = 100)
+    assert(got(0) == ((1, "a", "b", 3L)))
+    assert(got(1) == ((2, "c", "d", 2L)))
+  }
+
+  test("maxWords cap keeps only the top-frequency words") {
+    // cap=1 keeps only 'ab' (freq 2 beats 'xy' freq 1): the (x,y) pair
+    // must contribute nothing
+    val got = wordMerges(Seq("ab xy ab"), 2, maxWords = 1)
+    assert(got == Seq((1, "a", "b", 2L)))
+  }
+
+  test("word-level encode merges within words and counts subword tokens") {
+    val ms = Seq(BpeOps.Merge(1, "a", "b", 0L), BpeOps.Merge(2, "ab", "c", 0L))
+    // "abc ab" -> [abc] [ab] = 2; "cab" -> [c a b]->[c ab] = 2; "" -> 0
+    val docs = Seq((1L, "abc ab"), (2L, "cab"), (3L, ""), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = BpeOps.encodeWordLevel(docs, "text", "doc_id", ms)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 0L), (4L, 2L)))
+  }
 }

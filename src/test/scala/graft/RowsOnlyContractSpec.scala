@@ -12,7 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * recomputation, recall against the exact twin, or bit-for-bit
   * determinism across runs (reproducibility is the contract a training
   * pipeline actually needs from sketch/ANN stages). */
-class RowsOnlyContractSpec extends AnyFunSuite {
+class RowsOnlyContractSpec extends AnyFunSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.01"
 
@@ -86,8 +87,40 @@ class RowsOnlyContractSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_ivfpq: recall@5 ≥ 0.8 and bounded-shortlist plan shape") {
+    val exact = run("q_knn_cosine").where(col("rn") <= 5)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val df = run("q_ann_ivfpq")
+    // execute df ITSELF (not a derived projection) so its adaptive plan
+    // is finalized before the shape assertions below
+    val ivfpq = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("vec_id"))))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // exact rational recall (hits / expected): the measured value sits
+    // exactly AT the 0.8 contract (40/50 — routing-bound on the
+    // unstructured fixture embeddings), so avoid accumulating per-query
+    // float divisions that could dip an ulp below the literal
+    val hits = exact.keys.toSeq.map { q =>
+      (ivfpq.getOrElse(q, Set.empty[Long]) & exact(q)).size }.sum
+    val expected = exact.values.map(_.size).sum
+    val recall = hits.toDouble / expected
+    assert(recall >= 0.8 - 1e-9, s"IVF-PQ recall@5 degraded: $recall")
+    // plan pin (the r4 verdict's ask): the ADC→shortlist edge must be
+    // the bounded heap operator — its map-side partial node present —
+    // and the only Window is the final one over ≤ shortlist rows/query
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case e: graft.plans.TopKPerKeyPartialExec => e }.nonEmpty,
+      "shortlist selection is not the bounded TopKPerKey operator")
+    assert(collectWithSubqueries(plan) { case w: WindowExec => w }.size <= 1,
+      "unexpected extra Window — shortlist must not be a corpus-wide window")
+  }
+
   for (name <- Seq("q_minhash_lsh", "q_minhash_typed", "q_ann_lsh",
-      "q_ann_ivf", "q_ann_pq", "q_hll_sketch")) {
+      "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq", "q_hll_sketch")) {
     test(s"$name: bit-for-bit deterministic across runs") {
       val a = run(name).collect().map(_.toString).sorted
       val b = run(name).collect().map(_.toString).sorted

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{TopKPerKey, TopKPerKeyExec}
+import graft.plans.{TopKPerKey, TopKPerKeyExec, TopKPerKeyPartialExec}
 
 class TopKPerKeySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   lazy val spark = SparkTestSession.spark
@@ -44,6 +44,34 @@ class TopKPerKeySpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(collectWithSubqueries(plan) { case e: TopKPerKeyExec => e }.nonEmpty)
     val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }
     assert(shuffles.size == 1)
+  }
+
+  test("map-side partial heap bounds the shuffle to ≤ partitions×keys×k rows") {
+    val nParts = 8
+    val df = spark.range(100000).repartition(nParts)
+      .selectExpr("id % 7 AS k", "id AS v")
+    val q = TopKPerKey.topKPerKey(df, Seq("k"), "v", 2)
+    val got = q.select("k", "v").as[(Long, Long)].collect().toSet
+    // exactness first: global top-2 per key survives the two-phase split
+    val want = (0L until 7L).flatMap { key =>
+      val top = (0L until 100000L).filter(_ % 7 == key).sorted.reverse.take(2)
+      top.map(key -> _)
+    }.toSet
+    assert(got == want)
+    val plan = q.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case e: TopKPerKeyPartialExec => e }.nonEmpty)
+    // the exchange feeding the final node must carry the PARTIAL output
+    // (≤ 8 partitions × 7 keys × 2 = 112 rows), not the 100k input
+    val topkShuffle = collectWithSubqueries(plan) {
+      case e: ShuffleExchangeLike
+        if collectWithSubqueries(e.child) {
+          case p: TopKPerKeyPartialExec => p }.nonEmpty => e
+    }
+    assert(topkShuffle.size == 1)
+    val written = topkShuffle.head.metrics("shuffleRecordsWritten").value
+    assert(written <= nParts.toLong * 7 * 2,
+      s"shuffle carried $written rows — partial heap not applied")
   }
 
   test("string order type works") {
