@@ -1,16 +1,38 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (north-star extension): image/audio/video as
-  * opaque BINARY columns with typed metadata, processed per-partition in
-  * batches.
+/** Multimodal-column processing (north-star extension): image/audio/video
+  * as opaque BINARY columns with typed metadata, processed per-partition
+  * in batches.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape, `mapPartitions` signature; only the codec call is a STUB
-  * (the image/audio libraries are not in this container). On a real
-  * cluster you swap [[stubDecode]] for the codec and nothing else changes.
+  * The image codec is REAL — JDK-builtin `javax.imageio` PNG encode and
+  * decode (no external dependency, works offline): [[decodeImages]]
+  * reads actual pixels out of actual PNG bytes, [[resizeImages]] is a
+  * real nearest-neighbor scaler over decoded pixels, [[sampleFrames]]
+  * decodes a frame-strip image and slices true frames out of it. Video
+  * CONTAINER parsing is the one thing the JDK cannot do, so the frame
+  * fixture models a video as a vertically-stacked strip PNG (one frame
+  * per `frameH` rows) — the decode, batching and one-to-many explode are
+  * all real; only the container demux is out of scope.
+  *
+  * Everything runs inside `mapPartitions` (not a per-row UDF) so the
+  * codec works batch-at-a-time per partition — the Spark idiom for
+  * heavyweight decode: at 100 TB the payload column never reaches the
+  * driver, partitions decode independently, and the feature output is
+  * columnar and tiny compared to the media bytes.
+  *
+  * Determinism contract for the oracle: fixture PNGs are synthesized
+  * from a pixel FORMULA of (doc_id, x, y) ([[pixelR]]/[[pixelG]]/
+  * [[pixelB]]); PNG is lossless 8-bit RGB, so decoded pixels equal the
+  * formula exactly and DuckDB can hash-check real decode output by
+  * evaluating the same formula — a fake decoder cannot pass.
   */
 object MultimodalOps {
 
@@ -18,37 +40,164 @@ object MultimodalOps {
     * binary modalities in a parquet lake. */
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted features (decode output). */
-  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-                           width: Int, height: Int, checksum: Long)
+  /** Decoded image features: geometry + exact per-channel pixel sums
+    * (integer-exact, so both engines agree bit-for-bit). */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           n_pixels: Long, sum_r: Long, sum_g: Long,
+                           sum_b: Long)
 
-  /** STUB decode: deterministic fake features derived from the bytes.
-    * Real implementation would call the image/audio codec here (???), e.g.
-    * javax.imageio / ffmpeg bindings; the rest of the pipeline is agnostic
-    * to what runs inside. */
-  def stubDecode(r: MediaRow): MediaFeatures = {
-    val n = r.payload.length.toLong
-    // deterministic fake geometry + additive checksum (stand-in for a
-    // decoded frame's dimensions)
-    var sum = 0L
-    var i = 0
-    while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
-    MediaFeatures(r.doc_id, r.media_type, n,
-      width = (sum % 640).toInt + 1, height = (sum % 480).toInt + 1,
-      checksum = sum)
+  /** One sampled frame's features (one-to-many decode output). */
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, sum_r: Long,
+                           sum_g: Long, sum_b: Long)
+
+  /** Nearest-neighbor resize output: target geometry + exact channel
+    * sums of the RESIZED pixels. */
+  case class ResizedFeatures(doc_id: Long, out_w: Int, out_h: Int,
+                             sum_r: Long, sum_g: Long, sum_b: Long)
+
+  // deterministic fixture pixel formula — shared (via the generated
+  // oracle SQL) with DuckDB; all moduli of non-negative values
+  private[graft] def pixelR(id: Long, x: Int, y: Int): Int =
+    ((id * 7 + x * 13 + y * 31) % 256).toInt
+  private[graft] def pixelG(id: Long, x: Int, y: Int): Int =
+    ((id * 11 + x * 3 + y * 17) % 256).toInt
+  private[graft] def pixelB(id: Long, x: Int, y: Int): Int =
+    ((id * 5 + x * 19 + y * 23) % 256).toInt
+
+  private def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixelR(id, x, y) << 16) | (pixelG(id, x, y) << 8) | pixelB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  /** Batched per-partition feature extraction. `mapPartitions` (not a
-    * per-row UDF) so a real decoder can amortize codec init per partition
-    * and process batches — the Spark idiom for heavyweight decode. */
-  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** Fixture builder: one REAL PNG per document, geometry a function of
+    * doc_id (w = id%5+1, h = id%4+1), pixels from the shared formula.
+    * Encoded executor-side in batches — the write half of the codec
+    * round trip. */
+  def imagesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    media.mapPartitions { rows => rows.map(stubDecode) }
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        MediaRow(id, "image",
+          synthPng(id, (id % 5).toInt + 1, (id % 4).toInt + 1))
+      }
+    }
   }
 
-  /** Build a MediaRow dataset from the documents table, treating the text
-    * bytes as an opaque payload (the container has no real media files;
-    * payload content is irrelevant to the plumbing under test). */
+  /** Fixture builder for frame strips: a "video" of `nFrames = id%3+2`
+    * frames, each `w`×`frameH`, stacked vertically into one PNG. */
+  def stripsFromDocuments(spark: SparkSession, docs: DataFrame,
+                          w: Int = 4, frameH: Int = 3): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val nFrames = (id % 3).toInt + 2
+        MediaRow(id, "video", synthPng(id, w, frameH * nFrames))
+      }
+    }
+  }
+
+  private def readImage(payload: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    img
+  }
+
+  private def channelSums(img: BufferedImage, x0: Int, y0: Int,
+                          w: Int, h: Int): (Long, Long, Long) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = y0
+    while (y < y0 + h) {
+      var x = x0
+      while (x < x0 + w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
+  /** REAL batched image decode: `javax.imageio` per partition, exact
+    * geometry + channel sums out. This is the feature-extraction shape
+    * of an image-curation pipeline (aesthetic scoring, NSFW filtering,
+    * dedup hashing all start from exactly this decoded-pixel access). */
+  def decodeImages(spark: SparkSession, media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = readImage(r.payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (sr, sg, sb) = channelSums(img, 0, 0, w, h)
+        ImageFeatures(r.doc_id, w, h, w.toLong * h, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Frame sampling over a frame-strip "video": decode once, slice every
+    * `everyN`-th `frameH`-row frame, emit per-frame channel sums — the
+    * one-to-many (UDTF-shaped) multimodal op, partition-batched. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+                   frameH: Int = 3, everyN: Int = 2): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(frameH > 0 && everyN > 0, "frameH and everyN must be > 0")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = readImage(r.payload)
+        val nFrames = img.getHeight / frameH
+        (0 until nFrames by everyN).iterator.map { fi =>
+          val (sr, sg, sb) =
+            channelSums(img, 0, fi * frameH, img.getWidth, frameH)
+          FrameFeatures(r.doc_id, fi, sr, sg, sb)
+        }
+      }
+    }
+  }
+
+  /** REAL nearest-neighbor resize over decoded pixels:
+    * `src(x·inW/outW, y·inH/outH)` (floor division — the canonical NN
+    * sampling, chosen over Graphics2D interpolation because it is
+    * bit-deterministic and therefore oracle-checkable). Emits the
+    * resized image's exact channel sums. */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
+                   outW: Int, outH: Int): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    require(outW > 0 && outH > 0, "target geometry must be positive")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = readImage(r.payload)
+        val (inW, inH) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            val rgb = img.getRGB(x * inW / outW, y * inH / outH)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ResizedFeatures(r.doc_id, outW, outH, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Opaque-payload builder from the documents table (text bytes as
+    * payload) — the storage-plumbing fixture for sinks/sources that
+    * treat media as bytes without decoding. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"),
@@ -59,44 +208,14 @@ object MultimodalOps {
       .as[MediaRow]
   }
 
-  /** A sampled frame: one-to-many decode output (the UDTF-shaped
-    * multimodal op — one video row explodes into its kept frames). */
-  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int,
-                   head_code: Int, tail_code: Int)
+  // ---------- generated oracle fragments ----------
 
-  /** Frame sampling: chunk the payload into fixed-size pseudo-frames and
-    * keep every `everyN`-th — the video-curation primitive (STUB codec:
-    * a real decoder would emit decoded frames; the partition-batched
-    * one-to-many plumbing is what's under test, and the stub's byte
-    * arithmetic keeps it oracle-checkable). */
-  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
-                   frameBytes: Int = 256, everyN: Int = 4): Dataset[Frame] = {
-    import spark.implicits._
-    require(frameBytes > 0 && everyN > 0, "frameBytes and everyN must be > 0")
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        r.payload.grouped(frameBytes).zipWithIndex.collect {
-          case (chunk, idx) if idx % everyN == 0 =>
-            Frame(r.doc_id, idx, chunk.length,
-              chunk.head & 0xff, chunk.last & 0xff)
-        }
-      }
-    }
-  }
-
-  /** Resize output: target geometry + the byte budget actually kept. */
-  case class ResizedMedia(doc_id: Long, media_type: String,
-                          out_w: Int, out_h: Int, n_bytes_out: Long)
-
-  /** STUB resize: cap the payload at the target pixel budget (w×h bytes)
-    * — stand-in for a real scaler; per-partition batching as above. */
-  def stubResize(spark: SparkSession, media: Dataset[MediaRow],
-                 w: Int, h: Int): Dataset[ResizedMedia] = {
-    import spark.implicits._
-    val budget = w.toLong * h
-    media.mapPartitions { rows =>
-      rows.map(r => ResizedMedia(r.doc_id, r.media_type, w, h,
-        math.min(r.payload.length.toLong, budget)))
-    }
+  /** The pixel formula as SQL — generated beside the Scala so both
+    * engines evaluate the identical arithmetic. `id`, `x`, `y` are
+    * column names in scope at the call site. */
+  private[graft] def pixelSumSql(chan: Char): String = chan match {
+    case 'r' => "sum((doc_id * 7 + x * 13 + y * 31) % 256)"
+    case 'g' => "sum((doc_id * 11 + x * 3 + y * 17) % 256)"
+    case 'b' => "sum((doc_id * 5 + x * 19 + y * 23) % 256)"
   }
 }

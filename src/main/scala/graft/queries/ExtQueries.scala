@@ -296,28 +296,27 @@ object ExtQueries {
 
   // ---------- multimodal + full crawl (rows-only) ----------
 
-  /** Multimodal binary-column plumbing: mapPartitions batched feature
-    * extraction with a clearly-marked stub decoder. The stub features are
-    * deterministic byte arithmetic, so even the mapPartitions path is
-    * oracle-checked (fixture text is ASCII: code point == byte). */
+  /** Multimodal image decode, REAL codec: per-doc PNGs are encoded and
+    * then decoded with JDK `javax.imageio` inside the partition-batched
+    * mapPartitions path; the emitted geometry and exact channel sums are
+    * oracle-checked against the pixel-generating formula (PNG is
+    * lossless, so a decoder that does not truly read pixels cannot
+    * match). */
   val qMultimodalFeatures = QueryDef("q_multimodal_features",
-    (s, dir) => MultimodalOps.extractFeatures(s,
-      MultimodalOps.mediaFromDocuments(s, t(s, dir, "documents")))
+    (s, dir) => MultimodalOps.decodeImages(s,
+      MultimodalOps.imagesFromDocuments(s, t(s, dir, "documents")))
       .toDF().orderBy("doc_id"),
     Some(
-      """WITH chars AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
-        |               FROM documents),
-        |sums AS (SELECT doc_id, CAST(sum(ascii(substring(text, i, 1))) AS BIGINT) AS s
-        |         FROM chars GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |       CASE WHEN d.doc_id % 3 = 0 THEN 'image'
-        |            WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |       CAST(length(d.text) AS BIGINT) AS n_bytes,
-        |       CAST(COALESCE(s.s, 0) % 640 + 1 AS INTEGER) AS width,
-        |       CAST(COALESCE(s.s, 0) % 480 + 1 AS INTEGER) AS height,
-        |       CAST(COALESCE(s.s, 0) AS BIGINT) AS checksum
-        |FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin))
+      s"""WITH d AS (SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 4 + 1 AS h
+         |           FROM documents),
+         |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+         |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(w * h AS BIGINT) AS n_pixels,
+         |  CAST(${MultimodalOps.pixelSumSql('r')} AS BIGINT) AS sum_r,
+         |  CAST(${MultimodalOps.pixelSumSql('g')} AS BIGINT) AS sum_g,
+         |  CAST(${MultimodalOps.pixelSumSql('b')} AS BIGINT) AS sum_b
+         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin))
 
   /** End-to-end crawl pipeline (S4 admission, S3 extraction, F1-F3
     * cleaning, BFS with memoization, intended-semantics edges) over a

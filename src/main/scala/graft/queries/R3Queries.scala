@@ -834,48 +834,54 @@ object R3Queries {
          |FROM a ORDER BY doc_id""".stripMargin
     })
 
-  /** Multimodal frame sampling: every 4th 256-byte pseudo-frame of each
-    * "video" payload via the one-to-many mapPartitions path — the stub's
-    * byte arithmetic is SQL-expressible (ASCII payload: byte == code
-    * point), so the partition-batched explode itself is hash-checked. */
+  /** Multimodal frame sampling, REAL decode: each "video" is a
+    * vertically-stacked frame-strip PNG (the JDK has no video container
+    * demuxer; the strip isolates exactly that step) — `sampleFrames`
+    * decodes the strip with javax.imageio and slices every 2nd 3-row
+    * frame, emitting exact per-frame channel sums the oracle recomputes
+    * from the pixel formula. */
   val qFrameSample = QueryDef("q_frame_sample",
-    (s, dir) => {
-      import s.implicits._
-      val media = graft.ext.MultimodalOps.mediaFromDocuments(s,
-        t(s, dir, "documents").where(col("doc_id") < 90))
-        .filter(_.media_type == "video")
-      graft.ext.MultimodalOps.sampleFrames(s, media)
-        .toDF().orderBy("doc_id", "frame_idx")
-    },
+    (s, dir) => graft.ext.MultimodalOps.sampleFrames(s,
+      graft.ext.MultimodalOps.stripsFromDocuments(s,
+        t(s, dir, "documents").where(col("doc_id") < 90)))
+      .toDF().orderBy("doc_id", "frame_idx"),
     Some(
-      """WITH d AS (SELECT doc_id, text, len(text) AS n
-        |           FROM documents WHERE doc_id < 90 AND doc_id % 3 = 2),
-        |f AS (SELECT doc_id, text, n,
-        |        unnest(generate_series(0, CAST(ceil(n / 256.0) AS BIGINT) - 1)) AS idx
-        |      FROM d)
-        |SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
-        |  CAST(least(256, n - idx * 256) AS INTEGER) AS n_bytes,
-        |  CAST(ord(substr(text, idx * 256 + 1, 1)) AS INTEGER) AS head_code,
-        |  CAST(ord(substr(text, idx * 256 + least(256, n - idx * 256), 1)) AS INTEGER) AS tail_code
-        |FROM f WHERE idx % 4 = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin))
+      s"""WITH d AS (SELECT doc_id, doc_id % 3 + 2 AS nf
+         |           FROM documents WHERE doc_id < 90),
+         |fr AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS fi FROM d),
+         |k AS (SELECT doc_id, fi FROM fr WHERE fi % 2 = 0),
+         |xs AS (SELECT doc_id, fi, unnest(generate_series(0, 3)) AS x FROM k),
+         |px AS (SELECT doc_id, fi, x,
+         |         unnest(generate_series(fi * 3, fi * 3 + 2)) AS y
+         |       FROM xs)
+         |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+         |  CAST(${graft.ext.MultimodalOps.pixelSumSql('r')} AS BIGINT) AS sum_r,
+         |  CAST(${graft.ext.MultimodalOps.pixelSumSql('g')} AS BIGINT) AS sum_g,
+         |  CAST(${graft.ext.MultimodalOps.pixelSumSql('b')} AS BIGINT) AS sum_b
+         |FROM px GROUP BY doc_id, fi
+         |ORDER BY doc_id, frame_idx""".stripMargin))
 
-  /** Multimodal resize stub: payload capped at the w×h byte budget,
-    * geometry metadata attached (mapPartitions batch path). */
+  /** Multimodal resize, REAL pixels: nearest-neighbor scaling of the
+    * decoded per-doc PNG to 3×3 — the oracle recomputes the sampled
+    * source coordinates (floor-division picks) and their formula
+    * channel sums. */
   val qMediaResize = QueryDef("q_media_resize",
-    (s, dir) => {
-      val media = graft.ext.MultimodalOps.mediaFromDocuments(s,
-        t(s, dir, "documents").where(col("doc_id") < 90))
-      graft.ext.MultimodalOps.stubResize(s, media, w = 64, h = 48)
-        .toDF().orderBy("doc_id")
-    },
+    (s, dir) => graft.ext.MultimodalOps.resizeImages(s,
+      graft.ext.MultimodalOps.imagesFromDocuments(s,
+        t(s, dir, "documents").where(col("doc_id") < 90)),
+      outW = 3, outH = 3)
+      .toDF().orderBy("doc_id"),
     Some(
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(64 AS INTEGER) AS out_w, CAST(48 AS INTEGER) AS out_h,
-        |  CAST(least(len(text), 3072) AS BIGINT) AS n_bytes_out
-        |FROM documents WHERE doc_id < 90 ORDER BY doc_id""".stripMargin))
+      s"""WITH d AS (SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 4 + 1 AS h
+         |           FROM documents WHERE doc_id < 90),
+         |ox AS (SELECT doc_id, w, h, unnest(generate_series(0, 2)) AS i FROM d),
+         |oy AS (SELECT doc_id, w, h, i, unnest(generate_series(0, 2)) AS j FROM ox),
+         |px AS (SELECT doc_id, (i * w) // 3 AS x, (j * h) // 3 AS y FROM oy)
+         |SELECT doc_id, CAST(3 AS INTEGER) AS out_w, CAST(3 AS INTEGER) AS out_h,
+         |  CAST(${graft.ext.MultimodalOps.pixelSumSql('r')} AS BIGINT) AS sum_r,
+         |  CAST(${graft.ext.MultimodalOps.pixelSumSql('g')} AS BIGINT) AS sum_g,
+         |  CAST(${graft.ext.MultimodalOps.pixelSumSql('b')} AS BIGINT) AS sum_b
+         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** Full outer join with both-side unmatched rows (key ranges overlap
     * only partially by construction). */

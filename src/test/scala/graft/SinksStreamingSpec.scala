@@ -32,14 +32,53 @@ class SinksStreamingSpec extends AnyFunSuite {
     assert(Files.readAllBytes(f).toSeq == bytes.toSeq)
   }
 
-  test("multimodal stub extraction preserves rows and is deterministic") {
-    val media = Seq(
-      MultimodalOps.MediaRow(1L, "image", "abc".getBytes),
-      MultimodalOps.MediaRow(2L, "audio", Array[Byte]())).toDS()
-    val got = MultimodalOps.extractFeatures(spark, media).collect()
+  private def formulaSums(id: Long, xs: Range, ys: Range): (Long, Long, Long) = {
+    var (r, g, b) = (0L, 0L, 0L)
+    for (y <- ys; x <- xs) {
+      r += MultimodalOps.pixelR(id, x, y)
+      g += MultimodalOps.pixelG(id, x, y)
+      b += MultimodalOps.pixelB(id, x, y)
+    }
+    (r, g, b)
+  }
+
+  test("image decode reads real PNG pixels (encode->decode formula round trip)") {
+    val media = MultimodalOps.imagesFromDocuments(spark, Seq(7L, 12L).toDF("doc_id"))
+    val got = MultimodalOps.decodeImages(spark, media).collect()
       .map(f => f.doc_id -> f).toMap
-    assert(got(1L).n_bytes == 3 && got(1L).checksum == 'a' + 'b' + 'c')
-    assert(got(2L).n_bytes == 0 && got(2L).width == 1)
+    // doc 7: w = 7%5+1 = 3, h = 7%4+1 = 4; PNG is lossless so the decoded
+    // sums must equal the generating formula exactly
+    assert(got(7L).width == 3 && got(7L).height == 4 && got(7L).n_pixels == 12)
+    assert((got(7L).sum_r, got(7L).sum_g, got(7L).sum_b) ==
+      formulaSums(7L, 0 until 3, 0 until 4))
+    assert(got(12L).width == 3 && got(12L).height == 1)
+    assert((got(12L).sum_r, got(12L).sum_g, got(12L).sum_b) ==
+      formulaSums(12L, 0 until 3, 0 until 1))
+  }
+
+  test("frame sampling slices every 2nd frame out of the decoded strip") {
+    // doc 4: nFrames = 4%3+2 = 3 -> kept frames 0 and 2
+    val media = MultimodalOps.stripsFromDocuments(spark, Seq(4L).toDF("doc_id"))
+    val got = MultimodalOps.sampleFrames(spark, media).collect()
+      .sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert((got(1).sum_r, got(1).sum_g, got(1).sum_b) ==
+      formulaSums(4L, 0 until 4, 6 until 9))
+  }
+
+  test("nearest-neighbor resize samples src(x*inW/outW, y*inH/outH)") {
+    // doc 9: w = 9%5+1 = 5, h = 9%4+1 = 2; resize to 2x2 picks
+    // x in {0*5/2, 1*5/2} = {0, 2}, y in {0*2/2, 1*2/2} = {0, 1}
+    val media = MultimodalOps.imagesFromDocuments(spark, Seq(9L).toDF("doc_id"))
+    val got = MultimodalOps.resizeImages(spark, media, 2, 2).collect().head
+    val picks = for (y <- Seq(0, 1); x <- Seq(0, 2)) yield (x, y)
+    val exp = picks.map { case (x, y) =>
+      (MultimodalOps.pixelR(9L, x, y).toLong,
+        MultimodalOps.pixelG(9L, x, y).toLong,
+        MultimodalOps.pixelB(9L, x, y).toLong)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    assert((got.sum_r, got.sum_g, got.sum_b) == exp)
+    assert(got.out_w == 2 && got.out_h == 2)
   }
 
   test("streaming windowed counts match the batch equivalent") {
