@@ -93,5 +93,44 @@ object R18Queries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(qBpeWordMerges, qBpeWordEncode, qAnnIvfPq)
+  // ---------- q_html_entities_full ----------
+
+  /** Entity-laden fixture exercising every decode class: Latin-1 and
+    * typographic named entities, decimal/hex numeric refs, the HTML5
+    * C1 windows-1252 remap (`&#151;` → em dash), invalid refs
+    * (surrogate, overflow → U+FFFD), double-escapes (`&amp;lt;`,
+    * `&#38;amp;` — the single-pass cases), and an unknown name that
+    * must pass through verbatim. The lang column rides along so the
+    * decode runs over varying content. */
+  private def entityFullDocHtml = concat(
+    lit("<p>caf&eacute; &ldquo;"), col("lang"),
+    lit("&rdquo; &#8212; A&nbsp;B &amp;lt;keep&amp;gt; it&#x27;s T&trade; " +
+      "w&#151;d bad&#xD800;ref &#38;amp; &euro;9 &unknown; x&#999999999;y " +
+      "&sigma;&frac12;</p>"))
+
+  private val entityFullDocHtmlSql: String =
+    """'<p>caf&eacute; &ldquo;' || lang ||
+      |   '&rdquo; &#8212; A&nbsp;B &amp;lt;keep&amp;gt; it&#x27;s T&trade; ' ||
+      |   'w&#151;d bad&#xD800;ref &#38;amp; &euro;9 &unknown; x&#999999999;y ' ||
+      |   '&sigma;&frac12;</p>'""".stripMargin
+
+  /** Full-fidelity K2 text extraction ([[graft.core.HtmlEntities]]):
+    * the complete HTML 4.01 named table plus HTML5-rule numeric
+    * references in one single-pass scan; the DuckDB twin is GENERATED
+    * from the same tables. Complements `q_html_entities` (the historic
+    * 12-entity chained-replace form, kept as-is). */
+  val qHtmlEntitiesFull = QueryDef("q_html_entities_full",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), entityFullDocHtml.as("html"))
+      .select(col("doc_id"),
+        graft.core.HtmlEntities.htmlToTextFull(col("html")).as("text_out"))
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH h AS (SELECT doc_id, $entityFullDocHtmlSql AS html FROM documents)
+         |SELECT doc_id,
+         |  ${graft.core.HtmlEntities.htmlToTextFullSql("html")} AS text_out
+         |FROM h ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(qBpeWordMerges, qBpeWordEncode, qAnnIvfPq, qHtmlEntitiesFull)
 }
