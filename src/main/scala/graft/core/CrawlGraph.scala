@@ -132,12 +132,14 @@ object CrawlGraph {
     * @return (edges(pen_depth, parent_link, child_link),
     *          unique_links(link_id, link_name))
     */
-  def crawl(spark: SparkSession, pages: DataFrame, rootSite: String,
-            penDepth: Int): (DataFrame, DataFrame) = {
+  /** S4 admission + S3→F1-F3→A1 mining shared by [[crawl]] and
+    * [[crawlActualEdges]]: the admitted (mined) pages as a parent-url
+    * relation, and the per-page cleaned child edges.
+    * Only text pages are link-mined — pdf pages are saved but not mined
+    * (web_spider_oo.py:108-109 `continue`s after the pdf sink). */
+  private def minedRelations(spark: SparkSession, pages: DataFrame,
+      rootSite: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    // one source of truth for F5 routing and F3 normalization: LinkOps.
-    // Only text pages are link-mined — pdf pages are saved but not mined
-    // (web_spider_oo.py:108-109 `continue`s after the pdf sink).
     val ok = pages.filter($"status" === 200)
       .filter(LinkOps.route($"url") === "text_sink")
     // url -> its cleaned child urls (S3 -> F1-F3 -> A1)
@@ -147,7 +149,14 @@ object CrawlGraph {
       .filter(LinkOps.keepLink($"link"))
       .select($"parent", LinkOps.normalize(rootSite, $"link").as("child"))
       .distinct()
-      .persist()
+    (ok.select($"url".as("parent")).distinct(), childEdges)
+  }
+
+  def crawl(spark: SparkSession, pages: DataFrame, rootSite: String,
+            penDepth: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    // one source of truth for F5 routing and F3 normalization: LinkOps
+    val childEdges = minedRelations(spark, pages, rootSite)._2.persist()
 
     // Bounded-depth loop built fully lazily: an empty frontier makes the
     // remaining iterations cheap no-op joins, so no per-depth isEmpty
@@ -180,5 +189,68 @@ object CrawlGraph {
     persisted.foreach(_.unpersist(blocking = false))
     childEdges.unpersist(blocking = false)
     (edges, surrogateKeys(visitedCk, "url"))
+  }
+
+  /** The reference's ACTUAL `raw.indexing` edge semantics, reproduced
+    * faithfully beside [[edgesWithDepth]]'s intended form — the J2
+    * treatment applied to the §2.10 divergence (`web_spider_oo.py:
+    * 125-128`): within a depth the spider processes parents one at a
+    * time, `child_level_links` accumulates across them, and EACH
+    * parent's upload pairs it with the PREFIX-ACCUMULATED set of every
+    * child seen so far at that depth — so later parents are credited
+    * with earlier parents' children (the docstring at `:314` states the
+    * per-parent intent; the code ships the accumulation).
+    *
+    * Deterministic pin: the reference iterates a Python set
+    * (nondeterministic order); this twin processes parents in
+    * lexicographic URL order, the same total-order pin as
+    * [[surrogateKeys]]. A parent that was admitted (status 200, text
+    * route) but mined ZERO children still uploads the accumulated set —
+    * hence the separate admitted-parents relation.
+    *
+    * Relational form, per depth: rank the admitted frontier parents
+    * (`rk`), compute each child's FIRST producing rank
+    * (`fr = min rk`), and emit (parent, child) where `fr <= rk` — a
+    * frontier-sized inequality join. The per-depth output is inherently
+    * ~|parents|x|children| because that is what the reference writes;
+    * this twin exists to make the divergence executable and testable,
+    * not as the production operator ([[crawl]] is).
+    */
+  def crawlActualEdges(spark: SparkSession, pages: DataFrame,
+      rootSite: String, penDepth: Int): DataFrame = {
+    import spark.implicits._
+    val (okParents, childEdgesRaw) = minedRelations(spark, pages, rootSite)
+    val childEdges = childEdgesRaw.persist()
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var visited = Seq(rootSite).toDF("url").localCheckpoint()
+    var frontier = visited
+    var edgesAcc: DataFrame = null
+    for (depth <- 0 until penDepth) {
+      val procParents = frontier.select($"url".as("parent"))
+        .join(okParents, "parent")
+      // global order-by window: the processing-order pin; frontier-sized
+      // (same single-partition caveat as surrogateKeys, documented there)
+      val ranked = procParents.select($"parent",
+        row_number().over(Window.orderBy("parent")).as("rk"))
+      val mined = childEdges.join(procParents, "parent")
+      val firstRank = mined.join(ranked, "parent")
+        .groupBy("child").agg(min($"rk").as("fr"))
+      val newEdges = ranked.join(firstRank, $"fr" <= $"rk")
+        .select(lit(depth).as("pen_depth"), $"parent".as("parent_link"),
+          $"child".as("child_link"))
+      edgesAcc = if (edgesAcc == null) newEdges else edgesAcc.union(newEdges)
+      val children = mined.select($"child".as("url")).distinct()
+      frontier = { val p = children.join(visited, Seq("url"), "left_anti")
+        .persist(); persisted += p; p }
+      visited = { val p = visited.union(frontier).persist(); persisted += p; p }
+    }
+    val edges = Option(edgesAcc).map(_.localCheckpoint()).getOrElse(
+      spark.emptyDataFrame
+        .withColumn("pen_depth", lit(0))
+        .withColumn("parent_link", lit(""))
+        .withColumn("child_link", lit("")))
+    persisted.foreach(_.unpersist(blocking = false))
+    childEdges.unpersist(blocking = false)
+    edges
   }
 }

@@ -324,25 +324,51 @@ object ExtQueries {
     * page graph is deterministic modular arithmetic and penDepth=3
     * unrolls into three CTE hops (junk links are dropped by the same
     * blacklist/relative-gate the oracle omits by construction). */
+  /** Shared crawl fixture (also used by R18's `q_edges_actual`): a
+    * synthetic pages table over documents — deterministic modular link
+    * graph, 404s every 17th doc, junk/external links for the cleaners. */
+  private[queries] val crawlFixtureSite = "https://site.test/"
+
+  private[queries] def crawlFixturePages(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val site = crawlFixtureSite
+    val docPages = docs.select(
+      concat(lit(site + "doc/"), col("doc_id").cast("string")).as("url"),
+      when(col("doc_id") % 17 === 0, 404).otherwise(200).as("status"),
+      concat(
+        lit("<a href=\"/doc/"), ((col("doc_id") * 7 + 1) % n).cast("string"), lit("\">a</a>"),
+        lit("<a href=\"/doc/"), ((col("doc_id") * 13 + 2) % n).cast("string"), lit("\">b</a>"),
+        lit("<a href=\"/login/x\">junk</a><a href=\"https://other.site/\">ext</a>")
+      ).as("html"))
+    import s.implicits._
+    val rootPage = Seq((site, 200,
+      "<a href=\"/doc/0\">r0</a><a href=\"/doc/1\">r1</a><a href=\"/doc/2\">r2</a>"))
+      .toDF("url", "status", "html")
+    rootPage.union(docPages)
+  }
+
+  /** The fixture's cleaned-edges relation as SQL (the oracle twin of
+    * what S3→F1-F3 mining extracts from [[crawlFixturePages]]). */
+  private[queries] val crawlFixtureCeSql: String =
+    """ce AS (
+      |  SELECT 'https://site.test/' AS parent,
+      |         'https://site.test/doc/' || x.c AS child
+      |  FROM (VALUES ('0'), ('1'), ('2')) x(c)
+      |  UNION
+      |  SELECT 'https://site.test/doc/' || CAST(d.doc_id AS VARCHAR),
+      |         'https://site.test/doc/' || CAST((d.doc_id * 7 + 1) % n.n AS VARCHAR)
+      |  FROM documents d, n WHERE d.doc_id % 17 <> 0
+      |  UNION
+      |  SELECT 'https://site.test/doc/' || CAST(d.doc_id AS VARCHAR),
+      |         'https://site.test/doc/' || CAST((d.doc_id * 13 + 2) % n.n AS VARCHAR)
+      |  FROM documents d, n WHERE d.doc_id % 17 <> 0)""".stripMargin
+
   val qCrawlPipeline = QueryDef("q_crawl_pipeline",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val n = docs.count()
-      val site = "https://site.test/"
-      val docPages = docs.select(
-        concat(lit(site + "doc/"), col("doc_id").cast("string")).as("url"),
-        when(col("doc_id") % 17 === 0, 404).otherwise(200).as("status"),
-        concat(
-          lit("<a href=\"/doc/"), ((col("doc_id") * 7 + 1) % n).cast("string"), lit("\">a</a>"),
-          lit("<a href=\"/doc/"), ((col("doc_id") * 13 + 2) % n).cast("string"), lit("\">b</a>"),
-          lit("<a href=\"/login/x\">junk</a><a href=\"https://other.site/\">ext</a>")
-        ).as("html"))
-      import s.implicits._
-      val rootPage = Seq((site, 200,
-        "<a href=\"/doc/0\">r0</a><a href=\"/doc/1\">r1</a><a href=\"/doc/2\">r2</a>"))
-        .toDF("url", "status", "html")
-      val pages = rootPage.union(docPages)
-      val (edges, _) = CrawlGraph.crawl(s, pages, site, penDepth = 3)
+      val site = crawlFixtureSite
+      val (edges, _) = CrawlGraph.crawl(s, crawlFixturePages(s, dir), site,
+        penDepth = 3)
       edges.orderBy("pen_depth", "parent_link", "child_link")
     },
     Some(

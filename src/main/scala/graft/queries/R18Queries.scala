@@ -131,6 +131,55 @@ object R18Queries {
          |  ${graft.core.HtmlEntities.htmlToTextFullSql("html")} AS text_out
          |FROM h ORDER BY doc_id""".stripMargin))
 
+  // ---------- q_edges_actual ----------
+
+  /** One CTE level of the faithful prefix-accumulation oracle, depth d:
+    * admitted frontier parents ranked in URL order, each child's first
+    * producing rank, and the `fr <= rk` inequality join that replays the
+    * reference's per-parent accumulated uploads. The fixture has no
+    * admitted-but-childless pages, so "appears as a parent in ce" is an
+    * exact admission proxy (the childless case is spec-pinned in
+    * CrawlGraphSpec instead). */
+  private def edgesActualLevelSql(d: Int): String = {
+    val f = if (d == 0) s"f$d(url) AS (SELECT 'https://site.test/')" else ""
+    val lvl =
+      s"""p$d AS (SELECT url, CAST(row_number() OVER (ORDER BY url) AS BIGINT) AS rk
+         |  FROM (SELECT DISTINCT f.url FROM f$d f JOIN ce ON ce.parent = f.url)),
+         |m$d AS (SELECT ce.parent, ce.child FROM ce JOIN p$d ON ce.parent = p$d.url),
+         |fr$d AS (SELECT m.child, min(p.rk) AS fr
+         |  FROM m$d m JOIN p$d p ON m.parent = p.url GROUP BY m.child),
+         |ea$d AS (SELECT $d AS d, p.url AS parent, f.child
+         |  FROM p$d p JOIN fr$d f ON f.fr <= p.rk)""".stripMargin
+    val next =
+      s"""f${d + 1} AS (SELECT DISTINCT child AS url FROM m$d
+         |  WHERE child NOT IN (${(0 to d).map(i => s"SELECT url FROM f$i")
+        .mkString(" UNION ")}))""".stripMargin
+    (if (f.nonEmpty) f + ",\n" else "") + lvl + ",\n" + next
+  }
+
+  /** The reference's ACTUAL prefix-accumulated per-parent edges
+    * ([[graft.core.CrawlGraph.crawlActualEdges]],
+    * `web_spider_oo.py:125-128`) over the q_crawl_pipeline fixture —
+    * the last reference behavior without an executable twin. The oracle
+    * unrolls each depth's rank / first-rank / `fr <= rk` prefix join
+    * from the same constants; `q_crawl_pipeline` remains the INTENDED
+    * per-parent semantics, and CrawlGraphSpec pins actual ≠ intended. */
+  val qEdgesActual = QueryDef("q_edges_actual",
+    (s, dir) => graft.core.CrawlGraph.crawlActualEdges(s,
+      ExtQueries.crawlFixturePages(s, dir), ExtQueries.crawlFixtureSite,
+      penDepth = 3)
+      .orderBy("pen_depth", "parent_link", "child_link"),
+    Some(
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         |${ExtQueries.crawlFixtureCeSql},
+         |${(0 until 3).map(edgesActualLevelSql).mkString(",\n")}
+         |SELECT CAST(d AS INTEGER) AS pen_depth, parent AS parent_link,
+         |       child AS child_link
+         |FROM (SELECT * FROM ea0 UNION ALL SELECT * FROM ea1
+         |      UNION ALL SELECT * FROM ea2)
+         |ORDER BY pen_depth, parent_link, child_link""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(qBpeWordMerges, qBpeWordEncode, qAnnIvfPq, qHtmlEntitiesFull)
+    Seq(qBpeWordMerges, qBpeWordEncode, qAnnIvfPq, qHtmlEntitiesFull,
+      qEdgesActual)
 }

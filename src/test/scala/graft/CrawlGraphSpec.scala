@@ -80,4 +80,31 @@ class CrawlGraphSpec extends AnyFunSuite {
     val names = uniq.as[(Long, String)].collect().toSeq.sortBy(_._1).map(_._2)
     assert(names == names.sorted && names.contains("https://s.test/bad"))
   }
+
+  test("crawlActualEdges replays prefix accumulation; actual ≠ intended") {
+    val root = "https://s.test/"
+    // depth-1 parents sort a < b < c; a mines x, b mines NOTHING (junk
+    // only — admitted but childless), c mines y
+    val pages = Seq(
+      (root, 200, """<a href="/a">1</a><a href="/b">2</a><a href="/c">3</a>"""),
+      (root + "a", 200, """<a href="/x">x</a>"""),
+      (root + "b", 200, """<a href="/login/z">junk</a>"""),
+      (root + "c", 200, """<a href="/y">y</a>""")
+    ).toDF("url", "status", "html")
+    val actual = CrawlGraph.crawlActualEdges(spark, pages, root, 3)
+      .as[(Int, String, String)].collect().toSet
+    // the reference's accumulation: b (after a) is credited with a's x
+    // despite mining nothing itself; c (after both) with x AND its own y
+    assert(actual == Set(
+      (0, root, root + "a"), (0, root, root + "b"), (0, root, root + "c"),
+      (1, root + "a", root + "x"),
+      (1, root + "b", root + "x"),
+      (1, root + "c", root + "x"), (1, root + "c", root + "y")))
+    val (intended, _) = CrawlGraph.crawl(spark, pages, root, 3)
+    val intendedSet = intended.as[(Int, String, String)].collect().toSet
+    assert(intendedSet == Set(
+      (0, root, root + "a"), (0, root, root + "b"), (0, root, root + "c"),
+      (1, root + "a", root + "x"), (1, root + "c", root + "y")))
+    assert(actual != intendedSet) // the §2.10 divergence, executable
+  }
 }
