@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -194,6 +195,79 @@ object MultimodalOps {
       }
     }
   }
+
+  /** Decoded audio features: format geometry + exact integer sample
+    * sums (amplitude and absolute amplitude — the loudness/DC-offset
+    * inputs of an audio-curation filter). */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                           sum_amp: Long, sum_abs: Long)
+
+  /** Deterministic fixture sample formula (signed 16-bit range),
+    * shared with the DuckDB oracle. */
+  private[graft] def audioSample(id: Long, i: Int): Int =
+    (((id * 31 + i * 17) % 2003) - 1001).toInt
+
+  private def synthWav(id: Long): Array[Byte] = {
+    val n = (id % 50).toInt + 20
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = audioSample(id, i)
+      data(2 * i) = (v & 0xff).toByte // little-endian signed 16-bit PCM
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Fixture builder: one REAL RIFF/WAVE file per document (8 kHz mono
+    * 16-bit PCM, `id%50+20` samples from the shared formula), encoded
+    * executor-side with JDK `javax.sound.sampled`. */
+  def wavsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, "audio", synthWav(id)))
+    }
+  }
+
+  /** REAL batched audio decode: `AudioSystem.getAudioInputStream`
+    * parses the WAV container and format per row inside mapPartitions;
+    * PCM is lossless, so the emitted integer sample sums must equal the
+    * generating formula exactly — a decoder that does not truly parse
+    * frames cannot match the oracle. */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unexpected PCM layout: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var (sum, sabs) = (0L, 0L)
+          var i = 0
+          while (i < n) {
+            val v = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            sum += v; sabs += math.abs(v)
+            i += 1
+          }
+          AudioFeatures(r.doc_id, fmt.getSampleRate.toInt, n.toLong, sum, sabs)
+        } finally ais.close()
+      }
+    }
+  }
+
+  /** The audio formula's channel sums as SQL (columns `doc_id`, `i`). */
+  private[graft] val audioSumSql: String =
+    "sum((doc_id * 31 + i * 17) % 2003 - 1001)"
+  private[graft] val audioAbsSumSql: String =
+    "sum(abs((doc_id * 31 + i * 17) % 2003 - 1001))"
 
   /** Opaque-payload builder from the documents table (text bytes as
     * payload) — the storage-plumbing fixture for sinks/sources that

@@ -179,7 +179,30 @@ object R18Queries {
          |      UNION ALL SELECT * FROM ea2)
          |ORDER BY pen_depth, parent_link, child_link""".stripMargin))
 
+  // ---------- q_audio_decode ----------
+
+  /** Audio decode, REAL codec ([[graft.ext.MultimodalOps.decodeAudio]]):
+    * per-doc RIFF/WAVE files (8 kHz mono 16-bit PCM) are encoded and
+    * parsed with JDK `javax.sound.sampled` inside the mapPartitions
+    * batch path; PCM is lossless, so the oracle recomputes the decoded
+    * sample sums from the generating formula — completing the
+    * image/audio/video triad with real codecs. */
+  val qAudioDecode = QueryDef("q_audio_decode",
+    (s, dir) => graft.ext.MultimodalOps.decodeAudio(s,
+      graft.ext.MultimodalOps.wavsFromDocuments(s,
+        t(s, dir, "documents").where(col("doc_id") < 400)))
+      .toDF().orderBy("doc_id"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, doc_id % 50 + 20 AS n
+         |           FROM documents WHERE doc_id < 400),
+         |sm AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d)
+         |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST(${graft.ext.MultimodalOps.audioSumSql} AS BIGINT) AS sum_amp,
+         |  CAST(${graft.ext.MultimodalOps.audioAbsSumSql} AS BIGINT) AS sum_abs
+         |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qBpeWordMerges, qBpeWordEncode, qAnnIvfPq, qHtmlEntitiesFull,
-      qEdgesActual)
+      qEdgesActual, qAudioDecode)
 }

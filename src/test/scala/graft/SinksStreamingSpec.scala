@@ -81,6 +81,16 @@ class SinksStreamingSpec extends AnyFunSuite {
     assert(got.out_w == 2 && got.out_h == 2)
   }
 
+  test("audio decode parses real WAV PCM (encode->decode formula round trip)") {
+    val media = MultimodalOps.wavsFromDocuments(spark, Seq(3L).toDF("doc_id"))
+    val got = MultimodalOps.decodeAudio(spark, media).collect().head
+    // doc 3: n = 3%50+20 = 23 samples; PCM lossless -> exact formula sums
+    val samples = (0 until 23).map(MultimodalOps.audioSample(3L, _))
+    assert(got.sample_rate == 8000 && got.n_samples == 23)
+    assert(got.sum_amp == samples.map(_.toLong).sum)
+    assert(got.sum_abs == samples.map(v => math.abs(v).toLong).sum)
+  }
+
   test("streaming windowed counts match the batch equivalent") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val events = Seq(
