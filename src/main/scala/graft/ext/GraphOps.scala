@@ -303,4 +303,49 @@ object GraphOps {
     e.unpersist(blocking = false)
     result
   }
+
+  /** k-core peeling: iteratively delete nodes of degree < k (with their
+    * edges) until every survivor has degree ≥ k inside the surviving
+    * subgraph. The k-core is the standard "dense enough to matter"
+    * filter over a crawl/link graph — spam chains and isolated tails
+    * peel away, hubs survive.
+    *
+    * Runs a FIXED number of peel rounds so the result is
+    * hash-checkable and the DuckDB oracle can unroll the same rounds
+    * (the [[pageRank]] discipline); when a round deletes nothing the
+    * remaining rounds are no-ops, so `rounds` ≥ the peel depth gives
+    * the true k-core. Each round is one map-side-combined degree
+    * aggregation plus two hash joins on the node key — shuffle volume
+    * is the (shrinking) edge list, never the node set squared. Lineage
+    * is truncated per round (eager localCheckpoint, previous blocks
+    * freed) so storage stays O(1) in rounds.
+    *
+    * @param edges undirected edge list with columns (a, b); self-loops
+    *              are dropped, duplicates collapse
+    * @return surviving (node, deg) — degree within the k-core subgraph
+    */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int,
+            rounds: Int): DataFrame = {
+    var e = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("src")
+      // symmetrized list ⇒ filtering src-side then dst-side induces the
+      // subgraph on the surviving nodes
+      val next = e.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+      GraftSqlBridge.freeLocalCheckpoint(e)
+      e = next
+    }
+    val result = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      .withColumnRenamed("src", "node")
+      .localCheckpoint()
+    GraftSqlBridge.freeLocalCheckpoint(e)
+    result
+  }
 }

@@ -31,7 +31,7 @@ object R8Queries {
 
   /** Nanoseconds for 2025-07-01T00:00:00Z — far beyond the fixture's
     * last event plus join window plus watermark delay. */
-  private val SentinelNs = 1751328000000000000L
+  private[queries] val SentinelNs = 1751328000000000000L
 
   /** Stage the events fixture plus two one-row sentinel files whose
     * event times flush all outer-join state.
@@ -43,8 +43,9 @@ object R8Queries {
     * sentinel therefore impersonates each side ('view' and 'purchase',
     * in-range user); their negative event_ids keep them out of the
     * result. */
-  private def stageWithSentinel(s: SparkSession, dir: String): String = {
-    val stageDir = Tables.stageEventsDir(dir, "graft_slo_src")
+  private[queries] def stageWithSentinel(s: SparkSession, dir: String,
+                                         prefix: String = "graft_slo_src"): String = {
+    val stageDir = Tables.stageEventsDir(dir, prefix)
     // drop sentinels from any previous layout so reruns see exactly ours
     val stale = Files.list(Paths.get(stageDir))
     try stale.toArray.map(_.toString).filter(_.contains("zz_sentinel"))

@@ -114,4 +114,58 @@ class GraphOpsSpec extends AnyFunSuite {
       GraphOps.connectedComponentsStar(spark, edges)
     }
   }
+
+  /** Reference k-core: peel to fixpoint with plain Scala maps. */
+  private def kCoreRef(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var e = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    var changed = true
+    while (changed) {
+      val deg = e.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = e.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != e.size
+      e = next
+    }
+    e.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+  }
+
+  test("kCore matches brute-force peeling on a random graph") {
+    val rng = new scala.util.Random(11)
+    val edges = (1 to 120)
+      .map(_ => (rng.nextInt(45).toLong, rng.nextInt(45).toLong))
+      .filter { case (a, b) => a != b }
+    // 45 nodes: rounds=45 is a safe fixpoint bound (each productive
+    // round removes ≥1 node; extra rounds are no-ops)
+    val got = GraphOps.kCore(spark, edges.toDF("a", "b"), k = 3, rounds = 45)
+      .as[(Long, Long)].collect().toMap
+    assert(got == kCoreRef(edges, 3))
+  }
+
+  test("kCore: triangle chained to a tail — tail peels, triangle survives") {
+    // triangle {1,2,3} + tail 3-4-5: at k=2 the tail peels node by
+    // node (5 first, then 4), needing MULTIPLE rounds — pinning that
+    // one round is not a fixpoint
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = GraphOps.kCore(spark, edges.toDF("a", "b"), k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // and with too few rounds the tail is only PARTIALLY peeled —
+    // the fixed-round contract, matching the unrolled oracle
+    val partial = GraphOps.kCore(spark, edges.toDF("a", "b"), k = 2,
+      rounds = 1).as[(Long, Long)].collect().toMap
+    assert(partial == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
+  test("kCore frees per-round checkpoint blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val rng = new scala.util.Random(13)
+    val edges = (1 to 100)
+      .map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    GraphOps.kCore(spark, edges, k = 3, rounds = 12).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 4,
+      s"kCore leaked checkpoint RDDs: $before -> $after")
+  }
 }
