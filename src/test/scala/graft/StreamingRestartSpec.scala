@@ -82,4 +82,47 @@ class StreamingRestartSpec extends AnyFunSuite {
     val keys = spark.sql("SELECT k FROM graft_ddww").as[Long].collect().sorted
     assert(keys.toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("late data beyond the watermark is dropped, and the drop is observable") {
+    val in = Files.createTempDirectory("graft_late_in").toString
+    val t0 = 1699999200L // seconds, 5-minute aligned
+    def ts(offsetSec: Long) = new Timestamp((t0 + offsetSec) * 1000L)
+    // batch 1: one on-time event in window t0, plus a driver event 2 h
+    // ahead — after this batch the watermark (1 h delay) sits at
+    // t0+3600, past window t0's end
+    Seq((1L, ts(60)), (2L, ts(7200)))
+      .toDF("k", "t").coalesce(1).write.mode("append").parquet(in)
+
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType),
+        StructField("t", TimestampType))))
+      .parquet(in)
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("graft_late_out")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    // batch 2: a LATE event for window t0 — arrives after the watermark
+    // passed that window; a correct engine discards it instead of
+    // resurrecting closed state (reopening would double-emit in append
+    // mode), and reports the drop in stateOperators metrics
+    Seq((3L, ts(120)))
+      .toDF("k", "t").coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    // flush remaining windows so the assertion sees window t0's final row
+    Seq((4L, ts(31536000L)))
+      .toDF("k", "t").coalesce(1).write.mode("append").parquet(in)
+    graft.core.Tables.drainStateTo(q, targetRows = 1)
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    assert(dropped >= 1, s"expected ≥1 watermark-dropped row, got $dropped")
+    val winT0 = spark.table("graft_late_out")
+      .where(unix_micros(col("window.start")) === t0 * 1000000L)
+      .select(col("n")).as[Long].collect().toSeq
+    assert(winT0 == Seq(1L), // the late row did NOT count
+      s"window t0 should hold only the on-time event, got $winT0")
+  }
 }
