@@ -348,4 +348,48 @@ object GraphOps {
     GraftSqlBridge.freeLocalCheckpoint(e)
     result
   }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own label; each round, every node adopts the most
+    * frequent label among its neighbors, ties broken by the SMALLEST
+    * label — fully deterministic, so a fixed round count is
+    * hash-checkable (asynchronous LPA is run-order-dependent and could
+    * never sit under a bit-exact oracle).
+    *
+    * Scale shape, per round: one equi-join of the edge list with the
+    * |nodes|-row label table (labels are the small side at crawl-graph
+    * densities — broadcastable when |nodes| ≪ |edges|), one
+    * map-side-combined (node, label) count, one per-node argmax window
+    * (partition-parallel). Nothing is quadratic; lineage is truncated
+    * per round like [[kCore]] so storage stays O(1) in rounds.
+    *
+    * @param edges undirected edge list (a, b); self-loops dropped
+    * @return (node, label) after `rounds` synchronous updates
+    */
+  def labelPropagation(spark: SparkSession, edges: DataFrame,
+                       rounds: Int): DataFrame = {
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counted = e
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val next = counted.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("node"))
+            .orderBy(col("cnt").desc, col("label"))))
+        .where(col("rk") === 1).select(col("node"), col("label"))
+        .localCheckpoint()
+      GraftSqlBridge.freeLocalCheckpoint(labels)
+      labels = next
+    }
+    GraftSqlBridge.freeLocalCheckpoint(e)
+    labels
+  }
 }

@@ -168,4 +168,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(after - before <= 4,
       s"kCore leaked checkpoint RDDs: $before -> $after")
   }
+
+  test("labelPropagation separates two triangles over a bridge") {
+    // triangles {1,2,3} and {10,11,12} joined by bridge 3-10: inside a
+    // triangle each node sees 2 same-community neighbors, across the
+    // bridge only 1 — LPA settles each triangle on its min label
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val got = GraphOps.labelPropagation(spark, edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 6)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L, s"left: $got")
+    assert(got(10L) == got(11L) && got(11L) == got(12L), s"right: $got")
+    assert(got(10L) != got(1L), s"communities merged: $got")
+  }
+
+  test("labelPropagation one round is the exact synchronous update") {
+    // star center 0 with leaves 1,2,3: after ONE sync round the center
+    // adopts min leaf label 1; every leaf adopts the center's OLD label
+    // 0 (synchronous = all updates read round-(r-1) labels)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val got = GraphOps.labelPropagation(spark, edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("labelPropagation frees per-round checkpoint blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val rng = new scala.util.Random(7)
+    val edges = (1 to 120)
+      .map(_ => (rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    GraphOps.labelPropagation(spark, edges, rounds = 10).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 4,
+      s"labelPropagation leaked checkpoint RDDs: $before -> $after")
+  }
 }
