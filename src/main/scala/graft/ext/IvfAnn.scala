@@ -39,13 +39,26 @@ object IvfAnn {
     * argmax for ANY |x|, so the assignment agrees with the cosine
     * ranking the search uses without normalizing the (much larger)
     * corpus side — one dot product per centroid per row, no per-row
-    * norm. */
+    * norm. Runs as the native codegen'd kernel
+    * ([[graft.functions.NearestCentroids]]); the composed HOF twin
+    * below stays for the bitwise-equality property test. */
   def clusterOf(emb: Column, centroids: Array[Array[Double]]): Column =
-    array_min(distStructs(emb, centroids)).getField("j")
+    element_at(graft.functions.NearestCentroids(emb, centroids, 1), 1)
 
-  /** `nprobe` nearest centroid ids, closest first. */
+  /** `nprobe` nearest centroid ids, closest first (native kernel). */
   def probesOf(emb: Column, centroids: Array[Array[Double]],
                nprobe: Int): Column =
+    graft.functions.NearestCentroids(emb, centroids, nprobe)
+
+  /** Composed higher-order-function twin of [[clusterOf]] —
+    * interpreted `array_min` over per-centroid score structs; kept as
+    * the executable spec of the routing semantics. */
+  def clusterOfComposed(emb: Column, centroids: Array[Array[Double]]): Column =
+    array_min(distStructs(emb, centroids)).getField("j")
+
+  /** Composed twin of [[probesOf]]. */
+  def probesOfComposed(emb: Column, centroids: Array[Array[Double]],
+                       nprobe: Int): Column =
     slice(transform(array_sort(distStructs(emb, centroids)),
       s => s.getField("j")), 1, nprobe)
 

@@ -82,8 +82,24 @@ object PqAnn {
     slice(emb, j * ds + 1, ds)
 
   /** Encode an embedding as its `m` nearest-centroid codes
-    * (ARRAY<INT>) — the 16-byte representation the ADC scan reads. */
-  def encode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    * (ARRAY<INT>) — the 16-byte representation the ADC scan reads.
+    * Native codegen'd kernel ([[graft.functions.PqEncodeExpr]]); the
+    * composed twin below stays for the bitwise-equality property
+    * test. */
+  def encode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqEncodeExpr(emb, codebooks)
+
+  /** ADC approximate inner product of an exact query embedding against
+    * a code column: Σ_j q_sub_j · codebook_j[code_j] (native kernel —
+    * this expression is the inner loop of the ADC scan). */
+  def adcScore(qEmb: Column, codes: Column,
+               codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.AdcScoreExpr(qEmb, codes, codebooks)
+
+  /** Composed higher-order-function twin of [[encode]] — the
+    * executable spec of the codeword-argmin semantics. */
+  def encodeComposed(emb: Column,
+                     codebooks: Array[Array[Array[Double]]]): Column = {
     val ds = codebooks(0)(0).length
     array(codebooks.indices.map { j =>
       val scored = array(codebooks(j).zipWithIndex.map { case (c, i) =>
@@ -97,10 +113,9 @@ object PqAnn {
     }: _*)
   }
 
-  /** ADC approximate inner product of an exact query embedding against
-    * a code column: Σ_j q_sub_j · codebook_j[code_j]. */
-  def adcScore(qEmb: Column, codes: Column,
-               codebooks: Array[Array[Array[Double]]]): Column = {
+  /** Composed twin of [[adcScore]]. */
+  def adcScoreComposed(qEmb: Column, codes: Column,
+                       codebooks: Array[Array[Array[Double]]]): Column = {
     val ds = codebooks(0)(0).length
     codebooks.indices.map { j =>
       val cbLit = array(codebooks(j).map(c => array(c.map(lit(_)): _*)): _*)
