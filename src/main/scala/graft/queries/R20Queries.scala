@@ -115,7 +115,7 @@ object R20Queries {
     * substitution → both delete that position; insert/delete → the
     * longer's deletion equals the shorter), so the variant equi-join is
     * a complete candidate generator for distance ≤ 1. */
-  private def deletionVariants(c: String): org.apache.spark.sql.Column =
+  private[queries] def deletionVariants(c: String): org.apache.spark.sql.Column =
     expr(s"array_union(array($c), transform(sequence(1, length($c)), " +
       s"i -> concat(substring($c, 1, i-1), substring($c, i+1, length($c)))))")
 
