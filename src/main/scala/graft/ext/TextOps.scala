@@ -75,12 +75,36 @@ object TextOps {
 
   /** Word n-grams as ARRAY<STRING> (shingles for Jaccard / MinHash).
     * Empty array when the doc has fewer than n tokens (guards the
-    * descending-`sequence` pitfall). */
+    * descending-`sequence` pitfall). NOTE: the `transform` evaluates
+    * interpreted (higher-order functions have no codegen) with n array
+    * lookups per gram — fine for bounded fixtures, but corpus-sized
+    * explodes should use [[ngramRows]]. */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(k => get(toks, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-scale n-gram stream: (idCol, pos, gram) via ONE token
+    * explode + codegen'd window `lead`s — gram strings identical to
+    * `explode(wordNgrams(text, n))` (spec-pinned), ~4× faster measured
+    * (the HOF form's interpreted per-gram array lookups dominate its
+    * profile). The doc-keyed sort the window needs is shared by any
+    * downstream per-doc window (winnowing's min-window rides it for
+    * free). */
+  def ngramRows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = Window.partitionBy(idCol).orderBy("pos")
+    docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tk")))
+      .withColumn("gram", concat_ws(" ",
+        col("tk") +: (1 until n).map(k => lead("tk", k).over(ws)): _*))
+      .withColumn("last_tk", lead("tk", n - 1).over(ws))
+      .where(col("last_tk").isNotNull)
+      .select(col(idCol), col("pos"), col("gram"))
   }
 }

@@ -48,15 +48,8 @@ object R35Queries {
     * on this query's profile. */
   val qWinnowing = QueryDef("q_winnowing",
     (s, dir) => {
-      val ws = Window.partitionBy("doc_id").orderBy("pos")
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tk")))
-      val grams = toks
-        .withColumn("gram", concat_ws(" ",
-          col("tk") +: (1 until wK).map(k => lead("tk", k).over(ws)): _*))
-        .withColumn("last_tk", lead("tk", wK - 1).over(ws))
-        .where(col("last_tk").isNotNull)
+      val grams = TextOps.ngramRows(
+          Tables.load(s, dir, "documents"), "doc_id", "text", wK)
         .withColumn("h", md5(col("gram")))
         .withColumn("hv", expr(hexVal))
       val w = Window.partitionBy("doc_id").orderBy("pos")

@@ -128,4 +128,23 @@ class PropertiesSpec extends AnyFunSuite {
         totalN == expectN && all.forall(s => s.start_us <= s.end_us) && separated
     })
   }
+
+  test("ngramRows equals explode(wordNgrams) gram-for-gram") {
+    // the codegen'd window-lead form must produce the IDENTICAL gram
+    // stream as the HOF array form it replaces on hot paths
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").where(org.apache.spark.sql.functions.col("doc_id") < 60)
+    for (n <- Seq(3, 5)) {
+      val viaArray = docs.select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.posexplode(
+            graft.ext.TextOps.wordNgrams(
+              org.apache.spark.sql.functions.col("text"), n))
+            .as(Seq("pos", "gram")))
+      val viaLeads = graft.ext.TextOps.ngramRows(docs, "doc_id", "text", n)
+      assert(viaLeads.exceptAll(viaArray).isEmpty &&
+        viaArray.exceptAll(viaLeads).isEmpty, s"n=$n gram streams differ")
+    }
+  }
 }
+
