@@ -52,12 +52,12 @@ object R27Queries {
       val q = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("v"))
-      val pairs = q.select(explode(expr(
-        """flatten(transform(sequence(0, size(v) - 1),
-          |  i -> transform(sequence(i, size(v) - 1),
-          |    j -> struct(i AS di, j AS dj, v[i] * v[j] AS p))))""".stripMargin))
-        .as("e"))
-        .select(col("e.di"), col("e.dj"), col("e.p"))
+      // custom Generator streams the d(d+1)/2 pair products per row —
+      // the composed flatten(transform(...)) twin evaluates interpreted
+      // and materializes every pair struct first (PropertiesSpec pins
+      // row-for-row equivalence)
+      val pairs = q.select(graft.functions.PairProducts(col("v"))
+          .as(Seq("di", "dj", "p")))
         .groupBy("di", "dj").agg(sum("p").as("sxy"))
       val dims = q.select(posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("d").agg(sum("x").as("sd"), count(lit(1)).as("n"))

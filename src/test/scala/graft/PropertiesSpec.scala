@@ -146,5 +146,28 @@ class PropertiesSpec extends AnyFunSuite {
         viaArray.exceptAll(viaLeads).isEmpty, s"n=$n gram streams differ")
     }
   }
+
+  test("PairProducts generator equals the composed flatten/transform form") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").where(col("vec_id") < 40)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("v"))
+    val viaGen = emb.select(col("vec_id"),
+      graft.functions.PairProducts(col("v")).as(Seq("di", "dj", "p")))
+    val viaHof = emb.select(col("vec_id"), explode(expr(
+        """flatten(transform(sequence(0, size(v) - 1),
+          |  i -> transform(sequence(i, size(v) - 1),
+          |    j -> struct(i AS di, j AS dj, v[i] * v[j] AS p))))""".stripMargin))
+        .as("e"))
+      .select(col("vec_id"), col("e.di"), col("e.dj"), col("e.p"))
+    assert(viaGen.exceptAll(viaHof).isEmpty && viaHof.exceptAll(viaGen).isEmpty)
+    // null element => no rows (a partial Gram row would bias the matrix)
+    val withNull = spark.sql("SELECT array(1L, CAST(NULL AS BIGINT), 3L) AS v")
+    assert(withNull.select(graft.functions.PairProducts(col("v"))
+      .as(Seq("di", "dj", "p"))).count() == 0)
+  }
 }
+
 
