@@ -72,7 +72,7 @@ object ExtQueries {
          |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          |ORDER BY a, b""".stripMargin))
 
-  private val numSeeds = 12
+  private[queries] val numSeeds = 12
 
   /** MinHash signatures (12 seeds, md5-based min-hash over shingle sets). */
   val qMinhashSignatures = QueryDef("q_minhash_signatures",
@@ -87,7 +87,7 @@ object ExtQueries {
 
   /** SQL fragment shared by the md5-LSH oracle queries: signatures ->
     * band signatures (seed-ordered concat) for docs < maxDoc. */
-  private def lshBandsSql(maxDoc: Int): String =
+  private[queries] def lshBandsSql(maxDoc: Int): String =
     s"""${triSql(maxDoc)},
        |sig AS (SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
        |          min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS minhash
