@@ -105,10 +105,25 @@ object Tables {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** `events` with a proper TimestampType `ts`: the fixture stores
-    * TIMESTAMP(NANOS) which Spark's parquet reader has no native type for;
-    * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and this
-    * loader converts nanos -> microsecond TimestampType. */
+  /** `events` with a proper TimestampType `ts`. The fixture's physical
+    * type has varied by generator version: TIMESTAMP(NANOS) (no native
+    * Spark type — sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * and this loader converts the long), or TIMESTAMP(MICROS) without
+    * timezone (read as TimestampNTZType — cast to TimestampType; sessions
+    * run in UTC so the instant is unchanged). Queries always see
+    * session-zoned TimestampType either way. */
+  /** Divisor turning the events fixture's raw INT64 `ts` into
+    * MICROSECONDS for readers that request `ts LONG` explicitly
+    * (streaming sources can't infer): 1000 when the file stores
+    * TIMESTAMP(NANOS) (surfaced as LongType under the legacy conf),
+    * 1 when it stores TIMESTAMP(MICROS) (physical int64 micros).
+    * Probed once per call from the batch schema of the same file. */
+  def eventsTsDiv(spark: SparkSession, dir: String): Long =
+    load(spark, dir, "events").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => 1000L
+      case _ => 1L
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
@@ -117,6 +132,9 @@ object Tables {
         // floating divide here would corrupt microseconds
         raw.withColumn("ts", org.apache.spark.sql.functions
           .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -392,4 +392,64 @@ object GraphOps {
     GraftSqlBridge.freeLocalCheckpoint(e)
     labels
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM'99) — which pages in the
+    * crawl graph are good link DIRECTORIES (hubs) vs good link TARGETS
+    * (authorities); the companion centrality to [[pageRank]] over the
+    * reference's edge output (`web_spider_oo.py:123-128`).
+    *
+    * Fixed-round UNNORMALIZED power iteration in exact integer
+    * arithmetic: h₀ = 1; each round a(v) = Σ_{u→v} h(u) then
+    * h(u) = Σ_{u→v} a(v). The usual per-round L2 normalization is a
+    * positive scalar — it never changes the RANKING, only the scale —
+    * so skipping it keeps every value an exact integer and makes a
+    * fixed-round run hash-checkable across engines (the [[pageRank]]
+    * discipline). Sums accumulate in DECIMAL(38,0): r rounds bound
+    * values by deg^(2r), which overflows LONG on high-degree graphs.
+    *
+    * Per round: two edge⋈score joins + two node-keyed map-side-combined
+    * aggregations — the same shuffle budget as two groupBys on the node
+    * key; per-round localCheckpoint keeps lineage O(1) in rounds.
+    *
+    * @param edges directed edge list (src, dst)
+    * @return (node, auth, hub) as DECIMAL(38,0) after `rounds` rounds
+    */
+  def hits(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+           rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val n = nodes.select(col("node")).persist()
+    val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    var hub = n.select(col("node"), one.as("h")).localCheckpoint()
+    var auth = n.select(col("node"), zero.as("a")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val aNext = n.join(
+          e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum("h").as("s")),
+          Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("s"), zero).cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)).as("a"))
+        .localCheckpoint()
+      GraftSqlBridge.freeLocalCheckpoint(auth)
+      auth = aNext
+      val hNext = n.join(
+          e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum("a").as("s")),
+          Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("s"), zero).cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+        .localCheckpoint()
+      GraftSqlBridge.freeLocalCheckpoint(hub)
+      hub = hNext
+    }
+    val result = auth.join(hub, "node")
+      .select(col("node"), col("a").as("auth"), col("h").as("hub"))
+      .localCheckpoint()
+    GraftSqlBridge.freeLocalCheckpoint(auth)
+    GraftSqlBridge.freeLocalCheckpoint(hub)
+    Seq(e, n).foreach(_.unpersist(blocking = false))
+    result
+  }
 }

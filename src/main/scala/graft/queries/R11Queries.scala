@@ -90,8 +90,10 @@ object R11Queries {
   private def stageWithSentinel(s: SparkSession, dir: String): String = {
     val stageDir = Tables.stageEventsDir(dir, "graft_ssw_src")
     import s.implicits._
+    // sentinel ts in the fixture's raw unit (nanos or micros)
+    val nsToRaw = 1000L / Tables.eventsTsDiv(s, dir)
     val tmp = Files.createTempDirectory("graft_ssw_sent").toString
-    Seq((-1L, SentinelNs, -1L)).toDF("event_id", "ts", "user_id")
+    Seq((-1L, SentinelNs / nsToRaw, -1L)).toDF("event_id", "ts", "user_id")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val listing = Files.list(Paths.get(tmp))
     val part = try listing.toArray.map(_.toString)
@@ -111,10 +113,11 @@ object R11Queries {
   val qStreamSessionWindow = QueryDef("q_stream_session_window",
     (s, dir) => {
       val stageDir = stageWithSentinel(s, dir)
+      val tsDiv = Tables.eventsTsDiv(s, dir)
       val src = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG")
         .parquet(stageDir)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", timestamp_micros(expr(s"ts div $tsDiv")))
         .withWatermark("ets", "1 hour")
       val q = src
         .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))

@@ -199,10 +199,11 @@ object R19Queries {
   val qStreamChainedAgg = QueryDef("q_stream_chained_agg",
     (s, dir) => Tables.withShufflePartitions(s, 4) {
       val stageDir = R8Queries.stageWithSentinel(s, dir, "graft_sca_src")
+      val tsDiv = Tables.eventsTsDiv(s, dir)
       val src = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING")
         .parquet(stageDir)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", timestamp_micros(expr(s"ts div $tsDiv")))
         .withWatermark("ets", "1 hour")
       val lvl1 = src
         .groupBy(window(col("ets"), "5 minutes"),
@@ -243,10 +244,11 @@ object R19Queries {
   val qStreamFullOuter = QueryDef("q_stream_full_outer",
     (s, dir) => Tables.withShufflePartitions(s, 4) {
       val stageDir = R8Queries.stageWithSentinel(s, dir, "graft_sfo_src")
+      val tsDiv = Tables.eventsTsDiv(s, dir)
       val src = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING")
         .parquet(stageDir)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", timestamp_micros(expr(s"ts div $tsDiv")))
         .withWatermark("ets", "1 hour")
       val left = src
         .where(col("user_id") >= 0 && col("user_id") < 60 &&

@@ -721,11 +721,12 @@ object R3Queries {
   val qStreamStreamJoin = QueryDef("q_stream_stream_join",
     (s, dir) => Tables.withShufflePartitions(s, 4) {
       val stageDir = Tables.stageEventsDir(dir, "graft_s2_src")
+      val tsDiv = Tables.eventsTsDiv(s, dir)
       def src = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")
         .parquet(stageDir)
         .where(col("user_id") < 200)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", timestamp_micros(expr(s"ts div $tsDiv")))
         .withWatermark("ets", "1 hour")
       val a = src.select(col("event_id").as("a_id"), col("user_id").as("a_uid"),
         col("ets").as("a_ts"))

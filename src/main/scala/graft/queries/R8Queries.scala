@@ -52,9 +52,12 @@ object R8Queries {
       .foreach(p => Files.deleteIfExists(Paths.get(p)))
     finally stale.close()
     import s.implicits._
+    // sentinel ts must be in the SAME raw unit as the staged fixture:
+    // nanos when Tables.eventsTsDiv = 1000, micros when it's 1
+    val nsToRaw = 1000L / Tables.eventsTsDiv(s, dir)
     Seq((1, "view"), (2, "purchase")).foreach { case (i, et) =>
       val tmp = Files.createTempDirectory(s"graft_slo_sent$i").toString
-      Seq((-i.toLong, SentinelNs + i * 86400L * 1000000000L, 59L, et))
+      Seq((-i.toLong, (SentinelNs + i * 86400L * 1000000000L) / nsToRaw, 59L, et))
         .toDF("event_id", "ts", "user_id", "event_type")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val listing = Files.list(Paths.get(tmp))
@@ -74,10 +77,11 @@ object R8Queries {
   val qStreamLeftOuter = QueryDef("q_stream_left_outer",
     (s, dir) => Tables.withShufflePartitions(s, 4) {
       val stageDir = stageWithSentinel(s, dir)
+      val tsDiv = Tables.eventsTsDiv(s, dir)
       val src = s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING")
         .parquet(stageDir)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", timestamp_micros(expr(s"ts div $tsDiv")))
         .withWatermark("ets", "1 hour")
       val left = src
         .where(col("user_id") >= 0 && col("user_id") < 60 &&

@@ -72,17 +72,24 @@ object EventsStream {
       .start()
   }
 
-  /** Same, for the driver fixture whose `ts` is TIMESTAMP(NANOS): read it
-    * as long (spark.sql.legacy.parquet.nanosAsLong) and convert to a
-    * microsecond timestamp before the watermark. */
+  /** Same, for the driver fixture whose `ts` is stored as raw INT64
+    * (TIMESTAMP(NANOS) read as long via
+    * spark.sql.legacy.parquet.nanosAsLong, or TIMESTAMP(MICROS)
+    * physical int64): read it as long and convert to a microsecond
+    * timestamp before the watermark. The unit is probed from the batch
+    * schema of the same path (streaming schemas can't infer). */
   def startOverNanosFixture(spark: SparkSession, path: String,
                             queryName: String): StreamingQuery = {
     val nanosSchema = StructType(eventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = LongType)
       case f => f
     })
+    val tsDiv = spark.read.parquet(path).schema("ts").dataType match {
+      case LongType => 1000L // nanos under the legacy conf
+      case _ => 1L // TIMESTAMP(MICROS) physical int64
+    }
     val src = spark.readStream.schema(nanosSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr(s"ts div $tsDiv")))
     windowedCounts(src).writeStream
       .outputMode("complete")
       .format("memory").queryName(queryName)

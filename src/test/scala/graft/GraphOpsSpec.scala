@@ -193,6 +193,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("hits: two exact rounds on a hand-computed fan graph") {
+    // 1→3, 2→3, 3→4, 1→4.  h0 = 1 everywhere.
+    // a1 = indeg: a1(3)=2, a1(4)=2.  h1(1)=a1(3)+a1(4)=4, h1(2)=2, h1(3)=2.
+    // a2(3)=h1(1)+h1(2)=6, a2(4)=h1(3)+h1(1)=6.
+    // h2(1)=a2(3)+a2(4)=12, h2(2)=6, h2(3)=6, h2(4)=0.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val got = GraphOps.hits(spark, edges, nodes, rounds = 2)
+      .selectExpr("node", "CAST(auth AS LONG)", "CAST(hub AS LONG)")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> (0L, 12L), 2L -> (0L, 6L),
+      3L -> (6L, 6L), 4L -> (6L, 0L)))
+  }
+
+  test("hits frees per-round checkpoint blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val rng = new scala.util.Random(11)
+    val edges = (1 to 150)
+      .map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val nodes = (0L until 40L).toDF("node")
+    GraphOps.hits(spark, edges, nodes, rounds = 4).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 4,
+      s"hits leaked checkpoint RDDs: $before -> $after")
+  }
+
   test("labelPropagation frees per-round checkpoint blocks") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val rng = new scala.util.Random(7)
