@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
-  StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful processing on the state-API-v2 path:
   * `transformWithState` + [[StatefulProcessor]] (Spark 4), the
@@ -181,4 +181,59 @@ object StateV2 {
       .agg(max(struct(col("n"), col("cents"), col("n_types"))).as("t"))
       .select(col("user_id"), col("t.n").as("n"), col("t.cents").as("cents"),
         col("t.n_types").as("n_types"))
+
+  case class ScoredEv(user_id: Long, event_id: Long, us: Long, cents: Long)
+  case class EwmaOut(user_id: Long, seq: Long, n_used: Long,
+                     swx: Long, sw: Long)
+
+  /** ListState (the third typed-state primitive beside ValueState and
+    * MapState): a bounded per-key ROLLING WINDOW of the K most recent
+    * events, folded incrementally — each batch merges into the stored
+    * list and trims back to K, so state per key is K rows regardless of
+    * stream length (the store appends/replaces list entries as their
+    * own rows — no opaque-blob rewrite of a growing collection).
+    *
+    * The emission carries the dyadic-EWMA integer sums over the kept
+    * window (weights 2^(K−j), newest j=1 — the q_ewma_exact lattice),
+    * plus a strictly-increasing per-key `seq` so `max_by(_, seq)`
+    * downstream recovers the final state independent of batch layout.
+    * Keep-top-K by (us, event_id) desc is associative, so the fold is
+    * batch-layout-independent too: the drained result equals the batch
+    * last-K EWMA bit-for-bit. */
+  class RollingEwma(k: Int)
+    extends StatefulProcessor[Long, ScoredEv, EwmaOut] {
+    @transient private var recent: ListState[ScoredEv] = _
+    @transient private var seq: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[ScoredEv]("recent",
+        Encoders.product[ScoredEv], TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("seq",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ScoredEv],
+        timerValues: TimerValues): Iterator[EwmaOut] = {
+      val merged = (recent.get().toArray ++ rows)
+        .sortBy(e => (-e.us, -e.event_id)).take(k)
+      recent.put(merged)
+      val s = (if (seq.exists()) seq.get() else 0L) + 1L
+      seq.update(s)
+      var swx = 0L; var sw = 0L
+      merged.zipWithIndex.foreach { case (e, i) =>
+        val wt = 1L << (k - (i + 1)); swx += wt * e.cents; sw += wt
+      }
+      Iterator.single(EwmaOut(key, s, merged.length.toLong, swx, sw))
+    }
+  }
+
+  /** Rolling last-k EWMA per user over a ScoredEv stream. */
+  def rollingEwma(spark: SparkSession, events: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    events.selectExpr("user_id", "event_id", "us", "cents").as[ScoredEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new RollingEwma(k), TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
 }
