@@ -51,9 +51,15 @@ object R29Queries {
           when(length(col("w")) % 2 === 0,
             concat(substring(col("w"), 1, 1), expr("substring(w, 3)")))
             .otherwise(col("w")).as("name")))
+        // persisted: the record set is read by the blocking self-join
+        // (twice), the cluster join, and survivorship — without it the
+        // corpus-wide vocabulary explode re-runs per reference
+        // (vocabulary-sized in memory; Bench clearCache reclaims it)
+        .persist()
       // 1+2: block on 1-deletion variants, verify exact distance
       val keyed = recs.select(col("rid"), col("name"),
         explode(R20Queries.deletionVariants("name")).as("k"))
+        .persist()
       val edges = keyed.select(col("rid").as("a"), col("name").as("na"),
           col("k"))
         .join(keyed.select(col("rid").as("b"), col("name").as("nb"),

@@ -82,7 +82,10 @@ object R36Queries {
     * numbers are what band/row tuning optimizes. */
   val qDedupEval = QueryDef("q_dedup_eval",
     (s, dir) => {
-      val sh = ExtQueries.shingled(s, dir, 200)
+      // persisted: the shingle slice feeds BOTH the exact-truth branch
+      // and the MinHash/LSH candidate branch of the one-pass metric
+      // join (audit-slice-sized; Bench clearCache reclaims it)
+      val sh = ExtQueries.shingled(s, dir, 200).persist()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("a"), col("shingle"))
       val b = sh.select(col("doc_id").as("b"), col("shingle"))
@@ -97,14 +100,20 @@ object R36Queries {
       val cand = DedupOps.lshCandidatePairs(
         DedupOps.lshBands(sig, "doc_id", rowsPerBand = 4), "doc_id")
         .select("a", "b")
-      val tp = truth.intersect(cand).count()
-      val fn = truth.exceptAll(cand).count()
-      val fp = cand.exceptAll(truth).count()
-      import s.implicits._
-      def bp(num: Long, den: Long): Long =
-        if (den == 0) 0L else java.lang.Math.floorDiv(num * 10000L, den)
-      Seq((tp, fp, fn, bp(tp, tp + fp), bp(tp, tp + fn)))
-        .toDF("tp", "fp", "fn", "precision_bp", "recall_bp")
+      // ONE action: a full-outer pair join classifies tp/fp/fn in a
+      // single pass (three separate counts re-ran the whole shingle +
+      // LSH pipeline per metric — 3× the work for 3 numbers); basis
+      // points stay exact floor divisions, now computed in-plan.
+      truth.withColumn("t", lit(1))
+        .join(cand.withColumn("c", lit(1)), Seq("a", "b"), "full_outer")
+        .agg(
+          sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("t").isNull, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("fn"))
+        .selectExpr("tp", "fp", "fn",
+          "CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT) ELSE (tp * 10000) div (tp + fp) END AS precision_bp",
+          "CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT) ELSE (tp * 10000) div (tp + fn) END AS recall_bp")
     },
     Some(
       s"""WITH ${ExtQueries.lshBandsSql(200)},
