@@ -132,4 +132,30 @@ class PlanShapeSpec extends AnyFunSuite {
     }.nonEmpty, s"expected WindowGroupLimit (top-k pushdown):\n$p")
     assert(hashShuffles(p) == 1, s"lateral top-2 must shuffle once:\n$p")
   }
+
+  test("q_bm25: df/avgdl ride broadcasts — no sort-merge join, no cartesian") {
+    val p = plan("q_bm25")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"BM25 joins must broadcast (df is query-terms-sized, dl doc-sized):\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, p.toString)
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 2,
+      s"expected broadcast df + dl joins:\n$p")
+  }
+
+  test("q_auc_exact: join-free — one hash shuffle to the per-score aggregate") {
+    val p = plan("q_auc_exact")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty, p.toString)
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+      s"AUC needs no joins at all:\n$p")
+    assert(hashShuffles(p) == 1,
+      s"one shuffle (score groupBy); the running window rides the aggregate:\n$p")
+  }
+
+  test("q_assoc_rules: dimension and brand counts broadcast; no cartesian blowup") {
+    val p = plan("q_assoc_rules")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"basket self-join must key on the order id:\n$p")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 2,
+      s"part dim and brand-count joins should broadcast:\n$p")
+  }
 }
