@@ -246,6 +246,53 @@ object GraphOps {
     result
   }
 
+  /** Personalized (topic-sensitive) PageRank: teleport mass returns to
+    * a SEED set instead of spreading uniformly — rank relative to a
+    * topic/entry page, the prioritizer of a focused crawl (which
+    * frontier URLs matter from HERE) and the graph-proximity feature
+    * ER/recommendation stacks use. Same integer-scaled fixed-round
+    * discipline as [[pageRank]] (BIGINT units of 1e-9, decimal-safe
+    * 85% damping) so a fixed-round run is hash-checkable; each seed
+    * receives the full 0.15 restart mass (total teleport scales with
+    * &#124;seeds&#124; — a positive scalar, rankings unaffected; the
+    * oracle unrolls identically). Non-seed nodes start AND restart at
+    * 0, so mass reaches them only through links.
+    */
+  def pageRankPersonalized(spark: SparkSession, edges: DataFrame,
+                           nodes: DataFrame, seeds: DataFrame,
+                           iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      .persist()
+    val n = nodes.select(col("node"))
+      .join(seeds.select(col("node"), lit(1L).as("is_seed")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .persist()
+    var ranks = n.select(col("node"),
+        (col("is_seed") * 1000000000L).as("r"))
+      .localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("c"))
+      val next = n.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          expr("CAST(is_seed * 150000000 + (85 * CAST(coalesce(c, 0L) AS DECIMAL(38,0)))" +
+            " div 100 AS LONG)").as("r"))
+      val nextP = next.localCheckpoint()
+      GraftSqlBridge.freeLocalCheckpoint(ranks)
+      ranks = nextP
+    }
+    val result = ranks.select(col("node"), col("r").as("rank_scaled"))
+      .localCheckpoint()
+    GraftSqlBridge.freeLocalCheckpoint(ranks)
+    Seq(e, outdeg, n).foreach(_.unpersist(blocking = false))
+    result
+  }
+
   /** Single-source shortest paths by distributed Bellman-Ford
     * relaxation: dist starts at 0 for the source; each round every edge
     * proposes `dist(src) + w` to its dst and each node keeps the
