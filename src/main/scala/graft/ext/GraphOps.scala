@@ -351,6 +351,59 @@ object GraphOps {
     result
   }
 
+  /** Earliest-arrival TEMPORAL reachability: an edge (src, dst, t) can
+    * only be traversed at its timestamp t, and only STRICTLY after the
+    * walker arrived at src — the time-respecting path semantics of
+    * information-flow / contagion / session-navigation analysis (a
+    * static BFS overcounts: reachability through a node requires the
+    * outgoing edge to fire AFTER the incoming one). Same relaxation
+    * machinery as [[shortestPaths]]: arrival times only decrease, the
+    * node set only grows, so count+sum equality is a fixpoint proof;
+    * per round one edges⋈arrivals join (with the t > arrival gate) and
+    * one min-aggregation, both node-keyed.
+    *
+    * @param edges (src, dst, t) with long timestamps
+    * @return (node, arrival) — earliest time each node is reachable;
+    *         the source carries `startAt`
+    */
+  def earliestArrival(spark: SparkSession, edges: DataFrame, source: Long,
+                      startAt: Long = Long.MinValue,
+                      maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("t")).persist()
+    var arr = e.sparkSession.range(1).select(
+      lit(source).as("node"), lit(startAt).as("arrival")).localCheckpoint()
+    def state(d: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = d.agg(count(lit(1)),
+        sum(col("arrival").cast("decimal(38,0)"))).first()
+      (row.getLong(0), row.getDecimal(1))
+    }
+    var prev = state(arr)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val relaxed = e
+        .join(arr.withColumnRenamed("node", "src"), "src")
+        .where(col("t") > col("arrival"))
+        .select(col("dst").as("node"), col("t").as("arrival"))
+      val next = arr.union(relaxed)
+        .groupBy("node").agg(min("arrival").as("arrival"))
+      val nextP = next.localCheckpoint(eager = false)
+      val now = state(nextP)
+      GraftSqlBridge.freeLocalCheckpoint(arr)
+      converged = now._1 == prev._1 && now._2 != null &&
+        now._2.compareTo(prev._2) == 0
+      arr = nextP
+      prev = now
+      it += 1
+    }
+    require(converged,
+      s"earliestArrival did not converge in $maxIters rounds")
+    val result = arr.localCheckpoint()
+    GraftSqlBridge.freeLocalCheckpoint(arr)
+    e.unpersist(blocking = false)
+    result
+  }
+
   /** k-core peeling: iteratively delete nodes of degree < k (with their
     * edges) until every survivor has degree ≥ k inside the surviving
     * subgraph. The k-core is the standard "dense enough to matter"
