@@ -10,10 +10,10 @@ import graft.queries.Queries.QueryDef
 
 /** Fifty-fourth wave — survival analysis and sketch-quality audit.
   *
-  *  - `q_survival_km`: the Kaplan-Meier churn curve with censoring —
-  *    users whose last activity predates the observation horizon by
-  *    7 days "die" at their lifetime; the rest are censored (the
-  *    right-censoring a naive churn rate ignores). The product
+  *  - `q_survival_km`: the Kaplan-Meier time-to-first-error curve with
+  *    censoring — a user "dies" at the hours from their first event to
+  *    their first ERROR event; users who never error are censored (the
+  *    right-censoring a naive failure rate ignores). The product
   *    estimator Π(1−dᵢ/nᵢ) is made order-independent the house way:
   *    each factor's ln is round(9)-quantized to DECIMAL, the running
   *    SUM rides the &#124;distinct lifetimes&#124;-sized aggregate, and
@@ -39,13 +39,15 @@ object R54Queries {
   val qSurvivalKm = QueryDef("q_survival_km",
     (s, dir) => {
       val ev = Tables.events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       val span = ev.groupBy("user_id")
-        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
-      val horizon = span.agg(max(col("last_us")).as("obs_us"))
-      val users = span.crossJoin(broadcast(horizon))
-        .selectExpr("(last_us - first_us) div 86400000000 AS dur_d",
-          "CASE WHEN last_us < obs_us - 7 * 86400000000 THEN 1 ELSE 0 END AS churned")
+        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+          min(when(col("event_type") === "error", col("us"))).as("err_us"))
+      val users = span
+        .selectExpr(
+          "CASE WHEN err_us IS NOT NULL THEN (err_us - first_us) div 3600000000" +
+            " ELSE (last_us - first_us) div 3600000000 END AS dur_d",
+          "CASE WHEN err_us IS NOT NULL THEN 1 ELSE 0 END AS churned")
       val g = users.groupBy("dur_d")
         .agg(count(lit(1)).cast("long").as("entering"),
           sum(col("churned")).cast("long").as("d"))
@@ -68,13 +70,15 @@ object R54Queries {
       km
     },
     Some(
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-        |span AS (SELECT user_id, min(us) AS first_us, max(us) AS last_us
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |span AS (SELECT user_id, min(us) AS first_us, max(us) AS last_us,
+        |           min(CASE WHEN event_type = 'error' THEN us END) AS err_us
         |         FROM ev GROUP BY 1),
-        |horizon AS (SELECT max(last_us) AS obs_us FROM span),
-        |users AS (SELECT (last_us - first_us) // 86400000000 AS dur_d,
-        |    CASE WHEN last_us < obs_us - 7 * 86400000000 THEN 1 ELSE 0 END AS churned
-        |  FROM span CROSS JOIN horizon),
+        |users AS (SELECT
+        |    CASE WHEN err_us IS NOT NULL THEN (err_us - first_us) // 3600000000
+        |         ELSE (last_us - first_us) // 3600000000 END AS dur_d,
+        |    CASE WHEN err_us IS NOT NULL THEN 1 ELSE 0 END AS churned
+        |  FROM span),
         |g AS (SELECT dur_d, CAST(count(*) AS BIGINT) AS entering,
         |        CAST(sum(churned) AS BIGINT) AS d
         |      FROM users GROUP BY 1),
