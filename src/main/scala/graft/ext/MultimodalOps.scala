@@ -147,6 +147,49 @@ object MultimodalOps {
     }
   }
 
+  case class PHash(doc_id: Long, phash: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint from the REAL decoded
+    * pixels: NN-downsample to a grid×grid thumbnail (same source-pixel
+    * mapping as [[resizeImages]]: (i·w) / grid), per-cell gray =
+    * r+g+b, bit k set when the cell is brighter than the thumbnail
+    * mean — evaluated as gray·grid² > total (cross-multiplied
+    * integers, no floating mean, so the HASH is bit-stable and the
+    * formula-replay oracle can recompute it). Identical images hash
+    * equal; near-identical images land in the same or adjacent
+    * hamming buckets — the image-dedup fingerprint every visual
+    * curation pipeline keys on. */
+  def perceptualHash(spark: SparkSession, media: Dataset[MediaRow],
+                     grid: Int): Dataset[PHash] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = readImage(r.payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grays = new Array[Long](grid * grid)
+        var j = 0
+        while (j < grid) {
+          var i = 0
+          while (i < grid) {
+            val rgb = img.getRGB(i * w / grid, j * h / grid)
+            grays(j * grid + i) =
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+            i += 1
+          }
+          j += 1
+        }
+        val total = grays.sum
+        var bits = 0L
+        var k = 0
+        while (k < grays.length) {
+          if (grays(k) * grid * grid > total) bits |= 1L << k
+          k += 1
+        }
+        PHash(r.doc_id, bits)
+      }
+    }
+  }
+
   /** Frame sampling over a frame-strip "video": decode once, slice every
     * `everyN`-th `frameH`-row frame, emit per-frame channel sums — the
     * one-to-many (UDTF-shaped) multimodal op, partition-batched. */
