@@ -306,6 +306,49 @@ object MultimodalOps {
     }
   }
 
+  case class AudioFp(doc_id: Long, n_samples: Long, afp: Long)
+
+  /** Energy-band audio fingerprint from the REAL decoded PCM: the
+    * sample stream splits into `bands` equal windows (band of sample i
+    * = (i·bands)/n, the NN mapping), per-band energy = Σ|amplitude|,
+    * bit k set when the band is louder than the clip mean —
+    * E_k·bands > total (cross-multiplied integers, bit-stable) — the
+    * audio twin of [[perceptualHash]]: clips with the same loudness
+    * shape bucket together, the first stage of audio dedup. */
+  def audioFingerprint(spark: SparkSession, media: Dataset[MediaRow],
+                       bands: Int): Dataset[AudioFp] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unexpected PCM layout: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val energy = new Array[Long](bands)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val v = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            val a = math.abs(v).toLong
+            energy((i * bands / n).min(bands - 1)) += a
+            total += a
+            i += 1
+          }
+          var bits = 0L
+          var k = 0
+          while (k < bands) {
+            if (energy(k) * bands > total) bits |= 1L << k
+            k += 1
+          }
+          AudioFp(r.doc_id, n.toLong, bits)
+        } finally ais.close()
+      }
+    }
+  }
+
   /** The audio formula's channel sums as SQL (columns `doc_id`, `i`). */
   private[graft] val audioSumSql: String =
     "sum((doc_id * 31 + i * 17) % 2003 - 1001)"
