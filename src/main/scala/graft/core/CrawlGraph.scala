@@ -216,6 +216,21 @@ object CrawlGraph {
     * this twin exists to make the divergence executable and testable,
     * not as the production operator ([[crawl]] is).
     */
+  /** Lexicographic processing rank for the [[crawlActualEdges]] pin,
+    * in the [[surrogateKeysScalable]] zipWithIndex form: range-partition
+    * by parent, sort within partitions, then per-partition offsets — a
+    * deterministic dense 1-based rank with NO single-partition
+    * `Window.orderBy` funnel (the r5 scale flag). Plan-pinned in
+    * CrawlGraphSpec: no WindowExec, no single-partition Exchange. */
+  private[graft] def processingRank(spark: SparkSession,
+      procParents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sorted = procParents.select($"parent")
+      .repartitionByRange($"parent").sortWithinPartitions("parent")
+    sorted.as[String].rdd.zipWithIndex()
+      .map { case (p, i) => (p, i + 1L) }.toDF("parent", "rk")
+  }
+
   def crawlActualEdges(spark: SparkSession, pages: DataFrame,
       rootSite: String, penDepth: Int): DataFrame = {
     import spark.implicits._
@@ -228,10 +243,7 @@ object CrawlGraph {
     for (depth <- 0 until penDepth) {
       val procParents = frontier.select($"url".as("parent"))
         .join(okParents, "parent")
-      // global order-by window: the processing-order pin; frontier-sized
-      // (same single-partition caveat as surrogateKeys, documented there)
-      val ranked = procParents.select($"parent",
-        row_number().over(Window.orderBy("parent")).as("rk"))
+      val ranked = processingRank(spark, procParents)
       val mined = childEdges.join(procParents, "parent")
       val firstRank = mined.join(ranked, "parent")
         .groupBy("child").agg(min($"rk").as("fr"))

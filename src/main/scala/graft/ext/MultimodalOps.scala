@@ -162,6 +162,9 @@ object MultimodalOps {
   def perceptualHash(spark: SparkSession, media: Dataset[MediaRow],
                      grid: Int): Dataset[PHash] = {
     import spark.implicits._
+    // the hash is a Long bitmap: grid*grid cells beyond 64 would wrap 1L << k
+    require(grid > 0 && grid * grid <= 64,
+      s"grid*grid must be in [1,64] (got grid=$grid)")
     media.mapPartitions { rows =>
       rows.map { r =>
         val img = readImage(r.payload)
@@ -318,6 +321,8 @@ object MultimodalOps {
   def audioFingerprint(spark: SparkSession, media: Dataset[MediaRow],
                        bands: Int): Dataset[AudioFp] = {
     import spark.implicits._
+    // Long-bitmap fingerprint: more than 64 bands would wrap 1L << k
+    require(bands > 0 && bands <= 64, s"bands must be in [1,64] (got $bands)")
     media.mapPartitions { rows =>
       rows.map { r =>
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
@@ -333,7 +338,8 @@ object MultimodalOps {
           while (i < n) {
             val v = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
             val a = math.abs(v).toLong
-            energy((i * bands / n).min(bands - 1)) += a
+            // long band index: i*bands overflows Int past ~2^31/bands samples
+            energy((i.toLong * bands / n).toInt.min(bands - 1)) += a
             total += a
             i += 1
           }

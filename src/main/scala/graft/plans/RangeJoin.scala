@@ -135,15 +135,23 @@ object RangeJoin {
                       pointCol: String, loCol: String,
                       hiCol: String): DataFrame = {
     val spark = points.sparkSession
-    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ RangeJoinStrategy
+    // check-then-append must be atomic: two first-uses racing here could
+    // double-register or momentarily drop another thread's strategy
+    RangeJoin.synchronized {
+      if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ RangeJoinStrategy
+      }
     }
     val l = points.queryExecution.analyzed
     val r = intervals.queryExecution.analyzed
-    def attr(plan: LogicalPlan, n: String): Attribute = plan.output
-      .find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    def attr(plan: LogicalPlan, n: String): Attribute =
+      plan.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(s"no column $n")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: ${many.size} matches — disambiguate first")
+      }
     require(attr(l, pointCol).dataType == attr(r, loCol).dataType &&
       attr(r, loCol).dataType == attr(r, hiCol).dataType,
       "point, lo and hi must share one data type")

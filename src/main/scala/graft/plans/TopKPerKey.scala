@@ -157,14 +157,22 @@ object TopKPerKey {
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
                  k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // atomic check-then-append: concurrent first uses must not
+    // double-register or drop a racing thread's strategy
+    TopKPerKey.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
     }
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute = analyzed.output
-      .find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    def attr(n: String): Attribute =
+      analyzed.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(s"no column $n")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: ${many.size} matches — disambiguate first")
+      }
     GraftSqlBridge.ofRows(spark,
       TopKPerKeyNode(keyCols.map(attr), attr(orderCol), k, analyzed))
   }

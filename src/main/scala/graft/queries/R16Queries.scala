@@ -171,7 +171,8 @@ object R16Queries {
           |FROM graft_nation_tbl GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     },
     Some(
-      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(count(*) AS BIGINT) AS n,
         |  min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
 

@@ -97,7 +97,7 @@ object R24Queries {
         .orderBy(col("n_chars"), col("doc_id"))
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("n", count(lit(1))
           .over(Window.partitionBy(col("source"))))
         .withColumn("pct", when(col("n") === 1, lit(0.0))

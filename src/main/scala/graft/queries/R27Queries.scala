@@ -65,8 +65,9 @@ object R27Queries {
         .join(dims.select(col("d").as("di"), col("sd").as("si"), col("n")),
           "di")
         .join(dims.select(col("d").as("dj"), col("sd").as("sj")), "dj")
-        .select(col("di"), col("dj"), col("sxy"), col("si"), col("sj"),
-          col("n"))
+        .select(col("di").cast("long").as("di"),
+          col("dj").cast("long").as("dj"),
+          col("sxy"), col("si"), col("sj"), col("n"))
         .orderBy("di", "dj")
     },
     Some(
@@ -75,11 +76,11 @@ object R27Queries {
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
         |  FROM embeddings, range(1, 65) t(i)
         |), pairs AS (
-        |  SELECT a.d AS di, b.d AS dj, sum(a.v * b.v) AS sxy
+        |  SELECT a.d AS di, b.d AS dj, CAST(sum(a.v * b.v) AS BIGINT) AS sxy
         |  FROM pts a JOIN pts b ON a.vec_id = b.vec_id AND a.d <= b.d
         |  GROUP BY a.d, b.d
         |), dims AS (
-        |  SELECT d, sum(v) AS sd, CAST(count(*) AS BIGINT) AS n
+        |  SELECT d, CAST(sum(v) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS n
         |  FROM pts GROUP BY d
         |)
         |SELECT p.di, p.dj, p.sxy, a.sd AS si, b.sd AS sj, a.n
@@ -115,7 +116,8 @@ object R27Queries {
          |      AS BIGINT) AS bpe
          |  FROM documents
          |), a AS (
-         |  SELECT lang, sum(ws) AS ws, sum(bpe) AS bpe FROM c GROUP BY lang
+         |  SELECT lang, CAST(sum(ws) AS BIGINT) AS ws,
+         |    CAST(sum(bpe) AS BIGINT) AS bpe FROM c GROUP BY lang
          |)
          |SELECT lang, ws, bpe,
          |  CAST((bpe * 10000 - ((bpe * 10000 % ws) + ws) % ws) / ws

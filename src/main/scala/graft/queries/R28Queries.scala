@@ -59,9 +59,9 @@ object R28Queries {
         |  SELECT g.g AS k, (g.g * 57 + 7 * i.i) % 1000 AS v
         |  FROM range(0, 8) g(g), range(0, 200) i(i)
         |), aa AS (
-        |  SELECT k, sum(v) AS sa, CAST(count(*) AS BIGINT) AS na
+        |  SELECT k, CAST(sum(v) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS na
         |  FROM a GROUP BY k
-        |), bb AS (SELECT k, sum(v) AS sb FROM b GROUP BY k)
+        |), bb AS (SELECT k, CAST(sum(v) AS BIGINT) AS sb FROM b GROUP BY k)
         |SELECT aa.k, aa.na, aa.sa, bb.sb
         |FROM aa JOIN bb ON aa.k = bb.k ORDER BY aa.k""".stripMargin))
 

@@ -81,7 +81,7 @@ object R33Queries {
         |    row_number() OVER (ORDER BY abs(ia * m - jb * n) DESC, v) AS rk
         |  FROM cum
         |)
-        |SELECT n, m,
+        |SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
         |  CAST((dnum * 10000 - ((dnum * 10000 % (n * m)) + n * m) % (n * m))
         |    / (n * m) AS BIGINT) AS d_bp,
         |  v AS at_value
@@ -152,7 +152,8 @@ object R33Queries {
         |      sum(ce) OVER () AS ne
         |    FROM pv)
         |), bins AS (
-        |  SELECT bin, sum(ce) AS n_exp, sum(ca) AS n_act
+        |  SELECT bin, CAST(sum(ce) AS BIGINT) AS n_exp,
+        |    CAST(sum(ca) AS BIGINT) AS n_act
         |  FROM binned GROUP BY bin
         |), terms AS (
         |  SELECT bin, n_exp, n_act,

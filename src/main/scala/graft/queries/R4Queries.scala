@@ -224,7 +224,7 @@ object R4Queries {
       | CAST(sum(volume) AS DOUBLE) AS revenue
       |FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-      |    EXTRACT(YEAR FROM l_shipdate) AS l_year,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
       |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
       |  FROM supplier
       |   JOIN lineitem ON s_suppkey = l_suppkey

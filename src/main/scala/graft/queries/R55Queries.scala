@@ -16,12 +16,16 @@ import graft.queries.Queries.QueryDef
   *    engines, so the bits are identical by construction. Deterministic
   *    synthetic coordinates ride integer arithmetic on event ids.
   *  - `q_geo_join`: proximity self-join (pairs within 10 km) — each
-  *    point buckets into a 0.1° integer grid cell and probes its 3×3
-  *    neighborhood (emitted map-side), candidates verify with the
-  *    haversine distance; round(3) km absorbs libm trig divergence and
-  *    the threshold compares the ROUNDED value on both engines. The
-  *    standard scale shape: bucket equi-join, never all-pairs; the
-  *    neighbor fanout is a constant 9.
+  *    point buckets into a 0.1° integer grid cell and probes a 3×5
+  *    neighborhood (±1 lat, ±2 lon, emitted map-side), candidates
+  *    verify with the haversine distance; round(3) km absorbs libm trig
+  *    divergence and the threshold compares the ROUNDED value on both
+  *    engines. The lon probe is ±2 because at the fixture latitudes
+  *    (40-42°N) one 0.1° lon cell is only ~8.3 km, so a true ≤10 km
+  *    pair can span up to ~0.121° ≈ 2 cells of longitude (10 km of
+  *    latitude is ~0.09° < 1 cell everywhere, so ±1 suffices there).
+  *    The standard scale shape: bucket equi-join, never all-pairs; the
+  *    neighbor fanout is a constant 15.
   *  - `q_drawdown`: maximum drawdown of the daily revenue curve —
   *    running peak minus running value, all integer cents on the
   *    &#124;days&#124;-sized aggregate; the classic risk statistic.
@@ -109,7 +113,7 @@ object R55Queries {
           "explode(array(-1, 0, 1)) AS dx", "cx", "cy")
         .selectExpr("a", "lat1", "lon1", "cx + dx AS px", "cy")
         .selectExpr("a", "lat1", "lon1", "px",
-          "explode(array(-1, 0, 1)) AS dy", "cy")
+          "explode(array(-2, -1, 0, 1, 2)) AS dy", "cy")
         .selectExpr("a", "lat1", "lon1", "px", "cy + dy AS py")
       val cands = probes.join(
           pts.selectExpr("event_id AS b", "lat AS lat2", "lon AS lon2",
@@ -130,7 +134,7 @@ object R55Queries {
          |  FROM pts),
          |probes AS (SELECT event_id AS a, lat AS lat1, lon AS lon1,
          |    cx + dx.g AS px, cy + dy.g AS py
-         |  FROM cells, generate_series(-1, 1) dx(g), generate_series(-1, 1) dy(g)),
+         |  FROM cells, generate_series(-1, 1) dx(g), generate_series(-2, 2) dy(g)),
          |cands AS (SELECT a, lat1, lon1, c.event_id AS b,
          |    c.lat AS lat2, c.lon AS lon2
          |  FROM probes JOIN cells c ON c.cx = px AND c.cy = py

@@ -107,4 +107,16 @@ class CrawlGraphSpec extends AnyFunSuite {
       (1, root + "a", root + "x"), (1, root + "c", root + "y")))
     assert(actual != intendedSet) // the §2.10 divergence, executable
   }
+
+  test("processingRank: no WindowExec / single-partition funnel; dense rank") {
+    val parents = Seq("c", "a", "b", "d").toDF("parent")
+    val ranked = CrawlGraph.processingRank(spark, parents)
+    assert(ranked.as[(String, Long)].collect().sortBy(_._2).toSeq ==
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
+    // the rank assignment must not ride a global-order window: the sort
+    // is range-partitioned, offsets come from zipWithIndex
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("singlepartition"), plan)
+  }
 }

@@ -42,6 +42,16 @@ class RangeJoinSpec extends AnyFunSuite {
     }.isEmpty, p.toString)
   }
 
+  test("ambiguous column names fail loudly instead of binding the first match") {
+    val dup = Seq((1L, 5L)).toDF("pid", "p").withColumn("p", $"p")
+      .select($"pid", $"p", $"p".as("p")) // two output attrs named p
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(dup,
+        Seq((1L, 0L, 9L)).toDF("iid", "lo", "hi"), "p", "lo", "hi")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("edges: empty intervals, out-of-range points, null handling") {
     val empty = RangeJoin.pointInInterval(
       Seq((1L, 5L)).toDF("pid", "p"),

@@ -91,6 +91,20 @@ class SinksStreamingSpec extends AnyFunSuite {
     assert(got.sum_abs == samples.map(v => math.abs(v).toLong).sum)
   }
 
+  test("perceptualHash/audioFingerprint enforce the 64-bit bitmap contract") {
+    val img = MultimodalOps.imagesFromDocuments(spark, Seq(7L).toDF("doc_id"))
+    intercept[IllegalArgumentException] {
+      MultimodalOps.perceptualHash(spark, img, grid = 9) // 81 cells > 64 bits
+    }
+    val wav = MultimodalOps.wavsFromDocuments(spark, Seq(3L).toDF("doc_id"))
+    intercept[IllegalArgumentException] {
+      MultimodalOps.audioFingerprint(spark, wav, bands = 65)
+    }
+    // boundary values stay legal
+    assert(MultimodalOps.perceptualHash(spark, img, grid = 8).count() == 1)
+    assert(MultimodalOps.audioFingerprint(spark, wav, bands = 64).count() == 1)
+  }
+
   test("streaming windowed counts match the batch equivalent") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val events = Seq(
