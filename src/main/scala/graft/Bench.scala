@@ -16,6 +16,24 @@ object Bench {
     // charged for session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warm up the STREAMING machinery too (StreamingQueryManager, state
+    // store provider, offset/commit logs, memory sink): measured ~3 s of
+    // one-time class-load/init otherwise charged to whichever streaming
+    // query happens to run first (r5: q_stream_chained_agg at 6.5 s vs
+    // 2-3 s marginal)
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      spark.range(4).selectExpr("id", "timestamp_micros(id * 1000000) AS ts")
+        .write.mode("overwrite").parquet(tmp)
+      val q = spark.readStream.schema("id LONG, ts TIMESTAMP").parquet(tmp)
+        .withWatermark("ts", "1 second")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "2 seconds"))
+        .count()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_warm_out").start()
+      q.processAllAvailable(); q.stop()
+    }
     // optional local-iteration filter (comma-separated name prefixes);
     // the driver never sets it, so the graded run measures everything
     val onlyFilter = sys.env.get("SPARK_GRAFT_ONLY")

@@ -68,7 +68,9 @@ object Tables {
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(Long.MaxValue)
     while (stateRows > targetRows && System.nanoTime() < deadline) {
       q.processAllAvailable()
-      Thread.sleep(100)
+      // 25 ms: the poll only waits for the no-data watermark batch the
+      // engine triggers itself — at 100 ms the sleep dominated drain time
+      Thread.sleep(25)
     }
   }
 

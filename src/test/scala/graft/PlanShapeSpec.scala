@@ -158,4 +158,61 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 2,
       s"part dim and brand-count joins should broadcast:\n$p")
   }
+
+  // Shuffle/broadcast budgets for the rest of the adapted TPC-H suite
+  // (Q5/Q8/Q17/Q18 have bespoke pins above). Each entry is the measured
+  // sf0.001 budget: (max hash shuffles, min broadcast-hash joins). An
+  // optimizer or query regression that adds an exchange or degrades a
+  // broadcast to sort-merge/cartesian fails here, not in bench drift.
+  private val tpchBudgets = Seq(
+    "q_sql_tpch_q3" -> (1, 2), "q_sql_tpch_q4" -> (1, 1),
+    "q_sql_tpch_q6" -> (0, 0), "q_sql_tpch_q7" -> (1, 5),
+    "q_sql_tpch_q9" -> (1, 4), "q_sql_tpch_q10" -> (1, 3),
+    "q_sql_tpch_q11" -> (2, 2), "q_sql_tpch_q12" -> (1, 1),
+    "q_sql_tpch_q13" -> (2, 1), "q_sql_tpch_q14" -> (0, 1),
+    "q_sql_tpch_q15" -> (1, 1), "q_sql_tpch_q16" -> (2, 2),
+    "q_sql_tpch_q19" -> (0, 1), "q_sql_tpch_q20" -> (2, 5),
+    "q_sql_tpch_q21" -> (1, 5), "q_sql_tpch_q22" -> (1, 1))
+
+  test("q_sql_tpch_q2: dims broadcast; the partsupp/min-cost join may sort-merge (fact-fact)") {
+    val p = plan("q_sql_tpch_q2")
+    assert(hashShuffles(p) <= 5, s"q2 grew extra hash shuffles:\n$p")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 7,
+      s"q2 lost a broadcast join:\n$p")
+    // the decorrelated min-supplycost join keys two partsupp-sized
+    // sides on ps_partkey — sort-merge is the CORRECT 100 TB shape there
+    assert(p.collect { case j: SortMergeJoinExec => j }.size <= 1,
+      s"q2 degraded further broadcasts to sort-merge:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, p.toString)
+  }
+
+  test("q_dpo_pairs: one shuffle, join-free — argmax rides max(struct) combine") {
+    val p = plan("q_dpo_pairs")
+    assert(hashShuffles(p) == 1, s"dpo pairs must be one aggregate:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty, p.toString)
+    assert(p.toString.toLowerCase.contains("partial_merge") ||
+      !p.toString.contains("Window"),
+      s"no per-group window sort — the aggregate carries the argmax:\n$p")
+  }
+
+  test("q_dsir_weights: bigram LM joins stay hash-keyed; no cartesian blowup") {
+    val p = plan("q_dsir_weights")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"dsir must never cross-join corpora:\n$p")
+    assert(hashShuffles(p) <= 6,
+      s"dsir grew beyond its LM-table shuffle budget:\n$p")
+  }
+
+  for ((name, (maxShuffles, minBhj)) <- tpchBudgets)
+    test(s"$name: <=$maxShuffles hash shuffle(s), >=$minBhj broadcast join(s), no SMJ/cartesian") {
+      val p = plan(name)
+      assert(hashShuffles(p) <= maxShuffles,
+        s"$name grew extra hash shuffles:\n$p")
+      assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= minBhj,
+        s"$name lost a broadcast join:\n$p")
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$name degraded a broadcast to sort-merge:\n$p")
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$name grew a cartesian product:\n$p")
+    }
 }
