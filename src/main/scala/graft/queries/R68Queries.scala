@@ -190,5 +190,39 @@ object R68Queries {
         |  CAST((cents * 10000 - ((cents * 10000 % tot) + tot) % tot) / tot AS BIGINT) AS share_bp
         |FROM agg ORDER BY decile""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qKneserNey, qCumulativeDistinct, qLorenzDeciles)
+  // ---------- q_asof_native ----------
+
+  /** The broadcast as-of operator ([[graft.plans.AsofJoinNative]],
+    * whole-operator tier) against the SAME lateral oracle as
+    * q_asof_join's composed union+window form — two independent
+    * implementations, one truth. The native form trades the composed
+    * form's one |L|+|R| shuffle for a broadcast + per-row binary
+    * search (right side dimension-sized by contract); equivalence is
+    * additionally spec-pinned on random series in AsofNativeSpec. */
+  val qAsofNative = QueryDef("q_asof_native",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      // the fixture's o_orderdate physical type round-trips as NTZ some
+      // rounds — align it to the probe side's (session-zoned, UTC) type
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_orderdate").cast(e.schema("ts").dataType).as("o_orderdate"),
+          col("o_orderkey"))
+      graft.plans.AsofJoinNative.asofJoin(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightTie = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
+        |ORDER BY e.event_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qKneserNey, qCumulativeDistinct,
+    qLorenzDeciles, qAsofNative)
 }
