@@ -177,6 +177,33 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("decay_score_q30") >= 0))
   }
 
+  test("q_hilbert_curve: generated SQL levels equal the straight-Scala xy2d") {
+    val r = rows("q_hilbert_curve")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val e = row.getAs[Long]("event_id")
+      val x = ((e * 7919) % 2000 * 256 / 2000).toInt
+      val y = ((e * 104729) % 3000 * 256 / 3000).toInt
+      assert(row.getAs[Long]("hkey") == queries.R71Queries.xy2d(256, x, y),
+        s"event $e hkey diverges from the reference xy2d")
+    }
+  }
+
+  test("q_point_in_polygon: crossing sum equals the straight-Scala ray caster") {
+    val row = rows("q_point_in_polygon").head
+    val ids = graft.core.Tables.load(spark, sf, "events")
+      .where(org.apache.spark.sql.functions.col("event_id") < 3000)
+      .select("event_id").collect().map(_.getLong(0))
+    val expected = ids.count { e =>
+      queries.R71Queries.insidePoly(
+        40000 + (e * 7919) % 2000, -74000 + (e * 104729) % 3000)
+    }
+    assert(row.getAs[Long]("n_inside") == expected.toLong)
+    assert(row.getAs[Long]("n_pts") == ids.length.toLong)
+    assert(row.getAs[Long]("n_inside") > 0 &&
+      row.getAs[Long]("n_inside") < ids.length, "polygon test must separate")
+  }
+
   test("q_mi_categorical: finite partial MI per language") {
     val r = rows("q_mi_categorical")
     assert(r.nonEmpty)
