@@ -204,6 +204,76 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
       row.getAs[Long]("n_inside") < ids.length, "polygon test must separate")
   }
 
+  test("q_consistent_hashing: every shard participates in the rebalance audit") {
+    val r = rows("q_consistent_hashing")
+    assert(r.length == 4)
+    val moved = r.map(_.getAs[Long]("n_moved")).sum
+    val total = r.map(_.getAs[Long]("n_keys")).sum
+    // consistent hashing's point: adding 1 of 5 shards moves roughly 1/5
+    // of keys, never most of them (the linear-mixer failure mode)
+    assert(moved > 0 && moved * 2 < total,
+      s"moved $moved of $total — ring placement degenerated")
+  }
+
+  test("q_dbscan_cells: the deterministic blob fixture yields 5 clusters") {
+    val r = rows("q_dbscan_cells")
+    assert(r.length == 5)
+    assert(r.map(_.getAs[Long]("n_points")).sum >
+      r.map(_.getAs[Long]("n_cells")).sum * 5, "clusters must be dense")
+  }
+
+  test("q_kmv_distinct: estimate within 20% of exact at k=64") {
+    rows("q_kmv_distinct").foreach { row =>
+      assert(row.getAs[Long]("err_bp") < 2000,
+        s"flag ${row.getAs[String]("flag")} err ${row.getAs[Long]("err_bp")}bp")
+    }
+  }
+
+  test("q_calendar_spine: active + zero partitions the spine") {
+    val r = rows("q_calendar_spine").head
+    assert(r.getAs[Long]("n_active") + r.getAs[Long]("n_zero") ==
+      r.getAs[Long]("n_hours"))
+    assert(r.getAs[Long]("n_active") > 0 && r.getAs[Long]("n_zero") > 0)
+  }
+
+  test("q_dow_profile: 7 weekdays partition the day series") {
+    val r = rows("q_dow_profile")
+    assert(r.map(_.getAs[Long]("dow")).toSeq == (0L to 6L))
+    val days = rows("q_changepoint").head.getAs[Long]("n_l") +
+      rows("q_changepoint").head.getAs[Long]("n_r")
+    assert(r.map(_.getAs[Long]("n_days")).sum == days)
+  }
+
+  test("q_sprt: a decided walk sits beyond its threshold") {
+    val r = rows("q_sprt").head
+    val llr = r.getAs[Double]("llr_at_decision")
+    r.getAs[String]("decision") match {
+      case "accept_h1" => assert(llr >= math.log(19.0))
+      case "accept_h0" => assert(llr <= -math.log(19.0))
+      case "continue" => assert(math.abs(llr) < math.log(19.0))
+      case other => fail(s"unknown decision $other")
+    }
+  }
+
+  test("q_random_projection: 16 distinct projections per vector") {
+    val r = rows("q_random_projection")
+    assert(r.length % 16 == 0 && r.nonEmpty)
+    // the dead-parity mixer bug made all 16 columns identical — pin
+    // that at least one vector has non-constant projections
+    val byVec = r.groupBy(_.getAs[Long]("vec_id"))
+    assert(byVec.values.exists(_.map(_.getAs[Long]("proj")).distinct.length > 1),
+      "all projections identical: the sign matrix is constant")
+  }
+
+  test("q_wilson_flags: intervals contain their own rates") {
+    rows("q_wilson_flags").foreach { row =>
+      val rate = row.getAs[Long]("rate_bp").toDouble / 10000.0
+      assert(row.getAs[Double]("lo") <= rate + 1e-4 &&
+        rate - 1e-4 <= row.getAs[Double]("hi"),
+        s"${row.getAs[String]("source")} rate outside its own Wilson interval")
+    }
+  }
+
   test("q_mi_categorical: finite partial MI per language") {
     val r = rows("q_mi_categorical")
     assert(r.nonEmpty)
