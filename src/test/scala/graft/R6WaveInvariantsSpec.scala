@@ -282,4 +282,218 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
       assert(!mi.isNaN && !mi.isInfinite)
     }
   }
+
+  test("q_cascade_delete: audit covers the chain, deletions bounded") {
+    val r = rows("q_cascade_delete")
+    assert(r.map(_.getAs[String]("tbl")).toSet ==
+      Set("customer", "orders", "lineitem", "events"))
+    r.foreach { row =>
+      val tot = row.getAs[Long]("n_total")
+      val del = row.getAs[Long]("n_deleted")
+      assert(0L <= del && del <= tot, s"${row.getAs[String]("tbl")} $del/$tot")
+    }
+    // k ≡ 3 (mod 10) subjects: the customer-table delete rate is ~10%
+    val cust = r.find(_.getAs[String]("tbl") == "customer").get
+    val frac = cust.getAs[Long]("n_deleted").toDouble / cust.getAs[Long]("n_total")
+    assert(frac > 0.05 && frac < 0.15, s"customer delete fraction $frac")
+  }
+
+  test("q_interarrival: bucket shares partition the gap mass") {
+    val r = rows("q_interarrival")
+    assert(r.nonEmpty && r.length <= 4)
+    val sum = r.map(_.getAs[Long]("share_bp")).sum
+    // per-bucket floor rounding loses < 1bp per bucket
+    assert(sum <= 10000L && sum > 10000L - r.length,
+      s"bucket shares sum to ${sum}bp")
+  }
+
+  test("q_coverage_p90: flags form a prefix of the mass-descending order") {
+    val r = rows("q_coverage_p90") // already ordered by rk
+    assert(r.nonEmpty)
+    val flags = r.map(_.getAs[Long]("in_p90"))
+    assert(flags.head == 1L, "the heaviest cell must be inside p90")
+    // once a cell falls outside p90 every later (lighter) cell does too
+    assert(!flags.zip(flags.tail).exists { case (a, b) => a == 0L && b == 1L },
+      "in_p90 flags are not prefix-closed in rank order")
+    val toks = r.map(_.getAs[Long]("toks"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_theil_index: non-negative and zero only under perfect equality") {
+    val r = rows("q_theil_index").head
+    assert(r.getAs[Long]("n_nations") > 0)
+    val theil = r.getAs[Double]("theil")
+    // Theil's T is ≥ 0 up to per-term DECIMAL(18,9) quantization slack
+    assert(theil >= -1e-6, s"theil $theil")
+  }
+
+  test("q_markov2: conditional probabilities are valid, support floor holds") {
+    val r = rows("q_markov2")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n") >= 3, "support floor violated")
+      val p = row.getAs[Long]("p_bp")
+      assert(p >= 0L && p <= 10000L, s"p_bp $p")
+    }
+    // within one (e1,e2) context the floor-quantized probs sum ≤ 10000
+    r.groupBy(row => (row.getAs[String]("e1"), row.getAs[String]("e2")))
+      .foreach { case (ctx, rows) =>
+        val s = rows.map(_.getAs[Long]("p_bp")).sum
+        assert(s <= 10000L, s"context $ctx sums to ${s}bp")
+      }
+  }
+
+  test("q_burstiness: Fano factors are non-negative") {
+    val r = rows("q_burstiness")
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getAs[Long]("fano_bp") >= 0L))
+  }
+
+  test("q_water_filling: max-min fair allocation at the water level") {
+    val r = rows("q_water_filling")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("alloc") <= row.getAs[Long]("demand"))
+      assert(row.getAs[Long]("alloc") >= 0L)
+    }
+    // LIMIT 200 truncates the per-user list, so capacity-tightness is
+    // only checkable when every user is present
+    if (r.length < 200) {
+      val demands = r.map(_.getAs[Long]("demand"))
+      val allocs = r.map(_.getAs[Long]("alloc"))
+      val cap = demands.sum / 2
+      assert(allocs.sum <= cap, s"allocated ${allocs.sum} over capacity $cap")
+      val capped = r.filter(row =>
+        row.getAs[Long]("alloc") < row.getAs[Long]("demand"))
+      if (capped.nonEmpty) {
+        // every capped user sits exactly at the shared water level…
+        assert(capped.map(_.getAs[Long]("alloc")).distinct.length == 1,
+          "capped users at different levels")
+        // …and raising the level by 1 would blow the budget
+        assert(allocs.sum + capped.length > cap, "water level not maximal")
+      }
+    }
+  }
+
+  test("q_skyline: matches the brute-force Pareto frontier") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val pts = graft.core.Tables.load(spark, sf, "part")
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100.0) AS BIGINT)").as("price_c"),
+        col("p_size").cast("long").as("size"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, p, s) =>
+      !pts.exists { case (_, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.map(_._1).sorted
+    val got = rows("q_skyline").map(_.getAs[Long]("p_partkey"))
+    assert(got.toSeq == brute.toSeq, "two-phase skyline != brute force")
+    assert(got.nonEmpty)
+  }
+
+  test("q_clamped_runsum: closed form matches the sequential recurrence") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val deltas = graft.core.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("odate_us"),
+        col("o_orderkey"),
+        expr("""CASE WHEN o_orderkey % 3 = 0
+          THEN CAST(round(o_totalprice * 100.0) AS BIGINT)
+          ELSE -CAST((CAST(round(o_totalprice * 100.0) AS BIGINT)
+                 - CAST(round(o_totalprice * 100.0) AS BIGINT) % 2) / 2 AS BIGINT)
+          END""").as("delta"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    val naive = deltas.groupBy(_._1).map { case (k, rs) =>
+      var bal = 0L; var clamps = 0L
+      rs.map(_._2).sortBy(x => (x._1, x._2)).foreach { case (_, _, d) =>
+        if (bal + d < 0) { clamps += 1; bal = 0 } else bal += d
+      }
+      k -> ((rs.length.toLong, clamps, bal))
+    }
+    val got = rows("q_clamped_runsum")
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = r.getAs[Long]("custkey")
+      val (n, clamps, bal) = naive(k)
+      assert(r.getAs[Long]("n_orders") == n, s"custkey $k n_orders")
+      assert(r.getAs[Long]("n_clamps") == clamps, s"custkey $k n_clamps")
+      assert(r.getAs[Long]("final_bal_c") == bal, s"custkey $k final_bal")
+    }
+    assert(got.length == naive.size)
+    // the fixture must actually exercise the clamp path
+    assert(got.map(_.getAs[Long]("n_clamps")).sum > 0, "no clamps fired")
+  }
+
+  test("q_file_bins: bins tile each source's run without gaps") {
+    val r = rows("q_file_bins")
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin"))
+      assert(bins.toSeq == (0L until bins.length).toSeq,
+        s"$src bins not contiguous from 0: ${bins.toSeq}")
+      // start-offset binning: every bin except the last reaches the
+      // target before closing (its last doc STARTS inside the bin)
+      val bytes = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Long]("bytes"))
+      bytes.dropRight(1).zipWithIndex.foreach { case (b, i) =>
+        assert(b > 0, s"$src bin $i empty") }
+      // doc-id ranges are disjoint and increasing across bins
+      val ranges = rows.sortBy(_.getAs[Long]("bin"))
+        .map(row => (row.getAs[Long]("first_doc"), row.getAs[Long]("last_doc")))
+      assert(ranges.forall { case (a, b) => a <= b })
+      assert(ranges.zip(ranges.tail).forall { case ((_, b1), (a2, _)) => b1 < a2 },
+        s"$src bin id-ranges overlap")
+    }
+  }
+
+  test("q_shapley: efficiency axiom — Σφ·24 = 24·(v(C) − v(∅))") {
+    import org.apache.spark.sql.functions.{col, min => fmin, unix_micros}
+    val r = rows("q_shapley")
+    assert(r.map(_.getAs[String]("channel")).sorted.toSeq ==
+      Seq("click", "error", "signup", "view"))
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val fp = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(fmin(col("us")).as("pus"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val touched = ev.collect()
+      .filter(x => fp.get(x.getLong(0)).exists(p =>
+        x.getLong(2) < p && x.getString(1) != "purchase"))
+      .map(_.getLong(0)).toSet
+    val vFull = fp.size.toLong              // every converted user's mask ⊆ C
+    val vEmpty = (fp.keySet -- touched).size.toLong // empty-mask converts
+    assert(r.map(_.getAs[Long]("phi_x24")).sum == 24L * (vFull - vEmpty),
+      "Shapley efficiency axiom violated")
+  }
+
+  test("q_prefix_join: prefix filter is lossless vs brute force") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") < 1000)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSet)
+    val brute = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      inter = (ta & tb).size.toLong
+      un = ta.size + tb.size - inter
+      if inter * 10 >= un * 9
+    } yield (a, b, inter * 10000L / un)).sortBy(x => (x._1, x._2))
+    val got = rows("q_prefix_join")
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("jacc_bp")))
+    assert(got.nonEmpty)
+    assert(got.toSeq == brute.toSeq, "prefix-filtered join != brute force")
+  }
+
+  test("q_mutual_knn: pairs are disjoint and genuinely mutual") {
+    val r = rows("q_mutual_knn")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("a") < row.getAs[Long]("b"))
+      val c = row.getAs[Double]("cos_sim")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    // mutual top-1 pairs are a partial matching: no vec in two pairs
+    val ids = r.flatMap(row => Seq(row.getAs[Long]("a"), row.getAs[Long]("b")))
+    assert(ids.distinct.length == ids.length, "a vector appears in two pairs")
+  }
 }
