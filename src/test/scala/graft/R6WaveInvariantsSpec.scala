@@ -496,4 +496,58 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     val ids = r.flatMap(row => Seq(row.getAs[Long]("a"), row.getAs[Long]("b")))
     assert(ids.distinct.length == ids.length, "a vector appears in two pairs")
   }
+
+  test("q_holt: one row per user, forecast = level + trend exactly") {
+    val r = rows("q_holt")
+    val nUsers = graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(r.length.toLong == nUsers)
+    r.foreach { row =>
+      val l = row.getAs[java.math.BigDecimal]("level")
+      val t = row.getAs[java.math.BigDecimal]("trend")
+      val f = row.getAs[java.math.BigDecimal]("forecast")
+      assert(l.add(t).compareTo(f) == 0, s"user ${row.getAs[Long]("user_id")}")
+      assert(row.getAs[Long]("n_days") >= 1L)
+      assert(l.signum() > 0, "smoothed level of positive counts must stay positive")
+    }
+  }
+
+  test("q_cuped: the pooled adjustment preserves the overall mean") {
+    val r = rows("q_cuped")
+    assert(r.map(_.getAs[String]("arm")).sorted.toSeq == Seq("A", "B"))
+    // Σ nₐ(X̄ₐ − X̄) = 0, so the nₐ-weighted CUPED mean must equal the
+    // nₐ-weighted raw mean (up to the round-6 emit)
+    val wRaw = r.map(x => x.getAs[Long]("na") * x.getAs[Double]("raw_mean")).sum
+    val wAdj = r.map(x => x.getAs[Long]("na") * x.getAs[Double]("cuped_mean")).sum
+    val n = r.map(_.getAs[Long]("na")).sum
+    assert(math.abs(wRaw - wAdj) / n < 1e-5,
+      s"CUPED shifted the pooled mean: $wRaw vs $wAdj")
+  }
+
+  test("q_seq_pairs: matches brute-force sequence support") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val types = ev.map(_._2).distinct
+    val nUsers = byUser.size
+    val brute = (for {
+      ta <- types; tb <- types if ta != tb
+      support = byUser.values.count { es =>
+        val as = es.filter(_._2 == ta); val bs = es.filter(_._2 == tb)
+        as.nonEmpty && bs.nonEmpty && as.map(_._3).min < bs.map(_._3).max
+      }.toLong
+      if support >= 2L
+    } yield ((ta, tb), (support, support * 10000L / nUsers))).toMap
+    val got = rows("q_seq_pairs")
+    assert(got.nonEmpty)
+    assert(got.length == brute.size)
+    got.foreach { row =>
+      val k = (row.getAs[String]("ta"), row.getAs[String]("tb"))
+      val (sup, bp) = brute(k)
+      assert(row.getAs[Long]("support") == sup, s"$k support")
+      assert(row.getAs[Long]("support_bp") == bp, s"$k support_bp")
+    }
+  }
 }
