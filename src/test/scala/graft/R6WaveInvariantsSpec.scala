@@ -550,4 +550,59 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
       assert(row.getAs[Long]("support_bp") == bp, s"$k support_bp")
     }
   }
+
+  test("q_ivm_join: maintained view reflects every mutation class") {
+    val r = rows("q_ivm_join")
+    assert(r.nonEmpty)
+    val ks = r.map(_.getAs[Long]("k"))
+    assert(ks.distinct.length == ks.length, "duplicate order key in view")
+    // deleted orders are gone; clones are present
+    assert(!ks.exists(k => k < 10000000L && k % 17 == 0), "deleted order survived")
+    assert(ks.exists(_ >= 10000000L), "no inserted clone in view")
+    r.foreach { row =>
+      val ck = row.getAs[Long]("ck")
+      assert(ck % 23 != 0, s"order of deleted customer $ck survived")
+    }
+    // updated customers only appear with their NEW nation value
+    val updated = r.filter(row => row.getAs[Long]("ck") % 11 == 0)
+    assert(updated.nonEmpty)
+    val origNat = graft.core.Tables.load(spark, sf, "customer")
+      .collect().map(x => x.getLong(0) -> x.getInt(2).toLong).toMap
+    updated.foreach { row =>
+      val ck = row.getAs[Long]("ck")
+      assert(row.getAs[Long]("nat") == (origNat(ck) + 1L) % 25L,
+        s"customer $ck kept its pre-update nation")
+    }
+  }
+
+  test("q_bitemporal: corrections visible only past their tx day") {
+    val r = rows("q_bitemporal")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val ck = row.getAs[Long]("ck")
+      if (ck % 7 == 0) {
+        // the retroactive tx-20 correction IS visible at tx 25
+        assert(row.getAs[Long]("valid_day") == 10L && row.getAs[Long]("tx_day") == 20L,
+          s"ck $ck missed its correction")
+      } else {
+        assert(row.getAs[Long]("valid_day") == 0L && row.getAs[Long]("tx_day") == 0L,
+          s"ck $ck picked a phantom version")
+      }
+      // the tx-40 revision must NEVER be visible at tx 25
+      assert(row.getAs[Long]("tx_day") <= 25L)
+    }
+  }
+
+  test("q_theta_ops: estimates land near exacts at k=128") {
+    val r = rows("q_theta_ops").head
+    val exU = r.getAs[Long]("ex_union").toDouble
+    assert(exU > 0)
+    // θ-sketch error is relative to the UNION for every set op
+    for (op <- Seq("union", "intersect", "diff")) {
+      val ex = r.getAs[Long](s"ex_$op").toDouble
+      val est = r.getAs[Long](s"est_$op").toDouble
+      assert(math.abs(est - ex) <= 0.25 * exU + 1,
+        s"$op estimate $est vs exact $ex (union $exU)")
+    }
+  }
 }
