@@ -605,4 +605,51 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
         s"$op estimate $est vs exact $ex (union $exU)")
     }
   }
+
+  test("q_viterbi: decoded score dominates both constant-state paths") {
+    import org.apache.spark.sql.functions.col
+    val emit = Map("view" -> (5L, 2L), "click" -> (4L, 4L), "error" -> (1L, 3L),
+      "signup" -> (2L, 5L), "purchase" -> (1L, 6L))
+    val seqs = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = rows("q_viterbi")
+    assert(got.length == seqs.size)
+    got.foreach { row =>
+      val u = row.getAs[Long]("user_id")
+      val ts = seqs(u)
+      assert(row.getAs[Long]("n_events") == ts.length.toLong)
+      val best = row.getAs[Long]("best_score")
+      // the optimum dominates the stay-quiet and stay-active paths
+      val quiet = ts.map(emit(_)._1).sum + (ts.length - 1) * 8L
+      val active = ts.map(emit(_)._2).sum + (ts.length - 1) * 8L
+      assert(best >= math.max(quiet, active), s"user $u sub-optimal")
+      assert(Set(0L, 1L).contains(row.getAs[Long]("final_state")))
+    }
+  }
+
+  test("q_apportion: house size exact, every cell within its quota") {
+    val r = rows("q_apportion")
+    assert(r.nonEmpty)
+    assert(r.map(_.getAs[Long]("seats")).sum == 1000L, "house size != 1000")
+    r.foreach { row =>
+      val d = row.getAs[Long]("seats") - row.getAs[Long]("base")
+      assert(d == 0L || d == 1L,
+        s"${row.getAs[String]("lang")}/${row.getAs[String]("source")} outside quota")
+    }
+  }
+
+  test("q_bloom_audit: filter accounting and FP prediction cohere") {
+    val r = rows("q_bloom_audit").head
+    val members = r.getAs[Long]("n_members")
+    val bits = r.getAs[Long]("bits_set")
+    assert(bits <= math.min(3L * members, 4096L) && bits > 0)
+    assert(r.getAs[Long]("n_fp") <= r.getAs[Long]("n_probes"))
+    val measured = r.getAs[Long]("fp_ppm").toDouble / 1e6
+    val predicted = r.getAs[Double]("fp_predicted")
+    assert(predicted >= 0 && predicted <= 1)
+    assert(math.abs(measured - predicted) < 0.05,
+      s"measured FP $measured far from fill-based prediction $predicted")
+  }
 }
