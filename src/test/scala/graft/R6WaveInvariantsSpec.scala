@@ -652,4 +652,49 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(math.abs(measured - predicted) < 0.05,
       s"measured FP $measured far from fill-based prediction $predicted")
   }
+
+  test("q_kanon: counts are internally consistent") {
+    val r = rows("q_kanon").head
+    assert(r.getAs[Long]("min_l") <= r.getAs[Long]("min_k"))
+    assert(r.getAs[Long]("users_at_risk") <
+      r.getAs[Long]("n_small_groups") * 5L + 1L)
+    assert(r.getAs[Long]("min_k") >= 1L && r.getAs[Long]("min_l") >= 1L)
+    val nUsers = graft.core.Tables.load(spark, sf, "customer").count()
+    assert(r.getAs[Long]("risk_bp") <= 10000L)
+    assert(r.getAs[Long]("n_groups") > 0 && nUsers > 0)
+  }
+
+  test("q_join_cardest: actual is the true self-join size") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.core.Tables.load(spark, sf, "lineitem")
+    val trueSize = li.select(col("l_partkey").as("p"))
+      .join(li.select(col("l_partkey").as("p")), "p").count()
+    val r = rows("q_join_cardest").head
+    assert(r.getAs[Long]("actual") == trueSize,
+      s"Σf² ${r.getAs[Long]("actual")} != true join size $trueSize")
+    assert(r.getAs[Long]("est") > 0)
+  }
+
+  test("q_jenks: the chosen split beats every other split (brute force)") {
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    val usPerDay = 86400000000L
+    val days = graft.core.Tables.load(spark, sf, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"),
+        expr("CAST((CAST(round(o_totalprice * 100.0) AS BIGINT) " +
+          "- CAST(round(o_totalprice * 100.0) AS BIGINT) % 100) / 100 AS BIGINT)")
+          .as("usd"))
+      .withColumn("day", expr(s"CAST((us - us % $usPerDay) / $usPerDay AS BIGINT)"))
+      .groupBy("day").agg(fsum(col("usd")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vs = days.sortBy(x => (x._2, x._1)).map(_._2.toDouble)
+    def sse(xs: Array[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else xs.map(x => x * x).sum - math.pow(xs.sum, 2) / xs.length
+    val bruteBest = (1 until vs.length)
+      .map(i => sse(vs.take(i)) + sse(vs.drop(i))).min
+    val r = rows("q_jenks").head
+    assert(r.getAs[Long]("n_lo") + r.getAs[Long]("n_hi") == vs.length.toLong)
+    assert(r.getAs[Double]("sse") <= bruteBest + 1e-6,
+      s"query split sse ${r.getAs[Double]("sse")} worse than brute $bruteBest")
+  }
 }
