@@ -697,4 +697,65 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("sse") <= bruteBest + 1e-6,
       s"query split sse ${r.getAs[Double]("sse")} worse than brute $bruteBest")
   }
+
+  test("q_bom_rollup: every part rolls up to exactly one root") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val parts = graft.core.Tables.load(spark, sf, "part")
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100.0) AS BIGINT)").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = rows("q_bom_rollup")
+    assert(r.map(_.getAs[Long]("n_desc")).sum == parts.size.toLong,
+      "parts lost or double-counted across roots")
+    // brute-force replay of one root's rollup
+    def walk(p: Long): (Long, Long) = { // (root, pathMult)
+      var anc = p; var mult = 1L
+      while (anc >= 10) { mult *= anc % 5 + 1; anc /= 10 }
+      (anc, mult)
+    }
+    val brute = parts.toSeq.map { case (p, c) =>
+      val (root, mult) = walk(p); (root, c * mult)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    r.foreach { row =>
+      val root = row.getAs[Long]("root")
+      assert(row.getAs[Long]("total_cost_c") == brute(root), s"root $root")
+    }
+  }
+
+  test("q_merkle_diff: drill-down accounts for every mutated key") {
+    import org.apache.spark.sql.functions.col
+    val keys = graft.core.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val expectedChanged = keys.count(k => k % 31 == 0 || k % 29 == 0).toLong
+    val r = rows("q_merkle_diff")
+    assert(r.nonEmpty)
+    assert(r.map(_.getAs[Long]("n_changed")).sum == expectedChanged,
+      "changed-key total != mutation count")
+    r.foreach(row => assert(row.getAs[Long]("n_changed") >= 1L,
+      s"clean bucket ${row.getAs[Long]("bucket")} flagged"))
+    // with 1024 buckets some buckets must be clean — the gate skips them
+    assert(r.length < 1024, "no clean buckets: the drill-down gate is vacuous")
+  }
+
+  test("q_span_corrupt: matches a straight-Scala masking replay") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val got = rows("q_span_corrupt")
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("n_masked")))).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, toks) =>
+      val starts = toks.indices.map(p =>
+        (id * 2654435761L + p * 7919L + p.toLong * p * 104729L) % 97 < 5)
+      val masked = toks.indices.map(p =>
+        (math.max(0, p - 2) to p).exists(starts))
+      val spans = toks.indices.count(p => masked(p) && (p == 0 || !masked(p - 1)))
+      val (nt, ns, nm) = got(id)
+      assert(nt == toks.length.toLong, s"doc $id tokens")
+      assert(ns == spans.toLong, s"doc $id spans")
+      assert(nm == masked.count(identity).toLong, s"doc $id masked")
+    }
+  }
 }
