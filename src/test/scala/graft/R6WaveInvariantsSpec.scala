@@ -758,4 +758,55 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
       assert(nm == masked.count(identity).toLong, s"doc $id masked")
     }
   }
+
+  test("q_perm_test: observed statistic matches a direct recompute") {
+    import org.apache.spark.sql.functions.{col, sum => fsum, when => fwhen}
+    val per = graft.core.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(fsum(fwhen(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tObs = math.abs(per.map { case (u, y) => if (u % 2 == 1) y else -y }.sum)
+    val r = rows("q_perm_test").head
+    assert(r.getAs[Long]("t_obs") == tObs)
+    assert(r.getAs[Long]("n_perms") == 200L)
+    assert(r.getAs[Long]("n_ge") <= 200L)
+    val p = r.getAs[Long]("p_bp")
+    assert(p > 0L && p <= 10000L, s"p_bp $p outside (0, 10000]")
+  }
+
+  test("q_target_encode: leave-one-out formula replayed per row") {
+    import org.apache.spark.sql.functions.{col, max => fmax, when => fwhen}
+    val y = graft.core.Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(fmax(fwhen(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = graft.core.Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1), y.getOrElse(r.getLong(0), 0L)))
+    val n = cust.length.toLong
+    val sy = cust.map(_._3).sum
+    val seg = cust.groupBy(_._2).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toMap
+    val got = rows("q_target_encode")
+    assert(got.length == cust.length)
+    got.foreach { row =>
+      val (nSeg, sySeg) = seg(row.getAs[String]("seg"))
+      val yy = row.getAs[Long]("y")
+      val expected = ((sySeg - yy).toDouble + 10.0 * sy.toDouble / n.toDouble) /
+        (nSeg - 1 + 10).toDouble
+      assert(math.abs(row.getAs[Double]("enc") - expected) < 1e-5,
+        s"custkey ${row.getAs[Long]("k")}")
+    }
+  }
+
+  test("q_woe_iv: information value accumulates monotonically from zero") {
+    val r = rows("q_woe_iv")
+    assert(r.nonEmpty)
+    val cums = r.map(_.getAs[Double]("iv_cum"))
+    // each bin's IV contribution (share-diff × ln share-ratio) is ≥ 0
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "IV decreased across bins")
+    assert(cums.last >= 0.0)
+    r.foreach(row => assert(!row.getAs[Double]("woe").isNaN))
+  }
 }
