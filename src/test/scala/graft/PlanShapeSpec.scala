@@ -203,6 +203,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dsir grew beyond its LM-table shuffle budget:\n$p")
   }
 
+  test("q_skyline: no global-sort window; phase 2 is a broadcast anti-join") {
+    val p = plan("q_skyline")
+    val s = p.toString
+    // the partition-local windows must all carry a partitionBy — a bare
+    // Window.orderBy would funnel the corpus through one partition
+    assert(!s.contains("SinglePartition") ||
+      !s.contains("Window"),
+      s"skyline grew a single-partition window funnel:\n$p")
+    assert(s.contains("BroadcastNestedLoopJoin") && s.contains("LeftAnti"),
+      s"phase-2 dominance must be a broadcast anti-join:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
+    val p = plan("q_clamped_runsum")
+    assert(hashShuffles(p) == 1,
+      s"clamped runsum must shuffle once on custkey:\n$p")
+    assert(!p.toString.contains("SinglePartition"),
+      s"clamped runsum grew a single-partition stage:\n$p")
+  }
+
+  test("q_merkle_diff: drill-down gated by broadcast joins, no sort-merge") {
+    val p = plan("q_merkle_diff")
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }.size
+    assert(bhj >= 2, s"merkle drill-down lost its broadcast gates:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_shapley: corpus folds to masks once; lattice join is broadcast") {
+    val p = plan("q_shapley")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"shapley degraded to sort-merge:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty ||
+      p.toString.contains("Broadcast"),
+      s"the 32-row weight lattice must broadcast:\n$p")
+  }
+
   for ((name, (maxShuffles, minBhj)) <- tpchBudgets)
     test(s"$name: <=$maxShuffles hash shuffle(s), >=$minBhj broadcast join(s), no SMJ/cartesian") {
       val p = plan(name)
