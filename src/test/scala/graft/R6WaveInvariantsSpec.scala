@@ -809,4 +809,45 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(cums.last >= 0.0)
     r.foreach(row => assert(!row.getAs[Double]("woe").isNaN))
   }
+
+  test("q_maxsim: sum-of-max dominates whole-vector cosine ranking input") {
+    val r = rows("q_maxsim")
+    assert(r.length == 15, "3 queries × top-5")
+    r.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q")
+      val scores = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("maxsim"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not descending")
+      // 8 slice-cosines each in [-1, 1] → maxsim ∈ [-8, 8]
+      scores.foreach(x => assert(x >= -8.0001 && x <= 8.0001))
+    }
+  }
+
+  test("q_wasserstein: matches a pointwise |ΔCDF| integration") {
+    import org.apache.spark.sql.functions.{col, count => fcount}
+    val per = graft.core.Tables.events(spark, sf).groupBy("user_id")
+      .agg(fcount(col("event_id")).as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a = per.collect { case (u, v) if u % 2 == 0 => v }
+    val b = per.collect { case (u, v) if u % 2 == 1 => v }
+    val (lo, hi) = (per.map(_._2).min, per.map(_._2).max)
+    // independent route: evaluate |Fa(v)·nb − Fb(v)·na| at EVERY integer
+    // step of the support (Δv = 1 each), not on the grouped sweep
+    val num = (lo until hi).map { v =>
+      math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)
+    }.sum
+    val r = rows("q_wasserstein").head
+    assert(r.getAs[Long]("na") == a.length.toLong)
+    assert(r.getAs[Long]("nb") == b.length.toLong)
+    assert(r.getAs[Long]("w1_num") == num,
+      s"grouped sweep ${r.getAs[Long]("w1_num")} != pointwise $num")
+  }
+
+  test("q_hill_tail: alpha positive and k-th statistic below the top") {
+    val r = rows("q_hill_tail").head
+    assert(r.getAs[Long]("k_used") == 99L)
+    assert(r.getAs[Long]("x_k") > 0L)
+    val alpha = r.getAs[Double]("hill_alpha")
+    assert(alpha > 0.0 && !alpha.isInfinite, s"alpha $alpha")
+  }
 }
