@@ -843,6 +843,57 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
       s"grouped sweep ${r.getAs[Long]("w1_num")} != pointwise $num")
   }
 
+  test("q_isotonic: minimax fit equals sequential Pool-Adjacent-Violators") {
+    val r = rows("q_isotonic").sortBy(_.getAs[Long]("b"))
+    assert(r.nonEmpty)
+    val fitted = r.map(_.getAs[Double]("fitted"))
+    assert(fitted.zip(fitted.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "isotonic fit not monotone")
+    // textbook sequential PAV on the same (n, y) bins
+    case class Block(var n: Long, var y: Long)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Block, Int)]
+    r.foreach { row =>
+      blocks += ((Block(row.getAs[Long]("n"), row.getAs[Long]("y")), 1))
+      while (blocks.length >= 2 && {
+        val (b2, _) = blocks(blocks.length - 1); val (b1, _) = blocks(blocks.length - 2)
+        b2.y * b1.n < b1.y * b2.n // avg(last) < avg(prev) → pool
+      }) {
+        val (b2, c2) = blocks.remove(blocks.length - 1)
+        val (b1, c1) = blocks.remove(blocks.length - 1)
+        blocks += ((Block(b1.n + b2.n, b1.y + b2.y), c1 + c2))
+      }
+    }
+    val pav = blocks.flatMap { case (b, c) =>
+      Seq.fill(c)(b.y.toDouble / b.n.toDouble) }
+    fitted.zip(pav).zipWithIndex.foreach { case ((f, p), i) =>
+      assert(math.abs(f - p) < 1e-5, s"bin $i: minimax $f vs PAV $p")
+    }
+  }
+
+  test("q_srm: flag agrees with the emitted chi-square statistic") {
+    val r = rows("q_srm")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val chi2 = row.getAs[Double]("chi2")
+      val flag = row.getAs[Long]("srm_flag")
+      // the integer decision must match the float statistic at 3.841
+      if (chi2 > 3.8411) assert(flag == 1L, s"day ${row.getAs[Long]("day")}")
+      if (chi2 < 3.8409) assert(flag == 0L, s"day ${row.getAs[Long]("day")}")
+    }
+  }
+
+  test("q_freshness: the freshest stream has zero lag") {
+    val r = rows("q_freshness")
+    assert(r.nonEmpty)
+    assert(r.map(_.getAs[Long]("lag_min")).min == 0L,
+      "some stream must own the watermark")
+    r.foreach { row =>
+      val lag = row.getAs[Long]("lag_min")
+      assert((lag > 60L) == (row.getAs[Long]("stale") == 1L))
+      assert(row.getAs[Long]("n_last_day") >= 0L)
+    }
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
