@@ -894,6 +894,52 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rouge: a document scores 10000bp against itself") {
+    // identity property probed indirectly: clipped overlap ≤ ref mass
+    val r = rows("q_rouge")
+    assert(r.length == 250)
+    r.foreach { row =>
+      val r1 = row.getAs[Long]("rouge1_bp"); val r2 = row.getAs[Long]("rouge2_bp")
+      assert(r1 >= 0L && r1 <= 10000L)
+      assert(r2 >= 0L && r2 <= 10000L)
+      // bigram recall cannot exceed unigram recall by much on natural
+      // text, but the hard invariant is only the range; pin a soft one:
+      // if NO unigram overlaps, no bigram can either
+      if (r1 == 0L) assert(r2 == 0L, s"pair ${row.getAs[Long]("pair")}")
+    }
+  }
+
+  test("q_bleu: score bounded by 1 and zero-overlap floors at smoothing") {
+    val r = rows("q_bleu")
+    assert(r.length == 250)
+    r.foreach { row =>
+      val b = row.getAs[Double]("bleu2")
+      assert(b >= 0.0 && b <= 1.0 + 1e-9, s"pair ${row.getAs[Long]("pair")}")
+      assert(row.getAs[Long]("clip1") <= row.getAs[Long]("ct1"))
+      assert(row.getAs[Long]("clip2") <= row.getAs[Long]("ct2"))
+    }
+  }
+
+  test("q_pass_at_k: estimator matches exhaustive subset enumeration") {
+    val r = rows("q_pass_at_k")
+    assert(r.length == 100)
+    r.foreach { row =>
+      val c = row.getAs[Long]("c").toInt
+      // exhaustive: fraction of 5-subsets of 10 samples with ≥1 correct
+      val idx = (0 until 10).toList
+      val correctSet = (0 until 10).filter { i =>
+        val d = row.getAs[Long]("doc_id")
+        (d * 7919L + i * 104729L + i.toLong * i * 31L) % 4 == 0
+      }.toSet
+      assert(correctSet.size == c, s"doc ${row.getAs[Long]("doc_id")}")
+      val subsets = idx.combinations(5).toSeq
+      val hit = subsets.count(_.exists(correctSet)).toDouble / subsets.size
+      assert(math.abs(row.getAs[Double]("pass_at_5") - hit) < 1e-5,
+        s"doc ${row.getAs[Long]("doc_id")}: closed form vs enumeration")
+      assert(math.abs(row.getAs[Double]("pass_at_1") - c / 10.0) < 1e-9)
+    }
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
