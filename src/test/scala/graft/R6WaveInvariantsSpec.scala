@@ -976,6 +976,71 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
       "kNN classified nothing correctly — ranking or vote logic broken")
   }
 
+  test("q_phrase_search: index hits agree with a straight-Scala scan") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    // reconstruct the deterministic phrase: most frequent initial
+    // trigram, ties broken lexicographically (the query's ORDER BY)
+    val byCount = docs.collect { case (_, t) if t.length >= 3 => t.take(3).toSeq }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val maxC = byCount.values.max
+    val chosen = byCount.filter(_._2 == maxC).keys.toSeq
+      .minBy(p => (p(0), p(1), p(2)))
+    val expected = docs.flatMap { case (id, toks) =>
+      val occ = toks.indices.filter(i => i + 2 < toks.length &&
+        toks(i) == chosen(0) && toks(i + 1) == chosen(1) && toks(i + 2) == chosen(2))
+      if (occ.nonEmpty) Some(id -> ((occ.length.toLong, occ.head.toLong))) else None
+    }.toMap
+    val got = rows("q_phrase_search")
+    assert(got.nonEmpty)
+    assert(got.length == expected.size, s"${got.length} vs ${expected.size}")
+    got.foreach { row =>
+      val (n, first) = expected(row.getAs[Long]("doc_id"))
+      assert(row.getAs[Long]("n_occur") == n)
+      assert(row.getAs[Long]("first_pos") == first)
+      assert(row.getAs[Long]("scan_hit") == 1L)
+    }
+  }
+
+  test("q_critical_path: finishes match a topological-order relaxation") {
+    val durs = (0L until 100L).map(t => t -> (t % 10 + 1)).toMap
+    val finish = scala.collection.mutable.Map[Long, Long]()
+    for (t <- 0L until 100L) { // tasks sorted = topological (edges increase)
+      val preds = Seq(t - 7, t - 13).filter(p => p >= 0 && p < 100)
+      val base = preds.map(p => finish(p)).maxOption.getOrElse(0L)
+      finish(t) = base + durs(t)
+    }
+    val r = rows("q_critical_path")
+    assert(r.length == 100)
+    val cp = finish.values.max
+    r.foreach { row =>
+      val t = row.getAs[Long]("task")
+      assert(row.getAs[Long]("finish") == finish(t), s"task $t")
+      assert(row.getAs[Long]("critical_path") == cp)
+    }
+  }
+
+  test("q_qte: decile values are genuine order statistics per arm") {
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    val per = graft.core.Tables.events(spark, sf).groupBy("user_id")
+      .agg(fsum(expr("CAST(round(value * 100.0) AS BIGINT)")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = per.filter(_._1 % 2 == 0).sortBy(x => (x._2, x._1)).map(_._2)
+    val b = per.filter(_._1 % 2 == 1).sortBy(x => (x._2, x._1)).map(_._2)
+    def kth(xs: Array[Long], q: Int): Long =
+      xs((q * xs.length + 9) / 10 - 1) // ceil(q·n/10), 1-based → 0-based
+    val r = rows("q_qte")
+    assert(r.length == 9)
+    r.foreach { row =>
+      val q = row.getAs[Long]("q").toInt
+      assert(row.getAs[Long]("v_a") == kth(a, q), s"decile $q arm a")
+      assert(row.getAs[Long]("v_b") == kth(b, q), s"decile $q arm b")
+      assert(row.getAs[Long]("qte_c") ==
+        row.getAs[Long]("v_b") - row.getAs[Long]("v_a"))
+    }
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
