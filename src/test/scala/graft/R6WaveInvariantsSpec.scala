@@ -1041,6 +1041,60 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_feature_cutoff: feature and label windows are disjoint by time") {
+    import org.apache.spark.sql.functions.{col, max => fmax, unix_micros}
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val usPerDay = 86400000000L
+    val t = ev.map(_._3).max - 14L * usPerDay
+    val featEv = ev.filter(e => e._3 >= t - 14L * usPerDay && e._3 < t)
+    val labelUsers = ev.filter(e => e._3 >= t && e._2 == "purchase")
+      .map(_._1).toSet
+    val expected = featEv.groupBy(_._1).map { case (u, es) =>
+      u -> ((es.length.toLong,
+        es.count(_._2 == "purchase").toLong,
+        if (labelUsers(u)) 1L else 0L))
+    }
+    val got = rows("q_feature_cutoff")
+    assert(got.length == expected.size)
+    got.foreach { row =>
+      val (n, p, l) = expected(row.getAs[Long]("user_id"))
+      assert(row.getAs[Long]("n_events") == n)
+      assert(row.getAs[Long]("n_purchases") == p)
+      assert(row.getAs[Long]("label") == l)
+      assert(row.getAs[Long]("gap_min") >= 0L)
+    }
+  }
+
+  test("q_simpson: flag only fires on a genuine reversal") {
+    val r = rows("q_simpson")
+    val segs = r.filter(_.getAs[Long]("seg") >= 0L)
+    val pooled = r.find(_.getAs[Long]("seg") == -1L).get
+    assert(segs.length == 5)
+    // pooled counts are the segment sums
+    assert(segs.map(_.getAs[Long]("na")).sum == pooled.getAs[Long]("na"))
+    assert(segs.map(_.getAs[Long]("nb")).sum == pooled.getAs[Long]("nb"))
+    val dirs = segs.map(_.getAs[Long]("dir")).distinct
+    val flag = pooled.getAs[Long]("simpson_flag")
+    if (flag == 1L)
+      assert(dirs.length == 1 && dirs.head != 0L &&
+        pooled.getAs[Long]("dir") == -dirs.head)
+    else
+      assert(!(dirs.length == 1 && dirs.head != 0L &&
+        pooled.getAs[Long]("dir") == -dirs.head))
+  }
+
+  test("q_coec: expected clicks sum to total clicks corpus-wide") {
+    val r = rows("q_coec")
+    assert(r.nonEmpty)
+    // Σ_u E[clicks_u] = Σ_pos n_pos·prior(pos) = Σ_pos clicks_pos = total
+    val totalClicks = r.map(_.getAs[Long]("n_clicks")).sum.toDouble
+    val totalExpected = r.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(totalClicks - totalExpected) < 1e-3,
+      s"calibration broken: $totalClicks clicks vs $totalExpected expected")
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
