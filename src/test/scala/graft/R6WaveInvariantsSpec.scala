@@ -1095,6 +1095,45 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
       s"calibration broken: $totalClicks clicks vs $totalExpected expected")
   }
 
+  test("q_data_shapley: efficiency — Σφ·120 = 120·|vocabulary|") {
+    import org.apache.spark.sql.functions.{array_distinct, col, explode, split}
+    val vocab = graft.core.Tables.load(spark, sf, "documents")
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .distinct().count()
+    val r = rows("q_data_shapley")
+    assert(r.length == 5)
+    assert(r.map(_.getAs[Long]("phi_x120")).sum == 120L * vocab,
+      "coverage Shapley values must sum to the full vocabulary")
+    r.foreach(row => assert(row.getAs[Long]("phi_x120") >= 0L,
+      "coverage is monotone — no group can have negative value"))
+  }
+
+  test("q_neyman: house size exact; high-variance strata oversampled") {
+    val r = rows("q_neyman")
+    assert(r.nonEmpty)
+    assert(r.map(_.getAs[Long]("alloc")).sum == 1000L)
+    r.foreach { row =>
+      val d = row.getAs[Long]("alloc") - row.getAs[Long]("base")
+      assert(d == 0L || d == 1L)
+      assert(row.getAs[Double]("sh") >= 0.0)
+    }
+  }
+
+  test("q_mrr: reciprocal ranks consistent with hit positions") {
+    val r = rows("q_mrr")
+    assert(r.length == 20)
+    r.foreach { row =>
+      val fh = row.getAs[Long]("first_hit")
+      val rr = row.getAs[Double]("rr")
+      if (fh == 0L) assert(rr == 0.0)
+      else {
+        assert(math.abs(rr - 1.0 / fh) < 1e-6)
+        assert(fh >= 1L && fh <= 20L)
+        if (fh <= 10L) assert(row.getAs[Long]("recall_at_10") == 1L)
+      }
+    }
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
