@@ -47,9 +47,12 @@ object R88Queries {
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("tok"))
+        // referenced by the miner and all three postings branches —
+        // materialize the explode once instead of four times
+        .localCheckpoint()
       // deterministic phrase: the most frequent document-INITIAL trigram
       val w3 = Window.partitionBy("doc_id").orderBy("pos")
-      val tri = toks
+      val tri = toks.where(col("pos") <= 2) // miner needs the head only
         .withColumn("t2", lead(col("tok"), 1).over(w3))
         .withColumn("t3", lead(col("tok"), 2).over(w3))
         .where(col("pos") === 0 && col("t3").isNotNull)
@@ -57,6 +60,9 @@ object R88Queries {
         .agg(count(lit(1)).cast("long").as("f"))
       val phrase = tri.orderBy(col("f").desc, col("p1"), col("p2"), col("p3"))
         .limit(1)
+        // 1 row referenced by four joins — materialize once or the
+        // full-corpus trigram mine re-runs per reference
+        .localCheckpoint()
       // postings of the three phrase tokens only, then adjacency joins
       val a = toks.join(broadcast(phrase), col("tok") === col("p1"))
         .select(col("doc_id"), col("pos"))
