@@ -1134,6 +1134,55 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stump: chosen threshold minimizes Gini over an exhaustive sweep") {
+    import org.apache.spark.sql.functions.{col, count => fcount, max => fmax, when => fwhen}
+    val per = graft.core.Tables.events(spark, sf).groupBy("user_id")
+      .agg(fcount(col("event_id")).as("x"),
+        fmax(fwhen(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val xs = per.map(_._1).distinct.sorted
+    def gini(th: Long): Double = {
+      val (l, r) = per.partition(_._1 <= th)
+      if (l.isEmpty || r.isEmpty) Double.MaxValue
+      else {
+        def g(side: Array[(Long, Long)]): Double = {
+          val n = side.length.toDouble; val p = side.map(_._2).sum.toDouble
+          2 * p * (n - p) / (n * n)
+        }
+        (l.length * g(l) + r.length * g(r)) / per.length
+      }
+    }
+    val best = xs.dropRight(1).map(gini).min
+    val row = rows("q_stump").head
+    assert(math.abs(row.getAs[Double]("gini") - best) < 1e-6,
+      s"stump gini ${row.getAs[Double]("gini")} vs brute $best")
+    assert(row.getAs[Long]("p1") <= row.getAs[Long]("n1"))
+    assert(row.getAs[Long]("p2") <= row.getAs[Long]("n2"))
+  }
+
+  test("q_venn: regions partition the cohort union") {
+    val r = rows("q_venn")
+    assert(r.length >= 3, "cohorts failed to decompose")
+    val total = r.map(_.getAs[Long]("n_users")).sum
+    r.foreach { row =>
+      val m = row.getAs[Long]("mask")
+      assert(m >= 1L && m <= 7L)
+      assert((m & 1L) > 0 == (row.getAs[Long]("big_ticket") == 1L))
+    }
+    assert(r.map(_.getAs[Long]("mask")).distinct.length == r.length)
+    assert(total > 0)
+  }
+
+  test("q_chi2_select: statistics non-negative, dof matches categories") {
+    val r = rows("q_chi2_select")
+    assert(r.map(_.getAs[String]("feature")).sorted.toSeq ==
+      Seq("bal_sign", "mktsegment", "region"))
+    r.foreach { row =>
+      assert(row.getAs[Double]("chi2") >= 0.0)
+      assert(row.getAs[Long]("dof") == row.getAs[Long]("n_cats") - 1L)
+    }
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
