@@ -1183,6 +1183,42 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_boost: weights double on mistakes — total mass is accounted") {
+    val r = rows("q_boost").sortBy(_.getAs[Long]("round"))
+    assert(r.length == 3)
+    // round r+1's total weight = wtot_r + err_r (mistakes add their mass)
+    r.zip(r.tail).foreach { case (a, b) =>
+      assert(b.getAs[Long]("wtot") ==
+        a.getAs[Long]("wtot") + a.getAs[Long]("err"),
+        s"round ${b.getAs[Long]("round")} mass not conserved")
+    }
+    r.foreach { row =>
+      // a stump is never worse than predicting one class everywhere
+      assert(2 * row.getAs[Long]("err") <= row.getAs[Long]("wtot"),
+        s"round ${row.getAs[Long]("round")} worse than majority")
+      assert(Set(0L, 1L).contains(row.getAs[Long]("orient")))
+    }
+  }
+
+  test("q_label_noise: disagreement bounded by k and flags consistent") {
+    val r = rows("q_label_noise")
+    assert(r.length == 100)
+    r.foreach { row =>
+      val d = row.getAs[Long]("n_disagree")
+      assert(d >= 0L && d <= 10L)
+      assert((d >= 8L) == (row.getAs[Long]("suspect") == 1L))
+    }
+  }
+
+  test("q_uncertainty: batch is the 20 smallest margins, sorted") {
+    val r = rows("q_uncertainty")
+    assert(r.length == 20)
+    val margins = r.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("margin"))
+    assert(margins.zip(margins.tail).forall { case (a, b) => a <= b })
+    assert(margins.forall(m => m >= 0L && m <= 10L))
+    assert(r.map(_.getAs[Long]("pid")).distinct.length == 20)
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
