@@ -1219,6 +1219,34 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Long]("pid")).distinct.length == 20)
   }
 
+  test("q_did: the estimate equals the four cell means' double difference") {
+    val r = rows("q_did").head
+    val did = (r.getAs[Double]("m_t_post") - r.getAs[Double]("m_t_pre")) -
+      (r.getAs[Double]("m_c_post") - r.getAs[Double]("m_c_pre"))
+    assert(math.abs(r.getAs[Double]("did") - did) < 1e-5)
+  }
+
+  test("q_blocking_eval: metrics bounded, truth non-vacuous") {
+    val r = rows("q_blocking_eval").head
+    assert(r.getAs[Long]("n_truth") > 0L, "no ground-truth pairs at this sf")
+    assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+    assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand"))
+    assert(r.getAs[Long]("rr_bp") >= 9000L,
+      "blocking must prune at least 90% of the pair space")
+    assert(r.getAs[Long]("pc_bp") >= 5000L,
+      "banding should catch most 0.8-similar pairs")
+  }
+
+  test("q_capture_recapture: estimator within 10% and capture partial") {
+    val r = rows("q_capture_recapture").head
+    assert(r.getAs[Long]("m") > 0L)
+    assert(r.getAs[Long]("m") <= math.min(r.getAs[Long]("n1"), r.getAs[Long]("n2")))
+    // the samples must NOT be a census, or the estimator is vacuous
+    assert(r.getAs[Long]("n1") < r.getAs[Long]("n_true"))
+    assert(math.abs(r.getAs[Long]("err_bp")) <= 1000L,
+      s"Lincoln-Petersen off by ${r.getAs[Long]("err_bp")}bp")
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
