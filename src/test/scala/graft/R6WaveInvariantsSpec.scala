@@ -1247,6 +1247,35 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
       s"Lincoln-Petersen off by ${r.getAs[Long]("err_bp")}bp")
   }
 
+  test("q_assortativity: a genuine correlation in [-1, 1]") {
+    val r = rows("q_assortativity").head
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"assortativity $a")
+    assert(r.getAs[Long]("m2") > 0L && r.getAs[Long]("m2") % 2 == 0,
+      "symmetrized pair count must be even")
+  }
+
+  test("q_qini: curve starts near zero and deciles partition users") {
+    val r = rows("q_qini")
+    assert(r.length == 10)
+    val users = graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(r.map(x => x.getAs[Long]("nt") + x.getAs[Long]("nc")).sum == users)
+    r.foreach { row =>
+      assert(row.getAs[Long]("yt") <= row.getAs[Long]("nt"))
+      assert(row.getAs[Long]("yc") <= row.getAs[Long]("nc"))
+    }
+  }
+
+  test("q_psm_att: stratified ATT is a convex combination of bin gaps") {
+    val r = rows("q_psm_att").head
+    assert(r.getAs[Long]("n_bins") >= 1L && r.getAs[Long]("n_bins") <= 5L)
+    assert(r.getAs[Long]("n_treated") > 0L)
+    // per-user binary outcomes bound any weighted mean difference
+    val att = r.getAs[Double]("att")
+    assert(att >= -1.0 - 1e-9 && att <= 1.0 + 1e-9, s"att $att")
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
