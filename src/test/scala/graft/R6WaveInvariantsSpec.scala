@@ -1276,6 +1276,44 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(att >= -1.0 - 1e-9 && att <= 1.0 + 1e-9, s"att $att")
   }
 
+  test("q_mase: common support and a finite positive scale") {
+    val r = rows("q_mase").head
+    assert(r.getAs[Long]("n") > 7L)
+    assert(r.getAs[Long]("ae1") > 0L, "degenerate naive scale")
+    val m = r.getAs[Double]("mase")
+    assert(m > 0.0 && !m.isInfinite)
+  }
+
+  test("q_kappa: kappa below raw agreement, marginals consistent") {
+    val r = rows("q_kappa").head
+    val n = r.getAs[Long]("n")
+    val po = r.getAs[Long]("po_num").toDouble / n
+    val pe = r.getAs[Long]("pe_num").toDouble / (n.toDouble * n)
+    val kappa = r.getAs[Double]("kappa")
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-5)
+    assert(kappa <= po + 1e-9, "chance correction can only lower agreement")
+    assert(pe > 0.0 && pe < 1.0)
+  }
+
+  test("q_ivm_topk: incremental candidates reproduce the full recompute") {
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    val base = graft.core.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val spend = base.groupBy(_._1).map { case (ck, rs) =>
+      ck -> (rs.map(_._3).sum +
+        rs.filter(_._2 % 19 == 0).map(_._3 + 500L).sum)
+    }
+    val expected = spend.toSeq.sortBy { case (ck, sp) => (-sp, ck) }.take(10)
+    val got = rows("q_ivm_topk").sortBy(_.getAs[Long]("rk"))
+    assert(got.length == 10)
+    got.zip(expected).foreach { case (row, (ck, sp)) =>
+      assert(row.getAs[Long]("ck") == ck, s"rank ${row.getAs[Long]("rk")}")
+      assert(row.getAs[Long]("spend") == sp)
+    }
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
