@@ -1314,6 +1314,51 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_wilcoxon: rank mass conserved — W⁺ + W⁻ = n(n+1)/2") {
+    val r = rows("q_wilcoxon").head
+    val n = r.getAs[Long]("n")
+    assert(r.getAs[Long]("w_plus_x2") + r.getAs[Long]("w_minus_x2") ==
+      n * (n + 1), "doubled rank sums must total 2·n(n+1)/2")
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("q_theil_sen: the median slope is a genuine pairwise slope") {
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    val usPerDay = 86400000000L
+    val days = graft.core.Tables.load(spark, sf, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"),
+        expr("CAST((CAST(round(o_totalprice * 100.0) AS BIGINT) " +
+          "- CAST(round(o_totalprice * 100.0) AS BIGINT) % 100) / 100 AS BIGINT)")
+          .as("usd"))
+      .withColumn("day", expr(s"CAST((us - us % $usPerDay) / $usPerDay AS BIGINT)"))
+      .groupBy("day").agg(fsum(col("usd")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val slopes = (for {
+      (d1, v1) <- days; (d2, v2) <- days if d1 < d2
+    } yield (v2 - v1).toDouble / (d2 - d1)).sorted
+    val r = rows("q_theil_sen").head
+    assert(r.getAs[Long]("n_pairs") == slopes.length.toLong)
+    val lowerMedian = slopes((slopes.length + 1) / 2 - 1)
+    assert(math.abs(r.getAs[Double]("slope") - lowerMedian) < 1e-4,
+      s"query ${r.getAs[Double]("slope")} vs brute $lowerMedian")
+  }
+
+  test("q_ipf: raking converges the row marginals toward the target") {
+    val r = rows("q_ipf")
+    assert(r.length >= 20) // 5×5 minus possibly-empty cells
+    val n = graft.core.Tables.load(spark, sf, "customer").count()
+    assert(n % 5 == 0, "the spec's equal-target assumption")
+    val tgt = n / 5 * 100000L
+    val rowSums = r.groupBy(_.getAs[Long]("r")).view
+      .mapValues(_.map(_.getAs[Long]("w")).sum)
+    // after a final COLUMN step rows drift, but must stay within 2%
+    rowSums.foreach { case (row, s) =>
+      assert(math.abs(s - tgt) <= tgt / 50, s"row $row at $s vs target $tgt")
+    }
+    val err = r.head.getAs[Long]("max_row_err")
+    assert(err == rowSums.values.map(s => math.abs(s - tgt)).max)
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
