@@ -1359,6 +1359,43 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(err == rowSums.values.map(s => math.abs(s - tgt)).max)
   }
 
+  test("q_zipf: slope falls, and the synthetic corpus reads as synthetic") {
+    val r = rows("q_zipf").head
+    // the fixture vocabulary is ~31 templated words — top-100 clips there
+    assert(r.getAs[Long]("n") >= 20L && r.getAs[Long]("n") <= 100L)
+    val slope = r.getAs[Double]("slope")
+    assert(slope < 0.0, "rank-frequency slope must fall")
+    // natural language sits near -1; the near-uniform synthetic corpus
+    // must read FLAT — that detection is the query's purpose
+    assert(slope > -0.5, s"synthetic corpus should have a flat slope, got $slope")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+  }
+
+  test("q_silhouette: scores bounded and floors dominated by means") {
+    val r = rows("q_silhouette")
+    assert(r.length == 100)
+    r.foreach { row =>
+      val s = row.getAs[Double]("sil")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+      assert(row.getAs[Long]("a_d2") > 0L && row.getAs[Long]("b_d2") > 0L)
+      // sil sign must agree with the floor comparison (floors differ
+      // from means by < 1, means differ by far more)
+      if (row.getAs[Long]("b_d2") > row.getAs[Long]("a_d2") + 1) assert(s > 0)
+      if (row.getAs[Long]("b_d2") + 1 < row.getAs[Long]("a_d2")) assert(s < 0)
+    }
+  }
+
+  test("q_hash_balance: totals account for every order, mixer roughly fair") {
+    val r = rows("q_hash_balance").head
+    val orders = graft.core.Tables.load(spark, sf, "orders").count()
+    assert(r.getAs[Long]("total") == orders)
+    assert(r.getAs[Long]("min_sz") >= 1L)
+    assert(r.getAs[Long]("max_over_mean_bp") >= 10000L)
+    assert(r.getAs[Long]("max_over_mean_bp") <= 30000L,
+      "a 3x hot bucket means the mixer is broken")
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
