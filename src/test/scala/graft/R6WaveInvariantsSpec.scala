@@ -1396,6 +1396,35 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
       "a 3x hot bucket means the mixer is broken")
   }
 
+  test("q_modularity: Q bounded and communities account for all degree") {
+    val r = rows("q_modularity")
+    val per = r.filter(_.getAs[Long]("nat") >= 0L)
+    val summary = r.find(_.getAs[Long]("nat") == -1L).get
+    // every edge endpoint counted exactly once across communities
+    assert(per.map(_.getAs[Long]("deg")).sum == 2L * summary.getAs[Long]("e_in"))
+    val q = summary.getAs[Double]("q_part")
+    assert(q >= -1.0 - 1e-9 && q <= 1.0 + 1e-9, s"modularity $q")
+    assert(per.map(_.getAs[Long]("e_in")).sum <= summary.getAs[Long]("e_in"))
+  }
+
+  test("q_iv_wald: first stage is genuine and LATE is finite") {
+    val r = rows("q_iv_wald").head
+    val d1 = r.getAs[Long]("d1").toDouble / r.getAs[Long]("n1")
+    val d0 = r.getAs[Long]("d0").toDouble / r.getAs[Long]("n0")
+    assert(d1 > d0, "encouragement must raise take-up (first stage)")
+    assert(!r.getAs[Double]("late").isNaN && !r.getAs[Double]("late").isInfinite)
+  }
+
+  test("q_salt_eval: salting collapses the hot partition") {
+    val r = rows("q_salt_eval").head
+    assert(r.getAs[Long]("raw_max") > r.getAs[Long]("salted_max"),
+      "salting must shrink the hottest partition")
+    // a third of rows on one key → the raw hot partition is ≥ 3× mean;
+    // after 16-way salting the tail must fall below 2× mean
+    assert(r.getAs[Long]("raw_max_over_mean_bp") >= 30000L)
+    assert(r.getAs[Long]("salted_max_over_mean_bp") <= 20000L)
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
