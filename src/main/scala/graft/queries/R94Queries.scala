@@ -44,10 +44,15 @@ object R94Queries {
     (s, dir) => {
       // co-purchase edges: customers sharing a part, bounded fan-out by
       // keying on (part, two smallest custkeys per part bucket)
-      val li = t(s, dir, "lineitem").join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_partkey").as("pk"), col("o_custkey").as("ck"))
+      // shrink BEFORE the join: distinct (order, part) pairs first, and
+      // the order→customer map broadcasts (it is keys-only)
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val li = op.join(broadcast(ords), "ok")
+        .select(col("pk"), col("ck")).distinct()
       val w = Window.partitionBy("pk").orderBy("ck")
       val capped = li.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 4) // fan-out cap: ≤ C(4,2) edges per part
@@ -55,20 +60,25 @@ object R94Queries {
           col("x.pk") === col("y.pk") && col("x.ck") < col("y.ck"))
         .select(col("x.ck").as("a"), col("y.ck").as("b"))
         .distinct()
-      val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b")))
+        // referenced by the degree table AND both endpoint joins —
+        // materialize once instead of re-deriving the graph three times
+        .localCheckpoint()
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).cast("long").as("d"))
       val withDeg = edges
         .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
         .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-      // symmetrize: each edge contributes both (da,db) and (db,da)
-      val pairs = withDeg.select(col("da").as("x"), col("db").as("y"))
-        .unionAll(withDeg.select(col("db").as("x"), col("da").as("y")))
-      pairs.agg(count(lit(1)).cast("long").as("m2"),
-          sum(col("x")).cast("long").as("sx"),
-          sum(col("y")).cast("long").as("sy"),
-          sum(col("x") * col("y")).cast("long").as("sxy"),
-          sum(col("x") * col("x")).cast("long").as("sxx"),
-          sum(col("y") * col("y")).cast("long").as("syy"))
+      // symmetrization folds into ONE pass: for mirrored pairs
+      // m2 = 2m, sx = sy = Σ(da+db), sxy = 2Σda·db, sxx = syy = Σ(da²+db²)
+      // — the union form scans the whole graph twice (measured 2×)
+      val pairs = withDeg.agg(
+          (count(lit(1)) * 2L).cast("long").as("m2"),
+          sum(col("da") + col("db")).cast("long").as("sx"),
+          sum(col("da") + col("db")).cast("long").as("sy"),
+          (sum(col("da") * col("db")) * 2L).cast("long").as("sxy"),
+          sum(col("da") * col("da") + col("db") * col("db")).cast("long").as("sxx"),
+          sum(col("da") * col("da") + col("db") * col("db")).cast("long").as("syy"))
+      pairs
         .select(col("m2"),
           round(expr(
             "(CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +

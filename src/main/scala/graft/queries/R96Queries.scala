@@ -110,8 +110,13 @@ object R96Queries {
             .as("usd"))
         .withColumn("day", expr(s"CAST((us - us % $usPerDay) / $usPerDay AS BIGINT)"))
         .groupBy("day").agg(sum(col("usd")).cast("long").as("v"))
-      val a = days.select(col("day").as("d1"), col("v").as("v1"))
-      val b = days.select(col("day").as("d2"), col("v").as("v2"))
+      // bound the pair space: the trailing 120 days (the classic pair
+      // subsample — day² pairs through one rank sort do not scale)
+      val dmax = days.agg(max(col("day")).as("dm"))
+      val windowed = days.crossJoin(broadcast(dmax))
+        .where(col("day") > col("dm") - 120L).drop("dm")
+      val a = windowed.select(col("day").as("d1"), col("v").as("v1"))
+      val b = windowed.select(col("day").as("d2"), col("v").as("v2"))
       val slopes = a.join(b, col("d1") < col("d2"))
         .select(col("d1"), col("d2"),
           expr("CAST(v2 - v1 AS DOUBLE) / CAST(d2 - d1 AS DOUBLE)").as("slope"))
@@ -134,10 +139,13 @@ object R96Queries {
          |      - CAST(round(o_totalprice * 100.0) AS BIGINT) % 100) / 100 AS BIGINT))
          |      AS BIGINT) AS v
          |  FROM orders GROUP BY 1),
+         |dmax AS (SELECT max(day) AS dm FROM days),
+         |windowed AS (
+         |  SELECT day, v FROM days CROSS JOIN dmax WHERE day > dm - 120),
          |slopes AS (
          |  SELECT a.day AS d1, b.day AS d2,
          |    CAST(b.v - a.v AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
-         |  FROM days a JOIN days b ON a.day < b.day),
+         |  FROM windowed a JOIN windowed b ON a.day < b.day),
          |ranked AS (
          |  SELECT slope,
          |    CAST(row_number() OVER (ORDER BY slope, d1, d2) AS BIGINT) AS rk,

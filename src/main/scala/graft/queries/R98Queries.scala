@@ -54,8 +54,10 @@ object R98Queries {
           col("x.pk") === col("y.pk") && col("x.ck") < col("y.ck"))
         .select(col("x.ck").as("a"), col("y.ck").as("b"))
         .distinct()
-        .join(nations.select(col("ck").as("a"), col("nat").as("na")), "a")
-        .join(nations.select(col("ck").as("b"), col("nat").as("nb")), "b")
+        .join(broadcast(nations.select(col("ck").as("a"), col("nat").as("na"))), "a")
+        .join(broadcast(nations.select(col("ck").as("b"), col("nat").as("nb"))), "b")
+        // referenced by m, internal, and degree — materialize once
+        .localCheckpoint()
       val m = edges.agg(count(lit(1)).cast("long").as("m"))
       // per community: internal edges and total degree
       val internal = edges.where(col("na") === col("nb"))
