@@ -1427,6 +1427,59 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("salted_max_over_mean_bp") <= 20000L)
   }
 
+  test("q_haar: matches a straight-Scala cascade with Parseval per level") {
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    val usPerDay = 86400000000L
+    var series = graft.core.Tables.load(spark, sf, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"),
+        expr("CAST((CAST(round(o_totalprice * 100.0) AS BIGINT) " +
+          "- CAST(round(o_totalprice * 100.0) AS BIGINT) % 100) / 100 AS BIGINT)")
+          .as("usd"))
+      .withColumn("day", expr(s"CAST((us - us % $usPerDay) / $usPerDay AS BIGINT)"))
+      .groupBy("day").agg(fsum(col("usd")).as("v"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val got = rows("q_haar").sortBy(_.getAs[Long]("level"))
+    got.foreach { row =>
+      val pairs = series.grouped(2).filter(_.length == 2).toArray
+      val s2 = pairs.map(p => { val s = p(0) + p(1); s * s }).sum
+      val d2 = pairs.map(p => { val d = p(0) - p(1); d * d }).sum
+      assert(row.getAs[Long]("n_pairs") == pairs.length.toLong)
+      assert(row.getAs[Long]("smooth_energy") == s2,
+        s"level ${row.getAs[Long]("level")} smooth")
+      assert(row.getAs[Long]("detail_energy") == d2,
+        s"level ${row.getAs[Long]("level")} detail")
+      // Parseval on the unnormalized transform
+      val in2 = pairs.map(p => p(0) * p(0) + p(1) * p(1)).sum
+      assert(s2 + d2 == 2 * in2, "Parseval violated")
+      series = pairs.map(p => p(0) + p(1))
+    }
+  }
+
+  test("q_eta_squared: effect size in [0,1], F consistent in sign") {
+    val r = rows("q_eta_squared").head
+    val eta2 = r.getAs[Double]("eta2")
+    assert(eta2 >= -1e-9 && eta2 <= 1.0 + 1e-9, s"eta2 $eta2")
+    assert(r.getAs[Long]("k") <= 7L)
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+  }
+
+  test("q_bh_fdr: rejections form a prefix of the p-value order") {
+    val r = rows("q_bh_fdr")
+    assert(r.length == 5)
+    r.foreach { row =>
+      val p = row.getAs[Long]("p_num")
+      assert(p >= 1L && p <= 201L)
+    }
+    val byRank = r.sortBy(_.getAs[Long]("rank"))
+    val flags = byRank.map(_.getAs[Long]("rejected"))
+    assert(!flags.zip(flags.tail).exists { case (a, b) => a == 0L && b == 1L },
+      "BH rejections must be a prefix of the rank order")
+    // step-up consistency: the last rejected rank satisfies the BH bound
+    byRank.filter(_.getAs[Long]("rejected") == 1L).lastOption.foreach { last =>
+      assert(last.getAs[Long]("p_num") * 25L <= last.getAs[Long]("rank") * 201L)
+    }
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
