@@ -1480,6 +1480,33 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sketch_merge: the merge monoid law holds exactly") {
+    val r = rows("q_sketch_merge").head
+    assert(r.getAs[Long]("gap") == 0L,
+      "merging half-corpus sketches must reproduce the full sketch EXACTLY")
+    assert(r.getAs[Long]("estimate") > 0L)
+  }
+
+  test("q_stationary: the long-run occupancy is a near-distribution") {
+    val r = rows("q_stationary")
+    assert(r.length == 5)
+    val total = r.map(_.getAs[Long]("pi_ppm")).sum
+    // floor losses shave < 5ppm per step; 24 steps stay within 1%
+    assert(total > 990000L && total <= 1000000L, s"π sums to ${total}ppm")
+    r.foreach(row => assert(row.getAs[Long]("pi_ppm") > 0L,
+      s"state ${row.getAs[String]("state")} starved"))
+  }
+
+  test("q_seasonal_residuals: flagged days genuinely exceed 3×MAD") {
+    val r = rows("q_seasonal_residuals")
+    assert(r.nonEmpty, "fixture must produce at least one seasonal outlier")
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Long]("r")) > 3L * row.getAs[Long]("mad"))
+      assert(row.getAs[Long]("r") == row.getAs[Long]("v") - row.getAs[Long]("med"))
+      assert(row.getAs[Long]("dow") == ((row.getAs[Long]("day") % 7) + 7) % 7)
+    }
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
