@@ -1564,6 +1564,53 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_kendall / q_spearman: rank correlations agree with brute force") {
+    import org.apache.spark.sql.functions.{col, count => fcount, expr, sum => fsum}
+    val per = graft.core.Tables.events(spark, sf).groupBy("user_id")
+      .agg(fcount(col("event_id")).as("x"),
+        fsum(expr("CAST(round(value * 100.0) AS BIGINT)")).as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // brute Kendall
+    var (nc, ndk) = (0L, 0L)
+    for (i <- per.indices; j <- (i + 1) until per.length) {
+      val s = (per(i)._1 - per(j)._1).sign * (per(i)._2 - per(j)._2).sign
+      if (s > 0) nc += 1 else if (s < 0) ndk += 1
+    }
+    val kr = rows("q_kendall").head
+    assert(kr.getAs[Long]("nc") == nc && kr.getAs[Long]("nd") == ndk)
+    val tau = kr.getAs[Double]("tau_b")
+    assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9)
+    // brute Spearman via midranks
+    def midranks(v: Array[Long]): Array[Double] = {
+      val sorted = v.sorted
+      val first = sorted.zipWithIndex.groupBy(_._1).view
+        .mapValues(g => (g.map(_._2).min + 1 + g.map(_._2).max + 1) / 2.0).toMap
+      v.map(first)
+    }
+    val rx = midranks(per.map(_._1)); val ry = midranks(per.map(_._2))
+    val n = per.length.toDouble
+    val mx = rx.sum / n; val my = ry.sum / n
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = rx.map(a => (a - mx) * (a - mx)).sum
+    val vy = ry.map(b => (b - my) * (b - my)).sum
+    val rhoBrute = cov / math.sqrt(vx * vy)
+    val sr = rows("q_spearman").head
+    assert(math.abs(sr.getAs[Double]("rho") - rhoBrute) < 1e-4,
+      s"spearman ${sr.getAs[Double]("rho")} vs brute $rhoBrute")
+    // activity and spend are near-monotone by construction
+    assert(tau > 0.5 && sr.getAs[Double]("rho") > 0.5)
+  }
+
+  test("q_ccf: lag zero present, all correlations bounded") {
+    val r = rows("q_ccf")
+    assert(r.map(_.getAs[Long]("lag")).toSet == (-7L to 7L).toSet)
+    r.foreach { row =>
+      val c = row.getAs[Double]("ccf")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(row.getAs[Long]("n") > 0L)
+    }
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
