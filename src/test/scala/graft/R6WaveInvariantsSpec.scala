@@ -1611,6 +1611,37 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mann_kendall: S matches the Kendall machinery on time order") {
+    val r = rows("q_mann_kendall").head
+    val n = r.getAs[Long]("n")
+    assert(n > 0L && n <= 120L)
+    // |S| bounded by the pair count; variance positive
+    assert(math.abs(r.getAs[Long]("s")) <= n * (n - 1) / 2)
+    assert(r.getAs[Long]("var18") > 0L)
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("q_runs_test: run count bounded by its combinatorial limits") {
+    val r = rows("q_runs_test").head
+    val (runs, p, m) = (r.getAs[Long]("n_runs"), r.getAs[Long]("n_pos"),
+      r.getAs[Long]("n_neg"))
+    assert(runs >= 2L, "a two-class sequence has at least 2 runs")
+    assert(runs <= 2 * math.min(p, m) + 1, "runs exceed the alternation bound")
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("q_conductance: cut mass consistent with the modularity graph") {
+    val r = rows("q_conductance")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("cut") <= row.getAs[Long]("vol"))
+      val phi = row.getAs[Double]("phi")
+      assert(phi >= 0.0 && phi <= 1.0 + 1e-9, s"phi $phi")
+    }
+    // total cut counted from both sides must be even (each cross edge twice)
+    assert(r.map(_.getAs[Long]("cut")).sum % 2 == 0)
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
