@@ -1642,6 +1642,39 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Long]("cut")).sum % 2 == 0)
   }
 
+  test("q_welch_t: df bounded by the classical Welch limits") {
+    val r = rows("q_welch_t").head
+    val (n0, n1) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"))
+    val df = r.getAs[Double]("df")
+    // min(n0,n1)−1 ≤ df ≤ n0+n1−2 always holds for Welch–Satterthwaite
+    assert(df >= math.min(n0, n1) - 1 - 1e-6, s"df $df below lower bound")
+    assert(df <= n0 + n1 - 2 + 1e-6, s"df $df above pooled bound")
+    assert(!r.getAs[Double]("t_stat").isNaN)
+  }
+
+  test("q_block_maxima: return level dominates the Gumbel location") {
+    val r = rows("q_block_maxima").head
+    assert(r.getAs[Long]("nb") > 10L)
+    assert(r.getAs[Double]("gumbel_sigma") > 0.0)
+    // the 52-block return level sits above μ (ln(−ln(51/52)) < 0)
+    assert(r.getAs[Double]("return_level_52") > r.getAs[Double]("gumbel_mu"))
+  }
+
+  test("q_influence: flagged points exceed the 4/n rule with valid leverage") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val nDays = graft.core.Tables.load(spark, sf, "orders")
+      .select(expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) / 86400000000 AS BIGINT)"))
+      .distinct().count()
+    val r = rows("q_influence")
+    assert(r.nonEmpty, "fixture must contain influential days")
+    r.foreach { row =>
+      val lev = row.getAs[Double]("lev")
+      assert(lev > 0.0 && lev < 1.0, s"leverage $lev outside (0,1)")
+      assert(row.getAs[Double]("cooks_d") > 4.0 / nDays - 1e-6)
+    }
+    assert(r.length < nDays, "not every day can be influential")
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
