@@ -1675,6 +1675,36 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(r.length < nDays, "not every day can be influential")
   }
 
+  test("q_mcc: bounded and consistent with the kNN accuracy") {
+    val r = rows("q_mcc").head
+    val mcc = r.getAs[Double]("mcc")
+    assert(mcc >= -1.0 - 1e-9 && mcc <= 1.0 + 1e-9)
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Long]("c") ==
+      rows("q_knn_classify").map(_.getAs[Long]("correct")).sum,
+      "MCC's diagonal must equal the classifier's correct count")
+  }
+
+  test("q_brier: Murphy decomposition identity holds") {
+    val r = rows("q_brier").head
+    val brier = r.getAs[Double]("brier")
+    val id = r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+      r.getAs[Double]("uncertainty")
+    assert(math.abs(brier - id) < 1e-5, "REL − RES + UNC ≠ Brier")
+    assert(r.getAs[Double]("reliability") >= 0.0)
+    assert(r.getAs[Double]("resolution") >= 0.0)
+    assert(r.getAs[Double]("uncertainty") >= 0.0 &&
+      r.getAs[Double]("uncertainty") <= 0.25 + 1e-9)
+  }
+
+  test("q_entropy_rate: bounded by the uniform-chain maximum") {
+    val r = rows("q_entropy_rate").head
+    val h = r.getAs[Double]("entropy_rate_nats")
+    assert(h >= 0.0 && h <= math.log(5.0) + 1e-9,
+      s"entropy rate $h outside [0, ln 5]")
+    assert(math.abs(r.getAs[Double]("entropy_rate_bits") - h / math.log(2.0)) < 1e-5)
+  }
+
   test("q_hill_tail: alpha positive and k-th statistic below the top") {
     val r = rows("q_hill_tail").head
     assert(r.getAs[Long]("k_used") == 99L)
