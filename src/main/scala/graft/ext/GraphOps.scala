@@ -552,4 +552,41 @@ object GraphOps {
     Seq(e, n).foreach(_.unpersist(blocking = false))
     result
   }
+
+  /** Bounded co-purchase customer graph — the shared derivation behind
+    * `q_assortativity`, `q_conductance`, and `q_modularity` (hoisted in
+    * r7 so the scale fix lands once instead of three pasted copies):
+    * customers are linked when they bought the same part, with per-part
+    * fan-out capped to the `cap` smallest custkeys (≤ C(cap,2) edges per
+    * part, so the self-join can never explode on a popular part).
+    *
+    * Scale shape: shrink BEFORE any join — distinct (order, part) pairs
+    * first — then join the order→customer key map WITHOUT a broadcast
+    * hint. Orders is a FACT table: at bench scale AQE broadcasts the
+    * narrow projection on its own, but a compulsory `broadcast()` would
+    * OOM the driver at 100 TB where orders is billions of rows (keys-only
+    * narrowness does not bound cardinality). The capped self-join keys on
+    * pk, and the result is the distinct undirected edge list (a < b).
+    *
+    * @param lineitem the lineitem fact table (l_orderkey, l_partkey, …)
+    * @param orders   the orders fact table (o_orderkey, o_custkey, …)
+    * @return distinct edges (a, b) with a < b, both custkeys
+    */
+  def coPurchaseEdges(lineitem: DataFrame, orders: DataFrame,
+                      cap: Int = 4): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val ords = orders
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val li = op.join(ords, "ok").select(col("pk"), col("ck")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("ck")
+    val capped = li.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap)
+    capped.as("x").join(capped.as("y"),
+        col("x.pk") === col("y.pk") && col("x.ck") < col("y.ck"))
+      .select(col("x.ck").as("a"), col("y.ck").as("b"))
+      .distinct()
+  }
 }

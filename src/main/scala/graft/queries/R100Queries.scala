@@ -43,8 +43,11 @@ object R100Queries {
   // ---------- q_sketch_merge ----------
 
   private val kmvK = 64
+  // squared term masked to 15 bits: key²·2654435761 overflows signed
+  // 64-bit once keys pass ~58,950 (sf≈0.3) — ANSI DuckDB raises while
+  // Spark wraps; the mask is the identity at all tested sfs
   private val mixSql =
-    "(l_partkey * l_partkey * 2654435761 + l_partkey * 40503) % 4294967296"
+    "((l_partkey % 32768) * (l_partkey % 32768) * 2654435761 + l_partkey * 40503) % 4294967296"
 
   val qSketchMerge = QueryDef("q_sketch_merge",
     (s, dir) => {

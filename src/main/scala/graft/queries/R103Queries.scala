@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.ext.GraphOps
 import graft.queries.Queries.QueryDef
 
 /** Hundred-third wave — trend significance, randomness, and community
@@ -174,21 +175,12 @@ object R103Queries {
 
   val qConductance = QueryDef("q_conductance",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val ords = t(s, dir, "orders")
-        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-      val li = op.join(broadcast(ords), "ok").select(col("pk"), col("ck")).distinct()
-      val w = Window.partitionBy("pk").orderBy("ck")
-      val capped = li.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 4)
       val nations = t(s, dir, "customer")
         .select(col("c_custkey").as("ck"), col("c_nationkey").cast("long").as("nat"))
-      val edges = capped.as("x").join(capped.as("y"),
-          col("x.pk") === col("y.pk") && col("x.ck") < col("y.ck"))
-        .select(col("x.ck").as("a"), col("y.ck").as("b"))
-        .distinct()
+      // shared capped co-purchase graph (graft.ext.GraphOps) — no
+      // forced broadcast of the fact-sized orders map; AQE decides
+      val edges = GraphOps.coPurchaseEdges(
+          t(s, dir, "lineitem"), t(s, dir, "orders"))
         .join(broadcast(nations.select(col("ck").as("a"), col("nat").as("na"))), "a")
         .join(broadcast(nations.select(col("ck").as("b"), col("nat").as("nb"))), "b")
         .localCheckpoint()

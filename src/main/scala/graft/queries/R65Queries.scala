@@ -41,10 +41,15 @@ import graft.queries.Queries.QueryDef
   *    20-row dimension window; the per-source rank is a partitioned
   *    window — both scale-safe).
   *  - `q_acf`: raw autocorrelation sums of the daily revenue series at
-  *    lags 1..7 — exact integer-cent products in DECIMAL(38,0)
-  *    (cents² at 100 TB scale overflows BIGINT; DECIMAL(38,0) is the
-  *    documented wider lattice). |days|-sized join on a derived date,
-  *    never a corpus shuffle.
+  *    lags 1..7 — exact integer-cent products in wide decimals
+  *    (cents² at 100 TB scale overflows BIGINT). The daily series is
+  *    DECIMAL(18,0), NOT 19: 19×19 products land exactly on the
+  *    width-38 decimal ceiling, where DuckDB's multiply-width and
+  *    overflow-promotion rules have shifted across releases (the r6
+  *    value-space fragility lesson, SURVEY §7.4) — 18×18 keeps the
+  *    products at width ≤37 with version-stable semantics on both
+  *    engines. |days|-sized join on a derived date, never a corpus
+  *    shuffle.
   *
   * Reference tie-in: the reference's crawler curates its corpus by URL
   * filtering alone (`web_spider_oo.py:195-226`); this wave is the
@@ -214,7 +219,7 @@ object R65Queries {
       val daily = t(s, dir, "orders")
         .groupBy(col("o_orderdate").cast("date").as("d"))
         .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
-          .cast(DecimalType(19, 0)).as("c"))
+          .cast(DecimalType(18, 0)).as("c"))
       val lags = s.range(1, 8).select(col("id").as("lag"))
       val b = daily.select(col("d").as("d2"), col("c").as("c2"))
       daily.crossJoin(broadcast(lags))
@@ -230,7 +235,7 @@ object R65Queries {
     Some(
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DECIMAL(19,0)) AS c
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DECIMAL(18,0)) AS c
         |  FROM orders GROUP BY 1),
         |lags AS (SELECT CAST(g.g AS BIGINT) AS lag FROM generate_series(1, 7) g(g))
         |SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,

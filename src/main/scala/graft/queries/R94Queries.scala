@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.ext.GraphOps
 import graft.queries.Queries.QueryDef
 
 /** Ninety-fourth wave — graph assortativity, uplift curves, and
@@ -42,24 +43,10 @@ object R94Queries {
 
   val qAssortativity = QueryDef("q_assortativity",
     (s, dir) => {
-      // co-purchase edges: customers sharing a part, bounded fan-out by
-      // keying on (part, two smallest custkeys per part bucket)
-      // shrink BEFORE the join: distinct (order, part) pairs first, and
-      // the order→customer map broadcasts (it is keys-only)
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val ords = t(s, dir, "orders")
-        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-      val li = op.join(broadcast(ords), "ok")
-        .select(col("pk"), col("ck")).distinct()
-      val w = Window.partitionBy("pk").orderBy("ck")
-      val capped = li.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 4) // fan-out cap: ≤ C(4,2) edges per part
-      val edges = capped.as("x").join(capped.as("y"),
-          col("x.pk") === col("y.pk") && col("x.ck") < col("y.ck"))
-        .select(col("x.ck").as("a"), col("y.ck").as("b"))
-        .distinct()
+      // shared capped co-purchase graph (graft.ext.GraphOps) — no
+      // forced broadcast of the fact-sized orders map; AQE decides
+      val edges = GraphOps.coPurchaseEdges(
+          t(s, dir, "lineitem"), t(s, dir, "orders"))
         // referenced by the degree table AND both endpoint joins —
         // materialize once instead of re-deriving the graph three times
         .localCheckpoint()

@@ -161,8 +161,10 @@ object R97Queries {
 
   val qHashBalance = QueryDef("q_hash_balance",
     (s, dir) => {
+      // the squared term masks to 15 bits so key²·40503 stays inside
+      // signed 64-bit at every scale factor (identity at tested sfs)
       val sizes = t(s, dir, "orders")
-        .select(expr(s"(o_custkey * 2654435761 + o_custkey * o_custkey * 40503) % $nBuckets")
+        .select(expr(s"(o_custkey * 2654435761 + (o_custkey % 32768) * (o_custkey % 32768) * 40503) % $nBuckets")
           .as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).cast("long").as("sz"))
       sizes.agg(count(lit(1)).cast("long").as("n_buckets"),
@@ -182,7 +184,7 @@ object R97Queries {
     },
     Some(
       s"""WITH sizes AS (
-         |  SELECT (o_custkey * 2654435761 + o_custkey * o_custkey * 40503) % $nBuckets
+         |  SELECT (o_custkey * 2654435761 + (o_custkey % 32768) * (o_custkey % 32768) * 40503) % $nBuckets
          |    AS bucket, CAST(count(*) AS BIGINT) AS sz
          |  FROM orders GROUP BY 1),
          |agg AS (

@@ -1,10 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.ext.GraphOps
 import graft.queries.Queries.QueryDef
 
 /** Ninety-eighth wave — modularity, instrumental variables, and salting
@@ -41,19 +41,12 @@ object R98Queries {
 
   val qModularity = QueryDef("q_modularity",
     (s, dir) => {
-      val li = t(s, dir, "lineitem").join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_partkey").as("pk"), col("o_custkey").as("ck"))
-        .distinct()
-      val w = Window.partitionBy("pk").orderBy("ck")
-      val capped = li.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 4)
       val nations = t(s, dir, "customer")
         .select(col("c_custkey").as("ck"), col("c_nationkey").cast("long").as("nat"))
-      val edges = capped.as("x").join(capped.as("y"),
-          col("x.pk") === col("y.pk") && col("x.ck") < col("y.ck"))
-        .select(col("x.ck").as("a"), col("y.ck").as("b"))
-        .distinct()
+      // shared capped co-purchase graph (graft.ext.GraphOps) — no
+      // forced broadcast of the fact-sized orders map; AQE decides
+      val edges = GraphOps.coPurchaseEdges(
+          t(s, dir, "lineitem"), t(s, dir, "orders"))
         .join(broadcast(nations.select(col("ck").as("a"), col("nat").as("na"))), "a")
         .join(broadcast(nations.select(col("ck").as("b"), col("nat").as("nb"))), "b")
         // referenced by m, internal, and degree — materialize once

@@ -33,4 +33,10 @@ object GraftSqlBridge {
         lr.rdd.unpersist(blocking = false)
       case _ => () // not a checkpointed plan — nothing to free
     }
+
+  /** Drain the listener bus so QueryExecutionListener callbacks for all
+    * already-finished actions have run (`listenerBus` is private[spark];
+    * the plan-audit specs need a synchronous view of what executed). */
+  def waitForListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -207,9 +207,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_skyline")
     val s = p.toString
     // the partition-local windows must all carry a partitionBy — a bare
-    // Window.orderBy would funnel the corpus through one partition
-    assert(!s.contains("SinglePartition") ||
-      !s.contains("Window"),
+    // Window.orderBy would funnel the corpus through one partition.
+    // Assert it on the WindowExec nodes themselves (an unrelated
+    // SinglePartition stage elsewhere in the plan must not trip this)
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
       s"skyline grew a single-partition window funnel:\n$p")
     assert(s.contains("BroadcastNestedLoopJoin") && s.contains("LeftAnti"),
       s"phase-2 dominance must be a broadcast anti-join:\n$p")

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Semantic invariants for the round-6 wave queries (R64-R69) — the
+/** Semantic invariants for the extension-wave queries (R64-R105) — the
   * properties the oracle hash cannot express (it proves engine
   * agreement, not that the numbers mean what the query claims), plus
   * the non-vacuity guard: every new query must return rows at sf0.001
@@ -502,13 +502,16 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     val nUsers = graft.core.Tables.events(spark, sf)
       .select("user_id").distinct().count()
     assert(r.length.toLong == nUsers)
+    // r7: the walk runs in scaled-BIGINT fixed point (×10⁹) so the
+    // oracle arithmetic is DuckDB-release-invariant (SURVEY §7.4 r6
+    // lesson); the columns are the ×10⁹ integers
     r.foreach { row =>
-      val l = row.getAs[java.math.BigDecimal]("level")
-      val t = row.getAs[java.math.BigDecimal]("trend")
-      val f = row.getAs[java.math.BigDecimal]("forecast")
-      assert(l.add(t).compareTo(f) == 0, s"user ${row.getAs[Long]("user_id")}")
+      val l = row.getAs[Long]("level9")
+      val t = row.getAs[Long]("trend9")
+      val f = row.getAs[Long]("forecast9")
+      assert(l + t == f, s"user ${row.getAs[Long]("user_id")}")
       assert(row.getAs[Long]("n_days") >= 1L)
-      assert(l.signum() > 0, "smoothed level of positive counts must stay positive")
+      assert(l > 0L, "smoothed level of positive counts must stay positive")
     }
   }
 

@@ -9,7 +9,12 @@ sfDir parquet tables, and compares:
   - row count,
   - sorted column-name schema,
   - engine-stable result types (the r5 HUGEINT lesson: flag any oracle
-    column outside BIGINT/DOUBLE/DECIMAL/VARCHAR/DATE/TIMESTAMP/BOOL),
+    column outside BIGINT/INTEGER/DOUBLE/DECIMAL/VARCHAR/DATE/
+    TIMESTAMP/BOOL). INTEGER is whitelisted deliberately: 86 oracle
+    columns are INT32 and the driver accepts them because the Spark
+    parquet side emits INT32 for the same columns — the column-for-
+    column parity that tools/oracle_type_guard.py enforces; a one-sided
+    INT32 would fail THAT gate, not this one,
   - exact values after sorting columns by name and rows canonically.
 """
 import json
