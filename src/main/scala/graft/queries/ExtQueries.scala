@@ -407,7 +407,9 @@ object ExtQueries {
     * oracle-checked against the equivalent batch SQL (epoch-aligned
     * 5-minute buckets; decimal-exact value sum). */
   val qStreamingWindow = QueryDef("q_streaming_window",
-    (s, dir) => {
+    // 4 shuffle partitions: windowed-agg state stores are per-partition
+    // fixed cost per micro-batch (32 would commit 32 stores)
+    (s, dir) => Tables.withShufflePartitions(s, 4) {
       val stageDir = Tables.stageEventsDir(dir, "graft_stream_src")
       val q = graft.streaming.EventsStream.startOverNanosFixture(
         s, stageDir, "graft_stream_out")

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import graft.core.Tables
+import graft.queries.Queries.QueryDef
+import graft.sources.MemSinkStore
+
+/** Hundred-sixth wave — ONE query, justified under the r7
+  * no-new-wave-without-new-surface rule (SURVEY §7.2): it exercises the
+  * one DSv2 capability the engine had not yet covered, the STREAMING
+  * write path (`TableCapability.STREAMING_WRITE` →
+  * `Write.toStreaming` → per-epoch staged commit).
+  *
+  *  - `q_stream_sink_dsv2`: the events stream flows through a
+  *    complete-mode aggregation into the custom `graft-memsink` DSv2
+  *    sink ([[graft.sources.MemSinkStreamingWrite]]): tasks surface
+  *    rows only in their commit messages, the driver publishes each
+  *    epoch atomically, and a replayed epoch commits as a NO-OP via
+  *    the `lastEpoch` ledger — the exactly-once restart contract of
+  *    the reference's K1 incremental append sink
+  *    (`web_spider_oo.py:123-128`), expressed as engine surface
+  *    instead of foreachBatch user code. The final sink contents are
+  *    batch-deterministic (complete mode over a finite fixture), so
+  *    the result is oracle-hashed like any batch query; the replay
+  *    idempotence and abort paths are spec-pinned in
+  *    MemSinkStreamingSpec.
+  */
+object R106Queries {
+
+  private val sinkSchema = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("n", LongType),
+    StructField("total_value", DoubleType)))
+
+  val qStreamSinkDsv2 = QueryDef("q_stream_sink_dsv2",
+    // 4 shuffle partitions: the complete-mode agg's state stores are
+    // per-partition fixed cost per micro-batch
+    (s, dir) => Tables.withShufflePartitions(s, 4) {
+      val stageDir = Tables.stageEventsDir(dir, "graft_dsv2sink_src")
+      val key = "q_stream_sink_dsv2_" + math.abs(dir.hashCode)
+      MemSinkStore.clear(key)
+      val agg = graft.streaming.EventsStream
+        .sourceOverNanosFixture(s, stageDir)
+        .groupBy(col("event_type"))
+        // decimal-exact sum cast to double at the edge — the
+        // cross-engine float-parity discipline
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("graft-memsink").option("key", key)
+        // fresh checkpoint per run: a reused one would see "no new
+        // data" on rerun and commit nothing into the just-cleared store
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_dsv2sink_ck").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      require(MemSinkStore.lastEpoch(key) >= 0L,
+        "streaming write committed no epoch")
+      val rows = MemSinkStore.get(key).getOrElse(Seq.empty)
+        .map(r => Row(r(0), r(1), r(2)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), sinkSchema)
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qStreamSinkDsv2)
+}

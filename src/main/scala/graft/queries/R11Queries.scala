@@ -111,7 +111,9 @@ object R11Queries {
     * = the batch lag/gap sessionization (q_sessionize's discipline):
     * session end is last event + gap, exactly session_window's end. */
   val qStreamSessionWindow = QueryDef("q_stream_session_window",
-    (s, dir) => {
+    // 4 shuffle partitions: session-window state stores are per-
+    // partition fixed cost per micro-batch (32 would commit 32 stores)
+    (s, dir) => Tables.withShufflePartitions(s, 4) {
       val stageDir = stageWithSentinel(s, dir)
       val tsDiv = Tables.eventsTsDiv(s, dir)
       val src = s.readStream

@@ -67,12 +67,15 @@ object R28Queries {
 
   // ---------- q_stream_ivm ----------
 
-  /** Streaming IVM: events (user_id < 50) staged as 4 deterministic
-    * micro-batch files; each foreachBatch computes the batch's partial
-    * (count, DECIMAL sum) per user and MERGEs it into the Derby view
-    * (UPDATE on match, INSERT otherwise). The view's final state is
-    * read back through JDBC and must equal the one-shot batch
-    * aggregate — the IVM correctness contract.
+  /** Streaming IVM: events (user_id < 50) staged as 2 deterministic
+    * micro-batch files (r7 trim from 4: two batches already exercise
+    * BOTH merge paths — INSERT on first sight, UPDATE on the second —
+    * and each extra trigger is a fixed JDBC round-trip); each
+    * foreachBatch computes the batch's partial (count, DECIMAL sum)
+    * per user and MERGEs it into the Derby view (UPDATE on match,
+    * INSERT otherwise). The view's final state is read back through
+    * JDBC and must equal the one-shot batch aggregate — the IVM
+    * correctness contract.
     *
     * Scale shape: per batch, the stream side reduces to a per-user
     * partial BEFORE touching the store (map-side combine discipline);
@@ -86,8 +89,8 @@ object R28Queries {
         .select(col("event_id"), col("user_id"),
           col("value").cast(d2t).as("value"))
       val stage = Files.createTempDirectory("graft_ivm_in").toString
-      for (b <- 0 until 4)
-        ev.where(col("event_id") % 4 === b)
+      for (b <- 0 until 2)
+        ev.where(col("event_id") % 2 === b)
           .coalesce(1).write.mode("append").parquet(stage)
 
       val dbDir = Files.createTempDirectory("graft_ivm_db").toString

@@ -278,7 +278,7 @@ object R3Queries {
     * finite fixture is deterministic — same discipline as
     * q_streaming_window). */
   val qStreamStaticJoin = QueryDef("q_stream_static_join",
-    (s, dir) => {
+    (s, dir) => Tables.withShufflePartitions(s, 4) {
       val stageDir = Tables.stageEventsDir(dir, "graft_ss_src")
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -453,7 +453,9 @@ object R3Queries {
     * the fixture, dropDuplicates("event_id") must collapse them — state-
     * backed streaming dedup, the incremental form of q_dedup_exact. */
   val qStreamDedup = QueryDef("q_stream_dedup",
-    (s, dir) => {
+    // 4 shuffle partitions: the dedup + agg state stores are per-
+    // partition fixed cost per micro-batch (32 would commit 32 stores)
+    (s, dir) => Tables.withShufflePartitions(s, 4) {
       val stageDir = Tables.stageEventsDir(dir, "graft_dedup_src",
         copies = Seq("events_a.parquet", "events_b.parquet"))
       val src = s.readStream

@@ -79,7 +79,16 @@ object EventsStream {
     * timestamp before the watermark. The unit is probed from the batch
     * schema of the same path (streaming schemas can't infer). */
   def startOverNanosFixture(spark: SparkSession, path: String,
-                            queryName: String): StreamingQuery = {
+                            queryName: String): StreamingQuery =
+    windowedCounts(sourceOverNanosFixture(spark, path)).writeStream
+      .outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+
+  /** The raw streaming source over the nanos fixture (ts normalized to
+    * a microsecond timestamp) — shared by the windowed demo above and
+    * the DSv2 streaming-sink query. */
+  def sourceOverNanosFixture(spark: SparkSession, path: String): DataFrame = {
     val nanosSchema = StructType(eventsSchema.map {
       case f if f.name == "ts" => f.copy(dataType = LongType)
       case f => f
@@ -88,11 +97,7 @@ object EventsStream {
       case LongType => 1000L // nanos under the legacy conf
       case _ => 1L // TIMESTAMP(MICROS) physical int64
     }
-    val src = spark.readStream.schema(nanosSchema).parquet(path)
+    spark.readStream.schema(nanosSchema).parquet(path)
       .withColumn("ts", timestamp_micros(expr(s"ts div $tsDiv")))
-    windowedCounts(src).writeStream
-      .outputMode("complete")
-      .format("memory").queryName(queryName)
-      .start()
   }
 }
