@@ -53,19 +53,26 @@ object R100Queries {
     (s, dir) => {
       val hashes = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_orderkey"), expr(mixSql).as("h"))
-      def sketch(df: DataFrame): DataFrame = {
-        val w = Window.orderBy("h")
-        df.select(col("h")).distinct()
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= kmvK)
-      }
+      // r7: global k-minima via the bounded-heap TopKPerKey operator
+      // (constant key; k smallest = k largest of −h) — the previous
+      // bare Window.orderBy funneled every distinct hash through ONE
+      // partition for a full sort; the heap's map-side partials bound
+      // the single-partition stage to ≤ partitions×k rows
+      def sketch(df: DataFrame): DataFrame =
+        graft.plans.TopKPerKey.topKPerKey(
+          df.select(col("h")).distinct()
+            .withColumn("g", lit(0L)).withColumn("negh", -col("h")),
+          Seq("g"), "negh", kmvK)
+          .select("h")
       val full = sketch(hashes)
       // two half-corpus sketches (split by order parity), merged
       val s1 = sketch(hashes.where(col("l_orderkey") % 2 === 0))
       val s2 = sketch(hashes.where(col("l_orderkey") % 2 === 1))
       val merged = sketch(s1.select("h").unionAll(s2.select("h")))
+      // the kth smallest exists only when the sketch is full (= k rows)
       def kth(df: DataFrame, nm: String): DataFrame =
-        df.agg(max(when(col("rk") === kmvK, col("h"))).cast("long").as(nm))
+        df.agg(when(count(lit(1)) === kmvK.toLong, max(col("h")))
+          .cast("long").as(nm))
       kth(full, "h_full").crossJoin(broadcast(kth(merged, "h_merged")))
         .select(col("h_full"), col("h_merged"),
           (col("h_full") - col("h_merged")).as("gap"),

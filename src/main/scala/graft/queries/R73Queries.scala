@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -17,8 +16,10 @@ import graft.queries.Queries.QueryDef
   *    engines derive the same minima, the same kth value, the same
   *    floor estimate `(k−1)·2³²/h_k`, and the same exact-vs-estimate
   *    error in basis points. Groups smaller than k fall back to the
-  *    exact count (the standard KMV rule). Per-group k-minima ride a
-  *    partitioned window over DISTINCT hashes — never the raw corpus.
+  *    exact count (the standard KMV rule). Per-group k-minima ride the
+  *    bounded-heap [[graft.plans.TopKPerKey]] operator over DISTINCT
+  *    hashes (O(n log k), shuffle ≤ partitions×k) — never a full
+  *    per-group sort, never the raw corpus.
   *  - `q_calendar_spine`: the gap-filled time spine — generate every
   *    hour between the first and last order, left-join the hourly
   *    counts, and report active/zero-hour coverage. The spine side is
@@ -47,14 +48,23 @@ object R73Queries {
           (((col("l_partkey") % 32768L) * (col("l_partkey") % 32768L) * 2654435761L +
             col("l_partkey") * 40503L) % 4294967296L).as("h"))
         .distinct()
-      val w = Window.partitionBy("flag")
-      val ranked = hashes
-        .withColumn("rk", row_number().over(w.orderBy("h")))
-        .withColumn("nd", count(lit(1)).over(w).cast("long"))
-      val kth = ranked.where(col("rk") <= 64)
-        .groupBy("flag")
-        .agg(max(col("nd")).as("exact_distinct"),
-          max(when(col("rk") === 64, col("h"))).cast("long").as("h64"))
+      // r7: the k-minima ride the bounded-heap TopKPerKey operator
+      // (k smallest = k largest of −h) instead of a per-flag
+      // row_number window — the window form fully SORTS every flag's
+      // distinct-hash set (billions of rows per flag at 100 TB) where
+      // the heap keeps 64 rows per partition and shuffles ≤
+      // partitions×64. The 64th-smallest VALUE is deterministic even
+      // under hash ties (position-64 of the sorted multiset), so this
+      // is value-identical to the window form.
+      val nd = hashes.groupBy("flag")
+        .agg(count(lit(1)).cast("long").as("exact_distinct"))
+      val kept = graft.plans.TopKPerKey.topKPerKey(
+        hashes.withColumn("negh", -col("h")), Seq("flag"), "negh", 64)
+      val kth = nd.join(
+        kept.groupBy("flag")
+          .agg(when(count(lit(1)) === 64L, max(col("h")))
+            .cast("long").as("h64")),
+        "flag")
       val num = lit(63L) * 4294967296L
       kth.withColumn("estimate",
           when(col("h64").isNull, col("exact_distinct"))

@@ -176,11 +176,15 @@ object R79Queries {
       val a = side("a", "l_returnflag = 'R'")
       val b = side("b", "l_linenumber % 2 = 0")
       val ab = a.unionAll(b)
-      val w = Window.partitionBy("side")
-      val thetas = ab
-        .withColumn("rk", row_number().over(w.orderBy("h")))
+      // r7: per-side k-minima via the bounded-heap TopKPerKey operator
+      // (k smallest = k largest of −h) instead of a per-side
+      // row_number window that fully sorts each side's sample space;
+      // the 128th-smallest VALUE is tie-deterministic either way
+      val kept = graft.plans.TopKPerKey.topKPerKey(
+        ab.withColumn("negh", -col("h")), Seq("side"), "negh", thetaK)
+      val thetas = kept
         .groupBy("side")
-        .agg(coalesce(max(when(col("rk") === thetaK, col("h"))),
+        .agg(coalesce(when(count(lit(1)) === thetaK.toLong, max(col("h"))),
           lit(universe)).as("th"))
         .agg(min(col("th")).cast("long").as("theta"))
       // sample spaces under the shared θ

@@ -147,12 +147,57 @@ class BroadcastHintAuditSpec extends AnyFunSuite {
       case _ => ()
     }
 
-  test("every BROADCAST hint builds from a dim table, aggregate, or limit") {
-    val violations = mutable.Buffer[String]()
+  // Global-window audit (the generalized q_sketch_merge/q_edges_actual
+  // lesson): an UNPARTITIONED Window funnels its whole input through
+  // one partition for a full sort, so its input must be bounded BELOW
+  // it — an aggregate/limit/dim-or-generated leaf set (the repo's
+  // "the window rides the aggregate" discipline). This catches only
+  // the raw-corpus class (an Aggregate anywhere below passes, even a
+  // corpus-keyed one — the per-key-cardinality question stays a review
+  // concern); raw-scan global sorts are exactly what r7 rewrote to the
+  // bounded-heap TopKPerKey in q_kmv_distinct/q_sketch_merge/
+  // q_theta_ops.
+  private val windowReviewed: Map[String, String] = Map.empty
+
+  private def auditWindows(name: String, plan: LogicalPlan,
+                           out: mutable.Buffer[String]): Unit =
+    plan.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty =>
+        if (!bounded(w.child) &&
+            !windowReviewed.contains(name.takeWhile(_ != '[')))
+          out += s"$name: global (unpartitioned) window over unbounded " +
+            s"input (leaves=${leaves(w.child).mkString(",")})"
+      case _ => ()
+    }
+
+  // SQL CTE references are leaves (CTERelationRef) whose definition
+  // lives in the plan's WithCTE node — inline them (bounded depth, in
+  // case of self-reference) so the audits see through `WITH x AS (…)`
+  private def inlineCtes(plan: LogicalPlan): LogicalPlan = {
+    val defs = plan.collect {
+      case w: WithCTE => w.cteDefs.map(d => d.id -> d.child)
+    }.flatten.toMap
+    def go(p: LogicalPlan, depth: Int): LogicalPlan =
+      if (depth > 8) p
+      else p.transformUp {
+        case r: CTERelationRef =>
+          defs.get(r.cteId).map(go(_, depth + 1)).getOrElse(r)
+      }
+    go(plan, 0)
+  }
+
+  // one pass builds every query once; both audits read the same plans
+  private lazy val (hintViolations, windowViolations) = {
+    val hints = mutable.Buffer[String]()
+    val windows = mutable.Buffer[String]()
     val current = new java.util.concurrent.atomic.AtomicReference("?")
     val listener = new QueryExecutionListener {
-      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
-        audit(s"${current.get}[exec:$f]", qe.analyzed, violations)
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+        val pl = inlineCtes(qe.analyzed)
+        audit(s"${current.get}[exec:$f]", pl, hints)
+        auditWindows(s"${current.get}[exec:$f]", pl, windows)
+      }
       override def onFailure(f: String, qe: QueryExecution,
                              e: Exception): Unit = ()
     }
@@ -162,12 +207,24 @@ class BroadcastHintAuditSpec extends AnyFunSuite {
            if !name.startsWith("q_stream") && name != "q_crawl_stream") {
         current.set(name)
         val df = fn(spark, "/root/testdata/sf0.001")
-        audit(name, df.queryExecution.analyzed, violations)
+        val pl = inlineCtes(df.queryExecution.analyzed)
+        audit(name, pl, hints)
+        auditWindows(name, pl, windows)
       }
       GraftSqlBridge.waitForListenerBus(spark)
     } finally spark.listenerManager.unregister(listener)
-    assert(violations.isEmpty,
-      s"${violations.size} fact-table broadcast hint(s):\n" +
-        violations.mkString("\n"))
+    (hints.toSeq, windows.toSeq)
+  }
+
+  test("every BROADCAST hint builds from a dim table, aggregate, or limit") {
+    assert(hintViolations.isEmpty,
+      s"${hintViolations.size} fact-table broadcast hint(s):\n" +
+        hintViolations.mkString("\n"))
+  }
+
+  test("every global window rides a bounded input, never a raw scan") {
+    assert(windowViolations.isEmpty,
+      s"${windowViolations.size} raw-scan global window(s):\n" +
+        windowViolations.mkString("\n"))
   }
 }
