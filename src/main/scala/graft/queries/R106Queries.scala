@@ -8,11 +8,9 @@ import graft.core.Tables
 import graft.queries.Queries.QueryDef
 import graft.sources.MemSinkStore
 
-/** Hundred-sixth wave — ONE query, justified under the r7
-  * no-new-wave-without-new-surface rule (SURVEY §7.2): it exercises the
-  * one DSv2 capability the engine had not yet covered, the STREAMING
-  * write path (`TableCapability.STREAMING_WRITE` →
-  * `Write.toStreaming` → per-epoch staged commit).
+/** Hundred-sixth wave — justified under the r7
+  * no-new-wave-without-new-surface rule (SURVEY §7.2): each query
+  * exercises a DSv2 capability the engine had not yet covered.
   *
   *  - `q_stream_sink_dsv2`: the events stream flows through a
   *    complete-mode aggregation into the custom `graft-memsink` DSv2
@@ -27,6 +25,13 @@ import graft.sources.MemSinkStore
   *    the result is oracle-hashed like any batch query; the replay
   *    idempotence and abort paths are spec-pinned in
   *    MemSinkStreamingSpec.
+  *  - `q_source_v2_topn`: `ORDER BY page_id LIMIT n` answered entirely
+  *    inside the custom source ([[graft.sources.PagesScanBuilder]]
+  *    `SupportsPushDownTopN`/`SupportsPushDownLimit`, r7): the ordered
+  *    id range's prefix IS the top-N, so Spark's sort AND limit leave
+  *    the plan and rows beyond the prefix are never GENERATED
+  *    (PagesSourceSpec pins ≤ n rows produced from a 100k-row table).
+  *    The oracle regenerates the same prefix via generate_series.
   */
 object R106Queries {
 
@@ -71,5 +76,16 @@ object R106Queries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qStreamSinkDsv2)
+  val qSourceV2TopN = QueryDef("q_source_v2_topn",
+    (s, dir) => s.read.format("graft-pages")
+      .option("rows", "100000").option("parts", "8").load()
+      .where(col("page_id") >= 100L)
+      .orderBy("page_id").limit(50)
+      .select(col("page_id"), col("url")),
+    Some(
+      """SELECT CAST(g.g AS BIGINT) AS page_id,
+        |  'https://site.example/p/' || CAST(g.g AS VARCHAR) AS url
+        |FROM generate_series(100, 149) g(g) ORDER BY page_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qStreamSinkDsv2, qSourceV2TopN)
 }

@@ -26,7 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    predicates clamp the generated range itself — filtered rows are
   *    never produced, not produced-then-dropped;
   *  - column pruning ([[SupportsPushDownRequiredColumns]]): unrequested
-  *    columns (e.g. the wide html payload) are never built.
+  *    columns (e.g. the wide html payload) are never built;
+  *  - limit / top-N pushdown ([[SupportsPushDownLimit]] /
+  *    [[SupportsPushDownTopN]], r7): `LIMIT n` clamps the generated
+  *    range itself, and `ORDER BY page_id LIMIT n` is answered by the
+  *    ordered range prefix with Spark's sort+limit removed entirely —
+  *    at 100 TB the difference between "peek at a table" costing one
+  *    partition and costing a full scan.
   *
   * Usage: `spark.read.format("graft-pages").option("rows", n)
   * .option("parts", p).load()`.
@@ -83,8 +89,9 @@ class PagesTable(rows: Long, parts: Int, batchRows: Long) extends Table
 class PagesScanBuilder(rows: Long, parts: Int, batchRows: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
-  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference, SortDirection, SortOrder => V2SortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var lo = 0L
@@ -92,6 +99,31 @@ class PagesScanBuilder(rows: Long, parts: Int, batchRows: Long)
   private var pushed = Array.empty[Filter]
   private var required: StructType = PagesTable.schema
   private var agg: Option[Aggregation] = None
+  private var limited = false
+
+  /** LIMIT pushdown: the generator is an ordered id range, so "any
+    * `limit` rows" is the prefix — clamp the range and no row beyond it
+    * is ever GENERATED (a file source can at best stop reading early;
+    * here the work itself disappears). Guarded against the aggregate
+    * path: a completely-pushed aggregate must see the full range. */
+  override def pushLimit(limit: Int): Boolean =
+    agg.isEmpty && {
+      hi = math.min(hi, lo + math.max(0, limit)); limited = true; true
+    }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** ORDER BY page_id ASC LIMIT n pushdown: the prefix of the clamped
+    * range IS the top-N, already in order (partitions are contiguous
+    * ascending ranges). Any other sort key/direction is declined and
+    * Spark keeps its own sort. */
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    val pageIdAsc = orders.length == 1 &&
+      isPageId(orders.head.expression) &&
+      orders.head.direction == SortDirection.ASCENDING
+    agg.isEmpty && pageIdAsc && {
+      hi = math.min(hi, lo + math.max(0, limit)); limited = true; true
+    }
+  }
 
   private def isPageId(e: V2Expr): Boolean = e match {
     case f: NamedReference => f.fieldNames.sameElements(Array("page_id"))
@@ -144,7 +176,8 @@ class PagesScanBuilder(rows: Long, parts: Int, batchRows: Long)
     required = requiredSchema
   override def build(): Scan = agg match {
     case Some(a) => new PagesAggScan(lo, hi, a)
-    case None    => new PagesScan(lo, hi, parts, rows, required, batchRows)
+    case None    => new PagesScan(lo, hi, parts, rows, required, batchRows,
+      limited)
   }
 }
 
@@ -192,7 +225,8 @@ class SingleRowReaderFactory(values: Array[Any])
 }
 
 class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
-                required: StructType, batchRows: Long) extends Scan with Batch
+                required: StructType, batchRows: Long,
+                limited: Boolean = false) extends Scan with Batch
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -254,7 +288,8 @@ class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
       if (batchRows > 0) batchRows else hi - lo)
   // surfaced in explain() — makes the pushed range visible in the plan
   override def description(): String =
-    s"PagesScan[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
+    s"PagesScan[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}" +
+      (if (limited) ", limitPushed=true" else "") + "]"
   override def planInputPartitions(): Array[InputPartition] = keep match {
     case Some(ids) =>
       // enumerate exactly the runtime-filtered ids, split proportionally

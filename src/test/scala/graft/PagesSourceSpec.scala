@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
+
+import graft.sources.PagesSourceMetrics
 import org.scalatest.funsuite.AnyFunSuite
 
 class PagesSourceSpec extends AnyFunSuite {
@@ -107,6 +109,51 @@ class PagesSourceSpec extends AnyFunSuite {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  test("LIMIT pushes into the scan: the range clamps, rows beyond never generate") {
+    PagesSourceMetrics.rowsProduced.set(0)
+    val df = pages(100000, 4).limit(5)
+    assert(df.collect().map(_.getLong(0)).toSet == (0L until 5L).toSet)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(scan.contains("hi=5") && scan.contains("limitPushed=true"),
+      s"limit did not push: $scan")
+    assert(PagesSourceMetrics.rowsProduced.get() <= 5L,
+      s"scan generated ${PagesSourceMetrics.rowsProduced.get()} rows for LIMIT 5")
+  }
+
+  test("ORDER BY page_id LIMIT n pushes as top-N: sort and limit leave the plan") {
+    PagesSourceMetrics.rowsProduced.set(0)
+    val df = pages(100000, 4).orderBy("page_id").limit(7)
+      .select("page_id")
+    assert(df.collect().map(_.getLong(0)).toSeq == (0L until 7L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort"),
+      s"top-N not fully pushed:\n$plan")
+    assert(PagesSourceMetrics.rowsProduced.get() <= 7L,
+      s"scan generated ${PagesSourceMetrics.rowsProduced.get()} rows for top-7")
+  }
+
+  test("DESC / non-id top-N is declined: Spark keeps the sort, result stays right") {
+    val df = pages(1000, 4).orderBy($"page_id".desc).limit(3)
+      .select("page_id")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(999L, 998L, 997L))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(!scan.contains("limitPushed=true"),
+      s"a DESC top-N must not clamp the ASC prefix: $scan")
+  }
+
+  test("LIMIT composes with pushed filters: clamp applies after the range") {
+    val df = pages(100000, 4).where($"page_id" >= 500).limit(4)
+    assert(df.collect().map(_.getLong(0)).toSet == (500L until 504L).toSet)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(scan.contains("lo=500") && scan.contains("hi=504"), scan)
   }
 
   test("micro-batch streaming read delivers all pages across multiple batches") {
