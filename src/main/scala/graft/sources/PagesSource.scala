@@ -90,7 +90,8 @@ class PagesScanBuilder(rows: Long, parts: Int, batchRows: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference, SortDirection, SortOrder => V2SortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate._
 
@@ -111,6 +112,15 @@ class PagesScanBuilder(rows: Long, parts: Int, batchRows: Long)
       hi = math.min(hi, lo + math.max(0, limit)); limited = true; true
     }
   override def isPartiallyPushed(): Boolean = false
+
+  /** OFFSET pushdown: skip the first `offset` ids of the (already
+    * filter-clamped) range — Spark pushes the offset BEFORE the limit
+    * for `LIMIT n OFFSET m`, so the composition lands on
+    * [lo+m, lo+m+n). Declined on the aggregate path like the limit. */
+  override def pushOffset(offset: Int): Boolean =
+    agg.isEmpty && {
+      lo = math.min(hi, lo + math.max(0, offset)); limited = true; true
+    }
 
   /** ORDER BY page_id ASC LIMIT n pushdown: the prefix of the clamped
     * range IS the top-N, already in order (partitions are contiguous

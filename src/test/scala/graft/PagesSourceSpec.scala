@@ -156,6 +156,20 @@ class PagesSourceSpec extends AnyFunSuite {
     assert(scan.contains("lo=500") && scan.contains("hi=504"), scan)
   }
 
+  test("OFFSET pushes with LIMIT: the pagination window clamps the range") {
+    PagesSourceMetrics.rowsProduced.set(0)
+    val df = pages(100000, 4).orderBy("page_id")
+      .offset(20).limit(10).select("page_id")
+    assert(df.collect().map(_.getLong(0)).toSeq == (20L until 30L))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(scan.contains("lo=20") && scan.contains("hi=30"),
+      s"offset+limit window did not clamp: $scan")
+    assert(PagesSourceMetrics.rowsProduced.get() <= 10L,
+      s"scan generated ${PagesSourceMetrics.rowsProduced.get()} rows for a 10-row page")
+  }
+
   test("micro-batch streaming read delivers all pages across multiple batches") {
     val q = spark.readStream.format("graft-pages")
       .option("rows", "300").option("parts", "2").option("batchRows", "100")
