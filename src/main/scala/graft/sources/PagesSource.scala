@@ -238,8 +238,21 @@ class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
                 required: StructType, batchRows: Long,
                 limited: Boolean = false) extends Scan with Batch
     with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, NullOrdering}
+
+  /** Every partition emits ids ascending (range partitions count up;
+    * runtime-filtered id lists are sorted before splitting), so the
+    * scan truthfully reports a per-partition `page_id ASC` ordering —
+    * Spark then elides per-partition sorts on it instead of re-sorting
+    * data that is ordered by construction. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (required.fieldNames.contains("page_id"))
+      Array(Expressions.sort(Expressions.column("page_id"),
+        SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+    else Array.empty
 
   /** Post-pushdown statistics: the optimizer sees the CLAMPED range, so
     * a pushed `page_id` predicate shrinks the reported size and a join

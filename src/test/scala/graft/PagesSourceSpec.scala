@@ -170,6 +170,20 @@ class PagesSourceSpec extends AnyFunSuite {
       s"scan generated ${PagesSourceMetrics.rowsProduced.get()} rows for a 10-row page")
   }
 
+  test("reported ordering elides per-partition sorts (SupportsReportOrdering)") {
+    val df = pages(10000, 4).sortWithinPartitions("page_id")
+      .select("page_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"),
+      s"scan reports page_id ASC — the sort should be elided:\n$plan")
+    // and the data really is ordered within each partition
+    val ok = df.rdd.mapPartitions { it =>
+      val ids = it.map(_.getLong(0)).toSeq
+      Iterator.single(ids == ids.sorted)
+    }.collect()
+    assert(ok.forall(identity))
+  }
+
   test("micro-batch streaming read delivers all pages across multiple batches") {
     val q = spark.readStream.format("graft-pages")
       .option("rows", "300").option("parts", "2").option("batchRows", "100")
