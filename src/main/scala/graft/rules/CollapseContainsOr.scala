@@ -56,6 +56,13 @@ object CollapseContainsOr extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseContainsOr)
+    // the three whole-operator extensions (LogicalPlan + Strategy +
+    // Exec) — injected here so a `spark.sql.extensions` deployment gets
+    // them at session build; the lazy experimental.extraStrategies
+    // registration in graft.plans.* remains for ad-hoc sessions
+    e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

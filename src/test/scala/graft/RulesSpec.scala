@@ -66,6 +66,17 @@ class RulesSpec extends AnyFunSuite {
         "SELECT link FROM links_ext WHERE contains_any(link, 'career', 'mail', 'tel')")
         .as[String].collect().toSeq
       assert(out == Seq("/career/x"))
+      // the planner strategies ride the same extension point (r7):
+      // a spark.sql.extensions deployment plans the custom operators
+      // without touching experimental.extraStrategies
+      val strategies = s2.sessionState.planner.strategies.map(_.toString)
+      for (st <- Seq("RangeJoinStrategy", "TopKStrategy", "AsofJoinStrategy"))
+        assert(strategies.exists(_.contains(st)),
+          s"$st not injected; got $strategies")
+      val topk = graft.plans.TopKPerKey.topKPerKey(
+        s2.range(100).selectExpr("id % 4 AS k", "id AS v"),
+        Seq("k"), "v", 2)
+      assert(topk.collect().length == 8)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
