@@ -328,6 +328,28 @@ class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
     // batch reads are vectorized; the streaming path (below) stays
     // row-based — micro-batch planning asks the factory per scan
     new PagesReaderFactory(required, rows, columnar = true)
+
+  /** DSv2 custom metrics (r7): the scan reports how many pages it
+    * actually GENERATED into the SQL UI — post-pushdown observability
+    * (a clamped/limit-pushed/runtime-filtered scan shows the shrunken
+    * count, making "did the pushdown work" a dashboard read instead of
+    * a plan autopsy). Readers report per-task values; this SUM metric
+    * aggregates them. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PagesGeneratedMetric)
+}
+
+class PagesGeneratedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "pagesGenerated"
+  override def description(): String = "pages generated by the scan"
+}
+
+case class PagesGeneratedTaskMetric(v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = "pagesGenerated"
+  override def value(): Long = v
 }
 
 case class PagesIdListPartition(ids: Array[Long], rows: Long)
@@ -410,10 +432,14 @@ class PagesReaderFactory(required: StructType, rows: Long,
     }
     new PartitionReader[ColumnarBatch] {
       private val capacity = 4096
+      private var generated = 0L
       private val vectors =
         OnHeapColumnVector.allocateColumns(capacity, required)
       private val batch =
         new ColumnarBatch(vectors.map(v => v: ColumnVector))
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(PagesGeneratedTaskMetric(generated))
       override def next(): Boolean = {
         if (!ids.hasNext) return false
         vectors.foreach(_.reset())
@@ -438,6 +464,7 @@ class PagesReaderFactory(required: StructType, rows: Long,
           n += 1
         }
         PagesSourceMetrics.rowsProduced.addAndGet(n)
+        generated += n
         batch.setNumRows(n)
         true
       }
@@ -467,6 +494,9 @@ class PagesReaderFactory(required: StructType, rows: Long,
           override def next(): Boolean = { i += 1; i < p.end }
           override def get(): InternalRow = mkRow(i)
           override def close(): Unit = ()
+          override def currentMetricsValues()
+              : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+            Array(PagesGeneratedTaskMetric(math.max(0L, i - p.start)))
         }
       case p: PagesIdListPartition =>
         new PartitionReader[InternalRow] {
@@ -474,6 +504,9 @@ class PagesReaderFactory(required: StructType, rows: Long,
           override def next(): Boolean = { idx += 1; idx < p.ids.length }
           override def get(): InternalRow = mkRow(p.ids(idx))
           override def close(): Unit = ()
+          override def currentMetricsValues()
+              : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+            Array(PagesGeneratedTaskMetric(math.max(0, idx)))
         }
     }
 }

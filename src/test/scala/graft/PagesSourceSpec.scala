@@ -203,6 +203,17 @@ class PagesSourceSpec extends AnyFunSuite {
     assert(PagesSourceMetrics.rowsProduced.get() == 100)
   }
 
+  test("the scan reports a pagesGenerated SQL metric (post-pushdown count)") {
+    val df = pages(100000, 4).where($"page_id" < 1234).select("page_id")
+    assert(df.collect().length == 1234)
+    val metric = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.metrics.get("pagesGenerated")
+    }.flatten
+    assert(metric.isDefined, "pagesGenerated custom metric missing")
+    assert(metric.get.value == 1234L,
+      s"metric should equal the clamped row count, got ${metric.get.value}")
+  }
+
   test("micro-batch streaming read delivers all pages across multiple batches") {
     val q = spark.readStream.format("graft-pages")
       .option("rows", "300").option("parts", "2").option("batchRows", "100")
