@@ -25,6 +25,14 @@ import graft.sources.MemSinkStore
   *    the result is oracle-hashed like any batch query; the replay
   *    idempotence and abort paths are spec-pinned in
   *    MemSinkStreamingSpec.
+  *  - `q_catalog_function`: SQL through the DSv2 FUNCTION CATALOG
+  *    ([[graft.catalog.GraftFunctionCatalog]]): the catalog activates
+  *    via a runtime conf (lazy instantiation — no session rebuild),
+  *    `graft.fns.mix64` / `graft.fns.trunc_div` resolve as
+  *    catalog-scoped v2 functions, and their magic-method form codegens
+  *    to direct calls. The oracle replays the same closed-form
+  *    arithmetic inline — catalog resolution changes WHERE the function
+  *    lives, never what it computes.
   *  - `q_source_v2_topn`: `ORDER BY page_id LIMIT n` answered entirely
   *    inside the custom source ([[graft.sources.PagesScanBuilder]]
   *    `SupportsPushDownTopN`/`SupportsPushDownLimit`, r7): the ordered
@@ -87,5 +95,31 @@ object R106Queries {
         |  'https://site.example/p/' || CAST(g.g AS VARCHAR) AS url
         |FROM generate_series(100, 149) g(g) ORDER BY page_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qStreamSinkDsv2, qSourceV2TopN)
+  val qCatalogFunction = QueryDef("q_catalog_function",
+    (s, dir) => {
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.catalog.GraftFunctionCatalog")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("li_catfn")
+      s.sql(
+        """SELECT l_returnflag AS flag,
+          |  CAST(count(DISTINCT graft.fns.mix64(l_partkey)) AS BIGINT)
+          |    AS n_mix,
+          |  CAST(min(graft.fns.mix64(l_partkey)) AS BIGINT) AS min_mix,
+          |  CAST(graft.fns.trunc_div(sum(l_partkey), 7L) AS BIGINT)
+          |    AS div7
+          |FROM li_catfn GROUP BY l_returnflag ORDER BY flag""".stripMargin)
+    },
+    Some(
+      """SELECT l_returnflag AS flag,
+        |  CAST(count(DISTINCT ((l_partkey % 32768) * (l_partkey % 32768)
+        |    * 2654435761 + l_partkey * 40503) % 4294967296) AS BIGINT)
+        |    AS n_mix,
+        |  CAST(min(((l_partkey % 32768) * (l_partkey % 32768)
+        |    * 2654435761 + l_partkey * 40503) % 4294967296) AS BIGINT)
+        |    AS min_mix,
+        |  CAST((sum(l_partkey) - sum(l_partkey) % 7) / 7 AS BIGINT) AS div7
+        |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qStreamSinkDsv2, qSourceV2TopN,
+    qCatalogFunction)
 }
