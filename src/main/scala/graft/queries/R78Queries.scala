@@ -97,7 +97,16 @@ object R78Queries {
       walked.toDF("user_id", "n_days", "level9", "trend9", "forecast9")
         .orderBy("user_id")
     },
-    Some(
+    Some {
+      // FLAT recursive term (no derived table around the `walk`
+      // self-reference): engines differ in how liberally they accept
+      // recursive references inside subqueries, and the driver's DuckDB
+      // is newer than the local one — so the b9 column inlines the l9
+      // step expression instead of referencing it through a subquery.
+      val e10 = s"(3 * s.x * $fp9 + 7 * (w.l9 + w.b9))"
+      val lnew = s"CAST(($e10 - $e10 % 10) / 10 AS BIGINT)"
+      val e10b = s"(2 * ($lnew - w.l9) + 8 * w.b9)"
+      val bnew = s"CAST(($e10b - $e10b % 10) / 10 AS BIGINT)"
       s"""WITH RECURSIVE daily AS (
          |  SELECT user_id,
          |    CAST((epoch_us(ts) - epoch_us(ts) % $usPerDay) / $usPerDay AS BIGINT) AS day,
@@ -112,17 +121,12 @@ object R78Queries {
          |  SELECT user_id, rn, nd, x * $fp9 AS l9, CAST(0 AS BIGINT) AS b9
          |  FROM series WHERE rn = 1
          |  UNION ALL
-         |  SELECT user_id, rn, nd, lnew9,
-         |    CAST(((2 * (lnew9 - l9) + 8 * b9)
-         |          - (2 * (lnew9 - l9) + 8 * b9) % 10) / 10 AS BIGINT) AS b9
-         |  FROM (
-         |    SELECT s.user_id, s.rn, s.nd, w.l9, w.b9,
-         |      CAST(((3 * s.x * $fp9 + 7 * (w.l9 + w.b9))
-         |            - (3 * s.x * $fp9 + 7 * (w.l9 + w.b9)) % 10) / 10 AS BIGINT) AS lnew9
-         |    FROM walk w JOIN series s ON s.user_id = w.user_id AND s.rn = w.rn + 1))
+         |  SELECT s.user_id, s.rn, s.nd, $lnew AS l9, $bnew AS b9
+         |  FROM walk w JOIN series s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
          |SELECT user_id, CAST(nd AS BIGINT) AS n_days, l9 AS level9, b9 AS trend9,
          |  CAST(l9 + b9 AS BIGINT) AS forecast9
-         |FROM walk WHERE rn = nd ORDER BY user_id""".stripMargin))
+         |FROM walk WHERE rn = nd ORDER BY user_id""".stripMargin
+    })
 
   // ---------- q_cuped ----------
 
