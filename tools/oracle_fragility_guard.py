@@ -41,6 +41,15 @@ the class cannot recur. Rules:
      walk. Fix: integer/trunc-div space inside recursions, decimal
      casts only in the final projection.
 
+  R4 (recursive self-reference inside a subquery): a recursive CTE
+     whose self-reference sits inside a nested parenthesized scope
+     (derived table / subquery) — engines differ in how liberally they
+     accept that placement, so SQL that parses on the local DuckDB can
+     be a hard parse/bind ERROR on the driver's newer one. Fix: keep
+     the recursive term a single flat SELECT; inline step expressions
+     instead of wrapping the self-join in a derived table (the r7
+     q_holt flattening).
+
 Usage:  python3 tools/oracle_fragility_guard.py <verifyOutDir>
         python3 tools/oracle_fragility_guard.py --selftest
 Exit 0 = no fragile constructs (or self-test passed); nonzero
@@ -132,13 +141,34 @@ def _rule3(sql: str):
     return hits
 
 
+def _rule4(sql: str):
+    hits = []
+    for m in re.finditer(r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*\(", sql,
+                         re.IGNORECASE):
+        name, body = m.group(1), _balanced(sql, m.end() - 1)
+        selfref = rf"\b(?:FROM|JOIN)\s+{re.escape(name)}\b"
+        if not re.search(selfref, body, re.IGNORECASE):
+            continue
+        for sm in re.finditer(r"\(", body):
+            if re.search(selfref, _balanced(body, sm.start()),
+                         re.IGNORECASE):
+                hits.append(f"recursive CTE '{name}' self-reference "
+                            f"inside a subquery/derived table")
+                break
+    return hits
+
+
+RULES = (_rule1, _rule2, _rule3, _rule4)
+
+
 def lint(oracles: dict) -> int:
     bad = 0
     for name in sorted(oracles):
         sql = _strip_strings(oracles[name])
-        for msg in _rule1(sql) + _rule2(sql) + _rule3(sql):
-            print(f"FRAGILE {name}: {msg}")
-            bad += 1
+        for rule in RULES:
+            for msg in rule(sql):
+                print(f"FRAGILE {name}: {msg}")
+                bad += 1
     print(f"FRAGILITY-CHECKED: {len(oracles)}  VIOLATIONS: {bad}")
     return 1 if bad else 0
 
@@ -167,6 +197,16 @@ SELECT user_id, l AS level, b AS trend FROM walk""",
 SELECT l.lag, CAST(sum(a.c * b.c) AS DECIMAL(38,0)) AS sxy
 FROM lags l JOIN daily a ON true JOIN daily b ON b.d = a.d + 1
 GROUP BY l.lag""",
+    # the r7 q_holt shape BEFORE flattening: the recursive self-
+    # reference rode a derived table (rule R4)
+    "prefix_q_holt_subquery": """WITH RECURSIVE walk AS (
+  SELECT user_id, rn, x AS l9 FROM series WHERE rn = 1
+  UNION ALL
+  SELECT user_id, rn, lnew9 AS l9
+  FROM (
+    SELECT s.user_id, s.rn, w.l9 + s.x AS lnew9
+    FROM walk w JOIN series s ON s.user_id = w.user_id AND s.rn = w.rn + 1))
+SELECT user_id, l9 FROM walk""",
 }
 
 
@@ -175,7 +215,7 @@ def main() -> int:
         flagged = set()
         for name, sql in SELFTEST.items():
             s = _strip_strings(sql)
-            if _rule1(s) + _rule2(s) + _rule3(s):
+            if any(rule(s) for rule in RULES):
                 flagged.add(name)
         ok = flagged == set(SELFTEST)
         print(f"SELFTEST {'PASS' if ok else 'FAIL'}: flagged {sorted(flagged)}")
