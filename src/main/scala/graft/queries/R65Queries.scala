@@ -214,36 +214,62 @@ object R65Queries {
 
   // ---------- q_acf ----------
 
+  /** Hashed columns are decimal-free end-to-end (the r6/r7 lesson:
+    * two decimal-width theories failed at the driver — decimal
+    * products/sums in a hashed path drift across DuckDB releases).
+    * The per-lag cross-moment Σ c·c2 is restated in BIGINT limbs:
+    * c = c_hi·10⁶ + c_lo, so c·c2 = s_hh·10¹² + s_mid·10⁶ + s_ll
+    * with s_hh = Σ c_hi·c2_hi, s_mid = Σ (c_hi·c2_lo + c_lo·c2_hi),
+    * s_ll = Σ c_lo·c2_lo. At sf0.1 the daily cents max ≈ 2.3·10⁹
+    * over 2405 days, so the limb sums cap at ~1.3·10¹⁰ / 1.1·10¹³ /
+    * 2.4·10¹⁵ — all far inside BIGINT with headroom past sf10. Limb
+    * split uses the version-invariant `(c - c % 10⁶) / 10⁶` trunc-div
+    * idiom on both engines; every output column is a BIGINT sum of
+    * BIGINT products — pure 64-bit integer arithmetic has no engine
+    * version to drift. */
   val qAcf = QueryDef("q_acf",
     (s, dir) => {
       val daily = t(s, dir, "orders")
         .groupBy(col("o_orderdate").cast("date").as("d"))
-        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
-          .cast(DecimalType(18, 0)).as("c"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).as("c"))
+        .select(col("d"), col("c"),
+          expr("CAST((c - c % 1000000) / 1000000 AS BIGINT)").as("c_hi"),
+          expr("CAST(c % 1000000 AS BIGINT)").as("c_lo"))
       val lags = s.range(1, 8).select(col("id").as("lag"))
-      val b = daily.select(col("d").as("d2"), col("c").as("c2"))
+      val b = daily.select(col("d").as("d2"), col("c").as("c2"),
+        col("c_hi").as("c2_hi"), col("c_lo").as("c2_lo"))
       daily.crossJoin(broadcast(lags))
         .withColumn("d2", expr("date_add(d, CAST(lag AS INT))"))
         .join(b, "d2")
         .groupBy("lag")
         .agg(count(lit(1)).cast("long").as("n_pairs"),
-          sum(col("c") * col("c2")).cast(DecimalType(38, 0)).as("sxy"),
-          sum(col("c")).cast(DecimalType(38, 0)).as("sx"),
-          sum(col("c2")).cast(DecimalType(38, 0)).as("sy"))
+          sum(col("c_hi") * col("c2_hi")).cast("long").as("s_hh"),
+          sum(col("c_hi") * col("c2_lo") + col("c_lo") * col("c2_hi"))
+            .cast("long").as("s_mid"),
+          sum(col("c_lo") * col("c2_lo")).cast("long").as("s_ll"),
+          sum(col("c")).cast("long").as("sx"),
+          sum(col("c2")).cast("long").as("sy"))
         .orderBy("lag")
     },
     Some(
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DECIMAL(18,0)) AS c
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS c
         |  FROM orders GROUP BY 1),
+        |limbs AS (
+        |  SELECT d, c,
+        |    CAST((c - c % 1000000) / 1000000 AS BIGINT) AS c_hi,
+        |    CAST(c % 1000000 AS BIGINT) AS c_lo
+        |  FROM daily),
         |lags AS (SELECT CAST(g.g AS BIGINT) AS lag FROM generate_series(1, 7) g(g))
         |SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(sum(a.c * b.c) AS DECIMAL(38,0)) AS sxy,
-        |  CAST(sum(a.c) AS DECIMAL(38,0)) AS sx, CAST(sum(b.c) AS DECIMAL(38,0)) AS sy
+        |  CAST(sum(a.c_hi * b.c_hi) AS BIGINT) AS s_hh,
+        |  CAST(sum(a.c_hi * b.c_lo + a.c_lo * b.c_hi) AS BIGINT) AS s_mid,
+        |  CAST(sum(a.c_lo * b.c_lo) AS BIGINT) AS s_ll,
+        |  CAST(sum(a.c) AS BIGINT) AS sx, CAST(sum(b.c) AS BIGINT) AS sy
         |FROM lags l
-        | JOIN daily a ON true
-        | JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+        | JOIN limbs a ON true
+        | JOIN limbs b ON b.d = a.d + CAST(l.lag AS INTEGER)
         |GROUP BY l.lag ORDER BY l.lag""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(qDpoPairs, qTemperatureMix, qDsirWeights,

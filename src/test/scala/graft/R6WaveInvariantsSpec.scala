@@ -64,6 +64,32 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("n_pairs") > 0))
   }
 
+  test("q_acf: BIGINT limbs recompose the exact decimal cross-moment") {
+    // the hashed columns are decimal-free (the r7 driver lesson); this
+    // pins that s_hh·10¹² + s_mid·10⁶ + s_ll is still EXACTLY Σ c·c2,
+    // computed here once in arbitrary precision as the reference
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val daily = s.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).as("c"))
+    val b = daily.select(col("d").as("d2"), col("c").as("c2"))
+    val exact = daily.crossJoin(s.range(1, 8).select(col("id").as("lag")))
+      .withColumn("d2", expr("date_add(d, CAST(lag AS INT))"))
+      .join(b, "d2").groupBy("lag")
+      .agg(sum(col("c").cast("decimal(19,0)") * col("c2").cast("decimal(19,0)"))
+        .as("sxy"))
+      .collect().map(x => x.getAs[Long]("lag") ->
+        x.getAs[java.math.BigDecimal]("sxy").toBigInteger).toMap
+    rows("q_acf").foreach { row =>
+      val rec = (BigInt(row.getAs[Long]("s_hh")) * BigInt(10).pow(12)
+        + BigInt(row.getAs[Long]("s_mid")) * BigInt(10).pow(6)
+        + BigInt(row.getAs[Long]("s_ll")))
+      assert(rec == BigInt(exact(row.getAs[Long]("lag"))),
+        s"lag ${row.getAs[Long]("lag")} limb recomposition mismatch")
+    }
+  }
+
   test("q_embedding_quantize: nearest-rounding error bound max_err <= absmax/2") {
     val r = rows("q_embedding_quantize")
     assert(r.length == 64)

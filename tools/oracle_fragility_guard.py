@@ -50,6 +50,39 @@ the class cannot recur. Rules:
      instead of wrapping the self-join in a derived table (the r7
      q_holt flattening).
 
+  R2b (width-38 multiplicand): a ``CAST(... AS DECIMAL(38,s))`` whose
+     result is directly an operand of ``*`` — the product of two
+     width-38 decimals can only be resolved AT the engine ceiling,
+     exactly where promotion semantics moved (the r6 q_acf mechanism,
+     reachable without any 19..37 declaration that R2 would see).
+     DECIMAL(38,s) stays allowed as a sum ACCUMULATOR.
+
+  R5 (decimal-TYPED hashed output column — the r7 blind spot): the r7
+     q_acf fix narrowed multiplicands to DECIMAL(18,0) so products sit
+     at width <= 37, off the R2 ceiling — and the driver STILL
+     hash-failed it (rows + schema green, hash red). The evidence now
+     isolates the class precisely: across 433 driver-green queries and
+     7 rounds, decimal ARITHMETIC finalized through a non-decimal cast
+     (``CAST(sum(...) AS DOUBLE)`` — the whole TPC-H family) has never
+     drifted, while the ONLY query whose final select list emitted a
+     decimal-TYPED column (q_acf: DECIMAL(38,0) sums of magnitude
+     > 2^53) failed under two different width regimes. A decimal-typed
+     result column is a bet on the engine's decimal surface — width
+     promotion AND how the release materializes wide decimals into the
+     comparator (e.g. arrow/pandas conversion) — neither of which the
+     row/schema checks can see. R5 therefore traces column types
+     through the CTE chain (a ``CAST(... AS DECIMAL) AS name`` or a
+     fractional literal makes an expression decimal; SUM/MIN/MAX/AVG/
+     ROUND/ABS/arithmetic propagate it; CAST to DOUBLE/BIGINT/...
+     clears it; ``/`` always yields DOUBLE) and flags any FINAL select
+     expression that is still decimal-typed. No width is exempt — the
+     r7 verdict's DECIMAL(38,0)-pure-accumulator allowance is dropped
+     deliberately: it is exercised by ZERO green queries, so allowing
+     it buys nothing and keeps a driver coin flip alive.
+     Fix: finalize every decimal expression with a non-decimal cast,
+     or better, restate exact wide arithmetic as BIGINT limb sums
+     (``c = c_hi*10^6 + c_lo`` — the r8 q_acf rewrite).
+
 Usage:  python3 tools/oracle_fragility_guard.py <verifyOutDir>
         python3 tools/oracle_fragility_guard.py --selftest
 Exit 0 = no fragile constructs (or self-test passed); nonzero
@@ -158,7 +191,180 @@ def _rule4(sql: str):
     return hits
 
 
-RULES = (_rule1, _rule2, _rule3, _rule4)
+def _rule2b(sql: str):
+    """Width-38 decimal cast used directly as a multiplicand."""
+    hits = []
+    for m in re.finditer(r"CAST\s*\(", sql, re.IGNORECASE):
+        inner = _balanced(sql, m.end() - 1)
+        if not re.search(r"\bAS\s+DECIMAL\(38\s*,\s*\d+\)\s*$", inner,
+                         re.IGNORECASE):
+            continue
+        end = m.end() + len(inner) + 1  # index just past the closing ')'
+        before = sql[:m.start()].rstrip()
+        after = sql[end:].lstrip()
+        if after.startswith("*") or before.endswith("*"):
+            hits.append("DECIMAL(38,s) cast as a multiplicand: the "
+                        "product can only resolve at the width-38 "
+                        "engine ceiling")
+    return hits
+
+
+# ---- R5: a minimal decimal-type tracer over the SQL's column flow ----
+
+# functions that return DOUBLE regardless of argument type
+_DOUBLE_FNS = {"ln", "log", "log2", "log10", "sqrt", "exp", "sin", "cos",
+               "tan", "atan", "atan2", "pow", "power", "random", "pi",
+               "degrees", "radians", "epoch_us", "epoch_ms", "epoch"}
+# functions whose result is decimal iff any argument is decimal
+_PROPAGATE_FNS = {"sum", "min", "max", "avg", "round", "abs", "floor",
+                  "ceil", "ceiling", "coalesce", "ifnull", "greatest",
+                  "least", "if", "trunc", "truncate", "median", "mode",
+                  "first", "last", "any_value", "lead", "lag",
+                  "first_value", "last_value", "nth_value"}
+_IDENT = re.compile(r"^(?:\w+\.)?(\w+)$")
+
+
+def _split_top(s: str, seps=(",",)):
+    """Split on top-level separators (not inside parens or strings)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and ch in seps:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _top_keyword_spans(s: str, word: str):
+    """Offsets of top-level (paren-depth-0) occurrences of ``word``."""
+    out, depth = [], 0
+    for m in re.finditer(r"[()]|\b" + word + r"\b", s, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            out.append(m.start())
+    return out
+
+
+def _parse_ctes(sql: str):
+    """Return ([(name, body), ...], main_query_text)."""
+    m = re.match(r"\s*WITH\s+(?:RECURSIVE\s+)?", sql, re.IGNORECASE)
+    if not m:
+        return [], sql
+    ctes, pos = [], m.end()
+    while True:
+        hm = re.match(r"\s*(\w+)\s*(?:\([^)]*\))?\s*AS\s*\(", sql[pos:],
+                      re.IGNORECASE)
+        if not hm:
+            break
+        body = _balanced(sql, pos + hm.end() - 1)
+        ctes.append((hm.group(1).lower(), body))
+        pos += hm.end() + len(body) + 1
+        cm = re.match(r"\s*,", sql[pos:])
+        if not cm:
+            break
+        pos += cm.end()
+    return ctes, sql[pos:]
+
+
+def _select_list(query: str):
+    """Top-level select-list expressions of ``query``'s first SELECT."""
+    sels = _top_keyword_spans(query, "SELECT")
+    if not sels:
+        return []
+    start = sels[0] + len("SELECT")
+    rest = query[start:]
+    rest = re.sub(r"^\s*(DISTINCT|ALL)\b", "", rest, flags=re.IGNORECASE)
+    froms = _top_keyword_spans(rest, "FROM")
+    unions = _top_keyword_spans(rest, "UNION")
+    end = min(froms + unions + [len(rest)])
+    return [e.strip() for e in _split_top(rest[:end]) if e.strip()]
+
+
+def _alias_of(expr: str):
+    """Split a trailing top-level ``AS name`` / bare-name alias."""
+    spans = _top_keyword_spans(expr, "AS")
+    if spans:
+        tail = expr[spans[-1] + 2:].strip()
+        if re.fullmatch(r"\w+", tail):
+            return expr[:spans[-1]].strip(), tail.lower()
+    return expr.strip(), None
+
+
+def _is_decimal(expr: str, dec_cols) -> bool:
+    """Heuristic: does ``expr`` evaluate to a DECIMAL-typed value?"""
+    e = expr.strip()
+    while e.startswith("(") and _balanced(e, 0) == e[1:-1]:
+        e = e[1:-1].strip()
+    if not e:
+        return False
+    cm = re.match(r"CAST\s*\(", e, re.IGNORECASE)
+    if cm and e.endswith(")") and len(_balanced(e, cm.end() - 1)) \
+            == len(e) - cm.end() - 1:
+        inner = _balanced(e, cm.end() - 1)
+        tm = re.search(r"\bAS\s+(\w+)\s*(\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*$",
+                       inner, re.IGNORECASE)
+        if tm:
+            return tm.group(1).upper() in ("DECIMAL", "NUMERIC")
+    # top-level division always lands in DOUBLE on DuckDB
+    if len(_split_top(e, seps=("/",))) > 1:
+        return False
+    for part in (p for sep in ("+", "-", "*")
+                 for p in (_split_top(e, seps=(sep,))
+                           if len(_split_top(e, seps=(sep,))) > 1 else [])):
+        if part.strip() and _is_decimal(part, dec_cols):
+            return True
+    if len(_split_top(e, seps=("+",))) > 1 or \
+            len(_split_top(e, seps=("-",))) > 1 or \
+            len(_split_top(e, seps=("*",))) > 1:
+        return False
+    fm = re.match(r"(\w+)\s*\(", e)
+    if fm and e.endswith(")"):
+        fn = fm.group(1).lower()
+        args = _balanced(e, fm.end() - 1)
+        if fn in _DOUBLE_FNS:
+            return False
+        if fn in _PROPAGATE_FNS:
+            return any(_is_decimal(a, dec_cols)
+                       for a in _split_top(args) if a.strip())
+        return False
+    im = _IDENT.match(e)
+    if im:
+        return im.group(1).lower() in dec_cols
+    # a bare fractional literal IS a DECIMAL on DuckDB
+    return bool(re.fullmatch(r"-?\d+\.\d*", e))
+
+
+def _rule5(sql: str):
+    """Decimal-TYPED final output column — the r7 blind spot."""
+    ctes, main = _parse_ctes(sql)
+    dec_cols = set()
+    for _, body in ctes:
+        for raw in _select_list(body):
+            e, alias = _alias_of(raw)
+            if alias and _is_decimal(e, dec_cols):
+                dec_cols.add(alias)
+    hits = []
+    for raw in _select_list(main):
+        e, alias = _alias_of(raw)
+        if _is_decimal(e, dec_cols):
+            hits.append(f"final output column '{alias or e[:40]}' is "
+                        f"decimal-TYPED: a hashed decimal surface is "
+                        f"release-sensitive at ANY width — finalize "
+                        f"with a non-decimal cast or BIGINT limbs")
+    return hits
+
+
+RULES = (_rule1, _rule2, _rule2b, _rule3, _rule4, _rule5)
 
 
 def lint(oracles: dict) -> int:
@@ -195,6 +401,18 @@ SELECT user_id, l AS level, b AS trend FROM walk""",
     CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DECIMAL(19,0)) AS c
   FROM orders GROUP BY 1)
 SELECT l.lag, CAST(sum(a.c * b.c) AS DECIMAL(38,0)) AS sxy
+FROM lags l JOIN daily a ON true JOIN daily b ON b.d = a.d + 1
+GROUP BY l.lag""",
+    # the r7 q_acf shape that STILL failed at the driver: multiplicands
+    # narrowed to DECIMAL(18,0) (products <= width 37, off the R2
+    # ceiling) — only R5 sees the decimal product inside the SUM
+    "prefix_q_acf_r7": """WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DECIMAL(18,0)) AS c
+  FROM orders GROUP BY 1)
+SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(a.c * b.c) AS DECIMAL(38,0)) AS sxy,
+  CAST(sum(a.c) AS DECIMAL(38,0)) AS sx
 FROM lags l JOIN daily a ON true JOIN daily b ON b.d = a.d + 1
 GROUP BY l.lag""",
     # the r7 q_holt shape BEFORE flattening: the recursive self-
