@@ -11,8 +11,8 @@ import graft.queries.Queries.QueryDef
   *    correlated NOT EXISTS dominance test — Catalyst decorrelates it
   *    to an anti-join, no per-row re-execution;
   *  - `q_mom_growth`: month-over-month revenue growth (lag window over
-  *    decimal-exact monthly sums; the percent change divides DOUBLEs
-  *    with the identical expression on both engines);
+  *    cents-BIGINT-exact monthly sums; the percent change divides
+  *    DOUBLEs with the identical expression on both engines);
   *  - `q_rfm`: RFM customer segmentation — recency/frequency/monetary
   *    quartiles by ntile over total orders with a unique tie-break
   *    (ntile is only deterministic under a total order), then segment
@@ -40,13 +40,18 @@ object R12Queries {
 
   val qSkyline = sqlQuery("q_skyline", skylineSql, "part")
 
+  // Monthly revenue accumulates on the exact cents-BIGINT lattice and
+  // only the FINAL projection divides into DOUBLE — no decimal type
+  // anywhere, so no engine-release decimal surface (r9: the guard's R5
+  // rule bans decimal-typed hashed columns; the previous shape summed
+  // DECIMAL(18,2) before the DOUBLE finalize).
   private val momSql =
     """WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
       |         CAST(month(o_orderdate) AS BIGINT) AS m,
-      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
       |  FROM orders GROUP BY 1, 2),
-      |g AS (SELECT y, m, CAST(rev AS DOUBLE) AS rev,
-      |        CAST(lag(rev) OVER (ORDER BY y, m) AS DOUBLE) AS prev
+      |g AS (SELECT y, m, CAST(rev_c AS DOUBLE) / 100.0 AS rev,
+      |        CAST(lag(rev_c) OVER (ORDER BY y, m) AS DOUBLE) / 100.0 AS prev
       |      FROM m)
       |SELECT y, m, rev,
       |  CASE WHEN prev IS NULL THEN NULL

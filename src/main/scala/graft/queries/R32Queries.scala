@@ -3,8 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
 
@@ -16,10 +14,12 @@ import graft.queries.Queries.QueryDef
   *    single divisions (deterministic), counts are exact.
   *  - `q_zscore_outliers`: 3σ outlier detection with ZERO floating
   *    point at the decision boundary — the test (x−μ)² > 9σ² is
-  *    cross-multiplied to exact DECIMAL arithmetic (n²·(x−μ)² compares
-  *    against 9·n·(nΣx²−(Σx)²)), so the outlier SET is bit-stable
-  *    across engines and partitionings. A double-valued σ threshold
-  *    flips boundary rows between runs; an exact one cannot.
+  *    cross-multiplied to (n·x−Σx)² > 9·(nΣx²−(Σx)²) and evaluated in
+  *    pure BIGINT limb arithmetic (base 10⁶), so the outlier SET is
+  *    bit-stable across engines, engine RELEASES, and partitionings.
+  *    A double-valued σ threshold flips boundary rows between runs; a
+  *    decimal one drifts with the engine's width-promotion rules
+  *    (the r6/r7 q_acf failure class); 64-bit integers cannot.
   *  - `q_benford`: first-significant-digit distribution vs Benford's
   *    law in exact basis points — the classic fabricated-data audit,
   *    run per digit with integer-only arithmetic.
@@ -78,26 +78,65 @@ object R32Queries {
 
   /** Exact 3σ outliers per event_type over `value` quantized to cents.
     * With S = Σx, Q = Σx², n rows (all BIGINT after the cent lattice):
-    * (x−μ)² > 9σ²  ⇔  (n·x − S)² > 9·(n·Q − S²)  — both sides exact
-    * DECIMAL(38,0); no division, no sqrt, no boundary jitter.
+    * (x−μ)² > 9σ²  ⇔  (n·x − S)² > 9·(n·Q − S²), decided in pure
+    * BIGINT limb arithmetic (the r8 q_acf recipe — no decimal anywhere,
+    * so no engine-release width-promotion surface; r9 rewrite of the
+    * DECIMAL(38,0) predicate the fragility guard's R2b flags).
+    *
+    * Limb layout (base B = 10⁶): a = |n·x − S| = a_hi·B + a_lo;
+    * Q = q2·B² + q1·B + q0; S = s_hi·B + s_lo. Then
+    *   LHS − 9·RHS = d2·B² + d1·B + d0 with
+    *   d2 = a_hi² − 9(n·q2 − s_hi²),
+    *   d1 = 2·a_hi·a_lo − 9(n·q1 − 2·s_hi·s_lo),
+    *   d0 = a_lo² − 9(n·q0 − s_lo²).
+    * Two carry-normalization steps (the version-invariant trunc-div
+    * idiom `(x − x % B)/B`, identical truncated `%` semantics on both
+    * engines) reduce to e2·B² + u1·B + u0 with |u1|,|u0| < B, so the
+    * sign is e2's sign, falling to u1·B + u0 when e2 = 0.
+    *
+    * Bounds (design ceiling n ≤ 2·10⁸ rows/group ≈ sf1000, cents
+    * ≤ 5.7·10⁴): S ≤ 1.2·10¹³, Q ≤ 6.4·10¹⁷, a ≤ 1.2·10¹³, every limb
+    * product ≤ 2·10¹⁴ and every d/e term ≤ 2.5·10¹⁵ — all far inside
+    * BIGINT, and inside 2⁵³ so the post-remainder divisions are exact
+    * through the intermediate double on both engines (q2's 6.4·10¹⁷
+    * numerator exceeds 2⁵³ but is a multiple of 10¹² = 2¹²·5¹², so its
+    * mantissa needs only q2·5¹² ≤ 1.6·10¹⁴ < 2⁵³ — still exact).
+    *
     * Map-side-combined (n, S, Q) per group, broadcast back: two scans,
-    * one |groups|-row exchange. */
+    * one |groups|-row exchange; all predicate math is codegen'd
+    * 64-bit integer ops. */
   val qZscoreOutliers = QueryDef("q_zscore_outliers",
     (s, dir) => {
-      val d38 = DecimalType(38, 0)
       val cents = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"),
           floor(col("value") * 100).cast("long").as("c"))
       val stats = cents.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
           sum(col("c") * col("c")).as("q"))
-      val dev = col("n").cast(d38) * col("c").cast(d38) - col("sx").cast(d38)
+        .selectExpr("event_type", "n", "sx",
+          "CAST((q - q % 1000000000000) / 1000000000000 AS BIGINT) AS q2",
+          "CAST(((q % 1000000000000) - (q % 1000000000000) % 1000000) / 1000000 AS BIGINT) AS q1",
+          "CAST(q % 1000000 AS BIGINT) AS q0",
+          "CAST((sx - sx % 1000000) / 1000000 AS BIGINT) AS s_hi",
+          "CAST(sx % 1000000 AS BIGINT) AS s_lo")
       cents.join(broadcast(stats), "event_type")
-        .withColumn("is_outlier",
-          dev * dev > lit(9).cast(d38) *
-            (col("n").cast(d38) * col("q").cast(d38) -
-              col("sx").cast(d38) * col("sx").cast(d38)))
-        .where(col("is_outlier"))
+        .selectExpr("event_type", "event_id", "c",
+          "abs(n * c - sx) AS a", "n", "q2", "q1", "q0", "s_hi", "s_lo")
+        .selectExpr("event_type", "event_id", "c",
+          "CAST((a - a % 1000000) / 1000000 AS BIGINT) AS a_hi",
+          "CAST(a % 1000000 AS BIGINT) AS a_lo",
+          "n", "q2", "q1", "q0", "s_hi", "s_lo")
+        .selectExpr("event_type", "event_id", "c",
+          "a_hi * a_hi - 9 * (n * q2 - s_hi * s_hi) AS d2",
+          "2 * a_hi * a_lo - 9 * (n * q1 - 2 * s_hi * s_lo) AS d1",
+          "a_lo * a_lo - 9 * (n * q0 - s_lo * s_lo) AS d0")
+        .selectExpr("event_type", "event_id", "c", "d2",
+          "d1 + CAST((d0 - d0 % 1000000) / 1000000 AS BIGINT) AS e1",
+          "CAST(d0 % 1000000 AS BIGINT) AS u0")
+        .selectExpr("event_type", "event_id", "c",
+          "d2 + CAST((e1 - e1 % 1000000) / 1000000 AS BIGINT) AS e2",
+          "CAST(e1 % 1000000 AS BIGINT) AS u1", "u0")
+        .where(expr("e2 > 0 OR (e2 = 0 AND u1 * 1000000 + u0 > 0)"))
         .select(col("event_type"), col("event_id"), col("c").as("cents"))
         .orderBy("event_type", "event_id")
     },
@@ -108,16 +147,48 @@ object R32Queries {
         |  FROM events
         |), stats AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    sum(c) AS sx, sum(c * c) AS q
+        |    CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS q
         |  FROM cents GROUP BY event_type
+        |), limbs AS (
+        |  SELECT event_type, n, sx,
+        |    CAST((q - q % 1000000000000) / 1000000000000 AS BIGINT) AS q2,
+        |    CAST(((q % 1000000000000) - (q % 1000000000000) % 1000000) / 1000000 AS BIGINT) AS q1,
+        |    CAST(q % 1000000 AS BIGINT) AS q0,
+        |    CAST((sx - sx % 1000000) / 1000000 AS BIGINT) AS s_hi,
+        |    CAST(sx % 1000000 AS BIGINT) AS s_lo
+        |  FROM stats
+        |), dev AS (
+        |  SELECT c.event_type, c.event_id, c.c,
+        |    abs(l.n * c.c - l.sx) AS a,
+        |    l.n, l.q2, l.q1, l.q0, l.s_hi, l.s_lo
+        |  FROM cents c JOIN limbs l ON c.event_type = l.event_type
+        |), sq AS (
+        |  SELECT event_type, event_id, c,
+        |    CAST((a - a % 1000000) / 1000000 AS BIGINT) AS a_hi,
+        |    CAST(a % 1000000 AS BIGINT) AS a_lo,
+        |    n, q2, q1, q0, s_hi, s_lo
+        |  FROM dev
+        |), dd AS (
+        |  SELECT event_type, event_id, c,
+        |    a_hi * a_hi - 9 * (n * q2 - s_hi * s_hi) AS d2,
+        |    2 * a_hi * a_lo - 9 * (n * q1 - 2 * s_hi * s_lo) AS d1,
+        |    a_lo * a_lo - 9 * (n * q0 - s_lo * s_lo) AS d0
+        |  FROM sq
+        |), n1 AS (
+        |  SELECT event_type, event_id, c, d2,
+        |    d1 + CAST((d0 - d0 % 1000000) / 1000000 AS BIGINT) AS e1,
+        |    CAST(d0 % 1000000 AS BIGINT) AS u0
+        |  FROM dd
+        |), n2 AS (
+        |  SELECT event_type, event_id, c,
+        |    d2 + CAST((e1 - e1 % 1000000) / 1000000 AS BIGINT) AS e2,
+        |    CAST(e1 % 1000000 AS BIGINT) AS u1, u0
+        |  FROM n1
         |)
-        |SELECT c.event_type, c.event_id, c.c AS cents
-        |FROM cents c JOIN stats s ON c.event_type = s.event_type
-        |WHERE CAST(s.n * c.c - s.sx AS DECIMAL(38,0))
-        |      * CAST(s.n * c.c - s.sx AS DECIMAL(38,0))
-        |    > 9 * (CAST(s.n AS DECIMAL(38,0)) * CAST(s.q AS DECIMAL(38,0))
-        |           - CAST(s.sx AS DECIMAL(38,0)) * CAST(s.sx AS DECIMAL(38,0)))
-        |ORDER BY c.event_type, c.event_id""".stripMargin))
+        |SELECT event_type, event_id, c AS cents
+        |FROM n2
+        |WHERE e2 > 0 OR (e2 = 0 AND u1 * 1000000 + u0 > 0)
+        |ORDER BY event_type, event_id""".stripMargin))
 
   // ---------- q_benford ----------
 

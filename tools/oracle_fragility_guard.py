@@ -315,6 +315,22 @@ def _is_decimal(expr: str, dec_cols) -> bool:
                        inner, re.IGNORECASE)
         if tm:
             return tm.group(1).upper() in ("DECIMAL", "NUMERIC")
+    # CASE is decimal iff any THEN/ELSE arm is decimal (DuckDB unifies
+    # a decimal arm with integer/NULL arms INTO decimal) — checked
+    # before the '/'-split below so a division inside a WHEN condition
+    # cannot short-circuit the arm scan. Regex-level arm extraction is
+    # deliberate: nested CASEs degrade to extra candidate arms, which
+    # only errs toward flagging.
+    if re.match(r"CASE\b", e, re.IGNORECASE) and \
+            re.search(r"\bEND\s*$", e, re.IGNORECASE):
+        arms = re.findall(r"\bTHEN\b(.*?)(?=\bWHEN\b|\bELSE\b|\bEND\b)", e,
+                          re.IGNORECASE | re.DOTALL)
+        em = re.search(r"\bELSE\b(.*?)\bEND\s*$", e,
+                       re.IGNORECASE | re.DOTALL)
+        if em:
+            arms.append(em.group(1))
+        return any(_is_decimal(a.strip(), dec_cols)
+                   for a in arms if a.strip())
     # top-level division always lands in DOUBLE on DuckDB
     if len(_split_top(e, seps=("/",))) > 1:
         return False
@@ -351,8 +367,18 @@ def _rule5(sql: str):
     for _, body in ctes:
         for raw in _select_list(body):
             e, alias = _alias_of(raw)
-            if alias and _is_decimal(e, dec_cols):
+            if not alias:
+                continue
+            # shadowing: a later CTE that re-derives the same name
+            # through a non-decimal expression (the house
+            # ``CAST(rev AS DOUBLE) AS rev`` finalize) CLEARS the
+            # decimal mark — without this, every finalized column
+            # upstream of a decimal accumulator false-positives
+            # (q_mom_growth, r8 advisor finding).
+            if _is_decimal(e, dec_cols):
                 dec_cols.add(alias)
+            else:
+                dec_cols.discard(alias)
     hits = []
     for raw in _select_list(main):
         e, alias = _alias_of(raw)
@@ -425,19 +451,61 @@ GROUP BY l.lag""",
     SELECT s.user_id, s.rn, w.l9 + s.x AS lnew9
     FROM walk w JOIN series s ON s.user_id = w.user_id AND s.rn = w.rn + 1))
 SELECT user_id, l9 FROM walk""",
+    # the r8 advisor's R5 blind spot: a CASE whose THEN arm carries the
+    # decimal column — engines unify the arms INTO decimal, so the
+    # hashed surface is decimal-typed even though no arm-free branch
+    # of _is_decimal would see it
+    "prefix_case_arm_decimal": """WITH m AS (
+  SELECT k, sum(CAST(price AS DECIMAL(18,2))) AS rev FROM t GROUP BY k)
+SELECT k, CASE WHEN k > 0 THEN rev ELSE 0.0 END AS rev FROM m""",
+}
+
+# Shapes the linter must NOT flag — each is a confirmed r8 false
+# positive (or a house idiom) that a too-eager rule would ban.
+SELFTEST_CLEAN = {
+    # q_mom_growth's r8 shape: CTE m accumulates in DECIMAL(18,2), CTE
+    # g SHADOWS the same column name with a DOUBLE finalize — the final
+    # hashed surface is DOUBLE. Without per-name shadowing, R5
+    # false-positives on the finalized name (r8 advisor finding).
+    "clean_shadowed_double": """WITH m AS (
+  SELECT y, sum(CAST(price AS DECIMAL(18,2))) AS rev FROM t GROUP BY y),
+g AS (SELECT y, CAST(rev AS DOUBLE) AS rev,
+        CAST(lag(rev) OVER (ORDER BY y) AS DOUBLE) AS prev FROM m)
+SELECT y, rev,
+  CASE WHEN prev IS NULL THEN NULL
+       ELSE (rev - prev) / prev * 100.0 END AS pct
+FROM g ORDER BY y""",
+    # the house finalize idiom itself: decimal accumulator, DOUBLE cast
+    # in the final projection
+    "clean_double_finalize": """WITH m AS (
+  SELECT k, sum(CAST(price AS DECIMAL(18,2))) AS rev FROM t GROUP BY k)
+SELECT k, CAST(rev AS DOUBLE) AS rev FROM m""",
+    # pure BIGINT limb arithmetic with the trunc-div idiom (the q_acf /
+    # q_zscore_outliers recipe) — integer-only, must stay clean
+    "clean_bigint_limbs": """WITH s AS (
+  SELECT k, CAST(sum(c) AS BIGINT) AS sx FROM t GROUP BY k)
+SELECT k, CAST((sx - sx % 1000000) / 1000000 AS BIGINT) AS hi,
+  CAST(sx % 1000000 AS BIGINT) AS lo
+FROM s""",
 }
 
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
         flagged = set()
-        for name, sql in SELFTEST.items():
+        for name, sql in {**SELFTEST, **SELFTEST_CLEAN}.items():
             s = _strip_strings(sql)
             if any(rule(s) for rule in RULES):
                 flagged.add(name)
         ok = flagged == set(SELFTEST)
-        print(f"SELFTEST {'PASS' if ok else 'FAIL'}: flagged {sorted(flagged)}")
+        print(f"SELFTEST {'PASS' if ok else 'FAIL'}: flagged {sorted(flagged)}"
+              f" (must-not-flag misfires: "
+              f"{sorted(flagged & set(SELFTEST_CLEAN))})")
         return 0 if ok else 1
+    if len(sys.argv) < 2:
+        print("usage: oracle_fragility_guard.py <verifyOutDir> | --selftest",
+              file=sys.stderr)
+        return 2
     outdir = sys.argv[1]
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     return lint(oracles)
