@@ -87,9 +87,18 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val partial = onlyFilter.map(p => s""""partial":"$p",""").getOrElse("")
-    // total fields go LAST: the driver's log capture truncates the HEAD of
-    // long lines, so the parseable summary must sit at the tail
-    println(s"""{"queries":$qs,"failed":$failed,$partial"sf":"$sfDir","slowest10":$slowest,"metric":"total","unit":"sec","value":${f(total)}}""")
+    // The full per-query map (445 entries, ~8 KB) exceeded the driver's
+    // line-tail capture every round (BENCH_r0*.json "parsed": null) — it
+    // now goes to a FILE, and the printed headline stays small enough to
+    // survive whole: failed + slowest10 (as the "queries" sample) +
+    // metric/unit/value at the tail, where truncation can't reach.
+    val fullLine =
+      s"""{"queries":$qs,"failed":$failed,$partial"sf":"$sfDir","n_queries":${results.size},"metric":"total","unit":"sec","value":${f(total)}}"""
+    val mapPath = java.nio.file.Paths.get("bench_full_queries.json")
+    try java.nio.file.Files.writeString(mapPath, fullLine + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"BENCH map file write failed: $t") }
+    println(s"""{"queries":$slowest,"queries_file":"${mapPath.toAbsolutePath}","failed":$failed,$partial"sf":"$sfDir","n_queries":${results.size},"slowest10":$slowest,"metric":"total","unit":"sec","value":${f(total)}}""")
     spark.stop()
   }
 }

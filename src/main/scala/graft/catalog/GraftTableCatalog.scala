@@ -1,0 +1,325 @@
+package graft.catalog
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 TABLE CATALOG (r9) — the row-level-operations tier the
+  * connector suite had not yet exercised: writable in-memory tables
+  * resolved through a catalog (`spark.sql.catalog.graft_tab =
+  * graft.catalog.GraftTableCatalog`, lazy activation like the function
+  * catalog), supporting `CREATE TABLE` / `INSERT` / scan — and
+  * group-based `DELETE FROM t WHERE p` through
+  * [[org.apache.spark.sql.connector.catalog.SupportsDelete]]: Spark
+  * compiles the WHERE clause to data-source `Filter`s, asks the table
+  * `canDeleteWhere`, and if accepted the delete executes INSIDE the
+  * connector with no rewrite job at all — the Delta/Iceberg
+  * partition-drop fast path. A predicate the connector cannot evaluate
+  * exactly is REFUSED (canDeleteWhere = false), which is the contract's
+  * safety half: group-based delete must delete exactly the matching
+  * rows or not run (reference analogue: the crawler's visited-set
+  * pruning, `web_spider_oo.py:146-156`, restated as catalog surface).
+  *
+  * Scale design: the store is a stand-in for an external system (a
+  * JDBC table, an object-store prefix); what matters at 100 TB is the
+  * CONTRACT — `deleteWhere` receives the pushed predicate as metadata,
+  * so a 1000-executor cluster deletes a key range by updating manifest
+  * state, never scanning data. Scans split the stored rows into
+  * `parts` independent partitions and prune unrequested columns.
+  */
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName = "graft_tab"
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    RowTableStore.list(namespace)
+  override def loadTable(ident: Identifier): Table =
+    RowTableStore.schemaOf(key(ident))
+      .map(sc => new GraftRowTable(key(ident), sc))
+      .getOrElse(throw new NoSuchTableException(ident))
+  override def tableExists(ident: Identifier): Boolean =
+    RowTableStore.schemaOf(key(ident)).isDefined
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "graft_tab tables are unpartitioned")
+    schema.fields.foreach(f => require(RowTableStore.supported(f.dataType),
+      s"graft_tab supports long/int/double/string/boolean columns; " +
+        s"'${f.name}' is ${f.dataType.simpleString}"))
+    if (!RowTableStore.create(key(ident), schema))
+      throw new TableAlreadyExistsException(ident.toString)
+    new GraftRowTable(key(ident), schema)
+  }
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft_tab: no ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean =
+    RowTableStore.drop(key(ident))
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft_tab: no RENAME")
+
+  private def key(ident: Identifier): String =
+    (ident.namespace :+ ident.name).mkString(".")
+
+  // namespace surface: any single-level namespace is accepted (tables
+  // are keyed by their full path, so namespaces need no registry)
+  override def listNamespaces(): Array[Array[String]] =
+    RowTableStore.namespaces()
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length <= 1
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchElementException(namespace.mkString("."))
+    util.Collections.emptyMap()
+  }
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = ()
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft_tab: no ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = true
+}
+
+/** JVM-wide backing store: full table path -> (schema, rows). Rows
+  * hold EXTERNAL values (Long/Int/Double/String/Boolean), the same
+  * convention as [[graft.sources.MemSinkStore]]. */
+object RowTableStore {
+  private val tables =
+    new ConcurrentHashMap[String, (StructType, Seq[Seq[Any]])]()
+  /** Last predicate set `deleteWhere` executed, per table — spec hook
+    * proving the delete ran INSIDE the connector (pushed filters), not
+    * as a Spark-side rewrite. */
+  private val lastDelete = new ConcurrentHashMap[String, Array[Filter]]()
+
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | StringType | BooleanType =>
+      true
+    case _ => false
+  }
+  def create(key: String, schema: StructType): Boolean =
+    tables.putIfAbsent(key, (schema, Vector.empty)) == null
+  def drop(key: String): Boolean = {
+    lastDelete.remove(key); tables.remove(key) != null
+  }
+  def schemaOf(key: String): Option[StructType] =
+    Option(tables.get(key)).map(_._1)
+  def rows(key: String): Seq[Seq[Any]] =
+    Option(tables.get(key)).map(_._2).getOrElse(Vector.empty)
+  def lastDeleteFilters(key: String): Option[Array[Filter]] =
+    Option(lastDelete.get(key))
+  def list(namespace: Array[String]): Array[Identifier] = {
+    val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
+    import scala.jdk.CollectionConverters._
+    tables.keySet.asScala.toArray.sorted.collect {
+      case k if k.startsWith(prefix) && !k.stripPrefix(prefix).contains(".") =>
+        Identifier.of(namespace, k.stripPrefix(prefix))
+    }
+  }
+  def namespaces(): Array[Array[String]] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet.asScala.toArray.flatMap { k =>
+      val parts = k.split("\\.")
+      if (parts.length > 1) Some(parts.dropRight(1)) else None
+    }.distinct
+  }
+  private[catalog] def append(key: String, rows: Seq[Seq[Any]],
+                              truncate: Boolean): Unit =
+    tables.compute(key, (_, prior) => {
+      require(prior != null, s"table $key dropped mid-write")
+      (prior._1, if (truncate) rows.toVector else prior._2 ++ rows)
+    })
+  private[catalog] def deleteWhere(key: String, filters: Array[Filter],
+                                   schema: StructType): Unit = {
+    lastDelete.put(key, filters)
+    tables.compute(key, (_, prior) => {
+      require(prior != null, s"table $key dropped mid-delete")
+      (prior._1,
+        prior._2.filterNot(r => filters.forall(f =>
+          FilterEval.eval(f, schema, r))))
+    })
+  }
+}
+
+/** Exact evaluator for the data-source `Filter` algebra over external
+  * row values — the connector's half of the group-based-delete
+  * contract. Any filter shape it cannot decide EXACTLY must be
+  * rejected in `translatable` (→ canDeleteWhere = false) rather than
+  * approximated: a group delete that guesses deletes the wrong rows. */
+object FilterEval {
+  def translatable(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case GreaterThan(a, _) => schema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case LessThan(a, _) => schema.fieldNames.contains(a)
+    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case In(a, _) => schema.fieldNames.contains(a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case And(l, r) => translatable(l, schema) && translatable(r, schema)
+    case Or(l, r) => translatable(l, schema) && translatable(r, schema)
+    case Not(c) => translatable(c, schema)
+    case AlwaysTrue() | AlwaysFalse() => true
+    case _ => false // EqualNullSafe, StringStartsWith, ... : refuse
+  }
+  def eval(f: Filter, schema: StructType, row: Seq[Any]): Boolean = f match {
+    case EqualTo(a, v) => cmp(get(a, schema, row), v).contains(0)
+    case GreaterThan(a, v) => cmp(get(a, schema, row), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a, schema, row), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(get(a, schema, row), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(get(a, schema, row), v).exists(_ <= 0)
+    case In(a, vs) =>
+      val x = get(a, schema, row); vs.exists(v => cmp(x, v).contains(0))
+    case IsNull(a) => get(a, schema, row) == null
+    case IsNotNull(a) => get(a, schema, row) != null
+    case And(l, r) => eval(l, schema, row) && eval(r, schema, row)
+    case Or(l, r) => eval(l, schema, row) || eval(r, schema, row)
+    case Not(c) => !eval(c, schema, row)
+    case AlwaysTrue() => true
+    case AlwaysFalse() => false
+    case other =>
+      throw new IllegalStateException(s"untranslatable filter $other " +
+        "reached eval — canDeleteWhere must reject it first")
+  }
+  private def get(name: String, schema: StructType, row: Seq[Any]): Any =
+    row(schema.fieldIndex(name))
+  /** SQL comparison semantics: None when either side is null. */
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (null, _) | (_, null) => None
+    case (a: Number, b: Number)
+        if a.isInstanceOf[Double] || b.isInstanceOf[Double] =>
+      Some(java.lang.Double.compare(a.doubleValue, b.doubleValue))
+    case (a: Number, b: Number) =>
+      Some(java.lang.Long.compare(a.longValue, b.longValue))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: UTF8String, b) => cmp(a.toString, b)
+    case (a, b: UTF8String) => cmp(a, b.toString)
+    case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+    case _ => None
+  }
+}
+
+class GraftRowTable(key: String, tableSchema: StructType) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+  override def name(): String = s"graft_row_table($key)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  // ---- group-based DELETE (SupportsDelete) ----
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(FilterEval.translatable(_, tableSchema))
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"deleteWhere received untranslatable filters: " +
+        filters.mkString("[", ", ", "]"))
+    RowTableStore.deleteWhere(key, filters, tableSchema)
+  }
+
+  // ---- read: stored rows split into independent partitions ----
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"GraftRowTableScan[$key, cols=${required.fieldNames.mkString(",")}]"
+        override def planInputPartitions(): Array[InputPartition] = {
+          // snapshot once at planning; column-prune BEFORE shipping so
+          // a wide table scans narrow (the store is the "remote system"
+          // here — what crosses to tasks is already projected)
+          val snap = RowTableStore.rows(key)
+          val idx = required.fieldNames.map(tableSchema.fieldIndex)
+          val projected = snap.map(r => idx.map(r(_)).toSeq)
+          val parts = math.max(1, math.min(4, projected.length))
+          (0 until parts).map { p =>
+            RowTablePartition(projected.slice(
+              projected.length * p / parts,
+              projected.length * (p + 1) / parts).toArray): InputPartition
+          }.toArray
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new RowTableReaderFactory(required)
+      }
+    }
+
+  // ---- write: MemSink-style staged commit ----
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              info: PhysicalWriteInfo): DataWriterFactory =
+            new RowTableWriterFactory(tableSchema)
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            RowTableStore.append(key,
+              messages.toSeq.flatMap(
+                _.asInstanceOf[RowTableCommit].rows), doTruncate)
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
+case class RowTablePartition(rows: Array[Seq[Any]]) extends InputPartition
+case class RowTableCommit(rows: Seq[Seq[Any]]) extends WriterCommitMessage
+
+class RowTableReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[RowTablePartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(rows(i).zipWithIndex.map {
+          case (v: String, _) => UTF8String.fromString(v)
+          case (v, _) => v
+        })
+      override def close(): Unit = ()
+    }
+  }
+}
+
+class RowTableWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = ArrayBuffer.empty[Seq[Any]]
+      override def write(record: InternalRow): Unit =
+        buf += schema.fields.indices.map { i =>
+          record.get(i, schema.fields(i).dataType) match {
+            case u: UTF8String => u.toString
+            case other => other
+          }
+        }
+      override def commit(): WriterCommitMessage = RowTableCommit(buf.toSeq)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Queries.QueryDef
+
+/** Hundred-seventh wave — justified under the r7
+  * no-new-wave-without-new-surface rule (SURVEY §7.2): the two DSv2
+  * capability tiers the connector suite had not yet exercised
+  * (VERDICT r8 tasks 3–4).
+  *
+  *  - `q_dsv2_delete`: group-based row-level DELETE through the DSv2
+  *    TABLE CATALOG ([[graft.catalog.GraftTableCatalog]] /
+  *    [[graft.catalog.GraftRowTable]]'s `SupportsDelete`): the events
+  *    projection is appended into a catalog table, `DELETE FROM ...
+  *    WHERE` compiles the predicate to data-source `Filter`s, the
+  *    table accepts them via `canDeleteWhere`, and the delete executes
+  *    INSIDE the connector — no rewrite job, no scan; the
+  *    Delta/Iceberg partition-drop fast path as engine surface. The
+  *    predicate mixes OR/AND/IN so the whole filter algebra crosses
+  *    the boundary. Post-delete state is oracle-checked as the exact
+  *    complement aggregate; that only MATCHING rows were removed (and
+  *    untranslatable predicates are refused) is pinned in Dsv2Spec.
+  *  - `q_dsv2_metadata`: connector METADATA COLUMNS
+  *    ([[graft.sources.PagesTable]]'s `SupportsMetadataColumns` — the
+  *    DSv2 twin of the file source's `_metadata` and of
+  *    `q_file_metadata`): `_split_id`/`_pos_in_split` are hidden
+  *    columns projected BY NAME that identify the input split that
+  *    generated each row — provenance the engine surfaces without the
+  *    source schema carrying it. rows=50000 over parts=8 splits
+  *    uniformly (6250 each), so the oracle recomputes both columns in
+  *    closed form. Unselected metadata never rides the read schema
+  *    (pruning pinned in Dsv2Spec alongside the html-column prune).
+  */
+object R107Queries {
+
+  val catalogConf = "spark.sql.catalog.graft_tab"
+  val catalogImpl = "graft.catalog.GraftTableCatalog"
+  val deleteTable = "graft_tab.tmp.events_del"
+
+  val qDsv2Delete = QueryDef("q_dsv2_delete",
+    (s, dir) => {
+      s.conf.set(catalogConf, catalogImpl)
+      // idempotent per invocation: the bench harness runs sub-second
+      // queries twice, so rebuild the table from the source each time
+      s.sql(s"DROP TABLE IF EXISTS $deleteTable")
+      s.sql(s"CREATE TABLE $deleteTable " +
+        "(event_id BIGINT, event_type STRING, user_id BIGINT)")
+      Tables.events(s, dir).select("event_id", "event_type", "user_id")
+        .writeTo(deleteTable).append()
+      // OR of an IN with an AND range — exercises the recursive
+      // Filter translation (In / And / Or / comparison) end-to-end
+      s.sql(s"DELETE FROM $deleteTable " +
+        "WHERE event_type IN ('error', 'view') " +
+        "   OR (event_type = 'signup' AND user_id < 100)")
+      s.table(deleteTable)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("user_id").cast("long").as("sum_user"),
+          min("event_id").cast("long").as("min_event"))
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  CAST(min(event_id) AS BIGINT) AS min_event
+        |FROM events
+        |WHERE NOT (event_type IN ('error', 'view')
+        |           OR (event_type = 'signup' AND user_id < 100))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val qDsv2Metadata = QueryDef("q_dsv2_metadata",
+    (s, dir) => s.read.format("graft-pages")
+      .option("rows", "50000").option("parts", "8").load()
+      .select(col("page_id"), col("_split_id").as("split_id"),
+        col("_pos_in_split").as("pos"))
+      .groupBy("split_id")
+      .agg(count(lit(1)).cast("long").as("n_pages"),
+        min("page_id").as("first_id"), max("page_id").as("last_id"),
+        max("pos").as("max_pos"))
+      .orderBy("split_id"),
+    Some(
+      """WITH ids AS (
+        |  SELECT CAST(g.g AS BIGINT) AS i
+        |  FROM generate_series(0, 49999) g(g))
+        |SELECT CAST((i - i % 6250) / 6250 AS INTEGER) AS split_id,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(min(i) AS BIGINT) AS first_id,
+        |  CAST(max(i) AS BIGINT) AS last_id,
+        |  CAST(max(i % 6250) AS BIGINT) AS max_pos
+        |FROM ids GROUP BY 1 ORDER BY split_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qDsv2Delete, qDsv2Metadata)
+}

@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -57,6 +57,21 @@ object PagesTable {
     StructField("page_id", LongType, nullable = false),
     StructField("url", StringType, nullable = false),
     StructField("html", StringType, nullable = false)))
+  /** Connector METADATA columns ([[SupportsMetadataColumns]], r9) — the
+    * DSv2 twin of the file source's `_metadata` (and of Iceberg's
+    * `_file`/`_pos`): hidden columns a query can project by name that
+    * describe WHERE a row came from, not what it contains.
+    *  - `_split_id`: index of the planned input partition that
+    *    generated the row;
+    *  - `_pos_in_split`: 0-based ordinal of the row within that split.
+    * They ride the normal pruning path: unselected, they are never
+    * generated; selected, `pruneColumns` receives them appended to the
+    * read schema and the reader emits them per-row. */
+  val splitIdCol = "_split_id"
+  val posInSplitCol = "_pos_in_split"
+  val metadataSchema: StructType = StructType(Seq(
+    StructField(splitIdCol, IntegerType, nullable = false),
+    StructField(posInSplitCol, LongType, nullable = false)))
   def url(i: Long): String = s"https://site.example/p/$i"
   def html(i: Long, rows: Long): String = {
     val a = (2 * i + 1) % rows
@@ -70,18 +85,31 @@ object PagesTable {
     val span = math.max(0L, hi - lo)
     (0 until n).map { p =>
       PagesPartition(lo + span * p / n, lo + span * (p + 1) / n,
-        rows): InputPartition
+        rows, p): InputPartition
     }.toArray
   }
 }
 
 class PagesTable(rows: Long, parts: Int, batchRows: Long) extends Table
-    with SupportsRead {
+    with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"graft_pages($rows)"
   override def schema(): StructType = PagesTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
+  override def metadataColumns(): Array[MetadataColumn] =
+    PagesTable.metadataSchema.fields.map { f =>
+      new MetadataColumn {
+        override def name(): String = f.name
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          f.dataType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          if (f.name == PagesTable.splitIdCol)
+            "index of the input split that generated the row"
+          else "0-based row ordinal within its split"
+      }
+    }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagesScanBuilder(rows, parts, batchRows)
 }
@@ -319,7 +347,7 @@ class PagesScan(lo: Long, hi: Long, parts: Int, rows: Long,
       val n = math.max(1, math.min(parts, ids.length))
       (0 until n).map { p =>
         PagesIdListPartition(
-          ids.slice(ids.length * p / n, ids.length * (p + 1) / n), rows)
+          ids.slice(ids.length * p / n, ids.length * (p + 1) / n), rows, p)
           : InputPartition
       }.toArray
     case None => PagesTable.split(rlo, rhi, parts, rows)
@@ -352,10 +380,12 @@ case class PagesGeneratedTaskMetric(v: Long)
   override def value(): Long = v
 }
 
-case class PagesIdListPartition(ids: Array[Long], rows: Long)
+case class PagesIdListPartition(ids: Array[Long], rows: Long,
+                                splitId: Int = -1)
   extends InputPartition
 
-case class PagesPartition(start: Long, end: Long, rows: Long)
+case class PagesPartition(start: Long, end: Long, rows: Long,
+                          splitId: Int = -1)
   extends InputPartition
 
 /** Offset = exclusive upper bound of page ids emitted so far. */
@@ -426,9 +456,9 @@ class PagesReaderFactory(required: StructType, rows: Long,
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val ids: Iterator[Long] = partition match {
-      case p: PagesPartition => Iterator.range(p.start, p.end)
-      case p: PagesIdListPartition => p.ids.iterator
+    val (ids: Iterator[Long], splitId: Int) = partition match {
+      case p: PagesPartition => (Iterator.range(p.start, p.end), p.splitId)
+      case p: PagesIdListPartition => (p.ids.iterator, p.splitId)
     }
     new PartitionReader[ColumnarBatch] {
       private val capacity = 4096
@@ -457,6 +487,10 @@ class PagesReaderFactory(required: StructType, rows: Long,
                 val b = PagesTable.html(i, rows)
                   .getBytes(java.nio.charset.StandardCharsets.UTF_8)
                 vectors(c).putByteArray(n, b)
+              case PagesTable.splitIdCol => vectors(c).putInt(n, splitId)
+              case PagesTable.posInSplitCol =>
+                // rows emitted by earlier batches + offset in this one
+                vectors(c).putLong(n, generated + n)
               case other => throw new IllegalArgumentException(
                 s"unknown column $other")
             }
@@ -473,12 +507,14 @@ class PagesReaderFactory(required: StructType, rows: Long,
     }
   }
 
-  private def mkRow(i: Long): InternalRow = {
+  private def mkRow(i: Long, splitId: Int, pos: Long): InternalRow = {
     PagesSourceMetrics.rowsProduced.incrementAndGet()
     val vals: Seq[Any] = required.fieldNames.toSeq.map {
       case "page_id" => i
       case "url"     => UTF8String.fromString(PagesTable.url(i))
       case "html"    => UTF8String.fromString(PagesTable.html(i, rows))
+      case PagesTable.splitIdCol => splitId
+      case PagesTable.posInSplitCol => pos
       case other => throw new IllegalArgumentException(
         s"unknown column $other")
     }
@@ -492,7 +528,7 @@ class PagesReaderFactory(required: StructType, rows: Long,
         new PartitionReader[InternalRow] {
           private var i = p.start - 1
           override def next(): Boolean = { i += 1; i < p.end }
-          override def get(): InternalRow = mkRow(i)
+          override def get(): InternalRow = mkRow(i, p.splitId, i - p.start)
           override def close(): Unit = ()
           override def currentMetricsValues()
               : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -502,7 +538,7 @@ class PagesReaderFactory(required: StructType, rows: Long,
         new PartitionReader[InternalRow] {
           private var idx = -1
           override def next(): Boolean = { idx += 1; idx < p.ids.length }
-          override def get(): InternalRow = mkRow(p.ids(idx))
+          override def get(): InternalRow = mkRow(p.ids(idx), p.splitId, idx)
           override def close(): Unit = ()
           override def currentMetricsValues()
               : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In, Or, StringStartsWith}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{FilterEval, RowTableStore}
+import graft.queries.R107Queries
+
+/** The DSv2 row-level-operations + metadata-column contracts (r9):
+  * what the q_dsv2_delete / q_dsv2_metadata oracle hashes cannot see.
+  *
+  *  - group-based DELETE removes EXACTLY the matching rows, executes
+  *    inside the connector (the pushed filters are observable at the
+  *    store), and REFUSES predicates it cannot evaluate exactly;
+  *  - metadata columns ride the pruning path: unselected, they are
+  *    absent from the scan's read schema (and the wide html column is
+  *    pruned alongside); selected, their values identify the
+  *    generating split exactly.
+  */
+class Dsv2RowOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def withCatalog[T](body: => T): T = {
+    spark.conf.set(R107Queries.catalogConf, R107Queries.catalogImpl)
+    body
+  }
+  private val tbl = "graft_tab.spec.t"
+
+  private def freshTable(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, grp STRING, v BIGINT)")
+    spark.range(0, 100)
+      .select(col("id").as("k"),
+        concat(lit("g"), (col("id") % 4).cast("string")).as("grp"),
+        (col("id") * 10).as("v"))
+      .writeTo(tbl).append()
+  }
+
+  test("DELETE removes exactly the matching groups, inside the connector") {
+    withCatalog {
+      freshTable()
+      assert(spark.table(tbl).count() == 100)
+      spark.sql(s"DELETE FROM $tbl WHERE grp = 'g1' OR (grp = 'g2' AND k < 50)")
+      val left = spark.table(tbl).collect().map(r => (r.getLong(0),
+        r.getString(1))).toSet
+      val expect = (0L until 100L).map(k => (k, s"g${k % 4}"))
+        .filterNot { case (k, g) => g == "g1" || (g == "g2" && k < 50) }
+        .toSet
+      assert(left == expect, "survivors must be the exact complement")
+      // the delete ran INSIDE the connector: the pushed predicate is
+      // visible at the store, and it is the OR tree, not a row list
+      val pushed = RowTableStore.lastDeleteFilters("spec.t")
+      assert(pushed.exists(_.exists {
+        case Or(_, _) => true
+        case _ => false
+      }), s"expected a pushed Or filter, got ${pushed.map(_.toSeq)}")
+    }
+  }
+
+  test("DELETE with an untranslatable predicate is refused, state intact") {
+    withCatalog {
+      freshTable()
+      val before = spark.table(tbl).count()
+      // k % 2 is an expression, not a data-source Filter — Spark must
+      // fail the command rather than let the connector approximate
+      intercept[AnalysisException] {
+        spark.sql(s"DELETE FROM $tbl WHERE k % 2 = 0")
+      }
+      assert(spark.table(tbl).count() == before,
+        "refused delete must not change the table")
+    }
+  }
+
+  test("FilterEval translatability is exact-or-refuse") {
+    val sc = StructType(Seq(StructField("k", LongType),
+      StructField("grp", StringType)))
+    assert(FilterEval.translatable(
+      Or(EqualTo("grp", "a"), In("k", Array(1L, 2L))), sc))
+    assert(!FilterEval.translatable(EqualNullSafe("grp", "a"), sc),
+      "EqualNullSafe is not implemented, must be refused")
+    assert(!FilterEval.translatable(StringStartsWith("grp", "a"), sc))
+    assert(!FilterEval.translatable(EqualTo("missing", 1L), sc),
+      "unknown column must be refused")
+    // null comparisons are SQL three-valued: never match
+    assert(!FilterEval.eval(EqualTo("grp", "a"), sc, Seq(1L, null)))
+    assert(!FilterEval.eval(org.apache.spark.sql.sources
+      .LessThan("k", 5L), sc, Seq(null, "a")))
+  }
+
+  test("metadata columns: values identify the generating split exactly") {
+    val got = spark.read.format("graft-pages")
+      .option("rows", "100").option("parts", "4").load()
+      .select(col("page_id"), col("_split_id"), col("_pos_in_split"))
+      .collect()
+    assert(got.length == 100)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id / 25).toInt,
+        s"page $id expected split ${id / 25}")
+      assert(r.getLong(2) == id % 25, s"page $id expected pos ${id % 25}")
+    }
+  }
+
+  test("metadata columns are pruned unless selected (html pruned too)") {
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val base = spark.read.format("graft-pages")
+      .option("rows", "100").option("parts", "4").load()
+    val without = scanDesc(base.select("page_id"))
+    assert(!without.contains("_split_id") && !without.contains("html"),
+      s"unselected metadata/html must not ride the read schema:\n$without")
+    val withMeta = scanDesc(base.select(col("page_id"), col("_split_id")))
+    assert(withMeta.contains("_split_id") && !withMeta.contains("html"),
+      s"selected metadata must be in the read schema, html still pruned:\n" +
+        withMeta)
+  }
+}
