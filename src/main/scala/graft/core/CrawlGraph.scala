@@ -234,8 +234,14 @@ object CrawlGraph {
   def crawlActualEdges(spark: SparkSession, pages: DataFrame,
       rootSite: String, penDepth: Int): DataFrame = {
     import spark.implicits._
-    val (okParents, childEdgesRaw) = minedRelations(spark, pages, rootSite)
+    val (okParentsRaw, childEdgesRaw) = minedRelations(spark, pages, rootSite)
     val childEdges = childEdgesRaw.persist()
+    // r9 fixed-cost trim (r7 task 7): okParents feeds every depth's
+    // frontier admission AND the rank action — unpersisted, its whole
+    // page-fixture lineage re-evaluated on each of the ~3 uses per
+    // depth. It is an admitted-URL dimension (parent strings only), so
+    // persist it once like childEdges.
+    val okParents = okParentsRaw.persist()
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var visited = Seq(rootSite).toDF("url").localCheckpoint()
     var frontier = visited
@@ -243,7 +249,10 @@ object CrawlGraph {
     for (depth <- 0 until penDepth) {
       val procParents = frontier.select($"url".as("parent"))
         .join(okParents, "parent")
-      val ranked = processingRank(spark, procParents)
+      // ranked is consumed twice (first-rank aggregate + prefix join)
+      // and its zipWithIndex lineage would re-sort per consumer: persist
+      val ranked = { val p = processingRank(spark, procParents).persist()
+        persisted += p; p }
       val mined = childEdges.join(procParents, "parent")
       val firstRank = mined.join(ranked, "parent")
         .groupBy("child").agg(min($"rk").as("fr"))
@@ -263,6 +272,7 @@ object CrawlGraph {
         .withColumn("child_link", lit("")))
     persisted.foreach(_.unpersist(blocking = false))
     childEdges.unpersist(blocking = false)
+    okParents.unpersist(blocking = false)
     edges
   }
 }
