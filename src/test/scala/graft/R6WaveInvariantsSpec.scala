@@ -90,6 +90,31 @@ class R6WaveInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_zscore_outliers: limb predicate == arbitrary-precision 3-sigma set") {
+    // the r9 rewrite decides (n·x−S)² > 9(nQ−S²) in base-10⁶ BIGINT
+    // limbs with carry normalization; the oracle hash proves engine
+    // agreement on the SAME limb formula — this pins the formula
+    // against the mathematics, recomputed here once in BigInt
+    val cents = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "event_id",
+        "CAST(floor(value * 100) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = cents.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val n = BigInt(g.length)
+      val sx = g.map(x => BigInt(x._3)).sum
+      val q = g.map(x => BigInt(x._3) * BigInt(x._3)).sum
+      g.collect { case (_, eid, c)
+          if (n * c - sx).pow(2) > 9 * (n * q - sx * sx) => (t, eid, c) }
+    }.toSet
+    val got = rows("q_zscore_outliers").map(r => (r.getString(0),
+      r.getAs[Long]("event_id"), r.getAs[Long]("cents"))).toSet
+    assert(got == expected,
+      s"limb decision diverges from exact integer math: " +
+        s"only-limb=${got -- expected}, only-exact=${expected -- got}")
+    assert(got.nonEmpty, "vacuous outlier set at sf0.001")
+  }
+
   test("q_embedding_quantize: nearest-rounding error bound max_err <= absmax/2") {
     val r = rows("q_embedding_quantize")
     assert(r.length == 64)
