@@ -109,6 +109,11 @@ object RowTableStore {
     * proving the delete ran INSIDE the connector (pushed filters), not
     * as a Spark-side rewrite. */
   private val lastDelete = new ConcurrentHashMap[String, Array[Filter]]()
+  /** Last group-REWRITE commit per table (the SupportsRowLevelOperations
+    * path: UPDATE / MERGE / untranslatable DELETE) — spec hook proving
+    * WHICH path a command took: metadata delete sets [[lastDelete]],
+    * a row-level rewrite sets this. */
+  private val lastReplace = new ConcurrentHashMap[String, String]()
 
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType =>
@@ -126,6 +131,8 @@ object RowTableStore {
     Option(tables.get(key)).map(_._2).getOrElse(Vector.empty)
   def lastDeleteFilters(key: String): Option[Array[Filter]] =
     Option(lastDelete.get(key))
+  def lastReplaceCommand(key: String): Option[String] =
+    Option(lastReplace.get(key))
   def list(namespace: Array[String]): Array[Identifier] = {
     val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
     import scala.jdk.CollectionConverters._
@@ -155,6 +162,17 @@ object RowTableStore {
       (prior._1,
         prior._2.filterNot(r => filters.forall(f =>
           FilterEval.eval(f, schema, r))))
+    })
+  }
+  /** Group-rewrite commit (ReplaceData): the operation's scan read the
+    * whole table as ONE group, so the new row set REPLACES the table
+    * atomically. */
+  private[catalog] def replaceAll(key: String, command: String,
+                                  rows: Seq[Seq[Any]]): Unit = {
+    lastReplace.put(key, command)
+    tables.compute(key, (_, prior) => {
+      require(prior != null, s"table $key dropped mid-rewrite")
+      (prior._1, rows.toVector)
     })
   }
 }
@@ -218,14 +236,37 @@ object FilterEval {
 }
 
 class GraftRowTable(key: String, tableSchema: StructType) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = s"graft_row_table($key)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** `_partition` = index of the scan split that produced the row —
+    * the GROUP ID of the row-level rewrite (Iceberg's `_partition` /
+    * `_file` shape). Required: Spark 4's ReplaceDataExec only routes
+    * rows through its write-side projections when the operation
+    * requests metadata attributes (`DataAndMetadataWritingSparkTask`);
+    * a connector with none receives the RAW child rows, operation
+    * column included. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = GraftRowTable.PartitionCol
+      override def dataType(): DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "index of the scan split that produced the row (rewrite group id)"
+    })
+
   // ---- group-based DELETE (SupportsDelete) ----
+  // With BOTH tiers present Spark picks per command: a DELETE whose
+  // condition translates to Filters short-circuits to this metadata
+  // path (OptimizeMetadataOnlyDeleteFromTable); everything else —
+  // UPDATE, MERGE, untranslatable DELETE — runs the row-level REWRITE
+  // below. Dsv2RowOpsSpec pins which path each command takes via the
+  // store's lastDelete/lastReplace markers.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(FilterEval.translatable(_, tableSchema))
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -234,6 +275,61 @@ class GraftRowTable(key: String, tableSchema: StructType) extends Table
         filters.mkString("[", ", ", "]"))
     RowTableStore.deleteWhere(key, filters, tableSchema)
   }
+
+  // ---- row-level operations (SupportsRowLevelOperations) ----
+  /** GROUP-based rewrite tier (the Delta/Iceberg copy-on-write shape):
+    * Spark rewrites UPDATE/MERGE/DELETE into ReplaceData — scan the
+    * affected groups, recompute their rows (updated + untouched), and
+    * hand the full new row set back to the connector, which swaps it
+    * for the groups it read. This table exposes the whole table as ONE
+    * group (the operation scan accepts no filter pushdown), so the
+    * commit REPLACES the table content atomically — correct for every
+    * predicate, including ones no Filter can express. A real system
+    * narrows the group to files/partitions via the scan's pushed
+    * filters; the CONTRACT at the boundary is identical. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def description(): String =
+          s"GraftRowTableGroupRewrite($key, ${info.command()})"
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          GraftRowTable.this.newScanBuilder(options)
+        /** The rewrite must carry the group id of every row it reads —
+          * requesting `_partition` here is ALSO what makes Spark apply
+          * its write-side row/metadata projections (see
+          * [[GraftRowTable.metadataColumns]]). */
+        override def requiredMetadataAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .column(GraftRowTable.PartitionCol))
+        override def newWriteBuilder(w: LogicalWriteInfo): WriteBuilder = {
+          // rows come back in the operation scan's column order — pin
+          // it to the table layout so the stored vectors stay aligned
+          require(w.schema().fieldNames.sameElements(tableSchema.fieldNames),
+            s"row-level write schema ${w.schema().fieldNames.mkString(",")} " +
+              s"!= table layout ${tableSchema.fieldNames.mkString(",")}")
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: BatchWrite = new BatchWrite {
+                override def createBatchWriterFactory(
+                    p: PhysicalWriteInfo): DataWriterFactory =
+                  new RowTableWriterFactory(w.schema())
+                override def commit(
+                    messages: Array[WriterCommitMessage]): Unit =
+                  RowTableStore.replaceAll(key, info.command().toString,
+                    messages.toSeq.flatMap(
+                      _.asInstanceOf[RowTableCommit].rows))
+                override def abort(
+                    messages: Array[WriterCommitMessage]): Unit = ()
+              }
+            }
+          }
+        }
+      }
+    }
 
   // ---- read: stored rows split into independent partitions ----
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -249,15 +345,19 @@ class GraftRowTable(key: String, tableSchema: StructType) extends Table
         override def planInputPartitions(): Array[InputPartition] = {
           // snapshot once at planning; column-prune BEFORE shipping so
           // a wide table scans narrow (the store is the "remote system"
-          // here — what crosses to tasks is already projected)
+          // here — what crosses to tasks is already projected). The
+          // `_partition` metadata column is not stored — the reader
+          // synthesizes it from the split id.
           val snap = RowTableStore.rows(key)
-          val idx = required.fieldNames.map(tableSchema.fieldIndex)
+          val idx = required.fieldNames
+            .filter(_ != GraftRowTable.PartitionCol)
+            .map(tableSchema.fieldIndex)
           val projected = snap.map(r => idx.map(r(_)).toSeq)
           val parts = math.max(1, math.min(4, projected.length))
           (0 until parts).map { p =>
             RowTablePartition(projected.slice(
               projected.length * p / parts,
-              projected.length * (p + 1) / parts).toArray): InputPartition
+              projected.length * (p + 1) / parts).toArray, p): InputPartition
           }.toArray
         }
         override def createReaderFactory(): PartitionReaderFactory =
@@ -285,21 +385,39 @@ class GraftRowTable(key: String, tableSchema: StructType) extends Table
     }
 }
 
-case class RowTablePartition(rows: Array[Seq[Any]]) extends InputPartition
+object GraftRowTable {
+  /** Name of the synthesized group-id metadata column. */
+  val PartitionCol = "_partition"
+}
+
+case class RowTablePartition(rows: Array[Seq[Any]], pid: Int)
+  extends InputPartition
 case class RowTableCommit(rows: Seq[Seq[Any]]) extends WriterCommitMessage
 
 class RowTableReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[RowTablePartition].rows
+    val p = partition.asInstanceOf[RowTablePartition]
+    // output position -> stored-value position, -1 = the synthesized
+    // `_partition` group id (stored rows were projected to the
+    // non-metadata columns, in `required` order, at planning)
+    val plan: Array[Int] = {
+      var next = -1
+      required.fieldNames.map { n =>
+        if (n == GraftRowTable.PartitionCol) -1 else { next += 1; next }
+      }
+    }
     new PartitionReader[InternalRow] {
       private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
+      override def next(): Boolean = { i += 1; i < p.rows.length }
       override def get(): InternalRow =
-        InternalRow.fromSeq(rows(i).zipWithIndex.map {
-          case (v: String, _) => UTF8String.fromString(v)
-          case (v, _) => v
+        InternalRow.fromSeq(plan.toSeq.map {
+          case -1 => p.pid
+          case j => p.rows(i)(j) match {
+            case v: String => UTF8String.fromString(v)
+            case v => v
+          }
         })
       override def close(): Unit = ()
     }
@@ -318,6 +436,12 @@ class RowTableWriterFactory(schema: StructType) extends DataWriterFactory {
             case other => other
           }
         }
+      /** Row-level rewrite form: Spark hands (metadataRow, dataRow) per
+        * row. The metadata row carries the group id (`_partition`);
+        * this table replaces its single group — the whole table — so
+        * only the data row is stored. */
+      override def write(meta: InternalRow, record: InternalRow): Unit =
+        write(record)
       override def commit(): WriterCommitMessage = RowTableCommit(buf.toSeq)
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()

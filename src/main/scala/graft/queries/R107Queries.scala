@@ -6,9 +6,19 @@ import graft.core.Tables
 import graft.queries.Queries.QueryDef
 
 /** Hundred-seventh wave — justified under the r7
-  * no-new-wave-without-new-surface rule (SURVEY §7.2): the two DSv2
+  * no-new-wave-without-new-surface rule (SURVEY §7.2): the DSv2
   * capability tiers the connector suite had not yet exercised
-  * (VERDICT r8 tasks 3–4).
+  * (VERDICT r8 tasks 3–4, plus the full row-level-operations tier the
+  * same task named).
+  *
+  *  - `q_dsv2_update` / `q_dsv2_merge`: the GROUP REWRITE tier
+  *    (`SupportsRowLevelOperations` → ReplaceData): UPDATE with a
+  *    `%`-predicate no Filter can express, and a MERGE upsert driving
+  *    both MATCHED and NOT MATCHED branches — Spark scans the affected
+  *    group (this table: the whole table, carrying the `_partition`
+  *    group-id metadata the operation requests), recomputes its rows,
+  *    and the connector swaps them atomically. Which commands take
+  *    which tier (metadata delete vs rewrite) is pinned in Dsv2Spec.
   *
   *  - `q_dsv2_delete`: group-based row-level DELETE through the DSv2
   *    TABLE CATALOG ([[graft.catalog.GraftTableCatalog]] /
@@ -70,6 +80,78 @@ object R107Queries {
         |           OR (event_type = 'signup' AND user_id < 100))
         |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  val updateTable = "graft_tab.tmp.events_upd"
+  val mergeTable = "graft_tab.tmp.events_mrg"
+
+  /** Row-level UPDATE through SupportsRowLevelOperations: the predicate
+    * uses `%`, which no data-source Filter can express — exactly the
+    * case the metadata-delete tier must refuse and the GROUP REWRITE
+    * tier (ReplaceData: scan all, recompute, swap) must run. The
+    * oracle recomputes the post-update state from the base table. */
+  val qDsv2Update = QueryDef("q_dsv2_update",
+    (s, dir) => {
+      s.conf.set(catalogConf, catalogImpl)
+      s.sql(s"DROP TABLE IF EXISTS $updateTable")
+      s.sql(s"CREATE TABLE $updateTable " +
+        "(event_id BIGINT, event_type STRING, user_id BIGINT)")
+      Tables.events(s, dir).select("event_id", "event_type", "user_id")
+        .writeTo(updateTable).append()
+      s.sql(s"UPDATE $updateTable SET user_id = user_id + 1000000 " +
+        "WHERE event_type = 'error' AND user_id % 7 = 0")
+      s.table(updateTable)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("user_id").cast("long").as("sum_user"))
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_type = 'error' AND user_id % 7 = 0
+        |               THEN user_id + 1000000 ELSE user_id END) AS BIGINT)
+        |    AS sum_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** MERGE upsert through the same group-rewrite tier: matched target
+    * rows take the source's shifted user_id, unmatched source rows are
+    * inserted. Keys are scale-invariant (`event_id % 10` bands), so the
+    * merge exercises BOTH branches at every sf. */
+  val qDsv2Merge = QueryDef("q_dsv2_merge",
+    (s, dir) => {
+      s.conf.set(catalogConf, catalogImpl)
+      s.sql(s"DROP TABLE IF EXISTS $mergeTable")
+      s.sql(s"CREATE TABLE $mergeTable " +
+        "(event_id BIGINT, event_type STRING, user_id BIGINT)")
+      Tables.events(s, dir).select("event_id", "event_type", "user_id")
+        .where(col("event_id") % 10 < 5)
+        .writeTo(mergeTable).append()
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") + 100L).as("user_id"))
+        .where(col("event_id") % 10 >= 3 && col("event_id") % 10 <= 7)
+        .createOrReplaceTempView("graft_merge_src_r107")
+      s.sql(
+        s"""MERGE INTO $mergeTable t USING graft_merge_src_r107 s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET t.user_id = s.user_id
+           |WHEN NOT MATCHED THEN INSERT
+           |  (event_id, event_type, user_id)
+           |  VALUES (s.event_id, s.event_type, s.user_id)
+           |""".stripMargin)
+      s.table(mergeTable)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("user_id").cast("long").as("sum_user"),
+          min("event_id").cast("long").as("min_event"))
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_id % 10 >= 3 THEN user_id + 100
+        |               ELSE user_id END) AS BIGINT) AS sum_user,
+        |  CAST(min(event_id) AS BIGINT) AS min_event
+        |FROM events WHERE event_id % 10 <= 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val qDsv2Metadata = QueryDef("q_dsv2_metadata",
     (s, dir) => s.read.format("graft-pages")
       .option("rows", "50000").option("parts", "8").load()
@@ -91,5 +173,6 @@ object R107Queries {
         |  CAST(max(i % 6250) AS BIGINT) AS max_pos
         |FROM ids GROUP BY 1 ORDER BY split_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qDsv2Delete, qDsv2Metadata)
+  val all: Seq[QueryDef] = Seq(qDsv2Delete, qDsv2Update, qDsv2Merge,
+    qDsv2Metadata)
 }

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In, Or, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -10,11 +9,16 @@ import graft.catalog.{FilterEval, RowTableStore}
 import graft.queries.R107Queries
 
 /** The DSv2 row-level-operations + metadata-column contracts (r9):
-  * what the q_dsv2_delete / q_dsv2_metadata oracle hashes cannot see.
+  * what the q_dsv2_* oracle hashes cannot see.
   *
-  *  - group-based DELETE removes EXACTLY the matching rows, executes
-  *    inside the connector (the pushed filters are observable at the
-  *    store), and REFUSES predicates it cannot evaluate exactly;
+  *  - TWO-TIER routing: a DELETE whose predicate translates to Filters
+  *    runs the metadata tier INSIDE the connector (pushed filters
+  *    observable at the store, exact-complement survivors); UPDATE,
+  *    MERGE, and untranslatable DELETEs run the GROUP REWRITE
+  *    (ReplaceData) — the store's lastDelete/lastReplace markers pin
+  *    which path each command took;
+  *  - the filter evaluator is exact-or-refuse (no approximated
+  *    predicates can reach a metadata delete);
   *  - metadata columns ride the pruning path: unselected, they are
   *    absent from the scan's read schema (and the wide html column is
   *    pruned alongside); selected, their values identify the
@@ -60,17 +64,58 @@ class Dsv2RowOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("DELETE with an untranslatable predicate is refused, state intact") {
+  test("DELETE with an untranslatable predicate falls back to the rewrite") {
     withCatalog {
       freshTable()
-      val before = spark.table(tbl).count()
-      // k % 2 is an expression, not a data-source Filter — Spark must
-      // fail the command rather than let the connector approximate
-      intercept[AnalysisException] {
-        spark.sql(s"DELETE FROM $tbl WHERE k % 2 = 0")
+      // k % 2 is an expression, not a data-source Filter — the metadata
+      // delete tier cannot run it; with SupportsRowLevelOperations the
+      // command executes through the group REWRITE instead (scan all,
+      // write back survivors), which is exactly the two-tier contract
+      spark.sql(s"DELETE FROM $tbl WHERE k % 2 = 0")
+      val left = spark.table(tbl).collect().map(_.getLong(0)).toSet
+      assert(left == (1L until 100L by 2).toSet,
+        "rewrite delete must remove exactly the matching rows")
+      assert(RowTableStore.lastReplaceCommand("spec.t")
+        .contains("DELETE"), "expected the ReplaceData path")
+    }
+  }
+
+  test("UPDATE runs through the group rewrite with exact results") {
+    withCatalog {
+      freshTable()
+      spark.sql(s"UPDATE $tbl SET v = v + 1000000 WHERE grp = 'g3'")
+      val got = spark.table(tbl).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      (0L until 100L).foreach { k =>
+        val expect = if (k % 4 == 3) k * 10 + 1000000 else k * 10
+        assert(got(k) == expect, s"k=$k")
       }
-      assert(spark.table(tbl).count() == before,
-        "refused delete must not change the table")
+      assert(RowTableStore.lastReplaceCommand("spec.t")
+        .contains("UPDATE"), "expected the ReplaceData path")
+      assert(spark.table(tbl).count() == 100,
+        "update must not add or drop rows")
+    }
+  }
+
+  test("MERGE upserts through the group rewrite") {
+    withCatalog {
+      freshTable()
+      spark.range(90, 110)
+        .select(col("id").as("k"), lit("gm").as("grp"),
+          (col("id") * 100).as("v"))
+        .createOrReplaceTempView("merge_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING merge_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.grp = s.grp
+           |WHEN NOT MATCHED THEN INSERT (k, grp, v) VALUES (s.k, s.grp, s.v)
+           |""".stripMargin)
+      val got = spark.table(tbl).collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+      assert(got.size == 110)
+      (0L until 90L).foreach(k => assert(got(k) == (s"g${k % 4}", k * 10)))
+      (90L until 110L).foreach(k => assert(got(k) == ("gm", k * 100)))
+      assert(RowTableStore.lastReplaceCommand("spec.t")
+        .contains("MERGE"), "expected the ReplaceData path")
     }
   }
 
