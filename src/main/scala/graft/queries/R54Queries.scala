@@ -99,9 +99,15 @@ object R54Queries {
   val qMinhashEstimate = QueryDef("q_minhash_estimate",
     (s, dir) => {
       val sh = ExtQueries.shingled(s, dir, 200).persist()
+      // signatures feed banding AND both per-seed join sides, candidate
+      // pairs feed the estimate AND the exact-Jaccard verify — both are
+      // model-sized; checkpoint so the signature aggregation runs once
+      // per query, not once per consuming branch (r9 lesson)
       val sig = DedupOps.minhashSignatures(sh, "doc_id", ExtQueries.numSeeds)
+        .localCheckpoint()
       val cand = DedupOps.lshCandidatePairs(
         DedupOps.lshBands(sig, "doc_id", rowsPerBand = 4), "doc_id")
+        .localCheckpoint()
       val sa = sig.select(col("doc_id").as("a"), col("seed"),
         col("minhash").as("ma"))
       val sb = sig.select(col("doc_id").as("b"), col("seed"),
