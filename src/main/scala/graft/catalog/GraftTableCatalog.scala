@@ -114,16 +114,29 @@ object RowTableStore {
     * WHICH path a command took: metadata delete sets [[lastDelete]],
     * a row-level rewrite sets this. */
   private val lastReplace = new ConcurrentHashMap[String, String]()
+  /** Last overwrite-by-filter commit per table (the SupportsOverwrite
+    * write tier: INSERT OVERWRITE / DataFrameWriterV2.overwrite) —
+    * third spec hook alongside [[lastDelete]]/[[lastReplace]]. */
+  private val lastOverwrite = new ConcurrentHashMap[String, Array[Filter]]()
 
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType =>
       true
     case _ => false
   }
-  def create(key: String, schema: StructType): Boolean =
-    tables.putIfAbsent(key, (schema, Vector.empty)) == null
+  def create(key: String, schema: StructType): Boolean = {
+    val created = tables.putIfAbsent(key, (schema, Vector.empty)) == null
+    // fresh table must not inherit a dropped predecessor's path markers
+    if (created) {
+      lastDelete.remove(key); lastReplace.remove(key)
+      lastOverwrite.remove(key)
+    }
+    created
+  }
   def drop(key: String): Boolean = {
-    lastDelete.remove(key); tables.remove(key) != null
+    lastDelete.remove(key); lastReplace.remove(key)
+    lastOverwrite.remove(key)
+    tables.remove(key) != null
   }
   def schemaOf(key: String): Option[StructType] =
     Option(tables.get(key)).map(_._1)
@@ -133,6 +146,8 @@ object RowTableStore {
     Option(lastDelete.get(key))
   def lastReplaceCommand(key: String): Option[String] =
     Option(lastReplace.get(key))
+  def lastOverwriteFilters(key: String): Option[Array[Filter]] =
+    Option(lastOverwrite.get(key))
   def list(namespace: Array[String]): Array[Identifier] = {
     val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
     import scala.jdk.CollectionConverters._
@@ -162,6 +177,20 @@ object RowTableStore {
       (prior._1,
         prior._2.filterNot(r => filters.forall(f =>
           FilterEval.eval(f, schema, r))))
+    })
+  }
+  /** Overwrite-by-filter commit (SupportsOverwrite): atomically replace
+    * the rows matching the AND of `filters` with `rows`. `AlwaysTrue`
+    * (INSERT OVERWRITE / truncate) degenerates to a full swap. */
+  private[catalog] def overwriteWhere(key: String, filters: Array[Filter],
+                                      schema: StructType,
+                                      rows: Seq[Seq[Any]]): Unit = {
+    lastOverwrite.put(key, filters)
+    tables.compute(key, (_, prior) => {
+      require(prior != null, s"table $key dropped mid-overwrite")
+      (prior._1,
+        prior._2.filterNot(r => filters.forall(f =>
+          FilterEval.eval(f, schema, r))) ++ rows)
     })
   }
   /** Group-rewrite commit (ReplaceData): the operation's scan read the
@@ -198,21 +227,45 @@ object FilterEval {
     case AlwaysTrue() | AlwaysFalse() => true
     case _ => false // EqualNullSafe, StringStartsWith, ... : refuse
   }
-  def eval(f: Filter, schema: StructType, row: Seq[Any]): Boolean = f match {
-    case EqualTo(a, v) => cmp(get(a, schema, row), v).contains(0)
-    case GreaterThan(a, v) => cmp(get(a, schema, row), v).exists(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmp(get(a, schema, row), v).exists(_ >= 0)
-    case LessThan(a, v) => cmp(get(a, schema, row), v).exists(_ < 0)
-    case LessThanOrEqual(a, v) => cmp(get(a, schema, row), v).exists(_ <= 0)
+  /** Top-level match: SQL's WHERE treats UNKNOWN as no-match. The
+    * three-valued core below must NOT collapse UNKNOWN early — doing so
+    * under a `Not` turns "col <> v, col IS NULL" into a match and a
+    * metadata-tier DELETE then removes rows SQL keeps. */
+  def eval(f: Filter, schema: StructType, row: Seq[Any]): Boolean =
+    eval3(f, schema, row).contains(true)
+  /** Kleene three-valued evaluation: None = SQL UNKNOWN. */
+  private def eval3(f: Filter, schema: StructType,
+                    row: Seq[Any]): Option[Boolean] = f match {
+    case EqualTo(a, v) => cmp(get(a, schema, row), v).map(_ == 0)
+    case GreaterThan(a, v) => cmp(get(a, schema, row), v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a, schema, row), v).map(_ >= 0)
+    case LessThan(a, v) => cmp(get(a, schema, row), v).map(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(get(a, schema, row), v).map(_ <= 0)
     case In(a, vs) =>
-      val x = get(a, schema, row); vs.exists(v => cmp(x, v).contains(0))
-    case IsNull(a) => get(a, schema, row) == null
-    case IsNotNull(a) => get(a, schema, row) != null
-    case And(l, r) => eval(l, schema, row) && eval(r, schema, row)
-    case Or(l, r) => eval(l, schema, row) || eval(r, schema, row)
-    case Not(c) => !eval(c, schema, row)
-    case AlwaysTrue() => true
-    case AlwaysFalse() => false
+      // SQL IN: TRUE on a match, UNKNOWN if no match but any comparison
+      // was null, FALSE only when every comparison decided false
+      val x = get(a, schema, row)
+      val cs = vs.toSeq.map(v => cmp(x, v).map(_ == 0))
+      if (cs.exists(_.contains(true))) Some(true)
+      else if (cs.exists(_.isEmpty)) None
+      else Some(false)
+    case IsNull(a) => Some(get(a, schema, row) == null)
+    case IsNotNull(a) => Some(get(a, schema, row) != null)
+    case And(l, r) =>
+      (eval3(l, schema, row), eval3(r, schema, row)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+    case Or(l, r) =>
+      (eval3(l, schema, row), eval3(r, schema, row)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    case Not(c) => eval3(c, schema, row).map(!_)
+    case AlwaysTrue() => Some(true)
+    case AlwaysFalse() => Some(false)
     case other =>
       throw new IllegalStateException(s"untranslatable filter $other " +
         "reached eval — canDeleteWhere must reject it first")
@@ -242,7 +295,7 @@ class GraftRowTable(key: String, tableSchema: StructType) extends Table
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   /** `_partition` = index of the scan split that produced the row —
     * the GROUP ID of the row-level rewrite (Iceberg's `_partition` /
@@ -366,19 +419,37 @@ class GraftRowTable(key: String, tableSchema: StructType) extends Table
     }
 
   // ---- write: MemSink-style staged commit ----
+  /** Append by default; [[SupportsOverwrite]] adds the overwrite-by-
+    * filter tier (r10, VERDICT r9 task 6): `INSERT OVERWRITE` /
+    * `TRUNCATE`-routed writes arrive as `overwrite(AlwaysTrue)` (a full
+    * swap), and `DataFrameWriterV2.overwrite(cond)` pushes the
+    * condition as data-source Filters so the connector replaces EXACTLY
+    * the matching group — same exact-or-refuse contract as the
+    * metadata delete (untranslatable filters are refused so Spark
+    * fails the command rather than over/under-deleting). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var doTruncate = false
-      override def truncate(): WriteBuilder = { doTruncate = true; this }
+    new WriteBuilder with SupportsOverwrite {
+      private var overwriteFilters: Option[Array[Filter]] = None
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        require(filters.forall(FilterEval.translatable(_, tableSchema)),
+          s"overwrite received untranslatable filters: " +
+            filters.mkString("[", ", ", "]"))
+        overwriteFilters = Some(filters); this
+      }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               info: PhysicalWriteInfo): DataWriterFactory =
             new RowTableWriterFactory(tableSchema)
-          override def commit(messages: Array[WriterCommitMessage]): Unit =
-            RowTableStore.append(key,
-              messages.toSeq.flatMap(
-                _.asInstanceOf[RowTableCommit].rows), doTruncate)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val rows = messages.toSeq.flatMap(
+              _.asInstanceOf[RowTableCommit].rows)
+            overwriteFilters match {
+              case Some(fs) =>
+                RowTableStore.overwriteWhere(key, fs, tableSchema, rows)
+              case None => RowTableStore.append(key, rows, truncate = false)
+            }
+          }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
       }

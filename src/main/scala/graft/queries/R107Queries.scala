@@ -173,6 +173,58 @@ object R107Queries {
         |  CAST(max(i % 6250) AS BIGINT) AS max_pos
         |FROM ids GROUP BY 1 ORDER BY split_id""".stripMargin))
 
+  val overwriteTable = "graft_tab.tmp.events_ovr"
+
+  /** Overwrite write tier (r10, VERDICT r9 task 6 — the one DSv2 write
+    * tier not yet exercised): three commands drive three routings on
+    * one table. `TRUNCATE TABLE` hits the metadata tier
+    * (SupportsDelete's default truncateTable → deleteWhere AlwaysTrue);
+    * `INSERT OVERWRITE` compiles to OverwriteByExpression with a true
+    * condition → `SupportsOverwrite.overwrite(AlwaysTrue)` (full
+    * swap); `writeTo(...).overwrite(cond)` pushes the condition as
+    * data-source Filters so the connector swaps EXACTLY the matching
+    * group — here the 'error' rows are replaced by a +500-shifted
+    * recomputation while every other row is untouched. The oracle
+    * recomputes the final state from the base table in closed form;
+    * which tier each command took is pinned in Dsv2RowOpsSpec via the
+    * store's lastDelete/lastOverwrite markers. */
+  val qDsv2Overwrite = QueryDef("q_dsv2_overwrite",
+    (s, dir) => {
+      s.conf.set(catalogConf, catalogImpl)
+      s.sql(s"DROP TABLE IF EXISTS $overwriteTable")
+      s.sql(s"CREATE TABLE $overwriteTable " +
+        "(event_id BIGINT, event_type STRING, user_id BIGINT)")
+      Tables.events(s, dir).select("event_id", "event_type", "user_id")
+        .writeTo(overwriteTable).append()
+      // metadata-tier truncate, then full-swap overwrite to even ids
+      s.sql(s"TRUNCATE TABLE $overwriteTable")
+      Tables.events(s, dir).select("event_id", "event_type", "user_id")
+        .where(col("event_id") % 2 === 0)
+        .createOrReplaceTempView("graft_ovr_src_r107")
+      s.sql(s"INSERT OVERWRITE $overwriteTable " +
+        "SELECT * FROM graft_ovr_src_r107")
+      // filter-overwrite: replace ONLY the 'error' group, shifted
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") + 500L).as("user_id"))
+        .where(col("event_id") % 2 === 0 && col("event_type") === "error")
+        .writeTo(overwriteTable)
+        .overwrite(col("event_type") === "error")
+      s.table(overwriteTable)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("user_id").cast("long").as("sum_user"),
+          min("event_id").cast("long").as("min_event"))
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN user_id + 500
+        |               ELSE user_id END) AS BIGINT) AS sum_user,
+        |  CAST(min(event_id) AS BIGINT) AS min_event
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qDsv2Delete, qDsv2Update, qDsv2Merge,
-    qDsv2Metadata)
+    qDsv2Metadata, qDsv2Overwrite)
 }

@@ -133,6 +133,94 @@ class Dsv2RowOpsSpec extends AnyFunSuite {
     assert(!FilterEval.eval(EqualTo("grp", "a"), sc, Seq(1L, null)))
     assert(!FilterEval.eval(org.apache.spark.sql.sources
       .LessThan("k", 5L), sc, Seq(null, "a")))
+    // ...and UNKNOWN must survive Not un-collapsed (r10 fix): a NULL
+    // column under Not(EqualTo) is UNKNOWN, not a match — collapsing
+    // early would make "col <> v" delete NULL rows SQL keeps
+    import org.apache.spark.sql.sources.{And, IsNull, Not}
+    assert(!FilterEval.eval(Not(EqualTo("grp", "a")), sc, Seq(1L, null)))
+    assert(!FilterEval.eval(Not(In("grp", Array[Any]("a", "b"))),
+      sc, Seq(1L, null)))
+    // Kleene AND/OR: UNKNOWN AND FALSE = FALSE, so NOT of it is TRUE
+    assert(FilterEval.eval(Not(And(EqualTo("grp", "a"),
+      EqualTo("k", 99L))), sc, Seq(1L, null)))
+    // IsNull decides null columns definitively even under Not
+    assert(FilterEval.eval(Not(IsNull("grp")), sc, Seq(1L, "a")))
+    assert(!FilterEval.eval(Not(IsNull("grp")), sc, Seq(1L, null)))
+  }
+
+  test("metadata DELETE with <> keeps NULL rows (three-valued Not)") {
+    withCatalog {
+      freshTable()
+      // add two NULL-grp rows; `grp <> 'g1'` is UNKNOWN for them, so a
+      // correct metadata-tier delete must NOT remove them
+      spark.range(1000, 1002)
+        .select(col("id").as("k"), lit(null).cast("string").as("grp"),
+          lit(0L).as("v"))
+        .writeTo(tbl).append()
+      spark.sql(s"DELETE FROM $tbl WHERE grp <> 'g1'")
+      val left = spark.table(tbl).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      val expect = (0L until 100L).filter(_ % 4 == 1)
+        .map(k => (k, Some(s"g1"))).toSet ++
+        Set((1000L, None), (1001L, None))
+      assert(left == expect,
+        "survivors must be the g1 rows AND the NULL rows")
+      // and it ran on the metadata tier (Not(EqualTo) is translatable)
+      assert(RowTableStore.lastDeleteFilters("spec.t").isDefined)
+    }
+  }
+
+  test("overwrite tier routing: TRUNCATE / INSERT OVERWRITE / by-filter") {
+    withCatalog {
+      freshTable()
+      // TRUNCATE routes to the metadata tier (SupportsDelete's default
+      // truncateTable → deleteWhere(AlwaysTrue))
+      spark.sql(s"TRUNCATE TABLE $tbl")
+      assert(spark.table(tbl).count() == 0)
+      assert(RowTableStore.lastDeleteFilters("spec.t").exists(_.exists {
+        case org.apache.spark.sql.sources.AlwaysTrue() => true
+        case _ => false
+      }), "TRUNCATE must arrive as a pushed AlwaysTrue delete")
+      // INSERT OVERWRITE = full swap through SupportsOverwrite
+      spark.range(0, 10)
+        .select(col("id").as("k"), lit("gA").as("grp"),
+          col("id").as("v"))
+        .createOrReplaceTempView("ovr_src")
+      spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM ovr_src")
+      assert(spark.table(tbl).count() == 10)
+      assert(RowTableStore.lastOverwriteFilters("spec.t").exists(_.forall {
+        case org.apache.spark.sql.sources.AlwaysTrue() => true
+        case _ => false
+      }), "INSERT OVERWRITE must arrive as overwrite(AlwaysTrue)")
+      // overwrite-by-filter replaces EXACTLY the matching group
+      spark.range(100, 105)
+        .select(col("id").as("k"), lit("gB").as("grp"), col("id").as("v"))
+        .writeTo(tbl).overwrite(col("grp") === "gB")
+      val got = spark.table(tbl).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == (0L until 10L).map((_, "gA")).toSet ++
+        (100L until 105L).map((_, "gB")).toSet,
+        "non-matching gA rows must be untouched, gB group swapped in")
+      assert(RowTableStore.lastOverwriteFilters("spec.t").exists(_.exists {
+        case EqualTo("grp", _) => true
+        case _ => false
+      }), "the overwrite condition must cross as a pushed EqualTo")
+    }
+  }
+
+  test("dropped-and-recreated table carries no stale path markers") {
+    withCatalog {
+      freshTable()
+      spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE grp = 'g0'")
+      spark.sql(s"DELETE FROM $tbl WHERE grp = 'g1'")
+      assert(RowTableStore.lastReplaceCommand("spec.t").isDefined)
+      assert(RowTableStore.lastDeleteFilters("spec.t").isDefined)
+      freshTable() // drop + recreate
+      assert(RowTableStore.lastReplaceCommand("spec.t").isEmpty,
+        "recreate must not inherit the predecessor's rewrite marker")
+      assert(RowTableStore.lastDeleteFilters("spec.t").isEmpty)
+      assert(RowTableStore.lastOverwriteFilters("spec.t").isEmpty)
+    }
   }
 
   test("metadata columns: values identify the generating split exactly") {
