@@ -98,7 +98,12 @@ object Bench {
     try java.nio.file.Files.writeString(mapPath, fullLine + "\n")
     catch { case t: Throwable =>
       System.err.println(s"BENCH map file write failed: $t") }
-    println(s"""{"queries":$slowest,"queries_file":"${mapPath.toAbsolutePath}","failed":$failed,$partial"sf":"$sfDir","n_queries":${results.size},"slowest10":$slowest,"metric":"total","unit":"sec","value":${f(total)}}""")
+    // stop FIRST, print LAST: with build.sbt's StdoutOutput the forked
+    // process writes straight to the driver-captured stdout, and
+    // printing after shutdown makes the headline the final stdout line
+    // of the run (Spark's own shutdown chatter goes to stderr via
+    // log4j) — r10 fix for the driver's "parsed": null
     spark.stop()
+    println(s"""{"queries":$slowest,"queries_file":"${mapPath.toAbsolutePath}","failed":$failed,$partial"sf":"$sfDir","n_queries":${results.size},"slowest10":$slowest,"metric":"total","unit":"sec","value":${f(total)}}""")
   }
 }

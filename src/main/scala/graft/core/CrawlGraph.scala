@@ -46,9 +46,14 @@ object CrawlGraph {
           bloomPruneVisited: Boolean = false): DataFrame = {
     import spark.implicits._
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // every mid-loop lineage cut is tracked so its truncated-lineage
+    // blocks can be freed once the result is pinned (r10): localCheckpoint
+    // blocks bypass the CacheManager and would otherwise outlive the call
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cutT(df: DataFrame): DataFrame = { val c = cut(df); cuts += c; c }
     // distinct seeds: the union-without-distinct below relies on the
     // frontier (incl. depth 0) being duplicate-free
-    var visited = cut(roots.distinct.toDF("url").withColumn("depth", lit(0))
+    var visited = cutT(roots.distinct.toDF("url").withColumn("depth", lit(0))
       .select($"depth", $"url"))
     var frontier = visited
     var depth = 0
@@ -71,15 +76,21 @@ object CrawlGraph {
       // persist every depth (reused twice); hard-truncate lineage only
       // every checkpointInterval depths — checkpoints cost a full
       // materialization, unbounded lineage costs plan blow-up (§7.4 r2).
-      frontier = if (depth % checkpointInterval == 0) cut(next)
+      frontier = if (depth % checkpointInterval == 0) cutT(next)
                  else { val p = next.persist(); persisted += p; p }
       visited = if (depth % checkpointInterval == 0)
-        cut(visited.union(frontier))
+        cutT(visited.union(frontier))
       else { val p = visited.union(frontier).persist(); persisted += p; p }
     }
-    // cut lineage off the persisted intermediates, then release them
-    val result = cut(visited)
+    // DETACHED pin for the result (CacheManager-tracked, reclaimable by
+    // clearCache, immune to the input unpersists below — Pins.pinDetached
+    // scaladoc), keeping the reliable-checkpoint upgrade for cluster
+    // durability; then release every intermediate — persisted AND cut
+    val result =
+      if (spark.sparkContext.getCheckpointDir.isDefined) cut(visited)
+      else Pins.pinDetached(visited)
     persisted.foreach(_.unpersist(blocking = false))
+    cuts.foreach(org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint)
     result
   }
 
@@ -164,7 +175,8 @@ object CrawlGraph {
     // with per-depth frontiers persisted for reuse across the edge and
     // visited branches.
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var visited = Seq(rootSite).toDF("url").localCheckpoint()
+    var visited = { val p = Pins.pin(Seq(rootSite).toDF("url"))
+      persisted += p; p }
     var frontier = visited
     var edgesAcc: DataFrame = null
     for (depth <- 0 until penDepth) {
@@ -178,14 +190,17 @@ object CrawlGraph {
         persisted += p; p }
       visited = { val p = visited.union(frontier).persist(); persisted += p; p }
     }
-    val edges = Option(edgesAcc).map(_.localCheckpoint()).getOrElse(
+    // results get a DETACHED pin (CacheManager-tracked, reclaimable by
+    // clearCache, immune to the unpersists below) rather than a
+    // localCheckpoint whose blocks only GC can reclaim (r10)
+    val edges = Option(edgesAcc).map(Pins.pinDetached).getOrElse(
       spark.emptyDataFrame
         .withColumn("pen_depth", lit(0))
         .withColumn("parent_link", lit(""))
         .withColumn("child_link", lit("")))
-    // checkpoint the (small) visited set, then derive unique_links lazily:
+    // pin the (small) visited set, then derive unique_links lazily:
     // callers that only read edges never pay for the surrogate-key window
-    val visitedCk = visited.localCheckpoint()
+    val visitedCk = Pins.pinDetached(visited)
     persisted.foreach(_.unpersist(blocking = false))
     childEdges.unpersist(blocking = false)
     (edges, surrogateKeys(visitedCk, "url"))
@@ -243,7 +258,8 @@ object CrawlGraph {
     // persist it once like childEdges.
     val okParents = okParentsRaw.persist()
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var visited = Seq(rootSite).toDF("url").localCheckpoint()
+    var visited = { val p = Pins.pin(Seq(rootSite).toDF("url"))
+      persisted += p; p }
     var frontier = visited
     var edgesAcc: DataFrame = null
     for (depth <- 0 until penDepth) {
@@ -265,7 +281,8 @@ object CrawlGraph {
         .persist(); persisted += p; p }
       visited = { val p = visited.union(frontier).persist(); persisted += p; p }
     }
-    val edges = Option(edgesAcc).map(_.localCheckpoint()).getOrElse(
+    // result detached-pinned (CacheManager-tracked, reclaimable) — r10
+    val edges = Option(edgesAcc).map(Pins.pinDetached).getOrElse(
       spark.emptyDataFrame
         .withColumn("pen_depth", lit(0))
         .withColumn("parent_link", lit(""))

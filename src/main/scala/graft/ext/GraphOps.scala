@@ -24,6 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Materialize a solver RESULT through the CacheManager (r10).
+    * Results used to ship as an eager `localCheckpoint()`, whose blocks
+    * bypass the CacheManager — `spark.catalog.clearCache()` could never
+    * reclaim them and they lingered until GC (the r9 verdict nit). The
+    * DETACHED pin ([[graft.core.Pins.pinDetached]]) materializes the
+    * result while the loop state and persisted inputs are still warm,
+    * as a cache entry no later input-unpersist can invalidate; the
+    * solvers then free their loop checkpoints and inputs as before.
+    * Loop-INTERNAL state keeps the localCheckpoint+free discipline —
+    * persist truncates nothing, and the per-round self-referencing
+    * plans need lineage truncation to keep Catalyst analysis O(1) in
+    * rounds. */
+  private def pinResult(df: DataFrame): DataFrame =
+    graft.core.Pins.pinDetached(df)
+
   /** @param edges undirected edge list with columns (a, b)
     * @return (node, component) where component = min node id reachable
     */
@@ -78,8 +93,8 @@ object GraphOps {
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — " +
         "graph diameter exceeds maxIters; raise it")
-    val result = labels.select(col("node"), col("label").as("component"))
-      .localCheckpoint()
+    val result = pinResult(
+      labels.select(col("node"), col("label").as("component")))
     GraftSqlBridge.freeLocalCheckpoint(labels)
     bidir.unpersist(blocking = false)
     result
@@ -144,19 +159,25 @@ object GraphOps {
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val minN = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // large is consumed by BOTH minS and the small-star join, and
+      // small by both branches of the union below — persist each for
+      // the round (r10 trim) so the groupBy+join+distinct chain runs
+      // once instead of once per consuming subtree; unpersisted as
+      // soon as the round's checkpoint lands
       val large = sym.filter(col("v") > col("u"))
         .join(minN, "u")
         .select(col("v").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v"))
-        .distinct()
+        .distinct().persist()
       // small-star: orient each edge toward its larger endpoint u; attach
       // u and all its smaller neighbors to their minimum
       val minS = large.groupBy(col("v").as("c")).agg(min("u").as("m"))
       val small = large
         .join(minS, large("v") === minS("c"))
         .select(col("u"), col("v"), col("m"))
+        .persist()
       val next = small.select(col("u").as("x"), col("m"))
         .union(small.select(col("v").as("x"), col("m")))
         .filter(col("x") =!= col("m"))
@@ -170,6 +191,7 @@ object GraphOps {
       // round); free the previous round's blocks once this round lands.
       val nextP = next.localCheckpoint(eager = false)
       val sumNow = labelSum(nextP)
+      Seq(large, small).foreach(_.unpersist(blocking = false))
       GraftSqlBridge.freeLocalCheckpoint(e)
       converged = sumNow == null || sumNow.compareTo(prevSum) == 0
       require(sumNow == null || sumNow.compareTo(prevSum) <= 0,
@@ -184,11 +206,10 @@ object GraphOps {
     // component minimum; isolated nodes label themselves
     val labels = e.select(col("v").as("node"), col("u").as("component"))
       .groupBy("node").agg(min("component").as("component"))
-    val result = allNodes
+    val result = pinResult(allNodes
       .join(labels, Seq("node"), "left_outer")
       .select(col("node"),
-        coalesce(col("component"), col("node")).as("component"))
-      .localCheckpoint()
+        coalesce(col("component"), col("node")).as("component")))
     GraftSqlBridge.freeLocalCheckpoint(e)
     persisted.foreach(_.unpersist(blocking = false))
     result
@@ -239,8 +260,8 @@ object GraphOps {
       GraftSqlBridge.freeLocalCheckpoint(ranks)
       ranks = nextP
     }
-    val result = ranks.select(col("node"), col("r").as("rank_scaled"))
-      .localCheckpoint()
+    val result = pinResult(
+      ranks.select(col("node"), col("r").as("rank_scaled")))
     GraftSqlBridge.freeLocalCheckpoint(ranks)
     Seq(e, outdeg, n).foreach(_.unpersist(blocking = false))
     result
@@ -286,8 +307,8 @@ object GraphOps {
       GraftSqlBridge.freeLocalCheckpoint(ranks)
       ranks = nextP
     }
-    val result = ranks.select(col("node"), col("r").as("rank_scaled"))
-      .localCheckpoint()
+    val result = pinResult(
+      ranks.select(col("node"), col("r").as("rank_scaled")))
     GraftSqlBridge.freeLocalCheckpoint(ranks)
     Seq(e, outdeg, n).foreach(_.unpersist(blocking = false))
     result
@@ -345,7 +366,7 @@ object GraphOps {
     }
     require(converged,
       s"shortestPaths did not converge in $maxIters rounds")
-    val result = dists.localCheckpoint()
+    val result = pinResult(dists.select(col("node"), col("dist")))
     GraftSqlBridge.freeLocalCheckpoint(dists)
     e.unpersist(blocking = false)
     result
@@ -398,7 +419,7 @@ object GraphOps {
     }
     require(converged,
       s"earliestArrival did not converge in $maxIters rounds")
-    val result = arr.localCheckpoint()
+    val result = pinResult(arr.select(col("node"), col("arrival")))
     GraftSqlBridge.freeLocalCheckpoint(arr)
     e.unpersist(blocking = false)
     result
@@ -442,9 +463,9 @@ object GraphOps {
       GraftSqlBridge.freeLocalCheckpoint(e)
       e = next
     }
-    val result = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
-      .withColumnRenamed("src", "node")
-      .localCheckpoint()
+    val result = pinResult(
+      e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+        .withColumnRenamed("src", "node"))
     GraftSqlBridge.freeLocalCheckpoint(e)
     result
   }
@@ -489,8 +510,10 @@ object GraphOps {
       GraftSqlBridge.freeLocalCheckpoint(labels)
       labels = next
     }
+    val result = pinResult(labels.select(col("node"), col("label")))
+    GraftSqlBridge.freeLocalCheckpoint(labels)
     GraftSqlBridge.freeLocalCheckpoint(e)
-    labels
+    result
   }
 
   /** HITS hubs & authorities (Kleinberg, JACM'99) — which pages in the
@@ -544,9 +567,8 @@ object GraphOps {
       GraftSqlBridge.freeLocalCheckpoint(hub)
       hub = hNext
     }
-    val result = auth.join(hub, "node")
-      .select(col("node"), col("a").as("auth"), col("h").as("hub"))
-      .localCheckpoint()
+    val result = pinResult(auth.join(hub, "node")
+      .select(col("node"), col("a").as("auth"), col("h").as("hub")))
     GraftSqlBridge.freeLocalCheckpoint(auth)
     GraftSqlBridge.freeLocalCheckpoint(hub)
     Seq(e, n).foreach(_.unpersist(blocking = false))

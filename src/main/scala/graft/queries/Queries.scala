@@ -24,6 +24,18 @@ object Queries {
                       run: (SparkSession, String) => DataFrame,
                       oracle: Option[String])
 
+  /** Eagerly materialized persist — the house alternative to
+    * `localCheckpoint()` inside a query body (r10, VERDICT r9 task 3).
+    * Multiply-consumed model-sized intermediates need materializing
+    * once, but localCheckpoint blocks bypass the CacheManager, so
+    * Bench's `clearCache()` between queries cannot free them (they
+    * linger until the RDD is GC'd). `persist()` + a forcing `count()`
+    * gives the same one-evaluation guarantee with blocks the session
+    * can reclaim; CrawlGraph's explicit exit-unpersist remains the
+    * shape for loop-internal state. Only for model-sized relations —
+    * the forcing count is a full extra job. */
+  private[queries] def pin(df: DataFrame): DataFrame = graft.core.Pins.pin(df)
+
   // ---------- shared fragments ----------
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =

@@ -179,11 +179,10 @@ object R103Queries {
         .select(col("c_custkey").as("ck"), col("c_nationkey").cast("long").as("nat"))
       // shared capped co-purchase graph (graft.ext.GraphOps) — no
       // forced broadcast of the fact-sized orders map; AQE decides
-      val edges = GraphOps.coPurchaseEdges(
+      val edges = Queries.pin(GraphOps.coPurchaseEdges(
           t(s, dir, "lineitem"), t(s, dir, "orders"))
         .join(broadcast(nations.select(col("ck").as("a"), col("nat").as("na"))), "a")
-        .join(broadcast(nations.select(col("ck").as("b"), col("nat").as("nb"))), "b")
-        .localCheckpoint()
+        .join(broadcast(nations.select(col("ck").as("b"), col("nat").as("nb"))), "b"))
       val m2 = edges.agg((count(lit(1)) * 2L).cast("long").as("vol_total"))
       val sides = edges.select(col("na").as("nat"),
           when(col("na") === col("nb"), 0L).otherwise(1L).as("cut"))

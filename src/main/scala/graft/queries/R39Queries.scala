@@ -34,12 +34,12 @@ object R39Queries {
   val qHits = QueryDef("q_hits",
     (s, dir) => {
       val ev = t(s, dir, "events")
-      // checkpoint the (<=40x40) distinct edge set: nodes reads it
-      // twice and the iterative solver several more times — without it
-      // each branch re-runs the full-events distinct (r9 lesson)
-      val e = ev.select((col("user_id") % 40).as("src"),
+      // pin the (<=40x40) distinct edge set: nodes reads it twice and
+      // the iterative solver several more times — without it each
+      // branch re-runs the full-events distinct (r9 lesson)
+      val e = Queries.pin(ev.select((col("user_id") % 40).as("src"),
         (col("event_id") % 40).as("dst"))
-        .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+        .where(col("src") =!= col("dst")).distinct())
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
       graft.ext.GraphOps.hits(s, e, nodes, rounds = 2)

@@ -82,18 +82,18 @@ object R49Queries {
         .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
         .where(col("c") >= TrMinCount)
         .select("w1", "w2")
-      // materialize the (tiny, support-gated) undirected bigram edge
-      // set once: und feeds the vocabulary AND both endpoint joins, and
-      // vocab is consumed three times — without the checkpoint the
-      // full tokenize+window+count pipeline re-evaluates per branch
+      // pin the (tiny, support-gated) undirected bigram edge set once:
+      // und feeds the vocabulary AND both endpoint joins, and vocab is
+      // consumed three times — without the pin the full
+      // tokenize+window+count pipeline re-evaluates per branch
       // (the q_edges_actual r9 lesson)
-      val und = big.union(big.select(col("w2").as("w1"), col("w1").as("w2")))
-        .distinct().localCheckpoint()
-      val vocab = und.select(col("w1").as("word")).distinct()
+      val und = Queries.pin(
+        big.union(big.select(col("w2").as("w1"), col("w1").as("w2")))
+          .distinct())
+      val vocab = Queries.pin(und.select(col("w1").as("word")).distinct()
         .withColumn("id",
           row_number().over(Window.partitionBy(lit(1)).orderBy("word"))
-            .cast("long"))
-        .localCheckpoint()
+            .cast("long")))
       val e = und
         .join(vocab.select(col("word").as("w1"), col("id").as("src")), "w1")
         .join(vocab.select(col("word").as("w2"), col("id").as("dst")), "w2")

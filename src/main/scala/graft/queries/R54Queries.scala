@@ -101,13 +101,12 @@ object R54Queries {
       val sh = ExtQueries.shingled(s, dir, 200).persist()
       // signatures feed banding AND both per-seed join sides, candidate
       // pairs feed the estimate AND the exact-Jaccard verify — both are
-      // model-sized; checkpoint so the signature aggregation runs once
-      // per query, not once per consuming branch (r9 lesson)
-      val sig = DedupOps.minhashSignatures(sh, "doc_id", ExtQueries.numSeeds)
-        .localCheckpoint()
-      val cand = DedupOps.lshCandidatePairs(
-        DedupOps.lshBands(sig, "doc_id", rowsPerBand = 4), "doc_id")
-        .localCheckpoint()
+      // model-sized; pin so the signature aggregation runs once per
+      // query, not once per consuming branch (r9 lesson)
+      val sig = Queries.pin(
+        DedupOps.minhashSignatures(sh, "doc_id", ExtQueries.numSeeds))
+      val cand = Queries.pin(DedupOps.lshCandidatePairs(
+        DedupOps.lshBands(sig, "doc_id", rowsPerBand = 4), "doc_id"))
       val sa = sig.select(col("doc_id").as("a"), col("seed"),
         col("minhash").as("ma"))
       val sb = sig.select(col("doc_id").as("b"), col("seed"),

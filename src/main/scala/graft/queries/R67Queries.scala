@@ -73,13 +73,19 @@ object R67Queries {
       for (_ <- 1 to SccRounds) {
         val b = d.select(col("id").as("bid"), col("p").as("bp"),
           col("m").as("bm"))
-        d = d.join(b, col("p") === col("bid"))
+        val next = d.join(b, col("p") === col("bid"))
           .select(col("id"), col("bp").as("p"),
             least(col("m"), col("bm")).as("m"))
           .localCheckpoint() // truncate the O(log n)-round lineage
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(d)
+        d = next
       }
-      val cyc = d.select(col("p").as("cnode")).distinct()
-      val reps = cyc.join(d, cyc("cnode") === d("id"))
+      // pin the fixpoint (consumed by cyc AND the reps join) through
+      // the CacheManager, then free the last round's checkpoint blocks
+      val dP = Queries.pin(d.select(col("id"), col("p"), col("m")))
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(d)
+      val cyc = dP.select(col("p").as("cnode")).distinct()
+      val reps = cyc.join(dP, cyc("cnode") === dP("id"))
         .select(col("m").as("rep"))
       reps.groupBy("rep").agg(count(lit(1)).cast("long").as("cycle_len"))
         .orderBy("rep")

@@ -135,12 +135,11 @@ object R72Queries {
         .agg(count(lit(1)).cast("long").as("n_pts"))
       val tot = pts.agg(count(lit(1)).cast("long").as("n"))
       // dense cells are consumed three times (both probe-join sides +
-      // the final label join) — checkpoint the tiny core set so the
+      // the final label join) — pin the tiny core set so the
       // full-events cell aggregation runs once (r9 lesson)
-      val core = cells.crossJoin(broadcast(tot))
+      val core = Queries.pin(cells.crossJoin(broadcast(tot))
         .where(col("n_pts") * 200 >= col("n"))
-        .withColumn("cid", col("cx") * 100000L + col("cy") + 50000L)
-        .localCheckpoint()
+        .withColumn("cid", col("cx") * 100000L + col("cy") + 50000L))
       // 3x3 probe equi-join for adjacency (q_geo_join shape)
       val probes = core.select(col("cid").as("a"),
           col("cx"), col("cy"),

@@ -43,13 +43,12 @@ object R88Queries {
 
   val qPhraseSearch = QueryDef("q_phrase_search",
     (s, dir) => {
-      val toks = t(s, dir, "documents")
+      // referenced by the miner and all three postings branches —
+      // pinned so the explode runs once instead of four times
+      val toks = Queries.pin(t(s, dir, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          col("col").as("tok"))
-        // referenced by the miner and all three postings branches —
-        // materialize the explode once instead of four times
-        .localCheckpoint()
+          col("col").as("tok")))
       // deterministic phrase: the most frequent document-INITIAL trigram
       val w3 = Window.partitionBy("doc_id").orderBy("pos")
       val tri = toks.where(col("pos") <= 2) // miner needs the head only
@@ -58,11 +57,11 @@ object R88Queries {
         .where(col("pos") === 0 && col("t3").isNotNull)
         .groupBy(col("tok").as("p1"), col("t2").as("p2"), col("t3").as("p3"))
         .agg(count(lit(1)).cast("long").as("f"))
-      val phrase = tri.orderBy(col("f").desc, col("p1"), col("p2"), col("p3"))
-        .limit(1)
-        // 1 row referenced by four joins — materialize once or the
-        // full-corpus trigram mine re-runs per reference
-        .localCheckpoint()
+      // 1 row referenced by four joins — pinned once or the
+      // full-corpus trigram mine re-runs per reference
+      val phrase = Queries.pin(
+        tri.orderBy(col("f").desc, col("p1"), col("p2"), col("p3"))
+          .limit(1))
       // postings of the three phrase tokens only, then adjacency joins
       val a = toks.join(broadcast(phrase), col("tok") === col("p1"))
         .select(col("doc_id"), col("pos"))
@@ -140,15 +139,22 @@ object R88Queries {
             col("dist").as("base"))
           .join(tasks, "task")
           .select(col("task"), (col("base") + col("dur")).as("dist"))
-        dist = dist.unionAll(viaEdges)
+        val next = dist.unionAll(viaEdges)
           .groupBy("task").agg(max(col("dist")).as("dist"))
           // the state is 100 rows; truncate lineage each round or the
           // self-referencing union doubles the plan tree per iteration
-          // (2^15 nodes by round 15 — measured hang in analysis)
+          // (2^15 nodes by round 15 — measured hang in analysis).
+          // persist would NOT truncate, so the loop keeps the
+          // localCheckpoint shape and frees each round's predecessor;
+          // only the final state is pinned (reclaimable) below
           .localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(dist)
+        dist = next
       }
-      val cp = dist.agg(max(col("dist")).as("critical_path"))
-      dist.crossJoin(broadcast(cp))
+      val distP = Queries.pin(dist.select(col("task"), col("dist")))
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(dist)
+      val cp = distP.agg(max(col("dist")).as("critical_path"))
+      distP.crossJoin(broadcast(cp))
         .select(col("task"), col("dist").cast("long").as("finish"),
           col("critical_path").cast("long").as("critical_path"))
         .orderBy("task")

@@ -46,6 +46,10 @@ object R92Queries {
       val base = Tables.events(s, dir).groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("x"),
           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      // per-round weight table keeps the localCheckpoint shape (it is
+      // self-referencing, so lineage must truncate) with each round
+      // freeing its predecessor; the per-round `best` rows ARE consumed
+      // after the loop, so those are pinned (reclaimable) instead
       var wtab = base.withColumn("w", lit(1L)).localCheckpoint()
       val results = (1 to nRounds).map { r =>
         val vals = wtab.groupBy("x")
@@ -65,14 +69,13 @@ object R92Queries {
           // orient 0: predict positive when x ≤ t → err = (twp−cwp) + cwn
           .withColumn("err1", col("cwp") + col("twn") - col("cwn"))
           .withColumn("err0", col("twp") - col("cwp") + col("cwn"))
-        val best = swept
+        val best = Queries.pin(swept
           .withColumn("err", least(col("err1"), col("err0")))
           .withColumn("orient", when(col("err1") <= col("err0"), 1L).otherwise(0L))
           .withColumn("rk", row_number().over(Window.orderBy(col("err"), col("x"))))
           .where(col("rk") === 1)
           .select(col("x").as("t"), col("orient"), col("err"),
-            (col("twp") + col("twn")).as("wtot"))
-          .localCheckpoint()
+            (col("twp") + col("twn")).as("wtot")))
         val joined = wtab.crossJoin(broadcast(best))
           .withColumn("pred",
             when(col("orient") === 1,
@@ -80,11 +83,15 @@ object R92Queries {
               .otherwise(when(col("x") <= col("t"), 1L).otherwise(0L)))
           .withColumn("w2",
             when(col("pred") =!= col("y"), col("w") * 2L).otherwise(col("w")))
-        wtab = joined.select(col("user_id"), col("x"), col("y"),
+        val nextW = joined.select(col("user_id"), col("x"), col("y"),
           col("w2").as("w")).localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(wtab)
+        wtab = nextW
         best.select(lit(r.toLong).as("round"), col("t"), col("orient"),
           col("err"), col("wtot"))
       }
+      // the final round's weights feed nothing downstream — free now
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(wtab)
       results.reduce(_ unionAll _).orderBy("round")
     },
     Some {

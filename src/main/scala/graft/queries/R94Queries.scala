@@ -45,11 +45,10 @@ object R94Queries {
     (s, dir) => {
       // shared capped co-purchase graph (graft.ext.GraphOps) — no
       // forced broadcast of the fact-sized orders map; AQE decides
-      val edges = GraphOps.coPurchaseEdges(
-          t(s, dir, "lineitem"), t(s, dir, "orders"))
+      val edges = Queries.pin(GraphOps.coPurchaseEdges(
+          t(s, dir, "lineitem"), t(s, dir, "orders")))
         // referenced by the degree table AND both endpoint joins —
-        // materialize once instead of re-deriving the graph three times
-        .localCheckpoint()
+        // pinned once instead of re-deriving the graph three times
       val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).cast("long").as("d"))
       val withDeg = edges

@@ -175,19 +175,28 @@ object R96Queries {
         .withColumn("w", col("c") * ipfScale)
         .withColumn("tgt", expr(s"CAST((n - n % 5) / 5 AS BIGINT)") * ipfScale)
         .localCheckpoint()
+      // loop keeps the localCheckpoint shape (cells is referenced twice
+      // per rake — the marginal sums AND the join — so lineage must
+      // truncate per round); each rake frees its predecessor's blocks,
+      // and only the pinned fixpoint below outlives the loop
       def rake(key: String): Unit = {
         val sums = cells.groupBy(key).agg(sum(col("w")).cast("long").as("ms"))
-        cells = cells.join(broadcast(sums), key)
+        val next = cells.join(broadcast(sums), key)
           .withColumn("w",
             ((col("w") * col("tgt") - (col("w") * col("tgt")) % col("ms")) /
               col("ms")).cast("long"))
           .drop("ms").localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(cells)
+        cells = next
       }
       for (_ <- 1 to ipfRounds) { rake("r"); rake("cseg") }
-      val rowErr = cells.groupBy("r")
+      val cellsP = Queries.pin(
+        cells.select(col("r"), col("cseg"), col("c"), col("w"), col("tgt")))
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(cells)
+      val rowErr = cellsP.groupBy("r")
         .agg((sum(col("w")) - max(col("tgt"))).cast("long").as("re"))
         .agg(max(abs(col("re"))).cast("long").as("max_row_err"))
-      cells.crossJoin(broadcast(rowErr))
+      cellsP.crossJoin(broadcast(rowErr))
         .select(col("r"), col("cseg"), col("c"), col("w"), col("max_row_err"))
         .orderBy("r", "cseg")
     },

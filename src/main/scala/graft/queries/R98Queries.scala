@@ -45,12 +45,11 @@ object R98Queries {
         .select(col("c_custkey").as("ck"), col("c_nationkey").cast("long").as("nat"))
       // shared capped co-purchase graph (graft.ext.GraphOps) — no
       // forced broadcast of the fact-sized orders map; AQE decides
-      val edges = GraphOps.coPurchaseEdges(
+      val edges = Queries.pin(GraphOps.coPurchaseEdges(
           t(s, dir, "lineitem"), t(s, dir, "orders"))
         .join(broadcast(nations.select(col("ck").as("a"), col("nat").as("na"))), "a")
-        .join(broadcast(nations.select(col("ck").as("b"), col("nat").as("nb"))), "b")
-        // referenced by m, internal, and degree — materialize once
-        .localCheckpoint()
+        .join(broadcast(nations.select(col("ck").as("b"), col("nat").as("nb"))), "b"))
+        // referenced by m, internal, and degree — pinned once
       val m = edges.agg(count(lit(1)).cast("long").as("m"))
       // per community: internal edges and total degree
       val internal = edges.where(col("na") === col("nb"))

@@ -71,15 +71,18 @@ object R99Queries {
       var level = days.withColumn("rn", row_number().over(w).cast("long"))
         .select(col("rn"), col("v"))
       val results = (1 to haarLevels).map { l =>
-        val paired = level
+        // each level feeds its stats row AND the next level — pinned
+        // (not localCheckpoint) so the 3 level blocks stay reclaimable;
+        // stats rows are consumed after the loop, so per-level blocks
+        // cannot be freed eagerly
+        val paired = Queries.pin(level
           .withColumn("pair", expr("CAST((rn + 1 - (rn + 1) % 2) / 2 AS BIGINT)"))
           .withColumn("sgn", when(col("rn") % 2 === 1, 1L).otherwise(-1L))
           .groupBy("pair")
           .agg(count(lit(1)).cast("long").as("cnt"),
             sum(col("v")).cast("long").as("sc"),
             sum(col("v") * col("sgn")).cast("long").as("dc"))
-          .where(col("cnt") === 2) // complete pairs only
-          .localCheckpoint()
+          .where(col("cnt") === 2)) // complete pairs only
         val stats = paired.agg(lit(l.toLong).as("level"),
           count(lit(1)).cast("long").as("n_pairs"),
           sum(col("dc") * col("dc")).cast("long").as("detail_energy"),

@@ -237,7 +237,7 @@ class PagesAggScan(lo: Long, hi: Long,
     s"PagesAggScan[lo=$lo, hi=$hi, " +
       s"aggs=${agg.aggregateExpressions.map(_.toString).mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(PagesPartition(0, 1, 0))
+    Array(PagesPartition(0, 1, 0, 0))
   override def createReaderFactory(): PartitionReaderFactory = {
     val values: Array[Any] = agg.aggregateExpressions.map {
       case _: CountStar => span: Any
@@ -381,11 +381,14 @@ case class PagesGeneratedTaskMetric(v: Long)
 }
 
 case class PagesIdListPartition(ids: Array[Long], rows: Long,
-                                splitId: Int = -1)
+                                splitId: Int)
   extends InputPartition
 
+// splitId has NO default (r10): `_split_id` provenance must be threaded
+// from every construction site — a missed site is a compile error, not a
+// silent -1 in the metadata column.
 case class PagesPartition(start: Long, end: Long, rows: Long,
-                          splitId: Int = -1)
+                          splitId: Int)
   extends InputPartition
 
 /** Offset = exclusive upper bound of page ids emitted so far. */

@@ -360,29 +360,51 @@ def _is_decimal(expr: str, dec_cols) -> bool:
     return bool(re.fullmatch(r"-?\d+\.\d*", e))
 
 
+def _referenced_ctes(query: str, known) -> set:
+    """Names from ``known`` that ``query`` reads via FROM/JOIN (any
+    nesting depth — the finditer walks subqueries too, a conservative
+    union)."""
+    return {m.group(1).lower()
+            for m in re.finditer(r"\b(?:FROM|JOIN)\s+(\w+)", query,
+                                 re.IGNORECASE)
+            if m.group(1).lower() in known}
+
+
 def _rule5(sql: str):
-    """Decimal-TYPED final output column — the r7 blind spot."""
+    """Decimal-TYPED final output column — the r7 blind spot.
+
+    Decimal marks are tracked PER CTE SCOPE (r10, r9 advisor finding):
+    the old single flat set let any later CTE that rebound a name
+    non-decimally clear the mark globally, so a main query still
+    reading the EARLIER cte's decimal column false-negatived — the
+    unsafe direction for this lint. Each CTE now resolves its column
+    references against only the CTEs it actually reads, and the main
+    SELECT likewise; a name bound decimal in one branch and clean in
+    another stays flagged wherever the decimal branch is read.
+    (The house ``CAST(rev AS DOUBLE) AS rev`` finalize still clears
+    the mark for everything reading the finalizing CTE.)
+    """
     ctes, main = _parse_ctes(sql)
-    dec_cols = set()
-    for _, body in ctes:
+    scopes = {}  # cte name -> decimal-typed output aliases of that cte
+    for name, body in ctes:
+        visible = set()
+        for ref in _referenced_ctes(body, scopes.keys()):
+            visible |= scopes[ref]
+        out = set()
         for raw in _select_list(body):
             e, alias = _alias_of(raw)
             if not alias:
                 continue
-            # shadowing: a later CTE that re-derives the same name
-            # through a non-decimal expression (the house
-            # ``CAST(rev AS DOUBLE) AS rev`` finalize) CLEARS the
-            # decimal mark — without this, every finalized column
-            # upstream of a decimal accumulator false-positives
-            # (q_mom_growth, r8 advisor finding).
-            if _is_decimal(e, dec_cols):
-                dec_cols.add(alias)
-            else:
-                dec_cols.discard(alias)
+            if _is_decimal(e, visible):
+                out.add(alias)
+        scopes[name] = out
+    visible = set()
+    for ref in _referenced_ctes(main, scopes.keys()):
+        visible |= scopes[ref]
     hits = []
     for raw in _select_list(main):
         e, alias = _alias_of(raw)
-        if _is_decimal(e, dec_cols):
+        if _is_decimal(e, visible):
             hits.append(f"final output column '{alias or e[:40]}' is "
                         f"decimal-TYPED: a hashed decimal surface is "
                         f"release-sensitive at ANY width — finalize "
@@ -408,6 +430,14 @@ def lint(oracles: dict) -> int:
 # The two r6 driver-failed constructs, verbatim shape (abridged data
 # flow), proving the linter would have caught them before the r7 fix.
 SELFTEST = {
+    # r10 scoped-shadowing pin (r9 advisor finding): CTE g rebinds
+    # `rev` non-decimally, but the main query reads CTE m — the DECIMAL
+    # binding. The flat-set shadowing let g's rebind clear m's mark
+    # globally (false NEGATIVE); per-CTE scopes must still flag it.
+    "prefix_scope_shadow": """WITH m AS (
+  SELECT y, sum(CAST(price AS DECIMAL(18,2))) AS rev FROM t GROUP BY y),
+g AS (SELECT y, CAST(rev AS DOUBLE) AS rev FROM m)
+SELECT y, rev FROM m ORDER BY y""",
     "prefix_q_holt": """WITH RECURSIVE series AS (
   SELECT user_id, CAST(x AS DECIMAL(18,9)) AS x,
     row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn

@@ -23,17 +23,23 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | grep '\[verify\]' && rc=1
 [ -f "$OUT/oracle_sql.json" ] || { echo "FATAL: no oracle_sql.json"; exit 1; }
 
+# each tool runs ONCE; the displayed lines and the gated line come from
+# the same captured output (r10 — the double-run both doubled the gate's
+# slowest step and let display and gate diverge under nondeterminism)
 echo "== round_close: value compare (DuckDB) =="
-python3 tools/local_compare.py "$SF" "$OUT" | tail -3
-python3 tools/local_compare.py "$SF" "$OUT" | tail -1 | grep -q '^0 failures' || rc=1
+cmp_out=$(python3 tools/local_compare.py "$SF" "$OUT")
+echo "$cmp_out" | tail -3
+echo "$cmp_out" | tail -1 | grep -q '^0 failures' || rc=1
 
 echo "== round_close: oracle type guard =="
-python3 tools/oracle_type_guard.py "$SF" "$OUT" | tail -2
-python3 tools/oracle_type_guard.py "$SF" "$OUT" | tail -1 | grep -q 'VIOLATIONS: 0' || rc=1
+type_out=$(python3 tools/oracle_type_guard.py "$SF" "$OUT")
+echo "$type_out" | tail -2
+echo "$type_out" | tail -1 | grep -q 'VIOLATIONS: 0' || rc=1
 
 echo "== round_close: oracle fragility guard =="
-python3 tools/oracle_fragility_guard.py "$OUT" | tail -2
-python3 tools/oracle_fragility_guard.py "$OUT" | tail -1 | grep -q 'VIOLATIONS: 0' || rc=1
+frag_out=$(python3 tools/oracle_fragility_guard.py "$OUT")
+echo "$frag_out" | tail -2
+echo "$frag_out" | tail -1 | grep -q 'VIOLATIONS: 0' || rc=1
 
 if [ "$rc" -eq 0 ]; then echo "ROUND-CLOSE GATE: PASS"; else
   echo "ROUND-CLOSE GATE: FAIL (do not commit the round close)"; fi
