@@ -16,6 +16,10 @@ run / fork := true
 // the driver as a bare `{...}` line, not `[info] {...}` (which fails
 // its JSON scan; BENCH_r09.json "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
+// ...and the `[success] Total time: ...` epilogue would then be the
+// last stdout line, shadowing the headline for a last-line JSON parse.
+// Suppress it so the bench/verify JSON is genuinely final.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -104,6 +104,20 @@ object DedupOps {
       .select("a", "b").distinct()
   }
 
+  /** Distinct co-shingle pairs (a < b): the candidate edge set when NO
+    * similarity floor applies. [[jaccardPairs]] at minJaccard = 0 keeps
+    * every pair that shares a shingle (inter >= 1 implies jaccard > 0),
+    * yet still computes per-doc sizes and joins them back twice only for
+    * the filter to pass everything — three shuffles for a discarded
+    * column. The components/canonical/survivor dedup queries consume
+    * only the edge list, so they take this direct form (r10 trim). */
+  def overlapPairs(shingled: DataFrame, idCol: String): DataFrame = {
+    val a = shingled.select(col(idCol).as("a"), col("shingle"))
+    val b = shingled.select(col(idCol).as("b"), col("shingle"))
+    a.join(b, "shingle").where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for given (id, shingle) sets:
     * |A∩B| / |A∪B|. With `candidates` (an (a, b) pair list, a < b — e.g.
     * [[lshCandidatePairs]] output) the intersection is computed ONLY for

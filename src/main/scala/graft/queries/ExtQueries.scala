@@ -474,8 +474,7 @@ object ExtQueries {
     * closure. */
   val qDedupComponents = QueryDef("q_dedup_components",
     (s, dir) => {
-      val pairs = DedupOps.jaccardPairs(shingled(s, dir, 120), "doc_id", 0.0)
-        .select("a", "b")
+      val pairs = DedupOps.overlapPairs(shingled(s, dir, 120), "doc_id")
       GraphOps.connectedComponents(s, pairs).orderBy("node")
     },
     Some(
@@ -493,8 +492,7 @@ object ExtQueries {
     * Same recursive-CTE transitive-closure oracle, wider doc range. */
   val qComponentsStar = QueryDef("q_components_star",
     (s, dir) => {
-      val pairs = DedupOps.jaccardPairs(shingled(s, dir, 150), "doc_id", 0.0)
-        .select("a", "b")
+      val pairs = DedupOps.overlapPairs(shingled(s, dir, 150), "doc_id")
       GraphOps.connectedComponentsStar(s, pairs).orderBy("node")
     },
     Some(
@@ -515,8 +513,7 @@ object ExtQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") < 80)
         .select("doc_id")
-      val pairs = DedupOps.jaccardPairs(shingled(s, dir, 80), "doc_id", 0.0)
-        .select("a", "b")
+      val pairs = DedupOps.overlapPairs(shingled(s, dir, 80), "doc_id")
       val comp = GraphOps.connectedComponents(s, pairs)
       docs.join(comp, docs("doc_id") === comp("node"), "left_outer")
         .select(col("doc_id"),

@@ -28,8 +28,8 @@ object R10Queries {
 
   val qDedupSurvivor = QueryDef("q_dedup_survivor",
     (s, dir) => {
-      val pairs = DedupOps.jaccardPairs(
-        ExtQueries.shingled(s, dir, 80), "doc_id", 0.0).select("a", "b")
+      val pairs = DedupOps.overlapPairs(
+        ExtQueries.shingled(s, dir, 80), "doc_id")
       val comp = GraphOps.connectedComponents(s, pairs)
       val toks = t(s, dir, "documents").where(col("doc_id") < 80)
         .select(col("doc_id"),
