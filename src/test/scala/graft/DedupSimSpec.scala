@@ -34,6 +34,18 @@ class DedupSimSpec extends AnyFunSuite {
     assert(!got.contains((0L, 2L)) && !got.contains((1L, 2L)))
   }
 
+  test("overlapPairs == jaccardPairs at a zero floor (edge set identical)") {
+    // the components/canonical/survivor queries swapped jaccardPairs(0.0)
+    // for the 3-shuffle-cheaper overlapPairs — pin the equivalence the
+    // swap relies on: sharing >= 1 shingle implies jaccard > 0
+    val direct = DedupOps.overlapPairs(shingles, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val viaJaccard = DedupOps.jaccardPairs(shingles, "doc_id", 0.0)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(direct == viaJaccard)
+    assert(direct.nonEmpty && direct.forall { case (a, b) => a < b })
+  }
+
   test("single-pass minhashBands == explode-based signatures + lshBands") {
     val fast = DedupOps.minhashBands(
       docs.select($"doc_id", explode(TextOps.wordNgrams($"text", 3)).as("shingle")),
