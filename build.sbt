@@ -20,6 +20,9 @@ run / outputStrategy := Some(StdoutOutput)
 // last stdout line, shadowing the headline for a last-line JSON parse.
 // Suppress it so the bench/verify JSON is genuinely final.
 Global / showSuccess := false
+// showSuccess is read by sbt's command layer, which the unused-key lint
+// can't see — exclude it or every invocation prints a false warning.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE size-coalesce persist()-built relations (default false
+      // pins every cached build at the static 32-partition layout): the
+      // iterative solvers pin model-sized state per round, and reading
+      // a few-KB cache as 32 tasks made scheduling — not data — the
+      // family's cost (q_components_star 1435→67 tasks, q_pagerank
+      // 776→34; JobStats r10). Size-based coalescing is the behavior
+      // that scales: genuinely large caches stay wide.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT + FS cache so the first measured query isn't

@@ -141,67 +141,84 @@ object GraphOps {
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
 
-    def labelSum(ed: DataFrame): java.math.BigDecimal = {
-      val sym = ed.select(col("u"), col("v"))
-        .union(ed.select(col("v").as("u"), col("u").as("v")))
-      sym.groupBy("u").agg(min("v").as("mn"))
-        .select(least(col("u"), col("mn")).as("lbl"))
-        .agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
-    }
-
-    var prevSum = labelSum(e)
-    var converged = prevSum == null // empty graph
+    // Every round NEEDS minN = per-center min over the symmetric view
+    // for the large-star rewiring, and Σ least(u, min Γ(u)) over minN IS
+    // the convergence metric (per-node min label, monotone
+    // non-increasing). The old code computed that sum in a standalone
+    // labelSum pass — one extra union + groupBy + agg over the edge set
+    // per round, plus one at setup; fused here, the round's own groupBy
+    // serves both the rewiring and the convergence check (r10 trim: 2-3
+    // fewer shuffle stages per round, same rounds, same exit state).
+    var prevSum: java.math.BigDecimal = null // none yet — round 0 runs
+    // freed/unpersisted one round LATE: round k's lazy checkpoint (and
+    // the large/small/minN pins inside its plan) materialize during
+    // round k+1's convergence aggregation, so round k's scaffolding must
+    // survive until that job has landed
+    var lastE: DataFrame = null
+    var lastPins: Seq[DataFrame] = Nil
+    var converged = false
     var it = 0
-    while (!converged && it < maxIters) {
-      // large-star: for each center u (over the symmetric view), attach
-      // every strictly-larger neighbor to m = min(Γ(u) ∪ {u})
+    while (!converged) {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
+      // minN is consumed by the convergence aggregation NOW and by the
+      // large-star join in the NEXT materializing job — persist for the
+      // round
       val minN = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      // large is consumed by BOTH minS and the small-star join, and
-      // small by both branches of the union below — persist each for
-      // the round (r10 trim) so the groupBy+join+distinct chain runs
-      // once instead of once per consuming subtree; unpersisted as
-      // soon as the round's checkpoint lands
-      val large = sym.filter(col("v") > col("u"))
-        .join(minN, "u")
-        .select(col("v").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v"))
-        .distinct().persist()
-      // small-star: orient each edge toward its larger endpoint u; attach
-      // u and all its smaller neighbors to their minimum
-      val minS = large.groupBy(col("v").as("c")).agg(min("u").as("m"))
-      val small = large
-        .join(minS, large("v") === minS("c"))
-        .select(col("u"), col("v"), col("m"))
         .persist()
-      val next = small.select(col("u").as("x"), col("m"))
-        .union(small.select(col("v").as("x"), col("m")))
-        .filter(col("x") =!= col("m"))
-        .select(col("m").as("u"), col("x").as("v")) // m < x always
-        .distinct()
-      // truncate lineage EVERY round: `e` is referenced ~6x per round
-      // (sym twice, large three times, small twice), so an unbroken plan
-      // grows ~8x per round and Catalyst planning time — not execution —
-      // dominates by round 3. The materialized edge set is tiny. LAZY
-      // checkpoint: labelSum is the materializing action (one job per
-      // round); free the previous round's blocks once this round lands.
-      val nextP = next.localCheckpoint(eager = false)
-      val sumNow = labelSum(nextP)
-      Seq(large, small).foreach(_.unpersist(blocking = false))
-      GraftSqlBridge.freeLocalCheckpoint(e)
-      converged = sumNow == null || sumNow.compareTo(prevSum) == 0
-      require(sumNow == null || sumNow.compareTo(prevSum) <= 0,
+      val sumNow = minN.agg(sum(col("m").cast("decimal(38,0)")))
+        .first().getDecimal(0)
+      // that aggregation materialized e (and the previous round's
+      // checkpoint chain feeding it) — the previous scaffolding is free
+      if (lastE != null) GraftSqlBridge.freeLocalCheckpoint(lastE)
+      lastPins.foreach(_.unpersist(blocking = false))
+      require(prevSum == null || sumNow == null ||
+        sumNow.compareTo(prevSum) <= 0,
         "label-min sum increased — algorithm invariant violated")
-      e = nextP
-      prevSum = sumNow
-      it += 1
+      if (sumNow == null || (prevSum != null && sumNow.compareTo(prevSum) == 0)) {
+        // null = empty graph; equal sum = fixpoint reached by LAST round
+        converged = true
+        minN.unpersist(blocking = false)
+        lastPins = Nil
+      } else {
+        require(it < maxIters,
+          s"connectedComponentsStar did not converge in $maxIters rounds")
+        // large-star: for each center u (over the symmetric view),
+        // attach every strictly-larger neighbor to m = min(Γ(u) ∪ {u});
+        // large is consumed by BOTH minS and the small-star join — pin
+        // it for the round
+        val large = sym.filter(col("v") > col("u"))
+          .join(minN, "u")
+          .select(col("v").as("a"), col("m").as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v"))
+          .distinct().persist()
+        // small-star: orient each edge toward its larger endpoint u;
+        // attach u and all its smaller neighbors to their minimum
+        val minS = large.groupBy(col("v").as("c")).agg(min("u").as("m"))
+        val small = large
+          .join(minS, large("v") === minS("c"))
+          .select(col("u"), col("v"), col("m"))
+          .persist()
+        val next = small.select(col("u").as("x"), col("m"))
+          .union(small.select(col("v").as("x"), col("m")))
+          .filter(col("x") =!= col("m"))
+          .select(col("m").as("u"), col("x").as("v")) // m < x always
+          .distinct()
+        // truncate lineage EVERY round: `e` is referenced ~6x per round,
+        // so an unbroken plan grows ~8x per round and Catalyst planning
+        // time — not execution — dominates by round 3. LAZY checkpoint:
+        // the NEXT round's convergence aggregation is the materializing
+        // action (one materializing job per round).
+        lastE = e
+        lastPins = Seq(minN, large, small)
+        e = next.localCheckpoint(eager = false)
+        prevSum = sumNow
+        it += 1
+      }
     }
-    require(converged,
-      s"connectedComponentsStar did not converge in $maxIters rounds")
     // at the fixpoint every non-minimum node has a direct edge to its
     // component minimum; isolated nodes label themselves
     val labels = e.select(col("v").as("node"), col("u").as("component"))

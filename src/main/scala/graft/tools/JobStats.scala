@@ -1,0 +1,69 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Runtime-overhead dump: `runMain graft.tools.JobStats <sfDir> <query>...`
+  * executes each named SparkEntry query to completion and prints the
+  * number of Spark jobs, stages, and tasks it scheduled. Static plan
+  * counts ([[PlanStats]]) can't see a driver-side loop — an iterative
+  * solver is J jobs × S stages × T tasks of pure scheduling overhead on
+  * model-sized state, and THAT (not data volume) dominates the
+  * fixed-cost iterative queries' wall-clock. Counts are deterministic
+  * for a fixed (query, sf, cpus), so they A/B cleanly on a noisy box
+  * where wall-clock won't.
+  */
+object JobStats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else graft.SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // flip to compare scheduling overhead with size-first AQE coalescing
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "true"))
+      // default matches the Bench session (AQE size-coalescing of
+      // cached builds); flip via env to quantify what the setting saves
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_CACHE_AQE", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new AtomicLong; val stages = new AtomicLong
+    val tasks = new AtomicLong
+    val verbose = sys.env.contains("GRAFT_JOBSTATS_VERBOSE")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        if (verbose) println(s"  STAGE ${s.stageInfo.stageId} " +
+          s"tasks=${s.stageInfo.numTasks} ${s.stageInfo.name.take(80)}")
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    })
+    names.foreach { n =>
+      try {
+        jobs.set(0); stages.set(0); tasks.set(0)
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, sfDir).count()
+        // listener events are delivered asynchronously — drain the bus
+        // so the printed counts belong to THIS query
+        org.apache.spark.sql.GraftSqlBridge.waitForListenerBus(spark)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"JOBSTATS $n jobs=${jobs.get} stages=${stages.get} " +
+          f"tasks=${tasks.get} wall=$dt%.2f")
+        spark.catalog.clearCache()
+      } catch { case t: Throwable => println(s"JOBSTATS $n FAIL: $t") }
+    }
+    spark.stop()
+  }
+}
