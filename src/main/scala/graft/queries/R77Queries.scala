@@ -153,7 +153,10 @@ object R77Queries {
       val freq = toks.groupBy("tok").agg(count(lit(1)).cast("long").as("f"))
       // per-doc rarest-first token array: sort by (global freq, token) —
       // a broadcast-joined array sort, not a global rank window
-      val docs = toks.join(freq, "tok")
+      // pinned: the sorted-token relation feeds the prefix explode AND
+      // both verify sides — unpersisted, the tokenize+join+collect chain
+      // ran once per consumer (slice-sized; Bench clearCache reclaims)
+      val docs = Queries.pin(toks.join(freq, "tok")
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("f"), col("tok")))).as("sorted"),
           count(lit(1)).cast("long").as("n"))
@@ -162,9 +165,17 @@ object R77Queries {
         .withColumn("plen", expr(
           s"n - CAST((($tauNum * n + $tauDen - 1) - (($tauNum * n + $tauDen - 1) % $tauDen)) / $tauDen AS BIGINT) + 1"))
         .select(col("doc_id"), col("arr"), col("n"),
-          expr("slice(arr, 1, CAST(plen AS INT))").as("prefix"))
+          expr("slice(arr, 1, CAST(plen AS INT))").as("prefix")))
+      // the exploded prefix relation is a few KB at this slice, so AQE
+      // size-coalescing runs the self-join AND the verify below in ONE
+      // task — serializing the only CPU-heavy stages of the query
+      // (~2 s of array work measured single-task; JobStats r10). Pin
+      // the width to the session's core count: bytes-tiny but
+      // compute-dense is the one shape size-based coalescing misjudges.
+      val width = s.sparkContext.defaultParallelism
       val pre = docs.select(col("doc_id"), col("n"),
         explode(col("prefix")).as("tok"))
+        .repartition(width, col("tok"))
       // PPJoin length filter rides the candidate join: Jaccard ≥ τ needs
       // τ·max(|A|,|B|) ≤ min(|A|,|B|) — lossless, prunes before verify
       val cands = pre.as("x").join(pre.as("y"),
@@ -172,7 +183,7 @@ object R77Queries {
             least(col("x.n"), col("y.n")) * tauDen >=
               greatest(col("x.n"), col("y.n")) * tauNum)
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
+        .repartition(width, col("a"), col("b")).distinct()
       val da = docs.select(col("doc_id").as("a"), col("arr").as("arr_a"),
         col("n").as("na"))
       val db = docs.select(col("doc_id").as("b"), col("arr").as("arr_b"),

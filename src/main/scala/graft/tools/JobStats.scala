@@ -44,8 +44,14 @@ object JobStats {
         jobs.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
-        if (verbose) println(s"  STAGE ${s.stageInfo.stageId} " +
-          s"tasks=${s.stageInfo.numTasks} ${s.stageInfo.name.take(80)}")
+        if (verbose) {
+          val ms = (for (a <- s.stageInfo.submissionTime;
+                         b <- s.stageInfo.completionTime) yield b - a)
+            .getOrElse(-1L)
+          println(s"  STAGE ${s.stageInfo.stageId} " +
+            s"tasks=${s.stageInfo.numTasks} ms=$ms " +
+            s"${s.stageInfo.name.take(70)}")
+        }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         tasks.incrementAndGet()
