@@ -151,7 +151,11 @@ object R92Queries {
     val probes = e.where(col("vec_id") < 120)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"),
         col("label").as("plabel"), col("n2").as("pp"))
-    val scored = e.join(broadcast(probes), col("vec_id") =!= col("pid"))
+    // corpus side is one parquet row-group at this slice — unwidened,
+    // the whole corpus×probes cosine fold runs in a single task (~1.9 s
+    // measured); at real scale the scan is already many-partitioned
+    val scored = e.repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(probes), col("vec_id") =!= col("pid"))
       .withColumn("dot", expr("aggregate(zip_with(pe, embedding," +
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))," +
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))

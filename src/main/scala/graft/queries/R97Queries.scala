@@ -97,7 +97,11 @@ object R97Queries {
       val probes = e.where(col("vec_id") < 100)
         .select(col("vec_id").as("pid"), col("label").as("plabel"),
           col("q").as("pq"))
-      val scored = e.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      // corpus side is one parquet row-group at this slice — unwidened,
+      // the corpus×probes distance fold runs in a single task (~1.9 s
+      // measured); at real scale the scan is already many-partitioned
+      val scored = e.repartition(s.sparkContext.defaultParallelism)
+        .join(broadcast(probes), col("vec_id") =!= col("pid"))
         .withColumn("d2", expr("aggregate(zip_with(pq, q," +
           " (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
       val grouped = scored.groupBy("pid", "plabel", "label")
