@@ -187,14 +187,19 @@ object GraphOps {
         // large-star: for each center u (over the symmetric view),
         // attach every strictly-larger neighbor to m = min(Γ(u) ∪ {u});
         // large is consumed by BOTH minS and the small-star join — pin
-        // it for the round
+        // it for the round. NOT deduplicated: the join against the
+        // unique-per-u minN emits one row per symmetric edge (duplicate
+        // (v, m) pairs only where two centers agree), minS's min is
+        // duplicate-insensitive, and `next` dedups at the end of the
+        // round — a distinct here was one whole extra shuffle per round
+        // for edge-set hygiene nothing downstream needed (r10 trim)
         val large = sym.filter(col("v") > col("u"))
           .join(minN, "u")
           .select(col("v").as("a"), col("m").as("b"))
           .filter(col("a") =!= col("b"))
           .select(least(col("a"), col("b")).as("u"),
             greatest(col("a"), col("b")).as("v"))
-          .distinct().persist()
+          .persist()
         // small-star: orient each edge toward its larger endpoint u;
         // attach u and all its smaller neighbors to their minimum
         val minS = large.groupBy(col("v").as("c")).agg(min("u").as("m"))
