@@ -626,7 +626,15 @@ object GraphOps {
     val li = op.join(ords, "ok").select(col("pk"), col("ck")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pk").orderBy("ck")
-    val capped = li.withColumn("rn", row_number().over(w))
+    // the window + capped self-join are the CPU-dense stages, and at
+    // bench scale AQE size-coalesces their input to a handful of
+    // partitions (bytes-small, compute-heavy — the shape size-based
+    // coalescing misjudges). Pin the width to the session's core count;
+    // the explicit hash-by-pk repartition doubles as the window's
+    // required distribution, so it adds no extra exchange.
+    val width = lineitem.sparkSession.sparkContext.defaultParallelism
+    val capped = li.repartition(width, col("pk"))
+      .withColumn("rn", row_number().over(w))
       .where(col("rn") <= cap)
     capped.as("x").join(capped.as("y"),
         col("x.pk") === col("y.pk") && col("x.ck") < col("y.ck"))

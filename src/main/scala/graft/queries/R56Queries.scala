@@ -45,8 +45,14 @@ object R56Queries {
         .select(col("o_custkey").as("cust"), col("p_brand").as("br"))
         .distinct()
       val norms = cb.groupBy("br").agg(count(lit(1)).cast("long").as("nc"))
-      val a = cb.select(col("cust"), col("br").as("ba"))
-      val b = cb.select(col("cust"), col("br").as("bb"))
+      // the per-customer brand-pair fan-out is the CPU-dense stage, and
+      // AQE size-coalesces the bytes-small distinct feeding it to a few
+      // partitions. Hash both sides by cust at the session's core count:
+      // the self-join is then exchange-free AND wide, and the pair
+      // groupBy's map-side partials run in the same width.
+      val cbW = cb.repartition(s.sparkContext.defaultParallelism, col("cust"))
+      val a = cbW.select(col("cust"), col("br").as("ba"))
+      val b = cbW.select(col("cust"), col("br").as("bb"))
       a.join(b, "cust").where(col("ba") < col("bb"))
         .groupBy("ba", "bb").agg(count(lit(1)).cast("long").as("nboth"))
         .where(col("nboth") >= CfMinPairs)
