@@ -88,12 +88,7 @@ object MultimodalOps {
     * round trip. */
   def imagesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    // ids are bytes-tiny but the downstream codec work (PNG encode here,
-    // ImageIO decode in every consumer) is CPU-dense — spread it across
-    // the session's cores instead of riding the scan's few file splits
-    docs.select(col("doc_id")).as[Long]
-      .repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions { ids =>
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         MediaRow(id, "image",
           synthPng(id, (id % 5).toInt + 1, (id % 4).toInt + 1))
@@ -106,10 +101,7 @@ object MultimodalOps {
   def stripsFromDocuments(spark: SparkSession, docs: DataFrame,
                           w: Int = 4, frameH: Int = 3): Dataset[MediaRow] = {
     import spark.implicits._
-    // same width rationale as [[imagesFromDocuments]]
-    docs.select(col("doc_id")).as[Long]
-      .repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions { ids =>
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val nFrames = (id % 3).toInt + 2
         MediaRow(id, "video", synthPng(id, w, frameH * nFrames))
