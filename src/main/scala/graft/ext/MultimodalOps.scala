@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  // ImageIO defaults to DISK-backed stream caches (a temp file per
+  // encode/decode) guarded by a synchronized plugin registry — measured
+  // here as cross-task contention (widening the codec stages to 32
+  // concurrent tasks tripled the decode query; see PERF.md r10). All
+  // payloads are in-memory byte arrays, so file caching buys nothing:
+  // turn it off once per JVM (executor-side too — this initializer runs
+  // on first use of the object in each executor).
+  ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + typed metadata, the storage shape for
     * binary modalities in a parquet lake. */
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
