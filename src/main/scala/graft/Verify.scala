@@ -37,6 +37,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // mirror Bench: queries that pin intermediates (Queries.pin) rely on
+      // the harness to release them — without this, ~450 queries' persisted
+      // builds accumulate in one session for the whole verify run
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

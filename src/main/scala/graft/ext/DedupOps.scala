@@ -110,10 +110,36 @@ object DedupOps {
     * yet still computes per-doc sizes and joins them back twice only for
     * the filter to pass everything — three shuffles for a discarded
     * column. The components/canonical/survivor dedup queries consume
-    * only the edge list, so they take this direct form (r10 trim). */
-  def overlapPairs(shingled: DataFrame, idCol: String): DataFrame = {
-    val a = shingled.select(col(idCol).as("a"), col("shingle"))
-    val b = shingled.select(col(idCol).as("b"), col("shingle"))
+    * only the edge list, so they take this direct form (r10 trim).
+    *
+    * Hot-shingle guard (`maxShingleDf`): the raw self-join emits
+    * df·(df−1)/2 pairs per shingle, so ONE pathological shingle (a
+    * boilerplate line, the empty-string token) in d documents inflates the
+    * candidate set quadratically in d. Passing a document-frequency cap
+    * drops shingles with df > cap before the join — the standard
+    * prefix-filtering move: a shingle that common carries no dedup signal
+    * (compare [[lshCandidatePairs]], whose candidate volume is bounded by
+    * band width by construction). At the default (no cap) the plan is the
+    * bare two-shuffle self-join — the fixture-scale EDGE-SET semantics the
+    * oracle queries pin; at 100 TB always pass an explicit cap, or use the
+    * LSH-banded candidate generator, which is the documented scale route.
+    */
+  def overlapPairs(shingled: DataFrame, idCol: String,
+                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val src =
+      if (maxShingleDf == Int.MaxValue) shingled
+      else {
+        // anti-join against the (by definition small) hot-shingle list;
+        // the df aggregation is map-side-combining on the same shingle
+        // key the join needs, and AQE broadcasts the tiny hot side
+        val hot = shingled.groupBy(col("shingle"))
+          .agg(countDistinct(col(idCol)).as("df"))
+          .where(col("df") > maxShingleDf)
+          .select("shingle")
+        shingled.join(hot, Seq("shingle"), "left_anti")
+      }
+    val a = src.select(col(idCol).as("a"), col("shingle"))
+    val b = src.select(col(idCol).as("b"), col("shingle"))
     a.join(b, "shingle").where(col("a") < col("b"))
       .select("a", "b").distinct()
   }

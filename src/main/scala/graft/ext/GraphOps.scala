@@ -142,14 +142,17 @@ object GraphOps {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
 
     // Every round NEEDS minN = per-center min over the symmetric view
-    // for the large-star rewiring, and Σ least(u, min Γ(u)) over minN IS
-    // the convergence metric (per-node min label, monotone
-    // non-increasing). The old code computed that sum in a standalone
-    // labelSum pass — one extra union + groupBy + agg over the edge set
-    // per round, plus one at setup; fused here, the round's own groupBy
-    // serves both the rewiring and the convergence check (r10 trim: 2-3
-    // fewer shuffle stages per round, same rounds, same exit state).
+    // for the large-star rewiring, and (|minN|, Σ least(u, min Γ(u)))
+    // over minN IS the convergence metric (per-node min label — monotone
+    // non-increasing while the node set holds; the count detects node-set
+    // shrinkage, see the soundness note at the aggregation). The old code
+    // computed that sum in a standalone labelSum pass — one extra union +
+    // groupBy + agg over the edge set per round, plus one at setup; fused
+    // here, the round's own groupBy serves both the rewiring and the
+    // convergence check (r10 trim: 2-3 fewer shuffle stages per round,
+    // same rounds, same exit state).
     var prevSum: java.math.BigDecimal = null // none yet — round 0 runs
+    var prevCnt: Long = -1L
     // freed/unpersisted one round LATE: round k's lazy checkpoint (and
     // the large/small/minN pins inside its plan) materialize during
     // round k+1's convergence aggregation, so round k's scaffolding must
@@ -167,17 +170,30 @@ object GraphOps {
       val minN = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
         .persist()
-      val sumNow = minN.agg(sum(col("m").cast("decimal(38,0)")))
-        .first().getDecimal(0)
+      // convergence metric = (node count, label-min sum) over minN. The
+      // node set of `e` is NON-INCREASING across rounds (round k+1's edges
+      // derive from round k's by joins — no new ids appear; fully-resolved
+      // interior nodes drop out), so count-equal implies node-set-equal.
+      // Both checks below are gated on that: with a STABLE node set the
+      // per-node min label is monotone non-increasing, hence the sum is
+      // too, and sum-equal implies per-node-equal (fixpoint). A bare sum
+      // comparison would be unsound for ids of mixed sign (xxhash64-hashed
+      // ids are negative half the time — the documented usage): dropping a
+      // negative-label node INCREASES the sum without any violation.
+      val aggRow = minN.agg(sum(col("m").cast("decimal(38,0)")), count(lit(1)))
+        .first()
+      val sumNow = aggRow.getDecimal(0)
+      val cntNow = aggRow.getLong(1)
       // that aggregation materialized e (and the previous round's
       // checkpoint chain feeding it) — the previous scaffolding is free
       if (lastE != null) GraftSqlBridge.freeLocalCheckpoint(lastE)
       lastPins.foreach(_.unpersist(blocking = false))
-      require(prevSum == null || sumNow == null ||
+      require(prevSum == null || sumNow == null || cntNow != prevCnt ||
         sumNow.compareTo(prevSum) <= 0,
-        "label-min sum increased — algorithm invariant violated")
-      if (sumNow == null || (prevSum != null && sumNow.compareTo(prevSum) == 0)) {
-        // null = empty graph; equal sum = fixpoint reached by LAST round
+        "label-min sum increased over a stable node set — algorithm invariant violated")
+      if (sumNow == null || (prevSum != null && cntNow == prevCnt &&
+          sumNow.compareTo(prevSum) == 0)) {
+        // null = empty graph; equal (count, sum) = fixpoint reached by LAST round
         converged = true
         minN.unpersist(blocking = false)
         lastPins = Nil
@@ -221,6 +237,7 @@ object GraphOps {
         lastPins = Seq(minN, large, small)
         e = next.localCheckpoint(eager = false)
         prevSum = sumNow
+        prevCnt = cntNow
         it += 1
       }
     }

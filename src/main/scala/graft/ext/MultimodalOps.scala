@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -36,15 +37,6 @@ import org.apache.spark.sql.functions._
   * evaluating the same formula — a fake decoder cannot pass.
   */
 object MultimodalOps {
-
-  // ImageIO defaults to DISK-backed stream caches (a temp file per
-  // encode/decode) guarded by a synchronized plugin registry — measured
-  // here as cross-task contention (widening the codec stages to 32
-  // concurrent tasks tripled the decode query; see PERF.md r10). All
-  // payloads are in-memory byte arrays, so file caching buys nothing:
-  // turn it off once per JVM (executor-side too — this initializer runs
-  // on first use of the object in each executor).
-  ImageIO.setUseCache(false)
 
   /** A media row: opaque payload + typed metadata, the storage shape for
     * binary modalities in a parquet lake. */
@@ -87,7 +79,18 @@ object MultimodalOps {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    // ImageIO defaults to DISK-backed stream caches (a temp file per
+    // encode/decode) guarded by a synchronized plugin registry — measured
+    // here as cross-task contention (widening the codec stages to 32
+    // concurrent tasks tripled the decode query; see PERF.md r10). All
+    // payloads are in-memory byte arrays, so file caching buys nothing.
+    // Scoped PER CALL (an explicit memory-cache stream) rather than via the
+    // process-global ImageIO.setUseCache(false): the global toggle would
+    // silently change behavior for every other ImageIO user sharing the
+    // driver/executor JVM when this library is embedded.
+    val ios = new MemoryCacheImageOutputStream(out)
+    ImageIO.write(img, "png", ios)
+    ios.close() // flushes the memory cache into `out`
     out.toByteArray
   }
 
@@ -119,7 +122,10 @@ object MultimodalOps {
   }
 
   private def readImage(payload: Array[Byte]): BufferedImage = {
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    // memory-cache stream scoped per call (see synthPng); ImageIO.read
+    // closes the ImageInputStream it is handed
+    val img = ImageIO.read(
+      new MemoryCacheImageInputStream(new ByteArrayInputStream(payload)))
     require(img != null, "payload is not a decodable image")
     img
   }

@@ -56,6 +56,18 @@ object JobStats {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         tasks.incrementAndGet()
     })
+    // warm up BEFORE the first reset (as Bench does): one-time lazy setup
+    // (parquet footer reads, schema inference from Tables.load, codegen
+    // class-load) schedules real jobs, and without this they are attributed
+    // to whichever query runs first, skewing its counts relative to later
+    // queries. A throwaway run of the first measured query warms exactly
+    // the tables that query will touch on THIS sfDir.
+    names.headOption.foreach { n =>
+      try graft.SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () } // a failing query still fails measured below
+      spark.catalog.clearCache()
+      org.apache.spark.sql.GraftSqlBridge.waitForListenerBus(spark)
+    }
     names.foreach { n =>
       try {
         jobs.set(0); stages.set(0); tasks.set(0)

@@ -46,6 +46,30 @@ class DedupSimSpec extends AnyFunSuite {
     assert(direct.nonEmpty && direct.forall { case (a, b) => a < b })
   }
 
+  test("overlapPairs hot-shingle cap bounds the candidate set") {
+    // a boilerplate shingle present in EVERY doc makes the raw self-join
+    // quadratic: 20 docs sharing one hot shingle alone emit 190 pairs.
+    // With the df cap, the hot shingle is dropped before the join and only
+    // the genuine co-occurrence edges (disjoint dup pairs) survive.
+    val n = 20
+    val hotCorpus = (0L until n).flatMap { id =>
+      // every doc carries the boilerplate; docs 2k/2k+1 share a real shingle
+      Seq((id, "BOILERPLATE"), (id, s"pair_${id / 2}"))
+    }.toDF("doc_id", "shingle")
+    val uncapped = DedupOps.overlapPairs(hotCorpus, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == n * (n - 1) / 2) // quadratic blowup, as documented
+    val capped = DedupOps.overlapPairs(hotCorpus, "doc_id", maxShingleDf = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == (0L until n by 2).map(k => (k, k + 1)).toSet)
+    // below the cap the guard is a no-op: same edge set as the bare join
+    val under = DedupOps.overlapPairs(shingles, "doc_id",
+      maxShingleDf = 1000).as[(Long, Long)].collect().toSet
+    val bare = DedupOps.overlapPairs(shingles, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(under == bare)
+  }
+
   test("single-pass minhashBands == explode-based signatures + lshBands") {
     val fast = DedupOps.minhashBands(
       docs.select($"doc_id", explode(TextOps.wordNgrams($"text", 3)).as("shingle")),

@@ -108,6 +108,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(viaStar == viaProp)
   }
 
+  test("star algorithm handles mixed-sign ids (xxhash64-hashed usage)") {
+    // the scaladoc tells callers to xxhash64 non-numeric ids, which are
+    // negative half the time. The convergence metric must not false-fire
+    // when a resolved interior node with a negative label drops out of the
+    // edge set between rounds (a bare label-min-sum comparison would see
+    // the sum INCREASE); deep chains + negative minima exercise exactly
+    // that. Reference = min-label propagation on the same edges.
+    def h(i: Int): Long = if (i % 2 == 0) -37L * i - 5 else 41L * i
+    val rng = new scala.util.Random(13)
+    val chain = (1 until 24).map(i => (h(i), h(i + 1)))
+    val rand = (1 to 60).map(_ => (h(rng.nextInt(40)), h(rng.nextInt(40))))
+    val edges = (chain ++ rand).filter { case (a, b) => a != b }.toDF("a", "b")
+    val viaStar = GraphOps.connectedComponentsStar(spark, edges, maxIters = 40)
+      .as[(Long, Long)].collect().toMap
+    val viaProp = GraphOps.connectedComponents(spark, edges, maxIters = 60)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp)
+    assert(viaStar.keys.exists(_ < 0) && viaStar.values.exists(_ < 0))
+  }
+
   test("star algorithm rejects non-numeric ids") {
     val edges = Seq(("x", "y")).toDF("a", "b")
     intercept[IllegalArgumentException] {
