@@ -225,6 +225,52 @@ object R107Queries {
         |FROM events WHERE event_id % 2 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  val partitionTable = "graft_tab.tmp.events_part"
+
+  /** Atomic partition-management tier (r11, VERDICT r10 task 6 — one of
+    * the two DSv2 corners still unexercised on the catalog):
+    * `SupportsAtomicPartitionManagement` on [[graft.catalog.GraftRowTable]].
+    * The table is created identity-partitioned on event_type; one
+    * multi-spec `ALTER TABLE ... ADD PARTITION` drives the connector's
+    * atomic `createPartitions`; `ALTER TABLE ... DROP PARTITION` is a
+    * catalog METADATA op that also drops the partition's rows (Hive
+    * semantics — at 100 TB both are manifest updates, never a data
+    * scan); `SHOW PARTITIONS` reads the registry back. The oracle
+    * recomputes the final state in closed form: the complement
+    * aggregate over the base table plus the surviving-partition count.
+    * Atomicity (one duplicate/missing spec → no change at all) and the
+    * DROP-vs-DELETE marker distinction are pinned in Dsv2RowOpsSpec. */
+  val qDsv2Partitions = QueryDef("q_dsv2_partitions",
+    (s, dir) => {
+      s.conf.set(catalogConf, catalogImpl)
+      s.sql(s"DROP TABLE IF EXISTS $partitionTable")
+      s.sql(s"CREATE TABLE $partitionTable " +
+        "(event_id BIGINT, event_type STRING, user_id BIGINT) " +
+        "PARTITIONED BY (event_type)")
+      s.sql(s"ALTER TABLE $partitionTable ADD " +
+        "PARTITION (event_type = 'click') PARTITION (event_type = 'error') " +
+        "PARTITION (event_type = 'purchase') PARTITION (event_type = 'signup') " +
+        "PARTITION (event_type = 'view')")
+      Tables.events(s, dir).select("event_id", "event_type", "user_id")
+        .writeTo(partitionTable).append()
+      s.sql(s"ALTER TABLE $partitionTable DROP PARTITION (event_type = 'error')")
+      val nParts = s.sql(s"SHOW PARTITIONS $partitionTable").count()
+      s.table(partitionTable)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("user_id").cast("long").as("sum_user"),
+          min("event_id").cast("long").as("min_event"))
+        .withColumn("n_partitions", lit(nParts).cast("long"))
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  CAST(min(event_id) AS BIGINT) AS min_event,
+        |  CAST(4 AS BIGINT) AS n_partitions
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qDsv2Delete, qDsv2Update, qDsv2Merge,
-    qDsv2Metadata, qDsv2Overwrite)
+    qDsv2Metadata, qDsv2Overwrite, qDsv2Partitions)
 }

@@ -250,4 +250,73 @@ class Dsv2RowOpsSpec extends AnyFunSuite {
       s"selected metadata must be in the read schema, html still pruned:\n" +
         withMeta)
   }
+
+  // ---- atomic partition management (r11) ----
+
+  private val ptbl = "graft_tab.spec.p"
+  private def freshPartitioned(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $ptbl")
+    spark.sql(s"CREATE TABLE $ptbl (k BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp)")
+    spark.range(0, 40)
+      .select(col("id").as("k"),
+        concat(lit("g"), (col("id") % 4).cast("string")).as("grp"),
+        (col("id") * 10).as("v"))
+      .writeTo(ptbl).append()
+    spark.sql(s"ALTER TABLE $ptbl ADD PARTITION (grp = 'g0') " +
+      "PARTITION (grp = 'g1') PARTITION (grp = 'g2') PARTITION (grp = 'g3')")
+  }
+  private def partsOf(t: String): Seq[String] =
+    spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).toSeq
+
+  test("SHOW PARTITIONS lists exactly the registered partitions, sorted") {
+    withCatalog {
+      freshPartitioned()
+      assert(partsOf(ptbl) == Seq("grp=g0", "grp=g1", "grp=g2", "grp=g3"))
+    }
+  }
+
+  test("DROP PARTITION is a metadata op that takes the partition's rows") {
+    withCatalog {
+      freshPartitioned()
+      spark.sql(s"ALTER TABLE $ptbl DROP PARTITION (grp = 'g1')")
+      assert(partsOf(ptbl) == Seq("grp=g0", "grp=g2", "grp=g3"))
+      val left = spark.table(ptbl).select("grp").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(left == Set("g0", "g2", "g3"),
+        "the dropped partition's rows must go with it (Hive semantics)")
+      // partition drop is NOT the DELETE tier: no pushed-delete marker
+      assert(RowTableStore.lastDeleteFilters("spec.p").isEmpty,
+        "DROP PARTITION must not masquerade as a metadata DELETE")
+    }
+  }
+
+  test("multi-partition ADD/DROP is atomic: one bad spec, no change") {
+    withCatalog {
+      freshPartitioned()
+      // one duplicate (g0) in a multi-ADD: nothing may be registered
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $ptbl ADD PARTITION (grp = 'gX') " +
+          "PARTITION (grp = 'g0')")
+      }
+      assert(partsOf(ptbl) == Seq("grp=g0", "grp=g1", "grp=g2", "grp=g3"),
+        "failed multi-ADD must register nothing (no gX)")
+      // one missing (gY) in a multi-DROP: nothing may be dropped
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $ptbl DROP PARTITION (grp = 'g2'), " +
+          "PARTITION (grp = 'gY')")
+      }
+      assert(partsOf(ptbl) == Seq("grp=g0", "grp=g1", "grp=g2", "grp=g3"),
+        "failed multi-DROP must drop nothing (g2 intact)")
+      assert(spark.table(ptbl).count() == 40,
+        "failed multi-DROP must not touch any rows")
+    }
+  }
+
+  test("partial partition spec filters the listing") {
+    withCatalog {
+      freshPartitioned()
+      assert(partsOf(s"$ptbl PARTITION (grp = 'g2')") == Seq("grp=g2"))
+    }
+  }
 }
