@@ -209,6 +209,25 @@ object RowTableStore {
     }
     ok
   }
+  /** Atomic multi-partition TRUNCATE: all idents must be registered
+    * (else false, no change); matching ROWS are removed but the registry
+    * entries stay — TRUNCATE empties a partition, DROP removes it. */
+  def truncatePartitions(key: String, idents: Seq[Seq[Any]],
+                         partCols: Seq[String], schema: StructType): Boolean = {
+    val registered = Option(partitions.get(key))
+      .getOrElse(Map.empty[Seq[Any], Map[String, String]])
+    if (!idents.forall(registered.contains)) false
+    else {
+      val colIdx = partCols.map(schema.fieldIndex)
+      val truncSet = idents.map(_.toVector).toSet
+      tables.compute(key, (_, prior) => {
+        require(prior != null, s"table $key dropped mid-partition-truncate")
+        (prior._1,
+          prior._2.filterNot(r => truncSet.contains(colIdx.map(r(_)).toVector)))
+      })
+      true
+    }
+  }
   def replacePartitionProps(key: String, values: Seq[Any],
                             props: Map[String, String]): Boolean = {
     var ok = false
@@ -425,6 +444,13 @@ class GraftRowTable(key: String, tableSchema: StructType,
   }
   override def dropPartitions(idents: Array[InternalRow]): Boolean =
     RowTableStore.dropPartitions(key, idents.toSeq.map(externalIdent),
+      partCols, tableSchema)
+  /** TRUNCATE TABLE ... PARTITION (...): empty the partition's rows,
+    * keep it registered — the complement of DROP PARTITION. */
+  override def truncatePartition(ident: InternalRow): Boolean =
+    truncatePartitions(Array(ident))
+  override def truncatePartitions(idents: Array[InternalRow]): Boolean =
+    RowTableStore.truncatePartitions(key, idents.toSeq.map(externalIdent),
       partCols, tableSchema)
   override def replacePartitionMetadata(
       ident: InternalRow, props: util.Map[String, String]): Unit = {

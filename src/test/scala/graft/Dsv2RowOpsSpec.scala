@@ -313,6 +313,20 @@ class Dsv2RowOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TRUNCATE PARTITION empties the partition but keeps it registered") {
+    withCatalog {
+      freshPartitioned()
+      spark.sql(s"TRUNCATE TABLE $ptbl PARTITION (grp = 'g0')")
+      assert(partsOf(ptbl) == Seq("grp=g0", "grp=g1", "grp=g2", "grp=g3"),
+        "TRUNCATE must not unregister (that is DROP's job)")
+      val grps = spark.table(ptbl).select("grp").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(grps == Set("g1", "g2", "g3") &&
+        spark.table(ptbl).count() == 30,
+        "exactly the truncated partition's rows must be gone")
+    }
+  }
+
   test("partial partition spec filters the listing") {
     withCatalog {
       freshPartitioned()
