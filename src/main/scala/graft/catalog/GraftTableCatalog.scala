@@ -228,6 +228,36 @@ object RowTableStore {
       true
     }
   }
+  /** RENAME PARTITION: move the registry entry (props carried) and
+    * rewrite the partition columns of the partition's rows to the new
+    * values — the relational twin of Hive's directory move. Returns
+    * "ok" | "no_such" | "exists"; the table maps these to the typed
+    * exceptions the SQL layer expects. */
+  def renamePartition(key: String, from: Seq[Any], to: Seq[Any],
+                      partCols: Seq[String], schema: StructType): String = {
+    var status = "ok"
+    partitions.compute(key, (_, prior) => {
+      val cur = Option(prior).getOrElse(Map.empty[Seq[Any], Map[String, String]])
+      if (!cur.contains(from)) { status = "no_such"; cur }
+      else if (cur.contains(to)) { status = "exists"; cur }
+      else (cur - from) + (to -> cur(from))
+    })
+    if (status == "ok") {
+      val colIdx = partCols.map(schema.fieldIndex)
+      val fromV = from.toVector
+      tables.compute(key, (_, prior) => {
+        require(prior != null, s"table $key dropped mid-partition-rename")
+        (prior._1, prior._2.map { r =>
+          if (colIdx.map(r(_)).toVector == fromV)
+            colIdx.zipWithIndex.foldLeft(r.toVector) {
+              case (b, (ci, i)) => b.updated(ci, to(i))
+            }
+          else r
+        })
+      })
+    }
+    status
+  }
   def replacePartitionProps(key: String, values: Seq[Any],
                             props: Map[String, String]): Boolean = {
     var ok = false
@@ -445,6 +475,19 @@ class GraftRowTable(key: String, tableSchema: StructType,
   override def dropPartitions(idents: Array[InternalRow]): Boolean =
     RowTableStore.dropPartitions(key, idents.toSeq.map(externalIdent),
       partCols, tableSchema)
+  /** ALTER TABLE ... PARTITION (...) RENAME TO PARTITION (...): the
+    * registry entry moves (props carried) and the partition's rows are
+    * rewritten to the new partition values — Hive's directory move as a
+    * relational update. */
+  override def renamePartition(from: InternalRow, to: InternalRow): Boolean =
+    RowTableStore.renamePartition(key, externalIdent(from),
+      externalIdent(to), partCols, tableSchema) match {
+      case "no_such" =>
+        throw new NoSuchPartitionException(name(), from, partitionSchema())
+      case "exists" =>
+        throw new PartitionsAlreadyExistException(name(), to, partitionSchema())
+      case _ => true
+    }
   /** TRUNCATE TABLE ... PARTITION (...): empty the partition's rows,
     * keep it registered — the complement of DROP PARTITION. */
   override def truncatePartition(ident: InternalRow): Boolean =

@@ -327,6 +327,29 @@ class Dsv2RowOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("RENAME PARTITION moves the registry entry and rewrites its rows") {
+    withCatalog {
+      freshPartitioned()
+      spark.sql(s"ALTER TABLE $ptbl PARTITION (grp = 'g3') " +
+        "RENAME TO PARTITION (grp = 'g9')")
+      assert(partsOf(ptbl) == Seq("grp=g0", "grp=g1", "grp=g2", "grp=g9"))
+      val grps = spark.table(ptbl).groupBy("grp").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(grps == Map("g0" -> 10L, "g1" -> 10L, "g2" -> 10L, "g9" -> 10L),
+        "the renamed partition's rows must carry the new value")
+      // missing source and occupied target must both refuse, no change
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $ptbl PARTITION (grp = 'gZ') " +
+          "RENAME TO PARTITION (grp = 'gW')")
+      }
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $ptbl PARTITION (grp = 'g0') " +
+          "RENAME TO PARTITION (grp = 'g1')")
+      }
+      assert(partsOf(ptbl) == Seq("grp=g0", "grp=g1", "grp=g2", "grp=g9"))
+    }
+  }
+
   test("partial partition spec filters the listing") {
     withCatalog {
       freshPartitioned()
