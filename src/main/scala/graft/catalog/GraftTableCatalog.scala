@@ -142,13 +142,25 @@ object RowTableStore {
     new ConcurrentHashMap[String, Map[Seq[Any], Map[String, String]]]()
   private val partitionCols = new ConcurrentHashMap[String, Seq[String]]()
 
+  /** Per-table monitor (r12, ADVICE r11): partition DDL mutates the
+    * registry AND the row table — two maps, so two individually-atomic
+    * `compute` calls. Every multi-step mutation and every snapshot read
+    * serializes on this monitor so no reader/writer can observe a
+    * renamed/dropped partition's metadata without the matching row
+    * state. Monitors are never removed (a concurrent op holding a
+    * removed monitor while another thread minted a fresh one would lose
+    * mutual exclusion); the leak is bounded by |distinct table names|. */
+  private val monitors = new ConcurrentHashMap[String, Object]()
+  private def locked[T](key: String)(f: => T): T =
+    monitors.computeIfAbsent(key, _ => new Object).synchronized(f)
+
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType =>
       true
     case _ => false
   }
   def create(key: String, schema: StructType,
-             partCols: Seq[String] = Nil): Boolean = {
+             partCols: Seq[String] = Nil): Boolean = locked(key) {
     val created = tables.putIfAbsent(key, (schema, Vector.empty)) == null
     // fresh table must not inherit a dropped predecessor's path markers
     if (created) {
@@ -160,7 +172,7 @@ object RowTableStore {
     }
     created
   }
-  def drop(key: String): Boolean = {
+  def drop(key: String): Boolean = locked(key) {
     lastDelete.remove(key); lastReplace.remove(key)
     lastOverwrite.remove(key)
     partitions.remove(key); partitionCols.remove(key)
@@ -168,15 +180,16 @@ object RowTableStore {
   }
   def partitionColsOf(key: String): Seq[String] =
     Option(partitionCols.get(key)).getOrElse(Nil)
-  def listPartitions(key: String): Seq[Seq[Any]] =
+  def listPartitions(key: String): Seq[Seq[Any]] = locked(key) {
     Option(partitions.get(key)).map(_.keys.toSeq).getOrElse(Nil)
+  }
   def partitionProps(key: String, values: Seq[Any]): Option[Map[String, String]] =
-    Option(partitions.get(key)).flatMap(_.get(values))
+    locked(key) { Option(partitions.get(key)).flatMap(_.get(values)) }
   /** Atomic multi-partition ADD: all-or-nothing under the map's compute
     * lock — if ANY ident already exists the whole call fails with the
     * duplicate list and NO partition is registered. */
   def addPartitions(key: String, idents: Seq[Seq[Any]],
-                    props: Seq[Map[String, String]]): Seq[Seq[Any]] = {
+                    props: Seq[Map[String, String]]): Seq[Seq[Any]] = locked(key) {
     var dups: Seq[Seq[Any]] = Nil
     partitions.compute(key, (_, prior) => {
       val cur = Option(prior).getOrElse(Map.empty[Seq[Any], Map[String, String]])
@@ -191,7 +204,7 @@ object RowTableStore {
     * metadata delete, but WITHOUT touching the lastDelete marker (the
     * spec hooks distinguish DROP PARTITION from DELETE FROM). */
   def dropPartitions(key: String, idents: Seq[Seq[Any]],
-                     partCols: Seq[String], schema: StructType): Boolean = {
+                     partCols: Seq[String], schema: StructType): Boolean = locked(key) {
     var ok = false
     partitions.compute(key, (_, prior) => {
       val cur = Option(prior).getOrElse(Map.empty[Seq[Any], Map[String, String]])
@@ -213,7 +226,7 @@ object RowTableStore {
     * (else false, no change); matching ROWS are removed but the registry
     * entries stay — TRUNCATE empties a partition, DROP removes it. */
   def truncatePartitions(key: String, idents: Seq[Seq[Any]],
-                         partCols: Seq[String], schema: StructType): Boolean = {
+                         partCols: Seq[String], schema: StructType): Boolean = locked(key) {
     val registered = Option(partitions.get(key))
       .getOrElse(Map.empty[Seq[Any], Map[String, String]])
     if (!idents.forall(registered.contains)) false
@@ -234,7 +247,7 @@ object RowTableStore {
     * "ok" | "no_such" | "exists"; the table maps these to the typed
     * exceptions the SQL layer expects. */
   def renamePartition(key: String, from: Seq[Any], to: Seq[Any],
-                      partCols: Seq[String], schema: StructType): String = {
+                      partCols: Seq[String], schema: StructType): String = locked(key) {
     var status = "ok"
     partitions.compute(key, (_, prior) => {
       val cur = Option(prior).getOrElse(Map.empty[Seq[Any], Map[String, String]])
@@ -259,7 +272,7 @@ object RowTableStore {
     status
   }
   def replacePartitionProps(key: String, values: Seq[Any],
-                            props: Map[String, String]): Boolean = {
+                            props: Map[String, String]): Boolean = locked(key) {
     var ok = false
     partitions.compute(key, (_, prior) => {
       val cur = Option(prior).getOrElse(Map.empty[Seq[Any], Map[String, String]])
@@ -269,9 +282,9 @@ object RowTableStore {
     ok
   }
   def schemaOf(key: String): Option[StructType] =
-    Option(tables.get(key)).map(_._1)
+    locked(key) { Option(tables.get(key)).map(_._1) }
   def rows(key: String): Seq[Seq[Any]] =
-    Option(tables.get(key)).map(_._2).getOrElse(Vector.empty)
+    locked(key) { Option(tables.get(key)).map(_._2).getOrElse(Vector.empty) }
   def lastDeleteFilters(key: String): Option[Array[Filter]] =
     Option(lastDelete.get(key))
   def lastReplaceCommand(key: String): Option[String] =
@@ -294,13 +307,14 @@ object RowTableStore {
     }.distinct
   }
   private[catalog] def append(key: String, rows: Seq[Seq[Any]],
-                              truncate: Boolean): Unit =
+                              truncate: Boolean): Unit = locked(key) {
     tables.compute(key, (_, prior) => {
       require(prior != null, s"table $key dropped mid-write")
       (prior._1, if (truncate) rows.toVector else prior._2 ++ rows)
     })
+  }
   private[catalog] def deleteWhere(key: String, filters: Array[Filter],
-                                   schema: StructType): Unit = {
+                                   schema: StructType): Unit = locked(key) {
     lastDelete.put(key, filters)
     tables.compute(key, (_, prior) => {
       require(prior != null, s"table $key dropped mid-delete")
@@ -314,7 +328,7 @@ object RowTableStore {
     * (INSERT OVERWRITE / truncate) degenerates to a full swap. */
   private[catalog] def overwriteWhere(key: String, filters: Array[Filter],
                                       schema: StructType,
-                                      rows: Seq[Seq[Any]]): Unit = {
+                                      rows: Seq[Seq[Any]]): Unit = locked(key) {
     lastOverwrite.put(key, filters)
     tables.compute(key, (_, prior) => {
       require(prior != null, s"table $key dropped mid-overwrite")
@@ -327,7 +341,7 @@ object RowTableStore {
     * whole table as ONE group, so the new row set REPLACES the table
     * atomically. */
   private[catalog] def replaceAll(key: String, command: String,
-                                  rows: Seq[Seq[Any]]): Unit = {
+                                  rows: Seq[Seq[Any]]): Unit = locked(key) {
     lastReplace.put(key, command)
     tables.compute(key, (_, prior) => {
       require(prior != null, s"table $key dropped mid-rewrite")

@@ -89,8 +89,11 @@ object MultimodalOps {
     // silently change behavior for every other ImageIO user sharing the
     // driver/executor JVM when this library is embedded.
     val ios = new MemoryCacheImageOutputStream(out)
-    ImageIO.write(img, "png", ios)
-    ios.close() // flushes the memory cache into `out`
+    // close() in finally (ADVICE r11): it both releases the stream and
+    // FLUSHES the memory cache into `out` — a skipped close would leak
+    // the stream on an ImageIO.write throw, and any non-throwing path
+    // that missed it would silently return a truncated PNG payload
+    try ImageIO.write(img, "png", ios) finally ios.close()
     out.toByteArray
   }
 

@@ -5,6 +5,8 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
+import graft.core.Tables
+
 /** Runtime-overhead dump: `runMain graft.tools.JobStats <sfDir> <query>...`
   * executes each named SparkEntry query to completion and prints the
   * number of Spark jobs, stages, and tasks it scheduled. Static plan
@@ -59,9 +61,19 @@ object JobStats {
     // warm up BEFORE the first reset (as Bench does): one-time lazy setup
     // (parquet footer reads, schema inference from Tables.load, codegen
     // class-load) schedules real jobs, and without this they are attributed
-    // to whichever query runs first, skewing its counts relative to later
-    // queries. A throwaway run of the first measured query warms exactly
-    // the tables that query will touch on THIS sfDir.
+    // to whichever query first triggers them, skewing its counts relative
+    // to later queries. Two halves (ADVICE r11):
+    //  1. load EVERY fixture table on this sfDir — footer/schema jobs for
+    //     tables only LATER queries touch no longer land in their counts;
+    //  2. a throwaway run of the first measured query warms the codegen /
+    //     execution framework class-load. This assumes the query is
+    //     IDEMPOTENT under double execution — true for every registered
+    //     query today (the stateful DSv2/JDBC builders start with
+    //     DROP/CREATE); a non-idempotent query must not be measured first.
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
     names.headOption.foreach { n =>
       try graft.SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () } // a failing query still fails measured below
