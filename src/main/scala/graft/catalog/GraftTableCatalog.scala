@@ -39,7 +39,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * state, never scanning data. Scans split the stored rows into
   * `parts` independent partitions and prune unrequested columns.
   */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+    with GraftViewCatalogSupport {
 
   private var catalogName = "graft_tab"
   override def initialize(name: String,

@@ -34,6 +34,13 @@ object GraftSqlBridge {
       case _ => () // not a checkpointed plan — nothing to free
     }
 
+  /** The session's (mutable, shared-with-`newSession()` descendants)
+    * extensions registry — `private[sql]` on `classic.SparkSession`.
+    * graft.catalog.GraftViews injects its view-resolution rule here and
+    * derives a sibling session whose fresh session state picks it up. */
+  def extensions(spark: SparkSession): SparkSessionExtensions =
+    spark.asInstanceOf[classic.SparkSession].extensions
+
   /** Drain the listener bus so QueryExecutionListener callbacks for all
     * already-finished actions have run (`listenerBus` is private[spark];
     * the plan-audit specs need a synchronous view of what executed). */
