@@ -220,6 +220,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q_rfm_ranked: NO WindowExec at all — three distributed GlobalRankExec ranks") {
+    val p = plan("q_rfm_ranked")
+    // the whole point of the scale twin (VERDICT r11 task 1): the same
+    // RFM statistic as q_rfm with ZERO window operators — no
+    // unpartitioned WindowExec can exist if no WindowExec exists
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_rfm_ranked must not use windows:\n$p")
+    assert(p.collect {
+      case g: graft.plans.GlobalRankExec => g
+    }.size == 3, s"expected the three chained exact ranks:\n$p")
+    // every DATA exchange fans out: range exchanges for the ranks (+
+    // presentation sort), hash for the aggregates, broadcast for the
+    // 1-row n. The only allowed SinglePartition exchange is the one
+    // under the global scalar count — it carries one PARTIAL-AGG row
+    // per upstream partition (cluster-sized), never data rows
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val funnels = p.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.numPartitions == 1 &&
+          // nearest aggregate below the exchange must be the scalar
+          // (no-grouping) partial — anything else is a data funnel
+          !e.child.collectFirst { case a: BaseAggregateExec => a }
+            .exists(_.groupingExpressions.isEmpty) => e
+    }
+    assert(funnels.isEmpty, s"q_rfm_ranked grew a 1-partition DATA funnel:\n$p")
+  }
+
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
     val p = plan("q_clamped_runsum")
     assert(hashShuffles(p) == 1,
