@@ -170,24 +170,38 @@ class BroadcastHintAuditSpec extends AnyFunSuite {
   // Each entry is a REVIEWED aggregate-riding (or otherwise invisible)
   // bound: the window's input cardinality and why it stays model-sized at
   // 100 TB. Anything new fails the audit until reviewed + listed.
-  private val windowReviewed: Map[String, String] = WindowWhitelist.entries
+  private val windowReviewed: Map[String, WindowWhitelist.Entry] =
+    WindowWhitelist.entries
+
+  /** The shape fingerprint of one reviewed global window: its nearest
+    * aggregate's grouping keys (the reviewer's cardinality handle), or
+    * "NO AGGREGATE BELOW". */
+  private def windowShape(w: org.apache.spark.sql.catalyst.plans.logical.Window): String =
+    w.child.collectFirst {
+      case a: Aggregate =>
+        a.groupingExpressions.map(_.sql).mkString("[", ", ", "]")
+    }.getOrElse("NO AGGREGATE BELOW")
 
   private def auditWindows(name: String, plan: LogicalPlan,
-                           out: mutable.Buffer[String]): Unit =
+                           out: mutable.Buffer[String],
+                           shapes: mutable.Map[String, mutable.Set[String]]): Unit =
     plan.foreach {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty =>
-        if (!windowBounded(w.child) &&
-            !windowReviewed.contains(name.takeWhile(_ != '['))) {
-          // surface the nearest aggregate's grouping keys: the reviewer's
-          // question is always "what is this window's input cardinality"
-          val grp = w.child.collectFirst {
-            case a: Aggregate =>
-              a.groupingExpressions.map(_.sql).mkString("[", ", ", "]")
-          }.getOrElse("NO AGGREGATE BELOW")
-          out += s"$name: global (unpartitioned) window over unbounded " +
-            s"input (leaves=${leaves(w.child).mkString(",")}; " +
-            s"nearest agg keys=$grp)"
+        if (!windowBounded(w.child)) {
+          val base = name.takeWhile(_ != '[')
+          if (!windowReviewed.contains(base)) {
+            // surface the nearest aggregate's grouping keys: the reviewer's
+            // question is always "what is this window's input cardinality"
+            out += s"$name: global (unpartitioned) window over unbounded " +
+              s"input (leaves=${leaves(w.child).mkString(",")}; " +
+              s"nearest agg keys=${windowShape(w)})"
+          } else {
+            // whitelisted: record the OBSERVED shape so the shape-pin
+            // test can compare it against the reviewed one (r12,
+            // VERDICT r11 task 3 — a name alone must not auto-pass)
+            shapes.getOrElseUpdate(base, mutable.Set.empty) += windowShape(w)
+          }
         }
       case _ => ()
     }
@@ -208,16 +222,17 @@ class BroadcastHintAuditSpec extends AnyFunSuite {
     go(plan, 0)
   }
 
-  // one pass builds every query once; both audits read the same plans
-  private lazy val (hintViolations, windowViolations) = {
+  // one pass builds every query once; all audits read the same plans
+  private lazy val (hintViolations, windowViolations, observedShapes) = {
     val hints = mutable.Buffer[String]()
     val windows = mutable.Buffer[String]()
+    val shapes = mutable.Map[String, mutable.Set[String]]()
     val current = new java.util.concurrent.atomic.AtomicReference("?")
     val listener = new QueryExecutionListener {
       override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
         val pl = inlineCtes(qe.analyzed)
         audit(s"${current.get}[exec:$f]", pl, hints)
-        auditWindows(s"${current.get}[exec:$f]", pl, windows)
+        auditWindows(s"${current.get}[exec:$f]", pl, windows, shapes)
       }
       override def onFailure(f: String, qe: QueryExecution,
                              e: Exception): Unit = ()
@@ -230,11 +245,11 @@ class BroadcastHintAuditSpec extends AnyFunSuite {
         val df = fn(spark, "/root/testdata/sf0.001")
         val pl = inlineCtes(df.queryExecution.analyzed)
         audit(name, pl, hints)
-        auditWindows(name, pl, windows)
+        auditWindows(name, pl, windows, shapes)
       }
       GraftSqlBridge.waitForListenerBus(spark)
     } finally spark.listenerManager.unregister(listener)
-    (hints.toSeq, windows.toSeq)
+    (hints.toSeq, windows.toSeq, shapes.view.mapValues(_.toSet).toMap)
   }
 
   test("every BROADCAST hint builds from a dim table, aggregate, or limit") {
@@ -247,6 +262,51 @@ class BroadcastHintAuditSpec extends AnyFunSuite {
     assert(windowViolations.isEmpty,
       s"${windowViolations.size} raw-scan global window(s):\n" +
         windowViolations.mkString("\n"))
+  }
+
+  // r12 (VERDICT r11 task 3 + ADVICE r11): a whitelist entry is keyed
+  // by query name — alone, that would let a renamed query leave a stale
+  // entry, and a whitelisted query whose plan later grows a DIFFERENT
+  // (bigger) global window would still auto-pass on name. Pin both: the
+  // key set must be live query names, and the OBSERVED window shapes
+  // (nearest agg keys) must equal the reviewed ones recorded in the
+  // entry.
+  test("WindowWhitelist: every entry names a live query") {
+    windowViolations // force the shared audit pass
+    val stale = WindowWhitelist.entries.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"stale whitelist entries (no such query): $stale")
+  }
+
+  test("WindowWhitelist: observed window shapes match the reviewed ones") {
+    windowViolations // force the shared audit pass
+    val mismatches = WindowWhitelist.entries.toSeq.sortBy(_._1).flatMap {
+      case (name, entry) =>
+        WindowWhitelist.shapeViolation(name,
+          observedShapes.getOrElse(name, Set.empty), entry)
+    }
+    assert(mismatches.isEmpty,
+      s"${mismatches.size} reviewed-window shape change(s) — re-review " +
+        s"and update the entry's aggKeys:\n" + mismatches.mkString("\n"))
+  }
+
+  test("a deliberately mutated reviewed window fails the shape pin (fixture)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the fixture "query" grew a corpus-keyed aggregate under its global
+    // window — same name, same whitelist entry, DIFFERENT shape
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mutated = docs.groupBy(col("doc_id"))
+      .agg(sum(length(col("text"))).as("sz"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("sz"))))
+    val out = mutable.Buffer[String]()
+    val shapes = mutable.Map[String, mutable.Set[String]]()
+    auditWindows("q_rfm", mutated.queryExecution.analyzed, out, shapes)
+    assert(out.isEmpty, "whitelisted name must not raise the unlisted audit")
+    val entry = WindowWhitelist.entries("q_rfm")
+    val v = WindowWhitelist.shapeViolation("q_rfm",
+      shapes.get("q_rfm").map(_.toSet).getOrElse(Set.empty), entry)
+    assert(v.nonEmpty, "mutated window shape must fail the pin")
+    assert(v.get.contains("doc_id"), v.get)
   }
 }
 
@@ -273,52 +333,75 @@ class BroadcastHintAuditSpec extends AnyFunSuite {
   *    entity-keyed global window must argue its own bound here.
   */
 private[graft] object WindowWhitelist {
+  /** One reviewed unpartitioned-window site: `bound` is the reviewer's
+    * cardinality argument (which class, which key space); `aggKeys`
+    * pins the reviewed SHAPE — the set of nearest-aggregate grouping
+    * key lists (`Expression.sql` form) observed under the query's
+    * global windows at review time. The audit compares the live plan
+    * against `aggKeys`, so a whitelisted query cannot silently swap in
+    * a bigger aggregate on the strength of its name (r12, VERDICT r11
+    * task 3). */
+  final case class Entry(bound: String, aggKeys: Set[String])
+
+  /** None if the observed shapes equal the reviewed ones; otherwise a
+    * human-readable violation (also used by the mutation fixture). */
+  def shapeViolation(name: String, observed: Set[String],
+                     entry: Entry): Option[String] =
+    if (observed == entry.aggKeys) None
+    else Some(s"$name: reviewed agg keys ${entry.aggKeys.toSeq.sorted}" +
+      s" but plan shows ${observed.toSeq.sorted}")
+
   private val CAL = "CALENDAR: day-keyed aggregate — |distinct days|"
   private val YM = "CALENDAR: (year, month)-keyed aggregate — |distinct months|"
   private def VAL(k: String) =
     s"VALUE-DOMAIN: $k-keyed aggregate — |distinct $k values|"
   private def ENT(k: String) =
     s"ENTITY: per-$k rollup — |${k}s|; exact-rank fixture form, " +
-      "approx/range-partitioned at 100 TB"
-  val entries: Map[String, String] = Map(
-    "q_apportion" -> VAL("(lang, source)"),
-    "q_auc_exact" -> VAL("score"),
-    "q_bh_fdr" -> "VALUE-DOMAIN: (seg, t_obs) per-segment test stats — |segments| rows (5)",
-    "q_boost" -> VAL("stump-threshold x"),
-    "q_bootstrap_ci" -> "VALUE-DOMAIN: per-replicate aggregate — B (constant) bootstrap rows",
-    "q_brier" -> ENT("user"),
-    "q_changepoint" -> CAL,
-    "q_coverage_p90" -> VAL("(lang, source)"),
-    "q_cusum" -> CAL,
-    "q_domain_mix" -> VAL("source"),
-    "q_domain_mix_temp" -> VAL("source"),
-    "q_drawdown" -> CAL,
-    "q_equidepth_hist" -> VAL("price-cents"),
-    "q_funnel_time" -> VAL("delay-seconds"),
-    "q_haar" -> CAL,
-    "q_isotonic" -> VAL("calibration-bin"),
-    "q_jenks" -> CAL,
-    "q_join_cardest" -> ENT("partkey"),
-    "q_ks_test" -> VAL("sample value"),
-    "q_lift_curve" -> VAL("price-cents"),
-    "q_lorenz_deciles" -> VAL("price-cents"),
-    "q_mad_outliers" -> VAL("price-cents / abs-deviation"),
-    "q_mase" -> CAL,
-    "q_mom_growth" -> YM,
-    "q_psi" -> VAL("sample value"),
-    "q_psm_att" -> ENT("user"),
-    "q_qini" -> (ENT("user") + "; second window rides the 10-row decile agg"),
-    "q_rfm" -> ENT("customer"),
-    "q_rolling_corr" -> CAL,
-    "q_runs_test" -> CAL,
-    "q_seasonal_residuals" -> CAL,
-    "q_skew_audit" -> ENT("user"),
-    "q_spearman" -> ENT("user"),
-    "q_sprt" -> CAL,
-    "q_stump" -> VAL("stump-threshold x"),
-    "q_survival_km" -> VAL("duration-days"),
-    "q_theil_sen" -> CAL,
-    "q_wasserstein" -> VAL("sample value"),
-    "q_water_filling" -> VAL("demand level"),
-    "q_winsorize" -> VAL("price-cents"))
+      "approx/range-partitioned at 100 TB — the executed scale twin is " +
+      "graft.plans.GlobalRank (two-pass range-partitioned exact rank; " +
+      "q_rfm_ranked routes q_rfm through it, PlanShapeSpec-pinned)"
+  private def E(bound: String, keys: String*): Entry =
+    Entry(bound, keys.toSet)
+  val entries: Map[String, Entry] = Map(
+    "q_apportion" -> E(VAL("(lang, source)"), "[lang, source]"),
+    "q_auc_exact" -> E(VAL("score"), "[score]"),
+    "q_bh_fdr" -> E("VALUE-DOMAIN: (seg, t_obs) per-segment test stats — |segments| rows (5)", "[seg, t_obs]"),
+    "q_boost" -> E(VAL("stump-threshold x"), "[x]"),
+    "q_bootstrap_ci" -> E("VALUE-DOMAIN: per-replicate aggregate — B (constant) bootstrap rows", "[r]"),
+    "q_brier" -> E(ENT("user"), "[user_id]"),
+    "q_changepoint" -> E(CAL, "[CAST((CAST((unix_micros(CAST(o_orderdate AS TIMESTAMP)) - (((unix_micros(CAST(o_orderdate AS TIMESTAMP)) % 86400000000L) + 86400000000L) % 86400000000L)) AS DOUBLE) / CAST(86400000000L AS DOUBLE)) AS BIGINT)]"),
+    "q_coverage_p90" -> E(VAL("(lang, source)"), "[lang, source]"),
+    "q_cusum" -> E(CAL, "[day]"),
+    "q_domain_mix" -> E(VAL("source"), "[source]"),
+    "q_domain_mix_temp" -> E(VAL("source"), "[source]"),
+    "q_drawdown" -> E(CAL, "[day]"),
+    "q_equidepth_hist" -> E(VAL("price-cents"), "[cents]"),
+    "q_funnel_time" -> E(VAL("delay-seconds"), "[delay_s]"),
+    "q_haar" -> E(CAL, "[day]"),
+    "q_isotonic" -> E(VAL("calibration-bin"), "[b]"),
+    "q_jenks" -> E(CAL, "[day]"),
+    "q_join_cardest" -> E(ENT("partkey"), "[l_partkey]"),
+    "q_ks_test" -> E(VAL("sample value"), "[v]"),
+    "q_lift_curve" -> E(VAL("price-cents"), "[cents]"),
+    "q_lorenz_deciles" -> E(VAL("price-cents"), "[cents]"),
+    "q_mad_outliers" -> E(VAL("price-cents / abs-deviation"), "[cents]", "[d]"),
+    "q_mase" -> E(CAL, "[day]"),
+    "q_mom_growth" -> E(YM, "[CAST(year(CAST(orders.o_orderdate AS DATE)) AS BIGINT), CAST(month(CAST(orders.o_orderdate AS DATE)) AS BIGINT)]"),
+    "q_psi" -> E(VAL("sample value"), "[v]"),
+    "q_psm_att" -> E(ENT("user"), "[user_id]"),
+    "q_qini" -> E(ENT("user") + "; second window rides the 10-row decile agg", "[decile]", "[user_id]"),
+    "q_rfm" -> E(ENT("customer"), "[orders.o_custkey]"),
+    "q_rolling_corr" -> E(CAL, "[to_date(ts)]"),
+    "q_runs_test" -> E(CAL, "[day]"),
+    "q_seasonal_residuals" -> E(CAL, "[day]"),
+    "q_skew_audit" -> E(ENT("user"), "[user_id]"),
+    "q_spearman" -> E(ENT("user"), "[user_id]"),
+    "q_sprt" -> E(CAL, "[day]"),
+    "q_stump" -> E(VAL("stump-threshold x"), "[x]"),
+    "q_survival_km" -> E(VAL("duration-days"), "[dur_d]"),
+    "q_theil_sen" -> E(CAL, "[day]"),
+    "q_wasserstein" -> E(VAL("sample value"), "[v]"),
+    "q_water_filling" -> E(VAL("demand level"), "[d]"),
+    "q_winsorize" -> E(VAL("price-cents"), "[cents]"))
 }
+
