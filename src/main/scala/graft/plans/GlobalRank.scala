@@ -84,6 +84,15 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: AttributeReference,
     OrderedDistribution(order) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
   override def outputOrdering: Seq[SortOrder] = order
+  /** Appending a column moves no rows: pass the child's (range)
+    * partitioning through so a downstream same-key sort or range
+    * operation reuses it instead of re-exchanging. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override lazy val metrics =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val rdd = child.execute()
@@ -97,6 +106,7 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: AttributeReference,
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val out = output
+    val numOutputRows = longMetric("numOutputRows")
     // pass 2: same shuffle output, local position + broadcast offset
     rdd.mapPartitionsWithIndex({ (pid, it) =>
       val proj = UnsafeProjection.create(out, out)
@@ -106,6 +116,7 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: AttributeReference,
       it.map { row =>
         rank += 1L
         rankRow.update(0, rank)
+        numOutputRows += 1
         proj(joined(row, rankRow))
       }
     }, preservesPartitioning = true)

@@ -126,6 +126,16 @@ class GlobalRankSpec extends AnyFunSuite {
         .queryExecution.executedPlan
       assert(aligned.collect { case e: ShuffleExchangeExec => e }.isEmpty,
         s"aligned child must not reshuffle:\n$aligned")
+      // ...and the rank node passes the range partitioning + ordering
+      // THROUGH: a downstream sort on the same keys reuses them — no
+      // second exchange, no re-sort
+      val downstream = df.orderBy(col("id").desc).queryExecution.executedPlan
+      assert(downstream.collect {
+        case e: ShuffleExchangeExec => e
+      }.size == 1, s"downstream same-key sort must reuse the rank's exchange:\n$downstream")
+      assert(downstream.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.size == 1, s"one sort total (the rank's own):\n$downstream")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
