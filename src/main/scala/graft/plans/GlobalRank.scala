@@ -158,6 +158,10 @@ object GlobalRank {
       }
     val order = keys.map(k =>
       SortOrder(attr(k.col), if (k.desc) Descending else Ascending))
+    // a duplicate output name would resolve ambiguously downstream —
+    // refuse now rather than at the caller's next select
+    require(!analyzed.output.exists(_.name == rankName),
+      s"rank column '$rankName' already exists in the input")
     val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
     GraftSqlBridge.ofRows(spark, GlobalRankNode(order, rankAttr, analyzed))
   }

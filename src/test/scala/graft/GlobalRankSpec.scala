@@ -78,13 +78,16 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(got == Seq("y", "z", "x"))
   }
 
-  test("unknown / ambiguous order column is rejected") {
+  test("unknown / ambiguous order column and duplicate rank name are rejected") {
     val df = Seq(1L).toDF("v")
     intercept[IllegalArgumentException] {
       GlobalRank.globalRowNumber(df, "rk", Seq(Key("nope")))
     }
     intercept[IllegalArgumentException] {
       GlobalRank.globalRowNumber(df, "rk", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      GlobalRank.globalRowNumber(df, "v", Seq(Key("v"))) // name collision
     }
   }
 
