@@ -1,7 +1,6 @@
 package graft.catalog
 
 import java.util
-import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
 
@@ -69,16 +68,37 @@ object ViewStore {
                               columnComments: Array[String],
                               props: Map[String, String])
 
-  private val views = new ConcurrentHashMap[String, StoredView]()
+  // every operation serializes on one monitor (the r11 partition-registry
+  // lesson applied up front): rename is a check-then-act over TWO keys,
+  // so lock-free create/drop could race its existence checks, and a
+  // lock-free reader could observe the mid-rename instant where the view
+  // exists under neither name
+  private val views = new java.util.HashMap[String, StoredView]()
 
   def key(ident: Identifier): String =
     (ident.namespace :+ ident.name).mkString(".")
-  def create(k: String, v: StoredView): Boolean =
+  def create(k: String, v: StoredView): Boolean = views.synchronized {
     views.putIfAbsent(k, v) == null
-  def put(k: String, v: StoredView): Unit = views.put(k, v)
-  def get(k: String): Option[StoredView] = Option(views.get(k))
-  def drop(k: String): Boolean = views.remove(k) != null
-  /** "ok" | "no_such" | "exists" — single atomic step over the map. */
+  }
+  def put(k: String, v: StoredView): Unit =
+    views.synchronized { views.put(k, v); () }
+  def get(k: String): Option[StoredView] =
+    views.synchronized { Option(views.get(k)) }
+  def drop(k: String): Boolean =
+    views.synchronized { views.remove(k) != null }
+  /** Atomic read-modify-write: None if the view is absent (f not
+    * called); otherwise the updated value is stored and returned. */
+  def update(k: String)(f: StoredView => StoredView): Option[StoredView] =
+    views.synchronized {
+      Option(views.get(k)).map { cur =>
+        val next = f(cur); views.put(k, next); next
+      }
+    }
+  /** Atomic put-if-present: false (no change) when absent. */
+  def replace(k: String, v: StoredView): Boolean = views.synchronized {
+    if (!views.containsKey(k)) false else { views.put(k, v); true }
+  }
+  /** "ok" | "no_such" | "exists" — one atomic step over both keys. */
   def rename(from: String, to: String): String = views.synchronized {
     if (!views.containsKey(from)) "no_such"
     else if (views.containsKey(to)) "exists"
@@ -86,7 +106,8 @@ object ViewStore {
   }
   def list(namespace: Array[String]): Array[Identifier] = {
     val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
-    views.keySet.asScala.toArray.sorted.collect {
+    val keys = views.synchronized { views.keySet.asScala.toArray }
+    keys.sorted.collect {
       case k if k.startsWith(prefix) && !k.stripPrefix(prefix).contains(".") =>
         Identifier.of(namespace, k.stripPrefix(prefix))
     }
@@ -120,24 +141,22 @@ trait GraftViewCatalogSupport extends ViewCatalog { self: CatalogPlugin =>
 
   override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
     val k = ViewStore.key(info.ident)
-    if (!orCreate && ViewStore.get(k).isEmpty)
+    val stored = toStored(info)
+    if (orCreate) ViewStore.put(k, stored)
+    else if (!ViewStore.replace(k, stored))
       throw new NoSuchViewException(info.ident)
-    ViewStore.put(k, toStored(info))
-    new GraftView(info.ident, toStored(info))
+    new GraftView(info.ident, stored)
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
-    val k = ViewStore.key(ident)
-    val cur = ViewStore.get(k)
-      .getOrElse(throw new NoSuchViewException(ident))
-    val props = changes.foldLeft(cur.props) {
-      case (p, s: ViewChange.SetProperty) => p + (s.property -> s.value)
-      case (p, r: ViewChange.RemoveProperty) => p - r.property
-      case (_, other) =>
-        throw new IllegalArgumentException(s"unsupported view change $other")
-    }
-    val next = cur.copy(props = props)
-    ViewStore.put(k, next)
+    val next = ViewStore.update(ViewStore.key(ident)) { cur =>
+      cur.copy(props = changes.foldLeft(cur.props) {
+        case (p, s: ViewChange.SetProperty) => p + (s.property -> s.value)
+        case (p, r: ViewChange.RemoveProperty) => p - r.property
+        case (_, other) =>
+          throw new IllegalArgumentException(s"unsupported view change $other")
+      })
+    }.getOrElse(throw new NoSuchViewException(ident))
     new GraftView(ident, next)
   }
 

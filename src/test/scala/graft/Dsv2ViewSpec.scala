@@ -32,8 +32,6 @@ class Dsv2ViewSpec extends AnyFunSuite {
 
   private def viewCatalog: ViewCatalog = {
     sv // force setup
-    org.apache.spark.sql.GraftSqlBridge
-      .extensions(spark) // touch bridge path too
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.catalogManager.catalog("graft_tab")
       .asInstanceOf[ViewCatalog]
@@ -83,6 +81,13 @@ class Dsv2ViewSpec extends AnyFunSuite {
     sv.sql("ALTER VIEW graft_tab.vt.alt UNSET TBLPROPERTIES ('team')")
     assert(!viewCatalog.loadView(Identifier.of(Array("vt"), "alt"))
       .properties().containsKey("team"))
+    // missing-view corners of the catalog API: alterView and
+    // replaceView(orCreate = false) both raise the typed exception
+    intercept[AnalysisException] {
+      viewCatalog.alterView(Identifier.of(Array("vt"), "no_such_view"),
+        org.apache.spark.sql.connector.catalog.ViewChange
+          .setProperty("a", "b"))
+    }
   }
 
   test("view-on-view resolves through fixed-point substitution") {
