@@ -45,8 +45,16 @@ import org.apache.spark.sql.{Row, SparkSessionExtensions}
   * Semantics: views store their SQL TEXT plus the captured schema
   * (BINDING — the reference shape for saved queries); bodies are
   * re-parsed at reference time, so view-on-view works (fixed-point
-  * substitution). Not supported, by design: WITH-clause bodies (CTE
-  * substitution runs in an earlier, already-finished batch),
+  * substitution). Unqualified table names inside a body bind to the
+  * catalog + namespace captured at CREATE time (the stored
+  * `currentCatalog`/`currentNamespace`), NOT to whatever namespace the
+  * referencing query happens to sit in — the Iceberg/Unity view-spec
+  * rule; the substitution qualifies them before resolution, including
+  * inside subquery expressions. For the same reason a body that
+  * references a TEMP view is refused at create time (a binding view
+  * outlives the session scope a temp view lives in — Spark's own
+  * persisted-view rule). Not supported, by design: WITH-clause bodies
+  * (CTE substitution runs in an earlier, already-finished batch),
   * self-referencing views (would never reach a fixed point), and
   * `ALTER VIEW RENAME` SQL (renameView is catalog-API surface,
   * spec-covered). At 100 TB a view is pure catalog metadata — one
@@ -202,7 +210,7 @@ object GraftViews {
     * session-local confs that affect planning are carried over. */
   def sessionWithViews(spark: SparkSession): SparkSession =
     derived.synchronized {
-      Option(derived.get(spark)).getOrElse {
+      val s2 = Option(derived.get(spark)).getOrElse {
         val ext = org.apache.spark.sql.GraftSqlBridge.extensions(spark)
         injected.synchronized {
           if (!injected.contains(ext)) {
@@ -210,15 +218,25 @@ object GraftViews {
             injected.add(ext)
           }
         }
-        val s2 = spark.newSession()
+        val fresh = spark.newSession()
         Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
           "spark.sql.legacy.parquet.nanosAsLong",
           "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning")
           .foreach(k => spark.conf.getOption(k)
-            .foreach(v => s2.conf.set(k, v)))
-        derived.put(spark, s2)
-        s2
+            .foreach(v => fresh.conf.set(k, v)))
+        derived.put(spark, fresh)
+        fresh
       }
+      // mirror v2 catalog REGISTRATIONS on every call (not just at
+      // derivation — the derived session is cached, so a catalog the
+      // parent registers later must still show up): newSession()
+      // isolates session confs, and a view-capable session that can't
+      // see the parent's catalogs couldn't resolve the views it was
+      // derived to read
+      spark.conf.getAll.foreach { case (k, v) =>
+        if (k.startsWith("spark.sql.catalog.")) s2.conf.set(k, v)
+      }
+      s2
     }
 }
 
@@ -244,6 +262,35 @@ class GraftViewRules(session: SparkSession) extends Rule[LogicalPlan] {
   private def identOf(parts: Seq[String]): Identifier =
     Identifier.of(parts.init.toArray, parts.last)
 
+  /** BINDING-view name resolution: qualify the body's unqualified (and
+    * catalog-less) table references with the catalog + namespace
+    * captured at CREATE time, so they resolve the same way from ANY
+    * referencing namespace — including inside subquery expressions
+    * (`transformUpWithSubqueries`). Names under the global-temp
+    * database are left alone (they are session-scoped by definition;
+    * create-time refuses them, but a connector-API-created view could
+    * still carry one and should fail as what it is). */
+  private def bindNames(v: View, body: LogicalPlan): LogicalPlan = {
+    val globalTempDb =
+      classic.sessionState.catalog.globalTempDatabase
+    def isCatalogName(n: String): Boolean =
+      n == "spark_catalog" ||
+        session.conf.getOption(s"spark.sql.catalog.$n").isDefined
+    // the resolve* variant: transformUpWithSubqueries asserts it is NOT
+    // inside an analyzer rule — this runs inside one
+    body.resolveOperatorsUpWithSubqueriesAndPruning(_ => true) {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+        r.copy(multipartIdentifier =
+          (v.currentCatalog +: v.currentNamespace.toSeq) ++
+            r.multipartIdentifier)
+      case r: UnresolvedRelation
+          if !isCatalogName(r.multipartIdentifier.head) &&
+            r.multipartIdentifier.head != globalTempDb =>
+        r.copy(multipartIdentifier =
+          v.currentCatalog +: r.multipartIdentifier)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       // SELECT ... FROM cat.ns.v — substitute the stored SQL (column
@@ -254,7 +301,8 @@ class GraftViewRules(session: SparkSession) extends Rule[LogicalPlan] {
             .exists(_.viewExists(identOf(u.multipartIdentifier.tail))) =>
         val parts = u.multipartIdentifier
         val v = viewCatalog(parts.head).get.loadView(identOf(parts.tail))
-        val parsed = classic.sessionState.sqlParser.parsePlan(v.query)
+        val parsed = bindNames(v,
+          classic.sessionState.sqlParser.parsePlan(v.query))
         val body =
           if (v.columnAliases != null && v.columnAliases.nonEmpty)
             UnresolvedSubqueryColumnAliases(v.columnAliases.toSeq, parsed)
@@ -330,8 +378,29 @@ private[catalog] object GraftViewCommands {
               props: Map[String, String]): ViewInfo = {
     val classic = session
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val analyzed = classic.sessionState
-      .executePlan(classic.sessionState.sqlParser.parsePlan(sql)).analyzed
+    val parsed = classic.sessionState.sqlParser.parsePlan(sql)
+    // a BINDING view outlives the session scope a temp view lives in,
+    // and its unqualified names re-bind to the captured namespace at
+    // reference time — so a temp-view reference would analyze here and
+    // then dangle forever. Refuse now, like Spark's own persisted views
+    // (subqueries included).
+    val sc = classic.sessionState.catalog
+    parsed.collectWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier
+    }.foreach { name =>
+      val isTemp = name match {
+        case Seq(n) => sc.getRawTempView(n).isDefined
+        case Seq(db, n) if db == sc.globalTempDatabase =>
+          sc.getRawGlobalTempView(n).isDefined
+        case _ => false
+      }
+      if (isTemp) throw new IllegalArgumentException(
+        s"cannot create catalog view ${parts.mkString(".")}: body " +
+          s"references temporary view ${name.mkString(".")} — a stored " +
+          "view must reference only catalog tables/views")
+    }
+    val analyzed = classic.sessionState.executePlan(parsed).analyzed
     require(userCols.isEmpty || userCols.length == analyzed.output.length,
       s"view column list has ${userCols.length} names for " +
         s"${analyzed.output.length} query columns")
@@ -408,10 +477,13 @@ case class ShowGraftViewsCommand(catalogName: String, namespace: Seq[String],
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
     extends LeafRunnableCommand {
   /** SHOW VIEWS LIKE glob: '*' any, '|' alternatives — the session
-    * catalog's pattern dialect. */
+    * catalog's pattern dialect. Everything BUT '*' matches literally
+    * (quoted), so a pattern with regex metachars ('(', '+', …) is a
+    * non-matching literal, not a PatternSyntaxException. */
   private def matches(name: String): Boolean = pattern.forall(p =>
     p.split("\\|").exists(alt =>
-      name.matches(alt.trim.replace("*", ".*"))))
+      name.matches(alt.trim.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*"))))
   override def run(spark: SparkSession): Seq[Row] = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     import GraftViewCommands._

@@ -147,10 +147,69 @@ class Dsv2ViewSpec extends AnyFunSuite {
     }
   }
 
+  test("unqualified body names bind to the namespace captured at CREATE time") {
+    val prevCat = sv.catalog.currentCatalog()
+    val prevDb = sv.catalog.currentDatabase
+    sv.sql("DROP VIEW IF EXISTS graft_tab.vt.unq")
+    try {
+      // create from INSIDE graft_tab.vt with a bare `nums` reference...
+      sv.sql("USE graft_tab.vt")
+      sv.sql("CREATE VIEW graft_tab.vt.unq AS SELECT k, v FROM nums WHERE k <= 2")
+    } finally {
+      sv.catalog.setCurrentCatalog(prevCat)
+      sv.catalog.setCurrentDatabase(prevDb)
+    }
+    // ...then read it from a DIFFERENT current namespace: `nums` must
+    // still mean graft_tab.vt.nums (the binding capture), not resolve —
+    // or fail to — against the caller's namespace
+    assert(sv.catalog.currentCatalog() == prevCat)
+    val rows = sv.sql(
+      "SELECT sum(v) AS s, count(*) AS n FROM graft_tab.vt.unq").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((30L, 2L)))
+    // a subquery expression's bare name binds the same way
+    sv.sql("DROP VIEW IF EXISTS graft_tab.vt.unq_sub")
+    try {
+      sv.sql("USE graft_tab.vt")
+      sv.sql("CREATE VIEW graft_tab.vt.unq_sub AS " +
+        "SELECT k FROM nums WHERE v > (SELECT avg(v) FROM nums)")
+    } finally {
+      sv.catalog.setCurrentCatalog(prevCat)
+      sv.catalog.setCurrentDatabase(prevDb)
+    }
+    assert(sv.sql("SELECT k FROM graft_tab.vt.unq_sub ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+  }
+
+  test("a body referencing a TEMP view is refused at CREATE time") {
+    import sv.implicits._
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("r12_tmp_body")
+    try {
+      val e = intercept[Exception] {
+        sv.sql("CREATE VIEW graft_tab.vt.tmp_backed AS " +
+          "SELECT k FROM r12_tmp_body")
+      }
+      assert(e.getMessage.contains("temporary"), e.getMessage)
+      assert(!viewCatalog.viewExists(Identifier.of(Array("vt"), "tmp_backed")))
+    } finally sv.catalog.dropTempView("r12_tmp_body")
+  }
+
+  test("SHOW VIEWS LIKE with regex metachars is a literal non-match, not a crash") {
+    val rows = sv.sql("SHOW VIEWS IN graft_tab.vt LIKE 'show_('").collect()
+    assert(rows.isEmpty)
+  }
+
   test("the derived session is cached and the rule injected exactly once") {
     val a = GraftViews.sessionWithViews(spark)
     val b = GraftViews.sessionWithViews(spark)
     assert(a eq b)
+    // catalog registrations MIRROR on every call, not just at
+    // derivation: a catalog the parent registers after the cache is
+    // warm must still be visible through the derived session
+    spark.conf.set("spark.sql.catalog.late_reg_cat",
+      classOf[GraftTableCatalog].getName)
+    assert(GraftViews.sessionWithViews(spark)
+      .conf.get("spark.sql.catalog.late_reg_cat") ==
+      classOf[GraftTableCatalog].getName)
     // repeated derivations must not stack rule copies: create+select
     // still resolves (a duplicated-rule bug would show as analyzer
     // failures or double-substitution weirdness, caught above), and the
