@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedView, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.{AliasIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.AliasIdentifier
 import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.StructType
