@@ -1,17 +1,17 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Descending, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Distributed EXACT global rank (r12, VERDICT r11 task 1) — the
   * executable form of the `WindowWhitelist` ENTITY-class entries' scale
-  * argument: a global `row_number()` without the single-partition
+  * argument: the global rank-window family without the single-partition
   * funnel an unpartitioned `WindowExec` forces.
   *
   * The built-in formulation (`row_number().over(Window.orderBy(...))`)
@@ -27,56 +27,76 @@ import org.apache.spark.sql.types.LongType
   *     partitions working) plus per-partition sorts: globally sorted
   *     data, never globally funneled;
   *  2. a lightweight count job reads the sorted shuffle output once to
-  *     collect per-partition row COUNTS (partition k's rank offset =
-  *     rows in partitions 0..k-1 — a `numPartitions`-sized array on
-  *     the driver, independent of data volume);
+  *     collect per-partition row COUNTS (and, when a dense_rank column
+  *     is requested, per-partition tie-GROUP counts) — partition k's
+  *     offsets are the sums over partitions 0..k-1, a
+  *     `numPartitions`-sized array on the driver, independent of data
+  *     volume;
   *  3. the output pass re-reads the same shuffle files (Spark reuses
-  *     map output across jobs) and emits each row with
-  *     `offset(partition) + local position + 1`.
+  *     map output across jobs) and emits each row's requested rank
+  *     columns from `offset(partition) + local position / local group`.
   *
-  * Rank semantics are `row_number` under `order` (ties broken by
-  * physical position): pass a TOTAL order — e.g. a unique key as the
-  * last sort column — for deterministic output, the same caveat as
-  * `ntile`/`row_number` themselves. Any sortable column type works
-  * (decimals, strings, structs): the sort is SortExec's, and the rank
-  * pass never inspects the order values.
+  * Tie semantics are sound WITHOUT any cross-partition negotiation
+  * because range partitioning maps a given order-key VALUE to exactly
+  * one partition (the exchange's partitioner binary-searches the
+  * sampled bounds per key): a tie group can never straddle a partition
+  * boundary, so a group's first row — the row whose global position IS
+  * the group's `rank` — is always local, and per-partition group counts
+  * telescope into exact global `dense_rank` offsets the same way row
+  * counts telescope into `row_number` offsets.
+  *
+  * Supported rank columns ([[GlobalRank.RankMode]]), any subset in ONE
+  * pass over one shuffle:
+  *  - `RowNumber` — global 1-based position (ties broken by physical
+  *    position; pass a TOTAL order for determinism, the same caveat as
+  *    the built-in);
+  *  - `Rank` / `DenseRank` — SQL-standard tie-aware forms (equal order
+  *    keys share a value; gaps / no gaps);
+  *  - `PercentRank` — `(rank - 1) / (n - 1)` as DOUBLE (0.0 for n <= 1),
+  *    the built-in's definition — `n` is the pass-1 total, free;
+  *  - `NTile(k)` — SQL-standard bucket fill (first `n mod k` buckets
+  *    take one extra row), pure integer arithmetic on (position, n).
   *
   * Scale notes: the count job re-runs the per-partition sort (counts
   * ride the sorted plan; a production build would read the exchange's
   * MapOutputStatistics instead of scheduling a job, but those report
   * bytes, not rows). Both passes are embarrassingly parallel; the only
-  * driver-side state is the offsets array. Skew on the order keys is
-  * the range exchange's sampling problem, identical to a global
-  * `ORDER BY`.
+  * driver-side state is two Longs per partition. Tie detection costs
+  * one key projection per row and one small-row copy per GROUP (not
+  * per row), and is skipped entirely when only RowNumber/NTile columns
+  * are requested. Skew on the order keys is the range exchange's
+  * sampling problem, identical to a global `ORDER BY`.
   *
   * Reference point: the reference engine numbers its crawl-edge
   * uploads by accumulation order (`web_spider_oo.py:125-128`, the
   * prefix-accumulated upload rank restated by `q_edges_actual`); this
   * is the declarative, partition-parallel form of the same global
-  * numbering, generalized to any sort order.
+  * numbering, generalized to any sort order and the full rank family.
   */
-case class GlobalRankNode(order: Seq[SortOrder], rankAttr: AttributeReference,
+case class GlobalRankNode(order: Seq[SortOrder], ranks: Seq[GlobalRank.RankCol],
                           child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output :+ rankAttr
-  /** `rankAttr` is GENERATED here, not read from the child — without
-    * this CheckAnalysis counts it as a missing input attribute. */
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override def output: Seq[Attribute] = child.output ++ ranks.map(_.attr)
+  /** rank attrs are GENERATED here, not read from the child — without
+    * this CheckAnalysis counts them as missing input attributes. */
+  override def producedAttributes: AttributeSet =
+    AttributeSet(ranks.map(_.attr))
   override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRankNode =
     copy(child = newChild)
 }
 
 object GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalRankNode(order, rankAttr, child) =>
-      GlobalRankExec(order, rankAttr, planLater(child)) :: Nil
+    case GlobalRankNode(order, ranks, child) =>
+      GlobalRankExec(order, ranks, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
-case class GlobalRankExec(order: Seq[SortOrder], rankAttr: AttributeReference,
+case class GlobalRankExec(order: Seq[SortOrder], ranks: Seq[GlobalRank.RankCol],
                           child: SparkPlan) extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  import GlobalRank.RankMode
+
+  override def output: Seq[Attribute] = child.output ++ ranks.map(_.attr)
 
   /** Range exchange + per-partition sort, inserted by
     * EnsureRequirements — partitions tile the global order. */
@@ -84,7 +104,7 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: AttributeReference,
     OrderedDistribution(order) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
   override def outputOrdering: Seq[SortOrder] = order
-  /** Appending a column moves no rows: pass the child's (range)
+  /** Appending columns moves no rows: pass the child's (range)
     * partitioning through so a downstream same-key sort or range
     * operation reuses it instead of re-exchanging. */
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
@@ -96,26 +116,83 @@ case class GlobalRankExec(order: Seq[SortOrder], rankAttr: AttributeReference,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val rdd = child.execute()
-    // pass 1: per-partition counts (the only driver-side state — one
-    // Long per partition). Emitted keyed by partition id and re-sorted:
+    val modes = ranks.map(_.mode).toArray
+    val needGroups = modes.contains(RankMode.DenseRank)
+    val needTies = needGroups || modes.contains(RankMode.Rank) ||
+      modes.contains(RankMode.PercentRank)
+    val keyExprs = order.map(_.child)
+    val keyTypes = keyExprs.map(_.dataType)
+    val childOutput = child.output
+    // pass 1: per-partition (row count, tie-group count) — the only
+    // driver-side state, two Longs per partition. Group counting scans
+    // with the same ordering pass 2 uses; skipped unless a dense_rank
+    // column needs it. Emitted keyed by partition id and re-sorted:
     // collect() already concatenates in partition order, but the rank
     // math must not depend on that detail.
-    val counts = rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)),
+    val stats: Array[(Long, Long)] = (if (needGroups) {
+      rdd.mapPartitionsWithIndex({ (pid, it) =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        // tie = compare(prevKey, key) == 0; equality is
+        // direction-invariant, so the natural ascending ordering serves
+        // any sort direction
+        val ord = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+        var rows = 0L
+        var groups = 0L
+        var prev: UnsafeRow = null
+        it.foreach { row =>
+          rows += 1L
+          val k = keyProj(row)
+          if (prev == null || ord.compare(prev, k) != 0) {
+            groups += 1L
+            prev = k.copy()
+          }
+        }
+        Iterator((pid, (rows, groups)))
+      }, preservesPartitioning = true)
+    } else {
+      rdd.mapPartitionsWithIndex((pid, it) => Iterator((pid, (it.size.toLong, 0L))),
         preservesPartitioning = true)
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
+    }).collect().sortBy(_._1).map(_._2)
+    val rowOffsets = stats.map(_._1).scanLeft(0L)(_ + _)
+    val groupOffsets = stats.map(_._2).scanLeft(0L)(_ + _)
+    val total = rowOffsets.last
     val out = output
+    val nRanks = modes.length
     val numOutputRows = longMetric("numOutputRows")
-    // pass 2: same shuffle output, local position + broadcast offset
+    // pass 2: same shuffle output, local position / group + broadcast
+    // offsets → every requested rank column in one scan
     rdd.mapPartitionsWithIndex({ (pid, it) =>
       val proj = UnsafeProjection.create(out, out)
+      val keyProj = if (needTies) UnsafeProjection.create(keyExprs, childOutput) else null
+      val ord = if (needTies) RowOrdering.createNaturalAscendingOrdering(keyTypes) else null
       val joined = new JoinedRow
-      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      var rank = offsets(pid)
+      val rankRow = new GenericInternalRow(nRanks)
+      var pos = rowOffsets(pid)
+      var curRank = 0L
+      var dense = groupOffsets(pid)
+      var prevKey: UnsafeRow = null
       it.map { row =>
-        rank += 1L
-        rankRow.update(0, rank)
+        pos += 1L
+        if (needTies) {
+          val k = keyProj(row)
+          if (prevKey == null || ord.compare(prevKey, k) != 0) {
+            curRank = pos
+            dense += 1L
+            prevKey = k.copy() // one copy per GROUP, not per row
+          }
+        }
+        var i = 0
+        while (i < nRanks) {
+          modes(i) match {
+            case RankMode.RowNumber => rankRow.update(i, pos)
+            case RankMode.Rank => rankRow.update(i, curRank)
+            case RankMode.DenseRank => rankRow.update(i, dense)
+            case RankMode.PercentRank => rankRow.update(i,
+              if (total <= 1L) 0.0 else (curRank - 1L).toDouble / (total - 1L).toDouble)
+            case RankMode.NTile(k) => rankRow.update(i, GlobalRank.ntileOf(pos, total, k))
+          }
+          i += 1
+        }
         numOutputRows += 1
         proj(joined(row, rankRow))
       }
@@ -132,22 +209,62 @@ object GlobalRank {
     * `Window.orderBy`). */
   case class Key(col: String, desc: Boolean = false)
 
+  /** Which rank statistic a [[RankCol]] computes; `dataType` is the
+    * emitted column type (LONG for the integral forms — this operator
+    * exists for row counts past 2^31 — DOUBLE for percent_rank). */
+  sealed trait RankMode extends Serializable { def dataType: DataType = LongType }
+  object RankMode {
+    case object RowNumber extends RankMode
+    case object Rank extends RankMode
+    case object DenseRank extends RankMode
+    case object PercentRank extends RankMode { override def dataType: DataType = DoubleType }
+    final case class NTile(buckets: Int) extends RankMode {
+      require(buckets >= 1, s"ntile buckets must be >= 1, got $buckets")
+    }
+  }
+
+  /** One output rank column: the generated attribute + its statistic. */
+  case class RankCol(attr: AttributeReference, mode: RankMode)
+
+  /** SQL-standard ntile bucket of global position `pos` (1-based) among
+    * `n` rows in `k` buckets: first `n mod k` buckets take
+    * `n div k + 1` rows. The ELSE branch divides by `n div k` — only
+    * reachable when pos exceeds rem*(q+1), impossible for n < k, so the
+    * divisor is >= 1 there. */
+  def ntileOf(pos: Long, n: Long, k: Int): Long = {
+    val q = n / k
+    val rem = n % k
+    if (pos <= rem * (q + 1L)) (pos - 1L) / (q + 1L) + 1L
+    else rem + (pos - 1L - rem * (q + 1L)) / q + 1L
+  }
+
+  /** Idempotent, race-safe strategy registration — same idiom as
+    * TopKPerKey: concurrent first uses must not double-register or drop
+    * a racing strategy. */
+  def ensureStrategy(spark: SparkSession): Unit = GlobalRank.synchronized {
+    if (!spark.experimental.extraStrategies.contains(GlobalRankStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GlobalRankStrategy
+    }
+  }
+
   /** Append a global 1-based `row_number` column named `rankName`,
     * ordered by `keys` — distributed: range-partitioned, no
     * single-partition WindowExec anywhere in the plan. Pass a total
     * order (unique last key) for deterministic ranks. */
   def globalRowNumber(df: DataFrame, rankName: String,
-                      keys: Seq[Key]): DataFrame = {
-    require(keys.nonEmpty, "globalRowNumber needs at least one sort key")
+                      keys: Seq[Key]): DataFrame =
+    globalRanks(df, Seq(rankName -> RankMode.RowNumber), keys)
+
+  /** Append any subset of the global rank family in ONE two-pass
+    * operator over one range shuffle: `cols` names each output column
+    * and its statistic, all computed under the same `keys` order. */
+  def globalRanks(df: DataFrame, cols: Seq[(String, RankMode)],
+                  keys: Seq[Key]): DataFrame = {
+    require(keys.nonEmpty, "globalRanks needs at least one sort key")
+    require(cols.nonEmpty, "globalRanks needs at least one rank column")
     val spark = df.sparkSession
-    // atomic check-then-append, same idiom as TopKPerKey: concurrent
-    // first uses must not double-register or drop a racing strategy
-    GlobalRank.synchronized {
-      if (!spark.experimental.extraStrategies.contains(GlobalRankStrategy)) {
-        spark.experimental.extraStrategies =
-          spark.experimental.extraStrategies :+ GlobalRankStrategy
-      }
-    }
+    ensureStrategy(spark)
     val analyzed = df.queryExecution.analyzed
     def attr(n: String): Attribute =
       analyzed.output.filter(_.name == n) match {
@@ -160,9 +277,15 @@ object GlobalRank {
       SortOrder(attr(k.col), if (k.desc) Descending else Ascending))
     // a duplicate output name would resolve ambiguously downstream —
     // refuse now rather than at the caller's next select
-    require(!analyzed.output.exists(_.name == rankName),
-      s"rank column '$rankName' already exists in the input")
-    val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
-    GraftSqlBridge.ofRows(spark, GlobalRankNode(order, rankAttr, analyzed))
+    val dup = cols.groupBy(_._1).collect { case (n, cs) if cs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate rank column name(s): ${dup.mkString(", ")}")
+    cols.foreach { case (n, _) =>
+      require(!analyzed.output.exists(_.name == n),
+        s"rank column '$n' already exists in the input")
+    }
+    val ranks = cols.map { case (n, m) =>
+      RankCol(AttributeReference(n, m.dataType, nullable = false)(), m)
+    }
+    GraftSqlBridge.ofRows(spark, GlobalRankNode(order, ranks, analyzed))
   }
 }

@@ -63,6 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
+    // conf-gated (spark.graft.rewrite.globalRankWindows, default off):
+    // rewrite unpartitioned rank-family windows into the distributed
+    // GlobalRankNode. Pre-CBO, not operator-optimization: it runs ONCE,
+    // after pushdowns and window collapsing settle, and introduces a
+    // node the operator batch's rules should not have to re-walk.
+    e.injectPreCBORule(_ => RewriteGlobalRankWindows)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

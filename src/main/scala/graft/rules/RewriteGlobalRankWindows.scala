@@ -1,0 +1,126 @@
+package graft.rules
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, DenseRank, Expression, Literal, NTile, NamedExpression, PercentRank, Rank, RowNumber, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.IntegerType
+
+import graft.plans.{GlobalRank, GlobalRankNode}
+import graft.plans.GlobalRank.{RankCol, RankMode}
+
+/** Optimizer rule: rewrite an UNPARTITIONED rank-family `Window` into
+  * the distributed two-pass [[graft.plans.GlobalRankNode]] — the engine
+  * removing its own worst plan shape instead of merely auditing it.
+  *
+  * `row_number()/rank()/dense_rank()/percent_rank()/ntile(k) OVER
+  * (ORDER BY ...)` with no PARTITION BY plans as a WindowExec that
+  * warns "No Partition Defined ... moving all data to a single
+  * partition": one task sorts and ranks everything — the funnel the
+  * `WindowWhitelist` audit reviews case-by-case, and the one plan shape
+  * that cannot survive 100 TB. Every function in that family is
+  * position-arithmetic over the globally sorted order, which is exactly
+  * what [[GlobalRankNode]] computes range-partitioned in two passes
+  * over one shuffle, so the rewrite is an equivalence, not an
+  * approximation:
+  *
+  *  - all rank expressions of one `Window` node share its ORDER BY
+  *    (Catalyst groups window expressions by spec), so they land in ONE
+  *    GlobalRankNode — one shuffle regardless of how many functions;
+  *  - `row_number`/`ntile` keep their tie caveat (physical position
+  *    breaks ties — nondeterministic under a non-total order, same as
+  *    the built-in); `rank`/`dense_rank`/`percent_rank` are tie-exact
+  *    (see the range-partitioning tie-containment argument on
+  *    [[GlobalRankNode]]);
+  *  - output attributes keep their exprIds (the rewrite projects the
+  *    generated LONG rank back to the built-in's INT / DOUBLE type
+  *    under the original alias), so nothing upstream re-resolves.
+  *
+  * A `Window` node is left alone when any of its expressions is outside
+  * the family (lead/lag/aggregate windows need real frame execution),
+  * when it HAS a partition spec (partitioned windows scale fine), or
+  * when an order key is non-deterministic.
+  *
+  * OFF by default — enable with `spark.graft.rewrite.globalRankWindows=
+  * true` (session conf; the rule is injected by [[GraftExtensions]] as
+  * a pre-CBO rule so it runs once, after pushdowns settle below the
+  * window) — or apply explicitly to one DataFrame with [[force]], which
+  * rewrites unconditionally without touching session state: the
+  * registry's queries use that form so a shared Bench/Verify session
+  * never has plans silently change shape mid-suite.
+  */
+object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.rewrite.globalRankWindows"
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(ConfKey, "false").trim.equalsIgnoreCase("true")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan else rewrite(plan)
+
+  /** The rank statistic `fn` computes, if `fn` is in the rewritable
+    * family. `ntile` only with a positive integer-literal bucket count
+    * (the analyzer requires a foldable bucket expression; non-literal
+    * folds are rare enough to skip rather than evaluate here). */
+  private def modeOf(fn: Expression): Option[RankMode] = fn match {
+    case _: RowNumber => Some(RankMode.RowNumber)
+    case _: Rank => Some(RankMode.Rank)
+    case _: DenseRank => Some(RankMode.DenseRank)
+    case _: PercentRank => Some(RankMode.PercentRank)
+    case nt: NTile => nt.buckets match {
+      case Literal(k: Int, IntegerType) if k > 0 => Some(RankMode.NTile(k))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** (alias, mode) iff `ne` is `<rank-family fn> OVER (ORDER BY ...)`
+    * with no PARTITION BY. The frame is irrelevant: every family member
+    * is position-determined, and the analyzer has already pinned each
+    * one's required frame. */
+  private def rankOf(ne: NamedExpression): Option[(Alias, RankMode)] = ne match {
+    case a @ Alias(WindowExpression(fn, WindowSpecDefinition(Seq(), _, _)), _) =>
+      modeOf(fn).map(m => (a, m))
+    case _ => None
+  }
+
+  /** Unconditional rewrite (the conf gate lives in [[apply]]).
+    * Idempotent: the result contains no matching `Window`, so a
+    * fixed-point batch terminates immediately. */
+  def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Window(wexprs, Seq(), orderSpec, child, _)
+        if orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
+          wexprs.nonEmpty && wexprs.forall(e => rankOf(e).isDefined) =>
+      val pairs = wexprs.map(e => rankOf(e).get)
+      val ranks = pairs.map { case (a, m) =>
+        RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
+          nullable = false)(), m)
+      }
+      val projected = child.output ++ pairs.zip(ranks).map { case ((a, m), rc) =>
+        val value: Expression = m match {
+          // percent_rank is DOUBLE on both sides — project as-is
+          case RankMode.PercentRank => rc.attr
+          // the built-ins are INT; the node emits LONG (it exists for
+          // row counts past 2^31) — cast back so downstream types and
+          // the user-visible schema are unchanged
+          case _ => Cast(rc.attr, IntegerType)
+        }
+        Alias(value, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+          explicitMetadata = Some(a.metadata))
+      }
+      Project(projected, GlobalRankNode(orderSpec, ranks, child))
+  }
+
+  /** Apply the rewrite to ONE DataFrame, unconditionally and without
+    * session-conf side effects — re-analyzes the rewritten plan with
+    * the strategy registered, so the result plans and executes like any
+    * other GlobalRank query. */
+  def force(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    GlobalRank.ensureStrategy(spark)
+    GraftSqlBridge.ofRows(spark, rewrite(df.queryExecution.analyzed))
+  }
+}

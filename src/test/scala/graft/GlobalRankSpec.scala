@@ -91,6 +91,96 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("rank/dense_rank/percent_rank == built-in windows under heavy ties, many partitions") {
+    import graft.plans.GlobalRank.RankMode
+    // 10k rows, only 7 distinct order keys → giant tie groups; the
+    // range exchange must keep each group in ONE partition and the
+    // per-partition group counts must telescope into exact offsets
+    val df = spark.range(10000)
+      .select((col("id") % 7).as("k"), col("id")).repartition(8)
+    val got = GlobalRank.globalRanks(df,
+      Seq("rnk" -> RankMode.Rank, "drnk" -> RankMode.DenseRank,
+        "prnk" -> RankMode.PercentRank), Seq(Key("k")))
+      .select("k", "rnk", "drnk", "prnk").distinct()
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val w = Window.orderBy("k")
+    val want = df
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prnk", percent_rank().over(w))
+      .select("k", "rnk", "drnk", "prnk").distinct()
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // rank-family values are functions of the order KEY alone, so the
+    // distinct sets are deterministic despite arbitrary tie order
+    assert(got == want)
+    assert(got.size == 7)
+  }
+
+  test("ntile == built-in ntile under a total order; all five modes in ONE node") {
+    import graft.plans.GlobalRank.RankMode
+    import graft.plans.GlobalRankExec
+    val df = spark.range(1000)
+      .select((col("id") * 48271L % 99991L).as("v"), col("id")).repartition(6)
+    val all = GlobalRank.globalRanks(df,
+      Seq("rn" -> RankMode.RowNumber, "rnk" -> RankMode.Rank,
+        "drnk" -> RankMode.DenseRank, "prnk" -> RankMode.PercentRank,
+        "nt" -> RankMode.NTile(7)), Seq(Key("v"), Key("id")))
+    // one operator, one scan pair — NOT five (AQE off so the tree is
+    // inspectable without executing)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(all.queryExecution.executedPlan.collect {
+      case g: GlobalRankExec => g
+    }.size == 1)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val got = all.select("v", "id", "rn", "rnk", "drnk", "prnk", "nt")
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSet
+    val w = Window.orderBy("v", "id")
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("nt", ntile(7).over(w).cast("long"))
+      .select("v", "id", "rn", "rnk", "drnk", "prnk", "nt")
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("ntile edge cases: more buckets than rows, and n not divisible by k") {
+    import graft.plans.GlobalRank.RankMode
+    val tiny = Seq(10L, 20L, 30L).toDF("v")
+    val t = GlobalRank.globalRanks(tiny, Seq("nt" -> RankMode.NTile(5)),
+      Seq(Key("v"))).orderBy("v").select("nt").as[Long].collect().toSeq
+    assert(t == Seq(1L, 2L, 3L)) // first n buckets get one row each
+    // 10 rows, 3 buckets → sizes 4,3,3 (first n%k buckets padded)
+    val ten = spark.range(10).toDF("v")
+    val sizes = GlobalRank.globalRanks(ten, Seq("nt" -> RankMode.NTile(3)),
+      Seq(Key("v"))).groupBy("nt").count()
+      .orderBy("nt").select("count").as[Long].collect().toSeq
+    assert(sizes == Seq(4L, 3L, 3L))
+  }
+
+  test("percent_rank edges: single row is 0.0; ties share the value") {
+    import graft.plans.GlobalRank.RankMode
+    val one = Seq(5L).toDF("v")
+    assert(GlobalRank.globalRanks(one, Seq("p" -> RankMode.PercentRank),
+      Seq(Key("v"))).select("p").as[Double].collect().toSeq == Seq(0.0))
+    val tied = Seq(1L, 1L, 2L).toDF("v")
+    val ps = GlobalRank.globalRanks(tied, Seq("p" -> RankMode.PercentRank),
+      Seq(Key("v"))).orderBy("v").select("p").as[Double].collect().toSeq
+    assert(ps == Seq(0.0, 0.0, 1.0))
+  }
+
+  test("duplicate rank column names are rejected") {
+    import graft.plans.GlobalRank.RankMode
+    val df = Seq(1L).toDF("v")
+    intercept[IllegalArgumentException] {
+      GlobalRank.globalRanks(df,
+        Seq("r" -> RankMode.Rank, "r" -> RankMode.DenseRank), Seq(Key("v")))
+    }
+  }
+
   test("q_rfm_ranked == q_rfm: the scale twin reproduces the whitelisted form bit-for-bit") {
     val dir = "/root/testdata/sf0.001"
     val ranked = SparkEntry.queries("q_rfm_ranked")(spark, dir).collect().toSeq

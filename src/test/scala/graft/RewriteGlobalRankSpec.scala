@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GlobalRankExec
+import graft.rules.{GraftExtensions, RewriteGlobalRankWindows}
+
+/** [[graft.rules.RewriteGlobalRankWindows]] — the conf-gated optimizer
+  * rule that rewrites unpartitioned rank-family windows into the
+  * distributed [[graft.plans.GlobalRankNode]]: equivalence against the
+  * built-in WindowExec forms (total order, heavy ties), the plan shape
+  * (zero WindowExec, one GlobalRankExec per window node), the
+  * non-rewrites (partitioned windows, out-of-family functions), and the
+  * session-conf gate through a GraftExtensions deployment. */
+class RewriteGlobalRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def noAqePlan(df: DataFrame) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("force(): all five functions equal the built-ins under a total order") {
+    val df = spark.range(2000)
+      .select((col("id") * 48271L % 1999L).as("v"), col("id")).repartition(7)
+    val w = Window.orderBy("v", "id")
+    val windowed = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("nt", ntile(6).over(w))
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    // user-visible schema unchanged: built-in INT / DOUBLE types survive
+    assert(forced.schema == windowed.schema)
+    assert(forced.collect().toSet == windowed.collect().toSet)
+  }
+
+  test("force(): tie-aware functions exact under heavy ties; positional ones consistent") {
+    // 5000 rows, 11 distinct keys → giant tie groups across partitions
+    val df = spark.range(5000).select((col("id") % 11).as("k"), col("id"))
+      .repartition(8)
+    val w = Window.orderBy("k")
+    val windowed = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", percent_rank().over(w))
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    // rank/dense_rank/percent_rank are functions of the order KEY —
+    // deterministic despite arbitrary tie order
+    val keyed = forced.select("k", "rnk", "drnk", "prnk").distinct()
+      .as[(Long, Int, Int, Double)].collect().toSet
+    val want = windowed.select("k", "rnk", "drnk", "prnk").distinct()
+      .as[(Long, Int, Int, Double)].collect().toSet
+    assert(keyed == want)
+    assert(keyed.size == 11)
+    // row_number under ties is an arbitrary tie order but must still be
+    // a permutation of 1..n with ranks consistent inside each tie group
+    val rns = forced.select("rn").as[Int].collect().sorted.toSeq
+    assert(rns == (1 to 5000))
+    val grouped = forced.select("k", "rn", "rnk").as[(Long, Int, Int)]
+      .collect().groupBy(_._1)
+    grouped.foreach { case (_, rows) =>
+      val rank = rows.head._3
+      assert(rows.forall(_._3 == rank))
+      assert(rows.map(_._2).min == rank) // rank = first position of group
+    }
+  }
+
+  test("plan shape: zero WindowExec, ONE GlobalRankExec for a multi-function window") {
+    val df = spark.range(100).select(col("id").as("v"))
+    val w = Window.orderBy("v")
+    // one SELECT → the analyzer groups same-spec functions into one
+    // Window node → one GlobalRankNode (chained withColumn calls build
+    // separate analyzed Window nodes and rewrite separately — still
+    // zero WindowExec, and the later ranks ride the first's range
+    // partitioning, but the single-node shape is the interesting pin)
+    val forced = RewriteGlobalRankWindows.force(
+      df.select(col("v"), row_number().over(w).as("rn"),
+        ntile(4).over(w).as("nt")))
+    val p = noAqePlan(forced)
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalRankExec => g }.size == 1, p.toString)
+  }
+
+  test("non-rewrites: partitioned windows and out-of-family functions are left alone") {
+    val df = spark.range(100).select((col("id") % 5).as("g"), col("id").as("v"))
+    // partitioned window: scales fine, must NOT be rewritten
+    val part = df.withColumn("rn",
+      row_number().over(Window.partitionBy("g").orderBy("v")))
+    val p1 = noAqePlan(RewriteGlobalRankWindows.force(part))
+    assert(p1.collect { case x: WindowExec => x }.size == 1, p1.toString)
+    assert(p1.collect { case g: GlobalRankExec => g }.isEmpty)
+    // a window NODE carrying an out-of-family function (lag needs real
+    // frame execution) keeps ALL its expressions on the WindowExec path
+    // — one SELECT so both functions share one analyzed Window node
+    val w = Window.orderBy("v")
+    val mixed = df.select(col("g"), col("v"),
+      row_number().over(w).as("rn"), lag("v", 1).over(w).as("prev"))
+    val p2 = noAqePlan(RewriteGlobalRankWindows.force(mixed))
+    assert(p2.collect { case g: GlobalRankExec => g }.isEmpty, p2.toString)
+    assert(RewriteGlobalRankWindows.force(mixed).collect().toSet ==
+      mixed.collect().toSet)
+  }
+
+  test("conf gate: default off keeps WindowExec; flag on rewrites SQL windows") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq((3L, "c"), (1L, "a"), (2L, "b"), (2L, "bb"))
+        .toDF("v", "s").createOrReplaceTempView("rw_t")
+      val sql = "SELECT s, row_number() OVER (ORDER BY v, s) AS rn, " +
+        "rank() OVER (ORDER BY v, s) AS rnk FROM rw_t"
+      // default: flag unset → untouched
+      val off = s2.sql(sql)
+      assert(off.queryExecution.executedPlan.collect {
+        case x: WindowExec => x
+      }.size == 1)
+      // flag on: same SQL plans through GlobalRankExec, same rows
+      s2.conf.set(RewriteGlobalRankWindows.ConfKey, "true")
+      val on = s2.sql(sql)
+      val p = on.queryExecution.executedPlan
+      assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+      assert(p.collect { case g: GlobalRankExec => g }.size == 1, p.toString)
+      assert(on.collect().toSet == off.collect().toSet)
+      assert(on.schema == off.schema)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("chained different orders: each window node rewrites to its own rank") {
+    val df = spark.range(500).select(
+      (col("id") * 7L % 101L).as("a"), (col("id") * 13L % 103L).as("b"),
+      col("id"))
+    val windowed = df
+      .withColumn("ra", row_number().over(Window.orderBy(col("a"), col("id"))))
+      .withColumn("rb", row_number().over(Window.orderBy(col("b").desc, col("id"))))
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    val p = noAqePlan(forced)
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalRankExec => g }.size == 2, p.toString)
+    assert(forced.collect().toSet == windowed.collect().toSet)
+  }
+}
