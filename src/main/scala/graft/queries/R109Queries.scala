@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.core.Tables
+import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
+
+/** Hundred-ninth wave — justified under the r7
+  * no-new-wave-without-new-surface rule (SURVEY §7.2): the rank-family
+  * generalization of [[graft.plans.GlobalRank]] (rank / dense_rank /
+  * percent_rank / ntile, tie-aware, one two-pass operator) and the
+  * [[graft.rules.RewriteGlobalRankWindows]] optimizer rule that turns
+  * unpartitioned rank windows INTO it. Both queries are written with
+  * the BUILT-IN window functions and routed through the rule's
+  * `force()` path, so the rewrite itself — not a hand-built plan — is
+  * what the DuckDB oracle checks.
+  *
+  *  - `q_rank_family`: per-customer order counts (heavy ties by
+  *    construction) ranked globally by rank/dense_rank/percent_rank.
+  *    The tie-aware values are functions of the order key alone, so the
+  *    DISTINCT projection is deterministic despite arbitrary tie order
+  *    — this is the query shape that PROVES the range-exchange tie
+  *    containment (a tie group never straddles partitions) end-to-end
+  *    against an independent engine.
+  *
+  *  - `q_ntile_rewrite`: per-customer spend under a TOTAL order
+  *    (unique tiebreak key), bucketed by the rewritten ntile(5) +
+  *    row_number, then rolled up per bucket — pins the SQL-standard
+  *    first-`n mod k`-buckets-get-the-extra-row fill and the exact
+  *    1..n positions produced by the two-pass offsets.
+  *
+  * Plan shape for both is pinned in PlanShapeSpec: zero WindowExec,
+  * ONE GlobalRankExec (all functions of a window node land in one
+  * operator, one range shuffle).
+  */
+object R109Queries {
+
+  val qRankFamily = QueryDef("q_rank_family",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      // ENTITY-bounded input (per-customer rollup) with guaranteed tie
+      // groups: many customers share an order count
+      val base = orders.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast(LongType).as("cnt"))
+      val w = Window.orderBy(col("cnt"))
+      val windowed = base.select(col("cnt"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"))
+      RewriteGlobalRankWindows.force(windowed)
+        .distinct().orderBy("cnt")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cnt,
+        |    CAST(rank() OVER (ORDER BY cnt) AS INT) AS rnk,
+        |    CAST(dense_rank() OVER (ORDER BY cnt) AS INT) AS drnk,
+        |    percent_rank() OVER (ORDER BY cnt) AS prnk
+        |  FROM base)
+        |SELECT DISTINCT cnt, rnk, drnk, prnk FROM r ORDER BY cnt""".stripMargin))
+
+  val qNtileRewrite = QueryDef("q_ntile_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val base = orders.groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .cast(LongType).as("cents"))
+      // total order (unique o_custkey tiebreak) → row_number and ntile
+      // are deterministic, same caveat as the built-ins
+      val w = Window.orderBy(col("cents"), col("o_custkey"))
+      val scored = base.select(col("cents"),
+        row_number().over(w).as("rn"),
+        ntile(5).over(w).as("bucket"))
+      RewriteGlobalRankWindows.force(scored)
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast(LongType).as("n_cust"),
+          min(col("rn")).as("rn_min"),
+          max(col("rn")).as("rn_max"),
+          sum(col("cents")).cast(LongType).as("cents_sum"))
+        .orderBy("bucket")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |scored AS (SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS INT) AS rn,
+        |    CAST(ntile(5) OVER (ORDER BY cents, o_custkey) AS INT) AS bucket
+        |  FROM base)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_cust,
+        |  min(rn) AS rn_min, max(rn) AS rn_max,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM scored GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qRankFamily, qNtileRewrite)
+}

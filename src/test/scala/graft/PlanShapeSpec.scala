@@ -248,6 +248,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(funnels.isEmpty, s"q_rfm_ranked grew a 1-partition DATA funnel:\n$p")
   }
 
+  test("q_rank_family / q_ntile_rewrite: the rewrite rule leaves zero WindowExec, one GlobalRankExec") {
+    // both queries are WRITTEN with built-in window functions; the
+    // RewriteGlobalRankWindows force() path must have replaced the
+    // single-partition WindowExec with one distributed GlobalRankExec
+    // (all functions of the window node in ONE operator)
+    for (name <- Seq("q_rank_family", "q_ntile_rewrite")) {
+      val p = plan(name)
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$name kept a WindowExec:\n$p")
+      assert(p.collect {
+        case g: graft.plans.GlobalRankExec => g
+      }.size == 1, s"$name must rank through ONE GlobalRankExec:\n$p")
+    }
+  }
+
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
     val p = plan("q_clamped_runsum")
     assert(hashShuffles(p) == 1,
