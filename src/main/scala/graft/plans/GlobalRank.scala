@@ -54,6 +54,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *    keys share a value; gaps / no gaps);
   *  - `PercentRank` — `(rank - 1) / (n - 1)` as DOUBLE (0.0 for n <= 1),
   *    the built-in's definition — `n` is the pass-1 total, free;
+  *  - `CumeDist` — `|rows <= current| / n` as DOUBLE. The numerator is
+  *    the position of the row's tie-group END, which pass 2 cannot know
+  *    before consuming the group — so requesting CumeDist buffers ONE
+  *    tie group of rows at a time (copies). Memory is bounded by the
+  *    largest tie group, a strict improvement on the built-in
+  *    WindowExec, which buffers the ENTIRE input in its single
+  *    partition; the non-CumeDist modes keep the zero-buffer streaming
+  *    path;
   *  - `NTile(k)` — SQL-standard bucket fill (first `n mod k` buckets
   *    take one extra row), pure integer arithmetic on (position, n).
   *
@@ -118,7 +126,8 @@ case class GlobalRankExec(order: Seq[SortOrder], ranks: Seq[GlobalRank.RankCol],
     val rdd = child.execute()
     val modes = ranks.map(_.mode).toArray
     val needGroups = modes.contains(RankMode.DenseRank)
-    val needTies = needGroups || modes.contains(RankMode.Rank) ||
+    val needCume = modes.contains(RankMode.CumeDist)
+    val needTies = needGroups || needCume || modes.contains(RankMode.Rank) ||
       modes.contains(RankMode.PercentRank)
     val keyExprs = order.map(_.child)
     val keyTypes = keyExprs.map(_.dataType)
@@ -167,20 +176,8 @@ case class GlobalRankExec(order: Seq[SortOrder], ranks: Seq[GlobalRank.RankCol],
       val ord = if (needTies) RowOrdering.createNaturalAscendingOrdering(keyTypes) else null
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(nRanks)
-      var pos = rowOffsets(pid)
-      var curRank = 0L
-      var dense = groupOffsets(pid)
-      var prevKey: UnsafeRow = null
-      it.map { row =>
-        pos += 1L
-        if (needTies) {
-          val k = keyProj(row)
-          if (prevKey == null || ord.compare(prevKey, k) != 0) {
-            curRank = pos
-            dense += 1L
-            prevKey = k.copy() // one copy per GROUP, not per row
-          }
-        }
+      def emit(row: InternalRow, pos: Long, curRank: Long, dense: Long,
+               groupEnd: Long): InternalRow = {
         var i = 0
         while (i < nRanks) {
           modes(i) match {
@@ -189,12 +186,82 @@ case class GlobalRankExec(order: Seq[SortOrder], ranks: Seq[GlobalRank.RankCol],
             case RankMode.DenseRank => rankRow.update(i, dense)
             case RankMode.PercentRank => rankRow.update(i,
               if (total <= 1L) 0.0 else (curRank - 1L).toDouble / (total - 1L).toDouble)
+            case RankMode.CumeDist => rankRow.update(i,
+              groupEnd.toDouble / total.toDouble)
             case RankMode.NTile(k) => rankRow.update(i, GlobalRank.ntileOf(pos, total, k))
           }
           i += 1
         }
         numOutputRows += 1
         proj(joined(row, rankRow))
+      }
+      if (!needCume) {
+        // streaming path: zero row buffering, one key copy per group
+        var pos = rowOffsets(pid)
+        var curRank = 0L
+        var dense = groupOffsets(pid)
+        var prevKey: UnsafeRow = null
+        it.map { row =>
+          pos += 1L
+          if (needTies) {
+            val k = keyProj(row)
+            if (prevKey == null || ord.compare(prevKey, k) != 0) {
+              curRank = pos
+              dense += 1L
+              prevKey = k.copy() // one copy per GROUP, not per row
+            }
+          }
+          emit(row, pos, curRank, dense, 0L)
+        }
+      } else {
+        // cume_dist path: the numerator is the group END position, so
+        // buffer ONE tie group of row copies at a time — memory bounds
+        // at the largest tie group (the built-in buffers the whole
+        // input in its single partition)
+        new Iterator[InternalRow] {
+          private var groupRows: Array[InternalRow] = Array.empty
+          private var idx = 0
+          private var pos = rowOffsets(pid)
+          private var curRank = 0L
+          private var dense = groupOffsets(pid)
+          private var groupEnd = 0L
+          // first row of the NEXT group, already pulled while scanning
+          // for the current group's end
+          private var pendingRow: InternalRow = null
+          private var pendingKey: UnsafeRow = null
+          private def loadNextGroup(): Unit = {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            var key: UnsafeRow = null
+            if (pendingRow != null) {
+              buf += pendingRow; key = pendingKey
+              pendingRow = null; pendingKey = null
+            } else {
+              val r = it.next()
+              key = keyProj(r).copy(); buf += r.copy()
+            }
+            var open = true
+            while (open && it.hasNext) {
+              val r = it.next()
+              val k = keyProj(r)
+              if (ord.compare(key, k) == 0) buf += r.copy()
+              else { pendingRow = r.copy(); pendingKey = k.copy(); open = false }
+            }
+            curRank = pos + 1L
+            dense += 1L
+            groupEnd = pos + buf.length
+            groupRows = buf.toArray
+            idx = 0
+          }
+          override def hasNext: Boolean =
+            idx < groupRows.length || pendingRow != null || it.hasNext
+          override def next(): InternalRow = {
+            if (idx >= groupRows.length) loadNextGroup()
+            val row = groupRows(idx)
+            idx += 1
+            pos += 1L
+            emit(row, pos, curRank, dense, groupEnd)
+          }
+        }
       }
     }, preservesPartitioning = true)
   }
@@ -218,6 +285,7 @@ object GlobalRank {
     case object Rank extends RankMode
     case object DenseRank extends RankMode
     case object PercentRank extends RankMode { override def dataType: DataType = DoubleType }
+    case object CumeDist extends RankMode { override def dataType: DataType = DoubleType }
     final case class NTile(buckets: Int) extends RankMode {
       require(buckets >= 1, s"ntile buckets must be >= 1, got $buckets")
     }

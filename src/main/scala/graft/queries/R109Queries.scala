@@ -19,7 +19,8 @@ import graft.rules.RewriteGlobalRankWindows
   * what the DuckDB oracle checks.
   *
   *  - `q_rank_family`: per-customer order counts (heavy ties by
-  *    construction) ranked globally by rank/dense_rank/percent_rank.
+  *    construction) ranked globally by rank/dense_rank/percent_rank/
+  *    cume_dist.
   *    The tie-aware values are functions of the order key alone, so the
   *    DISTINCT projection is deterministic despite arbitrary tie order
   *    — this is the query shape that PROVES the range-exchange tie
@@ -49,7 +50,8 @@ object R109Queries {
       val windowed = base.select(col("cnt"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
-        percent_rank().over(w).as("prnk"))
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cd"))
       RewriteGlobalRankWindows.force(windowed)
         .distinct().orderBy("cnt")
     },
@@ -60,9 +62,10 @@ object R109Queries {
         |r AS (SELECT cnt,
         |    CAST(rank() OVER (ORDER BY cnt) AS INT) AS rnk,
         |    CAST(dense_rank() OVER (ORDER BY cnt) AS INT) AS drnk,
-        |    percent_rank() OVER (ORDER BY cnt) AS prnk
+        |    percent_rank() OVER (ORDER BY cnt) AS prnk,
+        |    cume_dist() OVER (ORDER BY cnt) AS cd
         |  FROM base)
-        |SELECT DISTINCT cnt, rnk, drnk, prnk FROM r ORDER BY cnt""".stripMargin))
+        |SELECT DISTINCT cnt, rnk, drnk, prnk, cd FROM r ORDER BY cnt""".stripMargin))
 
   val qNtileRewrite = QueryDef("q_ntile_rewrite",
     (s, dir) => {

@@ -2,7 +2,7 @@ package graft.rules
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, DenseRank, Expression, Literal, NTile, NamedExpression, PercentRank, Rank, RowNumber, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, DenseRank, Expression, Literal, NTile, NamedExpression, PercentRank, Rank, RowNumber, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -15,8 +15,9 @@ import graft.plans.GlobalRank.{RankCol, RankMode}
   * the distributed two-pass [[graft.plans.GlobalRankNode]] — the engine
   * removing its own worst plan shape instead of merely auditing it.
   *
-  * `row_number()/rank()/dense_rank()/percent_rank()/ntile(k) OVER
-  * (ORDER BY ...)` with no PARTITION BY plans as a WindowExec that
+  * `row_number()/rank()/dense_rank()/percent_rank()/cume_dist()/
+  * ntile(k) OVER (ORDER BY ...)` with no PARTITION BY plans as a
+  * WindowExec that
   * warns "No Partition Defined ... moving all data to a single
   * partition": one task sorts and ranks everything — the funnel the
   * `WindowWhitelist` audit reviews case-by-case, and the one plan shape
@@ -70,6 +71,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case _: Rank => Some(RankMode.Rank)
     case _: DenseRank => Some(RankMode.DenseRank)
     case _: PercentRank => Some(RankMode.PercentRank)
+    case _: CumeDist => Some(RankMode.CumeDist)
     case nt: NTile => nt.buckets match {
       case Literal(k: Int, IntegerType) if k > 0 => Some(RankMode.NTile(k))
       case _ => None
@@ -101,8 +103,8 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       }
       val projected = child.output ++ pairs.zip(ranks).map { case ((a, m), rc) =>
         val value: Expression = m match {
-          // percent_rank is DOUBLE on both sides — project as-is
-          case RankMode.PercentRank => rc.attr
+          // percent_rank / cume_dist are DOUBLE on both sides — as-is
+          case RankMode.PercentRank | RankMode.CumeDist => rc.attr
           // the built-ins are INT; the node emits LONG (it exists for
           // row counts past 2^31) — cast back so downstream types and
           // the user-visible schema are unchanged

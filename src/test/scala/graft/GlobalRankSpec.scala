@@ -100,23 +100,25 @@ class GlobalRankSpec extends AnyFunSuite {
       .select((col("id") % 7).as("k"), col("id")).repartition(8)
     val got = GlobalRank.globalRanks(df,
       Seq("rnk" -> RankMode.Rank, "drnk" -> RankMode.DenseRank,
-        "prnk" -> RankMode.PercentRank), Seq(Key("k")))
-      .select("k", "rnk", "drnk", "prnk").distinct()
-      .as[(Long, Long, Long, Double)].collect().toSet
+        "prnk" -> RankMode.PercentRank, "cd" -> RankMode.CumeDist),
+      Seq(Key("k")))
+      .select("k", "rnk", "drnk", "prnk", "cd").distinct()
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
     val w = Window.orderBy("k")
     val want = df
       .withColumn("rnk", rank().over(w).cast("long"))
       .withColumn("drnk", dense_rank().over(w).cast("long"))
       .withColumn("prnk", percent_rank().over(w))
-      .select("k", "rnk", "drnk", "prnk").distinct()
-      .as[(Long, Long, Long, Double)].collect().toSet
+      .withColumn("cd", cume_dist().over(w))
+      .select("k", "rnk", "drnk", "prnk", "cd").distinct()
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
     // rank-family values are functions of the order KEY alone, so the
     // distinct sets are deterministic despite arbitrary tie order
     assert(got == want)
     assert(got.size == 7)
   }
 
-  test("ntile == built-in ntile under a total order; all five modes in ONE node") {
+  test("ntile == built-in ntile under a total order; all six modes in ONE node") {
     import graft.plans.GlobalRank.RankMode
     import graft.plans.GlobalRankExec
     val df = spark.range(1000)
@@ -124,6 +126,7 @@ class GlobalRankSpec extends AnyFunSuite {
     val all = GlobalRank.globalRanks(df,
       Seq("rn" -> RankMode.RowNumber, "rnk" -> RankMode.Rank,
         "drnk" -> RankMode.DenseRank, "prnk" -> RankMode.PercentRank,
+        "cd" -> RankMode.CumeDist,
         "nt" -> RankMode.NTile(7)), Seq(Key("v"), Key("id")))
     // one operator, one scan pair — NOT five (AQE off so the tree is
     // inspectable without executing)
@@ -133,17 +136,18 @@ class GlobalRankSpec extends AnyFunSuite {
       case g: GlobalRankExec => g
     }.size == 1)
     finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-    val got = all.select("v", "id", "rn", "rnk", "drnk", "prnk", "nt")
-      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSet
+    val got = all.select("v", "id", "rn", "rnk", "drnk", "prnk", "cd", "nt")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Long)].collect().toSet
     val w = Window.orderBy("v", "id")
     val want = df
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("rnk", rank().over(w).cast("long"))
       .withColumn("drnk", dense_rank().over(w).cast("long"))
       .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
       .withColumn("nt", ntile(7).over(w).cast("long"))
-      .select("v", "id", "rn", "rnk", "drnk", "prnk", "nt")
-      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSet
+      .select("v", "id", "rn", "rnk", "drnk", "prnk", "cd", "nt")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Long)].collect().toSet
     assert(got == want)
   }
 
@@ -170,6 +174,19 @@ class GlobalRankSpec extends AnyFunSuite {
     val ps = GlobalRank.globalRanks(tied, Seq("p" -> RankMode.PercentRank),
       Seq(Key("v"))).orderBy("v").select("p").as[Double].collect().toSeq
     assert(ps == Seq(0.0, 0.0, 1.0))
+  }
+
+  test("cume_dist edges: single row is 1.0; whole-group values at group end") {
+    import graft.plans.GlobalRank.RankMode
+    val one = Seq(5L).toDF("v")
+    assert(GlobalRank.globalRanks(one, Seq("cd" -> RankMode.CumeDist),
+      Seq(Key("v"))).select("cd").as[Double].collect().toSeq == Seq(1.0))
+    // 2-2-1 tie groups: cume = 0.4, 0.8, 1.0
+    val tied = Seq(1L, 1L, 2L, 2L, 3L).toDF("v").repartition(3)
+    val got = GlobalRank.globalRanks(tied, Seq("cd" -> RankMode.CumeDist),
+      Seq(Key("v"))).orderBy("v").select("v", "cd")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.4), (1L, 0.4), (2L, 0.8), (2L, 0.8), (3L, 1.0)))
   }
 
   test("duplicate rank column names are rejected") {

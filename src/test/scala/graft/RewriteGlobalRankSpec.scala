@@ -36,6 +36,7 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
       .withColumn("rnk", rank().over(w))
       .withColumn("drnk", dense_rank().over(w))
       .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
       .withColumn("nt", ntile(6).over(w))
     val forced = RewriteGlobalRankWindows.force(windowed)
     // user-visible schema unchanged: built-in INT / DOUBLE types survive
@@ -53,13 +54,14 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
       .withColumn("rnk", rank().over(w))
       .withColumn("drnk", dense_rank().over(w))
       .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
     val forced = RewriteGlobalRankWindows.force(windowed)
-    // rank/dense_rank/percent_rank are functions of the order KEY —
-    // deterministic despite arbitrary tie order
-    val keyed = forced.select("k", "rnk", "drnk", "prnk").distinct()
-      .as[(Long, Int, Int, Double)].collect().toSet
-    val want = windowed.select("k", "rnk", "drnk", "prnk").distinct()
-      .as[(Long, Int, Int, Double)].collect().toSet
+    // rank/dense_rank/percent_rank/cume_dist are functions of the order
+    // KEY — deterministic despite arbitrary tie order
+    val keyed = forced.select("k", "rnk", "drnk", "prnk", "cd").distinct()
+      .as[(Long, Int, Int, Double, Double)].collect().toSet
+    val want = windowed.select("k", "rnk", "drnk", "prnk", "cd").distinct()
+      .as[(Long, Int, Int, Double, Double)].collect().toSet
     assert(keyed == want)
     assert(keyed.size == 11)
     // row_number under ties is an arbitrary tie order but must still be
