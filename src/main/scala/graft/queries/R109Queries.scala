@@ -11,12 +11,14 @@ import graft.rules.RewriteGlobalRankWindows
 /** Hundred-ninth wave — justified under the r7
   * no-new-wave-without-new-surface rule (SURVEY §7.2): the rank-family
   * generalization of [[graft.plans.GlobalRank]] (rank / dense_rank /
-  * percent_rank / ntile, tie-aware, one two-pass operator) and the
+  * percent_rank / cume_dist / ntile, tie-aware, one two-pass operator),
+  * the distributed offset-window operator [[graft.plans.GlobalShift]]
+  * (global lead/lag with bounded boundary state), and the
   * [[graft.rules.RewriteGlobalRankWindows]] optimizer rule that turns
-  * unpartitioned rank windows INTO it. Both queries are written with
-  * the BUILT-IN window functions and routed through the rule's
-  * `force()` path, so the rewrite itself — not a hand-built plan — is
-  * what the DuckDB oracle checks.
+  * unpartitioned rank/offset windows INTO them. All queries here are
+  * written with the BUILT-IN window functions and routed through the
+  * rule's `force()` path, so the rewrite itself — not a hand-built
+  * plan — is what the DuckDB oracle checks.
   *
   *  - `q_rank_family`: per-customer order counts (heavy ties by
   *    construction) ranked globally by rank/dense_rank/percent_rank/
@@ -101,5 +103,37 @@ object R109Queries {
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM scored GROUP BY bucket ORDER BY bucket""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qRankFamily, qNtileRewrite)
+  /** `q_shift_rewrite`: the CALENDAR-class twin — daily revenue with
+    * day-over-day delta (lag) and next-day lookahead (lead), written
+    * with the BUILT-IN offset windows and routed through the rewrite,
+    * so [[graft.plans.GlobalShift]]'s bounded boundary state sits on
+    * the oracle-checked path. Day is unique after the rollup → total
+    * order → exact. */
+  val qShiftRewrite = QueryDef("q_shift_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .cast(LongType).as("cents"))
+      val w = Window.orderBy(col("day"))
+      val shifted = daily.select(col("day"), col("cents"),
+        lag("cents", 1).over(w).as("prev_cents"),
+        lead("cents", 1).over(w).as("next_cents"))
+      RewriteGlobalRankWindows.force(shifted)
+        .select(col("day"), col("cents"),
+          (col("cents") - col("prev_cents")).as("dod_delta"),
+          col("next_cents"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, cents,
+        |  cents - lag(cents, 1) OVER (ORDER BY day) AS dod_delta,
+        |  lead(cents, 1) OVER (ORDER BY day) AS next_cents
+        |FROM daily ORDER BY day""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qRankFamily, qNtileRewrite, qShiftRewrite)
 }

@@ -2,47 +2,56 @@ package graft.rules
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, DenseRank, Expression, Literal, NTile, NamedExpression, PercentRank, Rank, RowNumber, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, PercentRank, Rank, RowNumber, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.IntegerType
 
-import graft.plans.{GlobalRank, GlobalRankNode}
+import graft.plans.{GlobalRank, GlobalRankNode, GlobalShift, GlobalShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
+import graft.plans.GlobalShift.ShiftCol
 
-/** Optimizer rule: rewrite an UNPARTITIONED rank-family `Window` into
-  * the distributed two-pass [[graft.plans.GlobalRankNode]] — the engine
-  * removing its own worst plan shape instead of merely auditing it.
+/** Optimizer rule: rewrite an UNPARTITIONED rank-family or
+  * offset-family `Window` into the distributed two-pass
+  * [[graft.plans.GlobalRankNode]] / [[graft.plans.GlobalShiftNode]] —
+  * the engine removing its own worst plan shape instead of merely
+  * auditing it.
   *
   * `row_number()/rank()/dense_rank()/percent_rank()/cume_dist()/
-  * ntile(k) OVER (ORDER BY ...)` with no PARTITION BY plans as a
-  * WindowExec that
+  * ntile(k)/lead(e,k)/lag(e,k) OVER (ORDER BY ...)` with no PARTITION
+  * BY plans as a WindowExec that
   * warns "No Partition Defined ... moving all data to a single
   * partition": one task sorts and ranks everything — the funnel the
   * `WindowWhitelist` audit reviews case-by-case, and the one plan shape
-  * that cannot survive 100 TB. Every function in that family is
-  * position-arithmetic over the globally sorted order, which is exactly
-  * what [[GlobalRankNode]] computes range-partitioned in two passes
-  * over one shuffle, so the rewrite is an equivalence, not an
+  * that cannot survive 100 TB. Every rank function is
+  * position-arithmetic over the globally sorted order — exactly what
+  * [[GlobalRankNode]] computes range-partitioned in two passes over one
+  * shuffle — and every literal-offset lead/lag is a bounded-distance
+  * lookup over the same order, which [[GlobalShiftNode]] resolves with
+  * bounded boundary state. The rewrite is an equivalence, not an
   * approximation:
   *
-  *  - all rank expressions of one `Window` node share its ORDER BY
+  *  - all window expressions of one `Window` node share its ORDER BY
   *    (Catalyst groups window expressions by spec), so they land in ONE
-  *    GlobalRankNode — one shuffle regardless of how many functions;
-  *  - `row_number`/`ntile` keep their tie caveat (physical position
-  *    breaks ties — nondeterministic under a non-total order, same as
-  *    the built-in); `rank`/`dense_rank`/`percent_rank` are tie-exact
-  *    (see the range-partitioning tie-containment argument on
-  *    [[GlobalRankNode]]);
+  *    GlobalRankNode and/or ONE GlobalShiftNode — stacked nodes share
+  *    the range partitioning, one shuffle regardless of how many
+  *    functions;
+  *  - `row_number`/`ntile`/`lead`/`lag` keep their tie caveat (physical
+  *    position breaks ties — nondeterministic under a non-total order,
+  *    same as the built-ins); `rank`/`dense_rank`/`percent_rank`/
+  *    `cume_dist` are tie-exact (see the range-partitioning
+  *    tie-containment argument on [[GlobalRankNode]]);
   *  - output attributes keep their exprIds (the rewrite projects the
   *    generated LONG rank back to the built-in's INT / DOUBLE type
-  *    under the original alias), so nothing upstream re-resolves.
+  *    under the original alias; lead/lag types pass through), so
+  *    nothing upstream re-resolves.
   *
   * A `Window` node is left alone when any of its expressions is outside
-  * the family (lead/lag/aggregate windows need real frame execution),
-  * when it HAS a partition spec (partitioned windows scale fine), or
-  * when an order key is non-deterministic.
+  * the two families (aggregate/nth_value/first_value windows need real
+  * frame execution; IGNORE NULLS and non-literal or over-cap offsets
+  * need unbounded lookback), when it HAS a partition spec (partitioned
+  * windows scale fine), or when an order key is non-deterministic.
   *
   * OFF by default — enable with `spark.graft.rewrite.globalRankWindows=
   * true` (session conf; the rule is injected by [[GraftExtensions]] as
@@ -89,31 +98,99 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Max |offset| the rule will route through GlobalShift: its boundary
+    * state is `numPartitions * offset` values per shift column, so an
+    * absurd literal offset must fall back to the built-in rather than
+    * bloat the driver. */
+  val MaxShiftKey = "spark.graft.rewrite.maxShiftOffset"
+  private def maxShift: Int =
+    SQLConf.get.getConfString(MaxShiftKey, "1024").toInt
+
+  /** (input, signed offset, default) iff `ne` is a rewritable
+    * `lead`/`lag` global window: literal int offset within the cap, no
+    * IGNORE NULLS (that lookback is unbounded), and a default the
+    * offset node can evaluate (null literal, or same type as the
+    * input, evaluated against the current row — WindowExec's own
+    * offset-frame semantics). The sign is normalized so positive looks
+    * ahead: `lag(e, -2)` IS `lead(e, 2)`, as with the built-ins. */
+  private def shiftOf(ne: NamedExpression): Option[(Alias, ShiftCol)] = {
+    def spec(fn: Expression): Option[(Expression, Int, Expression)] = fn match {
+      case l: Lag if !l.ignoreNulls => l.inputOffset match {
+        case Literal(k: Int, IntegerType) => Some((l.input, -k, l.default))
+        case _ => None
+      }
+      case l: Lead if !l.ignoreNulls => l.offset match {
+        case Literal(k: Int, IntegerType) => Some((l.input, k, l.default))
+        case _ => None
+      }
+      case _ => None
+    }
+    ne match {
+      case a @ Alias(we @ WindowExpression(fn, WindowSpecDefinition(Seq(), _, _)), _) =>
+        spec(fn).collect {
+          case (input, off, default)
+              if math.abs(off) <= maxShift && input.deterministic &&
+                default.deterministic &&
+                (default.foldable && default.eval() == null ||
+                  org.apache.spark.sql.types.DataType.equalsStructurally(
+                    default.dataType, input.dataType, ignoreNullability = true)) =>
+            (a, ShiftCol(AttributeReference(s"__graft_${a.name}",
+              input.dataType, nullable = we.nullable)(), input, off, default))
+        }
+      case _ => None
+    }
+  }
+
   /** Unconditional rewrite (the conf gate lives in [[apply]]).
     * Idempotent: the result contains no matching `Window`, so a
     * fixed-point batch terminates immediately. */
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Window(wexprs, Seq(), orderSpec, child, _)
         if orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
-          wexprs.nonEmpty && wexprs.forall(e => rankOf(e).isDefined) =>
-      val pairs = wexprs.map(e => rankOf(e).get)
-      val ranks = pairs.map { case (a, m) =>
-        RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
-          nullable = false)(), m)
-      }
-      val projected = child.output ++ pairs.zip(ranks).map { case ((a, m), rc) =>
-        val value: Expression = m match {
-          // percent_rank / cume_dist are DOUBLE on both sides — as-is
-          case RankMode.PercentRank | RankMode.CumeDist => rc.attr
-          // the built-ins are INT; the node emits LONG (it exists for
-          // row counts past 2^31) — cast back so downstream types and
-          // the user-visible schema are unchanged
-          case _ => Cast(rc.attr, IntegerType)
+          wexprs.nonEmpty &&
+          wexprs.forall(e => rankOf(e).isDefined || shiftOf(e).isDefined) =>
+      // classify once (fresh generated attrs must be created exactly
+      // once per expression); ranks take precedence but the families
+      // are disjoint anyway
+      val classified: Seq[Either[(Alias, RankMode, RankCol), (Alias, ShiftCol)]] =
+        wexprs.map { e =>
+          rankOf(e) match {
+            case Some((a, m)) => Left((a, m,
+              RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
+                nullable = false)(), m)))
+            case None => Right(shiftOf(e).get)
+          }
         }
-        Alias(value, a.name)(exprId = a.exprId, qualifier = a.qualifier,
-          explicitMetadata = Some(a.metadata))
+      val rankCols = classified.collect { case Left((_, _, rc)) => rc }
+      val shiftCols = classified.collect { case Right((_, sc)) => sc }
+      // rank node below, shift node above — both declare the same
+      // OrderedDistribution and pass partitioning + ordering through,
+      // so stacking costs no extra exchange
+      val withRanks: LogicalPlan =
+        if (rankCols.isEmpty) child
+        else GlobalRankNode(orderSpec, rankCols, child)
+      val node: LogicalPlan =
+        if (shiftCols.isEmpty) withRanks
+        else GlobalShiftNode(orderSpec, shiftCols.map(_.attr),
+          shiftCols.map(_.input), shiftCols.map(_.offset),
+          shiftCols.map(_.default), withRanks)
+      val projected = child.output ++ classified.map {
+        case Left((a, m, rc)) =>
+          val value: Expression = m match {
+            // percent_rank / cume_dist are DOUBLE on both sides — as-is
+            case RankMode.PercentRank | RankMode.CumeDist => rc.attr
+            // the built-ins are INT; the node emits LONG (it exists for
+            // row counts past 2^31) — cast back so downstream types and
+            // the user-visible schema are unchanged
+            case _ => Cast(rc.attr, IntegerType)
+          }
+          Alias(value, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
+        case Right((a, sc)) =>
+          Alias(sc.attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
       }
-      Project(projected, GlobalRankNode(orderSpec, ranks, child))
+      Project(projected, node)
   }
 
   /** Apply the rewrite to ONE DataFrame, unconditionally and without
@@ -123,6 +200,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   def force(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     GlobalRank.ensureStrategy(spark)
+    GlobalShift.ensureStrategy(spark)
     GraftSqlBridge.ofRows(spark, rewrite(df.queryExecution.analyzed))
   }
 }

@@ -359,7 +359,11 @@ private[graft] object WindowWhitelist {
     s"ENTITY: per-$k rollup — |${k}s|; exact-rank fixture form, " +
       "approx/range-partitioned at 100 TB — the executed scale twin is " +
       "graft.plans.GlobalRank (two-pass range-partitioned exact rank; " +
-      "q_rfm_ranked routes q_rfm through it, PlanShapeSpec-pinned)"
+      "q_rfm_ranked routes q_rfm through it, PlanShapeSpec-pinned), and " +
+      "since r12 the engine rewrites these windows AUTOMATICALLY: " +
+      "RewriteGlobalRankWindows (conf spark.graft.rewrite." +
+      "globalRankWindows, or force()) covers the whole rank family — " +
+      "q_rank_family / q_ntile_rewrite are the oracle-checked proofs"
   private def E(bound: String, keys: String*): Entry =
     Entry(bound, keys.toSet)
   val entries: Map[String, Entry] = Map(

@@ -262,6 +262,14 @@ class PlanShapeSpec extends AnyFunSuite {
         case g: graft.plans.GlobalRankExec => g
       }.size == 1, s"$name must rank through ONE GlobalRankExec:\n$p")
     }
+    // the offset-family sibling: lead/lag through ONE GlobalShiftExec
+    val ps = plan("q_shift_rewrite")
+    assert(ps.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_shift_rewrite kept a WindowExec:\n$ps")
+    assert(ps.collect {
+      case g: graft.plans.GlobalShiftExec => g
+    }.size == 1, s"q_shift_rewrite must shift through ONE GlobalShiftExec:\n$ps")
   }
 
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {

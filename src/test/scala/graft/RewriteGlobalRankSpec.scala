@@ -101,12 +101,13 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
     val p1 = noAqePlan(RewriteGlobalRankWindows.force(part))
     assert(p1.collect { case x: WindowExec => x }.size == 1, p1.toString)
     assert(p1.collect { case g: GlobalRankExec => g }.isEmpty)
-    // a window NODE carrying an out-of-family function (lag needs real
-    // frame execution) keeps ALL its expressions on the WindowExec path
-    // — one SELECT so both functions share one analyzed Window node
+    // a window NODE carrying an out-of-family function (a running
+    // aggregate needs real frame execution) keeps ALL its expressions
+    // on the WindowExec path — one SELECT so both functions share one
+    // analyzed Window node
     val w = Window.orderBy("v")
     val mixed = df.select(col("g"), col("v"),
-      row_number().over(w).as("rn"), lag("v", 1).over(w).as("prev"))
+      row_number().over(w).as("rn"), avg("v").over(w).as("ravg"))
     val p2 = noAqePlan(RewriteGlobalRankWindows.force(mixed))
     assert(p2.collect { case g: GlobalRankExec => g }.isEmpty, p2.toString)
     assert(RewriteGlobalRankWindows.force(mixed).collect().toSet ==
@@ -145,6 +146,78 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
     }
+  }
+
+  test("offset family: lag/lead with defaults rewrite to GlobalShiftExec, equal results") {
+    import graft.plans.GlobalShiftExec
+    val df = spark.range(1500)
+      .select((col("id") * 7919L % 6007L).as("v"), (col("id") % 251).as("x"))
+      .repartition(7)
+    val w = Window.orderBy("v")
+    val windowed = df.select(col("v"), col("x"),
+      lag("x", 3).over(w).as("l3"),
+      lead("x", 2).over(w).as("d2"),
+      lag(col("x"), 5, -1).over(w).as("l5d"),
+      // negative lag IS a lead — sign normalization path
+      lag("x", -4).over(w).as("neg"))
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.schema == windowed.schema)
+    assert(forced.collect().toSet == windowed.collect().toSet)
+    // fresh force(): the lazy executedPlan above was already realized
+    // under AQE, which hides the exec from a plain collect
+    val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalShiftExec => g }.size == 1, p.toString)
+  }
+
+  test("mixed rank + offset window: stacked nodes share ONE range exchange") {
+    import graft.plans.GlobalShiftExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = spark.range(800)
+      .select((col("id") * 131L % 1009L).as("v"), (col("id") % 50).as("x"))
+    val w = Window.orderBy("v")
+    val windowed = df.select(col("v"), col("x"),
+      row_number().over(w).as("rn"),
+      dense_rank().over(w).as("drnk"),
+      lag("x", 1).over(w).as("prev"),
+      lead("x", 1).over(w).as("nxt"))
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.collect().toSet == windowed.collect().toSet)
+    val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalRankExec => g }.size == 1, p.toString)
+    assert(p.collect { case g: GlobalShiftExec => g }.size == 1, p.toString)
+    // the stacked nodes declare the same OrderedDistribution and pass
+    // partitioning through — ONE shuffle serves both
+    assert(p.collect { case e: ShuffleExchangeExec => e }.size == 1,
+      s"rank+shift must share one range exchange:\n$p")
+  }
+
+  test("offset non-rewrites: IGNORE NULLS and over-cap offsets keep WindowExec") {
+    import graft.plans.GlobalShiftExec
+    val df = spark.range(100).select(col("id").as("v"),
+      when(col("id") % 3 === 0, col("id")).as("x"))
+    df.createOrReplaceTempView("rw_shift_t")
+    // IGNORE NULLS needs unbounded lookback — not rewritable
+    val ign = RewriteGlobalRankWindows.force(spark.sql(
+      "SELECT v, lag(x) IGNORE NULLS OVER (ORDER BY v) AS p FROM rw_shift_t"))
+    val p1 = noAqePlan(ign)
+    assert(p1.collect { case g: GlobalShiftExec => g }.isEmpty, p1.toString)
+    assert(p1.collect { case x: WindowExec => x }.size == 1)
+    // an offset past spark.graft.rewrite.maxShiftOffset must fall back
+    // (boundary state scales with the offset)
+    spark.conf.set(RewriteGlobalRankWindows.MaxShiftKey, "4")
+    try {
+      val over = RewriteGlobalRankWindows.force(
+        df.withColumn("p", lag("x", 5).over(Window.orderBy("v"))))
+      val p2 = noAqePlan(over)
+      assert(p2.collect { case g: GlobalShiftExec => g }.isEmpty, p2.toString)
+      val under = RewriteGlobalRankWindows.force(
+        df.withColumn("p", lag("x", 4).over(Window.orderBy("v"))))
+      assert(noAqePlan(under).collect {
+        case g: GlobalShiftExec => g
+      }.size == 1)
+    } finally spark.conf.unset(RewriteGlobalRankWindows.MaxShiftKey)
   }
 
   test("chained different orders: each window node rewrites to its own rank") {
