@@ -135,5 +135,44 @@ object R109Queries {
         |  lead(cents, 1) OVER (ORDER BY day) AS next_cents
         |FROM daily ORDER BY day""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qRankFamily, qNtileRewrite, qShiftRewrite)
+  /** `q_runagg_rewrite`: the running-aggregate family through the
+    * rewrite — cumulative revenue and day count over MONTHS (a
+    * tie-heavy order key: every day of a month is a peer), using the
+    * SQL-DEFAULT RANGE frame, so [[graft.plans.GlobalRunningAgg]]'s
+    * prefix-merged buffers AND its tie-group-end semantics both sit on
+    * the oracle-checked path. RANGE values are functions of the order
+    * key, so the DISTINCT projection is deterministic despite
+    * arbitrary tie order — the same proof shape as q_rank_family. */
+  val qRunaggRewrite = QueryDef("q_runagg_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .cast(LongType).as("cents"))
+      val keyed = daily.select(
+        (year(col("day")) * 100 + month(col("day"))).cast(LongType).as("mon"),
+        col("cents"))
+      // default frame = RANGE UNBOUNDED PRECEDING .. CURRENT ROW
+      val w = Window.orderBy(col("mon"))
+      val cum = keyed.select(col("mon"),
+        sum("cents").over(w).as("cum_cents"),
+        count(lit(1)).over(w).as("cum_days"))
+      RewriteGlobalRankWindows.force(cum)
+        .distinct().orderBy("mon")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |keyed AS (SELECT CAST(year(day) * 100 + month(day) AS BIGINT) AS mon, cents
+        |  FROM daily),
+        |c AS (SELECT mon,
+        |    CAST(sum(cents) OVER (ORDER BY mon) AS BIGINT) AS cum_cents,
+        |    CAST(count(*) OVER (ORDER BY mon) AS BIGINT) AS cum_days
+        |  FROM keyed)
+        |SELECT DISTINCT mon, cum_cents, cum_days FROM c ORDER BY mon""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(qRankFamily, qNtileRewrite, qShiftRewrite, qRunaggRewrite)
 }

@@ -65,6 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalShiftStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)
     // conf-gated (spark.graft.rewrite.globalRankWindows, default off):
     // rewrite unpartitioned rank-family windows into the distributed
     // GlobalRankNode. Pre-CBO, not operator-optimization: it runs ONCE,

@@ -2,13 +2,14 @@ package graft.rules
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, PercentRank, Rank, RowNumber, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, PercentRank, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, DeclarativeAggregate, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.IntegerType
 
-import graft.plans.{GlobalRank, GlobalRankNode, GlobalShift, GlobalShiftNode}
+import graft.plans.{GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -141,6 +142,37 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     }
   }
 
+  /** (alias, function, isRowsFrame, generated attr) iff `ne` is a
+    * rewritable RUNNING AGGREGATE global window: a whitelisted
+    * order-insensitive DeclarativeAggregate (sum/min/max/count/avg) in
+    * Complete mode with no DISTINCT and no FILTER, framed UNBOUNDED
+    * PRECEDING .. CURRENT ROW (ROWS or RANGE — RANGE is the SQL
+    * default and ends at the tie group, which GlobalRunningAgg
+    * honors). */
+  private def runAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Boolean, AttributeReference)] = {
+    def allowed(fn: DeclarativeAggregate): Boolean = fn match {
+      case _: Sum | _: Min | _: Max | _: Count | _: Average => true
+      case _ => false
+    }
+    ne match {
+      case a @ Alias(we @ WindowExpression(
+          AggregateExpression(fn: DeclarativeAggregate, Complete, false, None, _),
+          WindowSpecDefinition(Seq(), _,
+            SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _)
+          if allowed(fn) && fn.deterministic =>
+        Some((a, fn, ft == RowFrame,
+          AttributeReference(s"__graft_${a.name}", fn.dataType,
+            nullable = we.nullable)()))
+      case _ => None
+    }
+  }
+
+  private sealed trait Rewritten
+  private case class AsRank(a: Alias, mode: RankMode, rc: RankCol) extends Rewritten
+  private case class AsShift(a: Alias, sc: ShiftCol) extends Rewritten
+  private case class AsRunAgg(a: Alias, fn: DeclarativeAggregate,
+                              rows: Boolean, attr: AttributeReference) extends Rewritten
+
   /** Unconditional rewrite (the conf gate lives in [[apply]]).
     * Idempotent: the result contains no matching `Window`, so a
     * fixed-point batch terminates immediately. */
@@ -148,34 +180,43 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case Window(wexprs, Seq(), orderSpec, child, _)
         if orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.nonEmpty &&
-          wexprs.forall(e => rankOf(e).isDefined || shiftOf(e).isDefined) =>
+          wexprs.forall(e => rankOf(e).isDefined || shiftOf(e).isDefined ||
+            runAggOf(e).isDefined) =>
       // classify once (fresh generated attrs must be created exactly
-      // once per expression); ranks take precedence but the families
-      // are disjoint anyway
-      val classified: Seq[Either[(Alias, RankMode, RankCol), (Alias, ShiftCol)]] =
-        wexprs.map { e =>
-          rankOf(e) match {
-            case Some((a, m)) => Left((a, m,
-              RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
-                nullable = false)(), m)))
-            case None => Right(shiftOf(e).get)
+      // once per expression); the families are disjoint
+      val classified: Seq[Rewritten] = wexprs.map { e =>
+        rankOf(e) match {
+          case Some((a, m)) => AsRank(a, m,
+            RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
+              nullable = false)(), m))
+          case None => shiftOf(e) match {
+            case Some((a, sc)) => AsShift(a, sc)
+            case None =>
+              val (a, fn, rows, attr) = runAggOf(e).get
+              AsRunAgg(a, fn, rows, attr)
           }
         }
-      val rankCols = classified.collect { case Left((_, _, rc)) => rc }
-      val shiftCols = classified.collect { case Right((_, sc)) => sc }
-      // rank node below, shift node above — both declare the same
-      // OrderedDistribution and pass partitioning + ordering through,
-      // so stacking costs no extra exchange
+      }
+      val rankCols = classified.collect { case AsRank(_, _, rc) => rc }
+      val shiftCols = classified.collect { case AsShift(_, sc) => sc }
+      val aggCols = classified.collect { case r: AsRunAgg => r }
+      // rank node below, shift above, running agg on top — all three
+      // declare the same OrderedDistribution and pass partitioning +
+      // ordering through, so stacking costs no extra exchange
       val withRanks: LogicalPlan =
         if (rankCols.isEmpty) child
         else GlobalRankNode(orderSpec, rankCols, child)
-      val node: LogicalPlan =
+      val withShifts: LogicalPlan =
         if (shiftCols.isEmpty) withRanks
         else GlobalShiftNode(orderSpec, shiftCols.map(_.attr),
           shiftCols.map(_.input), shiftCols.map(_.offset),
           shiftCols.map(_.default), withRanks)
+      val node: LogicalPlan =
+        if (aggCols.isEmpty) withShifts
+        else GlobalRunningAggNode(orderSpec, aggCols.map(_.attr),
+          aggCols.map(_.fn), aggCols.map(_.rows), withShifts)
       val projected = child.output ++ classified.map {
-        case Left((a, m, rc)) =>
+        case AsRank(a, m, rc) =>
           val value: Expression = m match {
             // percent_rank / cume_dist are DOUBLE on both sides — as-is
             case RankMode.PercentRank | RankMode.CumeDist => rc.attr
@@ -186,8 +227,11 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           }
           Alias(value, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
-        case Right((a, sc)) =>
+        case AsShift(a, sc) =>
           Alias(sc.attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
+        case AsRunAgg(a, _, _, attr) =>
+          Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
       }
       Project(projected, node)
@@ -201,6 +245,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     val spark = df.sparkSession
     GlobalRank.ensureStrategy(spark)
     GlobalShift.ensureStrategy(spark)
+    GlobalRunningAgg.ensureStrategy(spark)
     GraftSqlBridge.ofRows(spark, rewrite(df.queryExecution.analyzed))
   }
 }

@@ -270,6 +270,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ps.collect {
       case g: graft.plans.GlobalShiftExec => g
     }.size == 1, s"q_shift_rewrite must shift through ONE GlobalShiftExec:\n$ps")
+    // the running-aggregate family: cumulative sums through ONE
+    // GlobalRunningAggExec
+    val pr = plan("q_runagg_rewrite")
+    assert(pr.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_runagg_rewrite kept a WindowExec:\n$pr")
+    assert(pr.collect {
+      case g: graft.plans.GlobalRunningAggExec => g
+    }.size == 1, s"q_runagg_rewrite must run through ONE GlobalRunningAggExec:\n$pr")
   }
 
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {

@@ -101,13 +101,14 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
     val p1 = noAqePlan(RewriteGlobalRankWindows.force(part))
     assert(p1.collect { case x: WindowExec => x }.size == 1, p1.toString)
     assert(p1.collect { case g: GlobalRankExec => g }.isEmpty)
-    // a window NODE carrying an out-of-family function (a running
-    // aggregate needs real frame execution) keeps ALL its expressions
+    // a window NODE carrying an out-of-family function (collect_list is
+    // order-sensitive — no family handles it) keeps ALL its expressions
     // on the WindowExec path — one SELECT so both functions share one
     // analyzed Window node
     val w = Window.orderBy("v")
     val mixed = df.select(col("g"), col("v"),
-      row_number().over(w).as("rn"), avg("v").over(w).as("ravg"))
+      row_number().over(w).as("rn"),
+      collect_list("v").over(w).as("vs"))
     val p2 = noAqePlan(RewriteGlobalRankWindows.force(mixed))
     assert(p2.collect { case g: GlobalRankExec => g }.isEmpty, p2.toString)
     assert(RewriteGlobalRankWindows.force(mixed).collect().toSet ==
