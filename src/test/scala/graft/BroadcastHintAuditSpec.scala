@@ -351,6 +351,11 @@ private[graft] object WindowWhitelist {
     else Some(s"$name: reviewed agg keys ${entry.aggKeys.toSeq.sorted}" +
       s" but plan shows ${observed.toSeq.sorted}")
 
+  // since late r12 the CALENDAR class also has executed scale twins:
+  // day-over-day windows run distributed via graft.plans.GlobalShift
+  // (q_shift_rewrite) and cumulative windows via GlobalRunningAgg
+  // (q_runagg_rewrite), both reachable automatically through
+  // RewriteGlobalRankWindows
   private val CAL = "CALENDAR: day-keyed aggregate — |distinct days|"
   private val YM = "CALENDAR: (year, month)-keyed aggregate — |distinct months|"
   private def VAL(k: String) =
@@ -362,8 +367,9 @@ private[graft] object WindowWhitelist {
       "q_rfm_ranked routes q_rfm through it, PlanShapeSpec-pinned), and " +
       "since r12 the engine rewrites these windows AUTOMATICALLY: " +
       "RewriteGlobalRankWindows (conf spark.graft.rewrite." +
-      "globalRankWindows, or force()) covers the whole rank family — " +
-      "q_rank_family / q_ntile_rewrite are the oracle-checked proofs"
+      "globalRankWindows, or force()) covers the rank, offset, and " +
+      "running-aggregate families — q_rank_family / q_ntile_rewrite / " +
+      "q_shift_rewrite / q_runagg_rewrite are the oracle-checked proofs"
   private def E(bound: String, keys: String*): Entry =
     Entry(bound, keys.toSet)
   val entries: Map[String, Entry] = Map(
