@@ -40,12 +40,18 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * group, against the built-in's whole-input single partition.
   *
   * Correct for any aggregate whose value is order-insensitive within
-  * the frame (sum/min/max/count/avg — the rewrite rule's allowlist);
+  * the frame (sum/min/max/count/avg, the variance/stddev moments, and
+  * the bit/bool reducers — the rewrite rule's allowlist);
   * order-sensitive aggregates (collect_list) and DISTINCT / FILTER
   * forms are not routed here. The functions run their own Catalyst
   * update/merge/evaluate expressions, so type behavior (decimal
   * widening, ANSI overflow, null-skipping) is identical to the
-  * built-in by construction.
+  * built-in by construction. One floating-point caveat: the prefix
+  * seed merges per-partition partials, so a REAL-valued double
+  * aggregate (a non-integer double sum, any variance) can differ from
+  * the single-task built-in in final ulps — the same reassociation
+  * every Spark partial aggregation performs; integer-valued, decimal,
+  * min/max, count, bit and bool results are bit-identical.
   *
   * Parallel-seq layout for the same reason as [[GlobalShiftNode]]:
   * QueryPlan only collects top-level Expression fields into

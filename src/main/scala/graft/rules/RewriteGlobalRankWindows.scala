@@ -3,7 +3,7 @@ package graft.rules
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, PercentRank, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, DeclarativeAggregate, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, BoolAnd, BoolOr, Complete, Count, DeclarativeAggregate, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -152,17 +152,37 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   private def runAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Boolean, AttributeReference)] = {
     def allowed(fn: DeclarativeAggregate): Boolean = fn match {
       case _: Sum | _: Min | _: Max | _: Count | _: Average => true
+      // the moment/central-moment and bitwise/boolean reducers are
+      // equally order-insensitive within the frame
+      case _: StddevSamp | _: StddevPop | _: VarianceSamp | _: VariancePop => true
+      case _: BitAndAgg | _: BitOrAgg | _: BitXorAgg | _: BoolAnd | _: BoolOr => true
       case _ => false
+    }
+    // bool_and/bool_or/every/any arrive as RuntimeReplaceableAggregate
+    // in the ANALYZED plan (the optimizer's ReplaceExpressions turns
+    // them into Min/Max later) — unwrap so force(), which rewrites the
+    // analyzed plan, sees the same function the session path would
+    def unwrap(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
+        : Option[DeclarativeAggregate] = fn match {
+      case d: DeclarativeAggregate => Some(d)
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceableAggregate =>
+        r.replacement match {
+          case d: DeclarativeAggregate => Some(d)
+          case _ => None
+        }
+      case _ => None
     }
     ne match {
       case a @ Alias(we @ WindowExpression(
-          AggregateExpression(fn: DeclarativeAggregate, Complete, false, None, _),
+          AggregateExpression(fn0, Complete, false, None, _),
           WindowSpecDefinition(Seq(), _,
-            SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _)
-          if allowed(fn) && fn.deterministic =>
-        Some((a, fn, ft == RowFrame,
-          AttributeReference(s"__graft_${a.name}", fn.dataType,
-            nullable = we.nullable)()))
+            SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _) =>
+        unwrap(fn0).collect {
+          case fn if allowed(fn) && fn.deterministic =>
+            (a, fn, ft == RowFrame,
+              AttributeReference(s"__graft_${a.name}", fn.dataType,
+                nullable = we.nullable)())
+        }
       case _ => None
     }
   }

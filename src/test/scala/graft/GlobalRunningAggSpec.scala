@@ -100,6 +100,46 @@ class GlobalRunningAggSpec extends AnyFunSuite {
       s"three families must share one range exchange:\n$p")
   }
 
+  test("bit/bool reducers bit-exact; variance/stddev within ulps of the built-in") {
+    val df = spark.range(1200)
+      .select((col("id") * 37L % 911L).as("v"), (col("id") % 255).as("b"),
+        (col("id") % 11 === 0).as("f")).repartition(6)
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exact family: integer bitwise + boolean reducers
+    val exactW = df.select(col("v"),
+      expr("bit_and(b)").over(w).as("ba"), expr("bit_or(b)").over(w).as("bo"),
+      expr("bit_xor(b)").over(w).as("bx"),
+      expr("bool_or(f)").over(w).as("any_f"), expr("bool_and(f)").over(w).as("all_f"))
+    val exactF = RewriteGlobalRankWindows.force(exactW)
+    assert(exactF.schema == exactW.schema)
+    assert(exactF.collect().toSet == exactW.collect().toSet)
+    assert(noAqePlan(RewriteGlobalRankWindows.force(exactW)).collect {
+      case g: GlobalRunningAggExec => g
+    }.size == 1)
+    // moment family: the prefix seed merges partials (Welford combine),
+    // so values can differ from the sequential built-in in final ulps —
+    // the same reassociation as any partial aggregation; compare with
+    // relative tolerance
+    val momW = df.select(col("v"),
+      stddev("b").over(w).as("sd"), var_samp("b").over(w).as("vs"))
+    val momF = RewriteGlobalRankWindows.force(momW)
+    val got = momF.orderBy("v").select("sd", "vs")
+      .collect().map(r => (r.get(0), r.get(1)))
+    val want = momW.orderBy("v").select("sd", "vs")
+      .collect().map(r => (r.get(0), r.get(1)))
+    assert(got.length == want.length)
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (x: Double, y: Double) =>
+        x == y || math.abs(x - y) <= 1e-9 * math.max(math.abs(x), math.abs(y))
+      case _ => false
+    }
+    got.zip(want).foreach { case ((g1, g2), (w1, w2)) =>
+      assert(close(g1, w1) && close(g2, w2), s"($g1,$g2) vs ($w1,$w2)")
+    }
+  }
+
   test("non-rewrites: moving frames and order-sensitive aggs keep WindowExec") {
     val df = spark.range(100).select(col("id").as("v"), (col("id") % 7).as("x"))
     df.createOrReplaceTempView("ra_t")
