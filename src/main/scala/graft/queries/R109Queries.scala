@@ -173,6 +173,55 @@ object R109Queries {
         |  FROM keyed)
         |SELECT DISTINCT mon, cum_cents, cum_days FROM c ORDER BY mon""".stripMargin))
 
+  /** `q_runagg_bitbool`: the WIDENED running-agg allowlist (late r12 —
+    * bit_and/bit_or/bit_xor and the RuntimeReplaceable bool_and/bool_or)
+    * on the oracle path. These reducers are bit-identical through the
+    * prefix merge (unlike the moments, which stay tolerance-spec-covered
+    * in GlobalRunningAggSpec — reassociated doubles cannot be
+    * hash-compared against an independent engine), so DuckDB can check
+    * them exactly. Month-keyed like q_runagg_rewrite: heavy ties under
+    * the default RANGE frame, values functions of the order key alone →
+    * the DISTINCT projection is deterministic. */
+  val qRunaggBitbool = QueryDef("q_runagg_bitbool",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(max(col("o_custkey")).cast(LongType).as("kmax"),
+          count(lit(1)).cast(LongType).as("n"))
+      val keyed = daily.select(
+        (year(col("day")) * 100 + month(col("day"))).cast(LongType).as("mon"),
+        (col("kmax") % 1024).as("mask"),
+        (col("n") % 2 === 0).as("even"))
+      val w = Window.orderBy(col("mon"))
+      val cum = keyed.select(col("mon"),
+        expr("bit_and(mask)").over(w).as("band"),
+        expr("bit_or(mask)").over(w).as("bor"),
+        expr("bit_xor(mask)").over(w).as("bxor"),
+        expr("bool_and(even)").over(w).as("all_even"),
+        expr("bool_or(even)").over(w).as("any_even"))
+      RewriteGlobalRankWindows.force(cum)
+        .distinct().orderBy("mon")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(max(o_custkey) AS BIGINT) AS kmax,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |keyed AS (SELECT CAST(year(day) * 100 + month(day) AS BIGINT) AS mon,
+        |    kmax % 1024 AS mask, (n % 2 = 0) AS even
+        |  FROM daily),
+        |c AS (SELECT mon,
+        |    CAST(bit_and(mask) OVER w AS BIGINT) AS band,
+        |    CAST(bit_or(mask) OVER w AS BIGINT) AS bor,
+        |    CAST(bit_xor(mask) OVER w AS BIGINT) AS bxor,
+        |    bool_and(even) OVER w AS all_even,
+        |    bool_or(even) OVER w AS any_even
+        |  FROM keyed WINDOW w AS (ORDER BY mon))
+        |SELECT DISTINCT mon, band, bor, bxor, all_even, any_even
+        |FROM c ORDER BY mon""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(qRankFamily, qNtileRewrite, qShiftRewrite, qRunaggRewrite)
+    Seq(qRankFamily, qNtileRewrite, qShiftRewrite, qRunaggRewrite,
+      qRunaggBitbool)
 }

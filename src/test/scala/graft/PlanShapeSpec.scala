@@ -279,6 +279,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pr.collect {
       case g: graft.plans.GlobalRunningAggExec => g
     }.size == 1, s"q_runagg_rewrite must run through ONE GlobalRunningAggExec:\n$pr")
+    // the widened allowlist (bit/bool reducers): all five functions of
+    // the window node still land in ONE operator
+    val pb = plan("q_runagg_bitbool")
+    assert(pb.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_runagg_bitbool kept a WindowExec:\n$pb")
+    assert(pb.collect {
+      case g: graft.plans.GlobalRunningAggExec => g
+    }.size == 1, s"q_runagg_bitbool must run through ONE GlobalRunningAggExec:\n$pb")
   }
 
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
