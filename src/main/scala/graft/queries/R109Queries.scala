@@ -221,7 +221,48 @@ object R109Queries {
         |SELECT DISTINCT mon, band, bor, bxor, all_even, any_even
         |FROM c ORDER BY mon""".stripMargin))
 
+  /** `q_movagg_rewrite`: the MOVING-FRAME family through the rewrite —
+    * 7-day trailing revenue (sum/min/max/count), a centered 3-day sum,
+    * and a pure-future 2-day sum, all as BUILT-IN bounded ROWS windows
+    * routed through [[graft.plans.GlobalMovingAgg]]'s boundary-row
+    * machinery. Day is unique after the rollup → total order → exact;
+    * the pure-future frame empties at the last days (null sum on both
+    * engines). Integer cents keep every value hash-comparable. */
+  val qMovaggRewrite = QueryDef("q_movagg_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .cast(LongType).as("cents"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      val wc = Window.orderBy(col("day")).rowsBetween(-1, 1)
+      val wf = Window.orderBy(col("day")).rowsBetween(1, 2)
+      val moving = daily.select(col("day"), col("cents"),
+        sum("cents").over(w7).as("mov7"),
+        min("cents").over(w7).as("mov7_min"),
+        max("cents").over(w7).as("mov7_max"),
+        count(lit(1)).over(w7).as("mov7_n"),
+        sum("cents").over(wc).as("c3"),
+        sum("cents").over(wf).as("nxt2"))
+      RewriteGlobalRankWindows.force(moving).orderBy("day")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, cents,
+        |  CAST(sum(cents) OVER w7 AS BIGINT) AS mov7,
+        |  CAST(min(cents) OVER w7 AS BIGINT) AS mov7_min,
+        |  CAST(max(cents) OVER w7 AS BIGINT) AS mov7_max,
+        |  CAST(count(*) OVER w7 AS BIGINT) AS mov7_n,
+        |  CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS c3,
+        |  CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS nxt2
+        |FROM daily
+        |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qRankFamily, qNtileRewrite, qShiftRewrite, qRunaggRewrite,
-      qRunaggBitbool)
+      qRunaggBitbool, qMovaggRewrite)
 }

@@ -56,9 +56,9 @@ object CollapseContainsOr extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseContainsOr)
-    // the three whole-operator extensions (LogicalPlan + Strategy +
-    // Exec) — injected here so a `spark.sql.extensions` deployment gets
-    // them at session build; the lazy experimental.extraStrategies
+    // the whole-operator extensions (LogicalPlan + Strategy + Exec) —
+    // injected here so a `spark.sql.extensions` deployment gets them
+    // at session build; the lazy experimental.extraStrategies
     // registration in graft.plans.* remains for ad-hoc sessions
     e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalShiftStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.GlobalMovingAggStrategy)
     // conf-gated (spark.graft.rewrite.globalRankWindows, default off):
     // rewrite unpartitioned rank-family windows into the distributed
     // GlobalRankNode. Pre-CBO, not operator-optimization: it runs ONCE,

@@ -2,14 +2,14 @@ package graft.rules
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, PercentRank, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, BoolAnd, BoolOr, Complete, Count, DeclarativeAggregate, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, PercentRank, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnaryMinus, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, Complete, Count, DeclarativeAggregate, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
+import graft.plans.{GlobalMovingAgg, GlobalMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -149,29 +149,40 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * PRECEDING .. CURRENT ROW (ROWS or RANGE — RANGE is the SQL
     * default and ends at the tie group, which GlobalRunningAgg
     * honors). */
+  /** The shared frame-aggregate allowlist: order-insensitive within
+    * the frame. Used by both the running (UNBOUNDED PRECEDING) and
+    * moving (bounded ROWS) matchers. */
+  private def allowedAgg(fn: DeclarativeAggregate): Boolean = fn match {
+    case _: Sum | _: Min | _: Max | _: Count | _: Average => true
+    // the moment/central-moment and bitwise/boolean reducers are
+    // equally order-insensitive within the frame
+    case _: StddevSamp | _: StddevPop | _: VarianceSamp | _: VariancePop => true
+    // bool_and/bool_or need no arms of their own: they are
+    // RuntimeReplaceableAggregate, so unwrapAgg hands this matcher
+    // their Min/Max replacement
+    case _: BitAndAgg | _: BitOrAgg | _: BitXorAgg => true
+    case _ => false
+  }
+
+  /** bool_and/bool_or/every/any arrive as RuntimeReplaceableAggregate
+    * in the ANALYZED plan (the optimizer's ReplaceExpressions turns
+    * them into Min/Max later) — unwrap so force(), which rewrites the
+    * analyzed plan, sees the same function the session path would. */
+  private def unwrapAgg(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
+      : Option[DeclarativeAggregate] = fn match {
+    case d: DeclarativeAggregate => Some(d)
+    case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceableAggregate =>
+      r.replacement match {
+        case d: DeclarativeAggregate => Some(d)
+        case _ => None
+      }
+    case _ => None
+  }
+
   private def runAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Boolean, AttributeReference)] = {
-    def allowed(fn: DeclarativeAggregate): Boolean = fn match {
-      case _: Sum | _: Min | _: Max | _: Count | _: Average => true
-      // the moment/central-moment and bitwise/boolean reducers are
-      // equally order-insensitive within the frame
-      case _: StddevSamp | _: StddevPop | _: VarianceSamp | _: VariancePop => true
-      case _: BitAndAgg | _: BitOrAgg | _: BitXorAgg | _: BoolAnd | _: BoolOr => true
-      case _ => false
-    }
-    // bool_and/bool_or/every/any arrive as RuntimeReplaceableAggregate
-    // in the ANALYZED plan (the optimizer's ReplaceExpressions turns
-    // them into Min/Max later) — unwrap so force(), which rewrites the
-    // analyzed plan, sees the same function the session path would
+    def allowed(fn: DeclarativeAggregate): Boolean = allowedAgg(fn)
     def unwrap(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
-        : Option[DeclarativeAggregate] = fn match {
-      case d: DeclarativeAggregate => Some(d)
-      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceableAggregate =>
-        r.replacement match {
-          case d: DeclarativeAggregate => Some(d)
-          case _ => None
-        }
-      case _ => None
-    }
+        : Option[DeclarativeAggregate] = unwrapAgg(fn)
     ne match {
       case a @ Alias(we @ WindowExpression(
           AggregateExpression(fn0, Complete, false, None, _),
@@ -187,11 +198,52 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     }
   }
 
+  /** (alias, function, frame offsets, generated attr) iff `ne` is a
+    * rewritable MOVING-FRAME global window: an allowlisted aggregate
+    * over `ROWS BETWEEN lo AND hi` with literal row offsets within the
+    * boundary-state cap — trailing (`-6..0`), centered (`-1..1`),
+    * pure-past, or pure-future. UNBOUNDED PRECEDING frames are the
+    * running family; RANGE moving frames are value-bounded, not
+    * row-bounded, and keep WindowExec. */
+  private def movAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Int, Int, AttributeReference)] = {
+    // the parser writes "k PRECEDING" as UnaryMinus(Literal(k)); the
+    // DataFrame API writes rowsBetween offsets as signed literals;
+    // CurrentRow is offset 0 on either end
+    def bound(e: Expression): Option[Int] = e match {
+      case CurrentRow => Some(0)
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType) if v.isValidInt => Some(v.toInt)
+      case UnaryMinus(Literal(v: Int, IntegerType), _) => Some(-v)
+      case UnaryMinus(Literal(v: Long, LongType), _) if v.isValidInt => Some(-v.toInt)
+      case _ => None
+    }
+    ne match {
+      case a @ Alias(we @ WindowExpression(
+          AggregateExpression(fn0, Complete, false, None, _),
+          WindowSpecDefinition(Seq(), _,
+            SpecifiedWindowFrame(RowFrame, lo0, hi0))), _) =>
+        for {
+          lo <- bound(lo0)
+          hi <- bound(hi0)
+          if lo <= hi && math.max(math.abs(lo), math.abs(hi)) <= maxShift
+          if !(lo0 == UnboundedPreceding) // belongs to the running family
+          fn <- unwrapAgg(fn0)
+          if allowedAgg(fn) && fn.deterministic
+        } yield (a, fn, lo, hi,
+          AttributeReference(s"__graft_${a.name}", fn.dataType,
+            nullable = we.nullable)())
+      case _ => None
+    }
+  }
+
   private sealed trait Rewritten
   private case class AsRank(a: Alias, mode: RankMode, rc: RankCol) extends Rewritten
   private case class AsShift(a: Alias, sc: ShiftCol) extends Rewritten
   private case class AsRunAgg(a: Alias, fn: DeclarativeAggregate,
                               rows: Boolean, attr: AttributeReference) extends Rewritten
+  private case class AsMovAgg(a: Alias, fn: DeclarativeAggregate,
+                              lo: Int, hi: Int,
+                              attr: AttributeReference) extends Rewritten
 
   /** Unconditional rewrite (the conf gate lives in [[apply]]).
     * Idempotent: the result contains no matching `Window`, so a
@@ -201,7 +253,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         if orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.nonEmpty &&
           wexprs.forall(e => rankOf(e).isDefined || shiftOf(e).isDefined ||
-            runAggOf(e).isDefined) =>
+            runAggOf(e).isDefined || movAggOf(e).isDefined) =>
       // classify once (fresh generated attrs must be created exactly
       // once per expression); the families are disjoint
       val classified: Seq[Rewritten] = wexprs.map { e =>
@@ -211,18 +263,23 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
               nullable = false)(), m))
           case None => shiftOf(e) match {
             case Some((a, sc)) => AsShift(a, sc)
-            case None =>
-              val (a, fn, rows, attr) = runAggOf(e).get
-              AsRunAgg(a, fn, rows, attr)
+            case None => runAggOf(e) match {
+              case Some((a, fn, rows, attr)) => AsRunAgg(a, fn, rows, attr)
+              case None =>
+                val (a, fn, lo, hi, attr) = movAggOf(e).get
+                AsMovAgg(a, fn, lo, hi, attr)
+            }
           }
         }
       }
       val rankCols = classified.collect { case AsRank(_, _, rc) => rc }
       val shiftCols = classified.collect { case AsShift(_, sc) => sc }
       val aggCols = classified.collect { case r: AsRunAgg => r }
-      // rank node below, shift above, running agg on top — all three
-      // declare the same OrderedDistribution and pass partitioning +
-      // ordering through, so stacking costs no extra exchange
+      val movCols = classified.collect { case r: AsMovAgg => r }
+      // rank node below, shift above, running agg, moving agg on top —
+      // all four declare the same OrderedDistribution and pass
+      // partitioning + ordering through, so stacking costs no extra
+      // exchange
       val withRanks: LogicalPlan =
         if (rankCols.isEmpty) child
         else GlobalRankNode(orderSpec, rankCols, child)
@@ -231,10 +288,15 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         else GlobalShiftNode(orderSpec, shiftCols.map(_.attr),
           shiftCols.map(_.input), shiftCols.map(_.offset),
           shiftCols.map(_.default), withRanks)
-      val node: LogicalPlan =
+      val withRunAggs: LogicalPlan =
         if (aggCols.isEmpty) withShifts
         else GlobalRunningAggNode(orderSpec, aggCols.map(_.attr),
           aggCols.map(_.fn), aggCols.map(_.rows), withShifts)
+      val node: LogicalPlan =
+        if (movCols.isEmpty) withRunAggs
+        else GlobalMovingAggNode(orderSpec, movCols.map(_.attr),
+          movCols.map(_.fn), movCols.map(_.lo), movCols.map(_.hi),
+          withRunAggs)
       val projected = child.output ++ classified.map {
         case AsRank(a, m, rc) =>
           val value: Expression = m match {
@@ -253,6 +315,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         case AsRunAgg(a, _, _, attr) =>
           Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
+        case AsMovAgg(a, _, _, _, attr) =>
+          Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
       }
       Project(projected, node)
   }
@@ -266,6 +331,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     GlobalRank.ensureStrategy(spark)
     GlobalShift.ensureStrategy(spark)
     GlobalRunningAgg.ensureStrategy(spark)
+    GlobalMovingAgg.ensureStrategy(spark)
     GraftSqlBridge.ofRows(spark, rewrite(df.queryExecution.analyzed))
   }
 }

@@ -353,9 +353,10 @@ private[graft] object WindowWhitelist {
 
   // since late r12 the CALENDAR class also has executed scale twins:
   // day-over-day windows run distributed via graft.plans.GlobalShift
-  // (q_shift_rewrite) and cumulative windows via GlobalRunningAgg
-  // (q_runagg_rewrite), both reachable automatically through
-  // RewriteGlobalRankWindows
+  // (q_shift_rewrite), cumulative windows via GlobalRunningAgg
+  // (q_runagg_rewrite/q_runagg_bitbool), and bounded moving frames via
+  // GlobalMovingAgg (q_movagg_rewrite), all reachable automatically
+  // through RewriteGlobalRankWindows
   private val CAL = "CALENDAR: day-keyed aggregate — |distinct days|"
   private val YM = "CALENDAR: (year, month)-keyed aggregate — |distinct months|"
   private def VAL(k: String) =

@@ -152,7 +152,10 @@ class GlobalRunningAggSpec extends AnyFunSuite {
     // (DISTINCT and FILTER window aggregates are rejected by the
     // analyzer itself — the matcher's isDistinct=false / filter=None
     // arms are pure defense)
-    kept("SELECT v, sum(x) OVER (ORDER BY v ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM ra_t")
+    // bounded ROWS moving frames route to GlobalMovingAgg since late
+    // r12 (GlobalMovingAggSpec) — RANGE moving frames are value-
+    // bounded, not row-bounded, and still need real frame execution
+    kept("SELECT v, sum(x) OVER (ORDER BY v RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM ra_t")
     kept("SELECT v, collect_list(x) OVER (ORDER BY v) AS s FROM ra_t")
     kept("SELECT v, first_value(x) OVER (ORDER BY v) AS s FROM ra_t")
   }

@@ -288,6 +288,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pb.collect {
       case g: graft.plans.GlobalRunningAggExec => g
     }.size == 1, s"q_runagg_bitbool must run through ONE GlobalRunningAggExec:\n$pb")
+    // the moving-frame family: three different bounded ROWS frames
+    // (trailing/centered/pure-future), all in ONE operator
+    val pm = plan("q_movagg_rewrite")
+    assert(pm.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_movagg_rewrite kept a WindowExec:\n$pm")
+    assert(pm.collect {
+      case g: graft.plans.GlobalMovingAggExec => g
+    }.size == 1, s"q_movagg_rewrite must run through ONE GlobalMovingAggExec:\n$pm")
   }
 
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
