@@ -41,7 +41,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * Correct for any aggregate whose value is order-insensitive within
   * the frame (sum/min/max/count/avg, the variance/stddev moments, and
-  * the bit/bool reducers — the rewrite rule's allowlist);
+  * the bit/bool reducers — the rewrite rule's allowlist), and ALSO for
+  * first_value/last_value (Spark's First/Last, IGNORE NULLS included):
+  * those are order-sensitive, but pass 1 updates each partition's
+  * buffer in its sort order and the driver prefix-merges in partition
+  * order — which IS global order under the range exchange — so First's
+  * keep-left / Last's keep-right merges are exact here. Other
   * order-sensitive aggregates (collect_list) and DISTINCT / FILTER
   * forms are not routed here. The functions run their own Catalyst
   * update/merge/evaluate expressions, so type behavior (decimal

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.core.Tables
+import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
+
+/** Hundred-tenth wave — justified under the r7
+  * no-new-wave-without-new-surface rule (SURVEY §7.2): the WHOLE-FRAME
+  * global-window family [[graft.plans.GlobalFrameAgg]] (`agg(e) OVER
+  * ()` — ratio-to-total — computed as partial buffers + driver merge +
+  * broadcast evaluate, ZERO shuffle) and the ordered-allowlist widening
+  * that routes `first_value`/`last_value` (IGNORE NULLS included)
+  * through [[graft.plans.GlobalRunningAgg]]'s prefix-merged buffers.
+  * Both queries are written with the BUILT-IN window functions and
+  * routed through [[RewriteGlobalRankWindows.force]], so the rewrite
+  * itself — not a hand-built plan — is what the DuckDB oracle checks.
+  */
+object R110Queries {
+
+  /** `q_frameagg_rewrite`: revenue share-of-total per day — the
+    * classic `sum(x) OVER ()` ratio-to-total, plus whole-frame
+    * min/max/count, all in ONE [[graft.plans.GlobalFrameAggNode]] with
+    * no exchange at all (plan-pinned). The per-mille share uses the
+    * house scaled-BIGINT trunc-div idiom (`(x - x % d) / d`) so every
+    * value is hash-comparable across engines. */
+  val qFrameaggRewrite = QueryDef("q_frameagg_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .cast(LongType).as("cents"))
+      val w = Window.partitionBy() // OVER (): the whole-frame window
+      val totals = daily.select(col("day"), col("cents"),
+        sum("cents").over(w).as("total_cents"),
+        min("cents").over(w).as("min_cents"),
+        max("cents").over(w).as("max_cents"),
+        count(lit(1)).over(w).as("n_days"))
+      RewriteGlobalRankWindows.force(totals)
+        .select(col("day"), col("cents"), col("total_cents"),
+          col("min_cents"), col("max_cents"), col("n_days"),
+          ((col("cents") * 1000L - (col("cents") * 1000L) % col("total_cents"))
+            / col("total_cents")).cast(LongType).as("share_pm"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT day, cents,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total_cents,
+        |    CAST(min(cents) OVER () AS BIGINT) AS min_cents,
+        |    CAST(max(cents) OVER () AS BIGINT) AS max_cents,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_days
+        |  FROM daily)
+        |SELECT day, cents, total_cents, min_cents, max_cents, n_days,
+        |  CAST((cents * 1000 - (cents * 1000) % total_cents) / total_cents AS BIGINT) AS share_pm
+        |FROM t ORDER BY day""".stripMargin))
+
+  /** `q_firstlast_rewrite`: first_value/last_value — plain AND IGNORE
+    * NULLS — as RUNNING windows over unique days, routed through
+    * [[graft.plans.GlobalRunningAgg]] (the r12 ordered-allowlist
+    * widening: First/Last prefix-merge exactly because the range
+    * exchange + sort feed the driver merge in global order). The
+    * nullable column is a deterministic function of the day
+    * (`day-of-month % 3 = 0 -> NULL`), so both engines null the same
+    * rows; day is unique after the rollup -> total order -> every
+    * value exact. */
+  val qFirstlastRewrite = QueryDef("q_firstlast_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .cast(LongType).as("cents"))
+        .select(col("day"), col("cents"),
+          when(dayofmonth(col("day")) % 3 === 0, lit(null).cast(LongType))
+            .otherwise(col("cents")).as("cents_nn"))
+      // default frame = RANGE UNBOUNDED PRECEDING .. CURRENT ROW
+      val w = Window.orderBy(col("day"))
+      val fl = daily.select(col("day"), col("cents"), col("cents_nn"),
+        first(col("cents")).over(w).as("first_cents"),
+        last(col("cents")).over(w).as("last_cents"),
+        first(col("cents_nn"), ignoreNulls = true).over(w).as("first_nn"),
+        last(col("cents_nn"), ignoreNulls = true).over(w).as("last_nn"))
+      RewriteGlobalRankWindows.force(fl).orderBy("day")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |k AS (SELECT day, cents,
+        |    CASE WHEN CAST(date_part('day', day) AS INT) % 3 = 0
+        |      THEN NULL ELSE cents END AS cents_nn
+        |  FROM daily)
+        |SELECT day, cents, cents_nn,
+        |  CAST(first_value(cents) OVER w AS BIGINT) AS first_cents,
+        |  CAST(last_value(cents) OVER w AS BIGINT) AS last_cents,
+        |  CAST(first_value(cents_nn IGNORE NULLS) OVER w AS BIGINT) AS first_nn,
+        |  CAST(last_value(cents_nn IGNORE NULLS) OVER w AS BIGINT) AS last_nn
+        |FROM k WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qFrameaggRewrite, qFirstlastRewrite)
+}

@@ -2,14 +2,14 @@ package graft.rules
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, PercentRank, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnaryMinus, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, Complete, Count, DeclarativeAggregate, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, PercentRank, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnaryMinus, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, Complete, Count, DeclarativeAggregate, First, Last, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalMovingAgg, GlobalMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
+import graft.plans.{GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -48,11 +48,17 @@ import graft.plans.GlobalShift.ShiftCol
   *    under the original alias; lead/lag types pass through), so
   *    nothing upstream re-resolves.
   *
-  * A `Window` node is left alone when any of its expressions is outside
-  * the two families (aggregate/nth_value/first_value windows need real
-  * frame execution; IGNORE NULLS and non-literal or over-cap offsets
-  * need unbounded lookback), when it HAS a partition spec (partitioned
-  * windows scale fine), or when an order key is non-deterministic.
+  * Five families rewrite: rank (GlobalRank), offset lead/lag
+  * (GlobalShift), running aggregates incl. first_value/last_value
+  * (GlobalRunningAgg), bounded-ROWS moving aggregates (GlobalMovingAgg)
+  * and whole-frame aggregates — `agg(e) OVER ()` / `UNBOUNDED ..
+  * UNBOUNDED`, the ratio-to-total shape — which [[GlobalFrameAggNode]]
+  * computes with ZERO shuffle. A `Window` node is left alone when any
+  * of its expressions is outside the families (nth_value and RANGE
+  * moving frames need real frame execution; lead/lag IGNORE NULLS and
+  * non-literal or over-cap offsets need unbounded lookback), when it
+  * HAS a partition spec (partitioned windows scale fine), or when an
+  * ordered-family member rides a non-deterministic order key.
   *
   * OFF by default — enable with `spark.graft.rewrite.globalRankWindows=
   * true` (session conf; the rule is injected by [[GraftExtensions]] as
@@ -143,12 +149,14 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   }
 
   /** (alias, function, isRowsFrame, generated attr) iff `ne` is a
-    * rewritable RUNNING AGGREGATE global window: a whitelisted
-    * order-insensitive DeclarativeAggregate (sum/min/max/count/avg) in
-    * Complete mode with no DISTINCT and no FILTER, framed UNBOUNDED
-    * PRECEDING .. CURRENT ROW (ROWS or RANGE — RANGE is the SQL
-    * default and ends at the tie group, which GlobalRunningAgg
-    * honors). */
+    * rewritable RUNNING AGGREGATE global window: an allowlisted
+    * DeclarativeAggregate (sum/min/max/count/avg, moments, bit/bool —
+    * plus first_value/last_value via [[allowedOrderedAgg]], whose
+    * order-sensitivity the running operator's in-order prefix merge
+    * satisfies) in Complete mode with no DISTINCT and no FILTER,
+    * framed UNBOUNDED PRECEDING .. CURRENT ROW (ROWS or RANGE — RANGE
+    * is the SQL default and ends at the tie group, which
+    * GlobalRunningAgg honors). */
   /** The shared frame-aggregate allowlist: order-insensitive within
     * the frame. Used by both the running (UNBOUNDED PRECEDING) and
     * moving (bounded ROWS) matchers. */
@@ -162,6 +170,21 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     // their Min/Max replacement
     case _: BitAndAgg | _: BitOrAgg | _: BitXorAgg => true
     case _ => false
+  }
+
+  /** The ORDERED-frame widening of [[allowedAgg]]: first_value/last_value
+    * (Spark's First/Last aggregates, IGNORE NULLS included) are
+    * order-SENSITIVE, but the running and moving operators guarantee the
+    * order those functions see — pass 1 updates each partition's buffer
+    * in its sort order, the driver prefix-merges in partition order
+    * (which IS global order under the range exchange), and the moving
+    * ring rebuffers each frame's rows in sequence — so First's
+    * keep-left / Last's keep-right merges are exact there. NOT valid
+    * for the whole-frame family, whose driver merge order is partition
+    * order with no ordering requirement at all. */
+  private def allowedOrderedAgg(fn: DeclarativeAggregate): Boolean = fn match {
+    case _: First | _: Last => true
+    case _ => allowedAgg(fn)
   }
 
   /** bool_and/bool_or/every/any arrive as RuntimeReplaceableAggregate
@@ -180,7 +203,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   }
 
   private def runAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Boolean, AttributeReference)] = {
-    def allowed(fn: DeclarativeAggregate): Boolean = allowedAgg(fn)
+    def allowed(fn: DeclarativeAggregate): Boolean = allowedOrderedAgg(fn)
     def unwrap(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
         : Option[DeclarativeAggregate] = unwrapAgg(fn)
     ne match {
@@ -228,12 +251,34 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           if lo <= hi && math.max(math.abs(lo), math.abs(hi)) <= maxShift
           if !(lo0 == UnboundedPreceding) // belongs to the running family
           fn <- unwrapAgg(fn0)
-          if allowedAgg(fn) && fn.deterministic
+          if allowedOrderedAgg(fn) && fn.deterministic
         } yield (a, fn, lo, hi,
           AttributeReference(s"__graft_${a.name}", fn.dataType,
             nullable = we.nullable)())
       case _ => None
     }
+  }
+
+  /** (alias, function, generated attr) iff `ne` is a rewritable
+    * WHOLE-FRAME global window: an order-insensitive allowlisted
+    * aggregate over `... BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    * FOLLOWING` (ROWS or RANGE — over the full frame they are the same
+    * set) or the analyzer's resolution of `OVER ()`. The value is one
+    * constant — the aggregate of the whole input — so no order is
+    * needed at all and [[GlobalFrameAggNode]] computes it with zero
+    * shuffle. First/Last stay out: their whole-frame value depends on
+    * the global order, which this family never establishes. */
+  private def frameAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, AttributeReference)] = ne match {
+    case a @ Alias(we @ WindowExpression(
+        AggregateExpression(fn0, Complete, false, None, _),
+        WindowSpecDefinition(Seq(), _,
+          SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _) =>
+      unwrapAgg(fn0).collect {
+        case fn if allowedAgg(fn) && fn.deterministic =>
+          (a, fn, AttributeReference(s"__graft_${a.name}", fn.dataType,
+            nullable = we.nullable)())
+      }
+    case _ => None
   }
 
   private sealed trait Rewritten
@@ -244,30 +289,44 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   private case class AsMovAgg(a: Alias, fn: DeclarativeAggregate,
                               lo: Int, hi: Int,
                               attr: AttributeReference) extends Rewritten
+  private case class AsFrameAgg(a: Alias, fn: DeclarativeAggregate,
+                                attr: AttributeReference) extends Rewritten
 
   /** Unconditional rewrite (the conf gate lives in [[apply]]).
     * Idempotent: the result contains no matching `Window`, so a
     * fixed-point batch terminates immediately. */
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Window(wexprs, Seq(), orderSpec, child, _)
-        if orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
-          wexprs.nonEmpty &&
-          wexprs.forall(e => rankOf(e).isDefined || shiftOf(e).isDefined ||
-            runAggOf(e).isDefined || movAggOf(e).isDefined) =>
+        if wexprs.nonEmpty && {
+          // whole-frame expressions are order-independent, so a window
+          // of nothing else rewrites even with no (or a nondeterministic)
+          // ORDER BY — `sum(x) OVER ()` has an empty orderSpec by
+          // construction; the ordered families still require a
+          // deterministic order
+          val orderedOk = orderSpec.nonEmpty && orderSpec.forall(_.deterministic)
+          wexprs.forall(e => frameAggOf(e).isDefined ||
+            (orderedOk && (rankOf(e).isDefined || shiftOf(e).isDefined ||
+              runAggOf(e).isDefined || movAggOf(e).isDefined)))
+        } =>
       // classify once (fresh generated attrs must be created exactly
-      // once per expression); the families are disjoint
+      // once per expression); the families are disjoint — a whole-frame
+      // spec (UNBOUNDED..UNBOUNDED) can match neither the running
+      // (..CURRENT ROW) nor the moving (literal bounds) matcher
       val classified: Seq[Rewritten] = wexprs.map { e =>
-        rankOf(e) match {
-          case Some((a, m)) => AsRank(a, m,
-            RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
-              nullable = false)(), m))
-          case None => shiftOf(e) match {
-            case Some((a, sc)) => AsShift(a, sc)
-            case None => runAggOf(e) match {
-              case Some((a, fn, rows, attr)) => AsRunAgg(a, fn, rows, attr)
-              case None =>
-                val (a, fn, lo, hi, attr) = movAggOf(e).get
-                AsMovAgg(a, fn, lo, hi, attr)
+        frameAggOf(e) match {
+          case Some((a, fn, attr)) => AsFrameAgg(a, fn, attr)
+          case None => rankOf(e) match {
+            case Some((a, m)) => AsRank(a, m,
+              RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
+                nullable = false)(), m))
+            case None => shiftOf(e) match {
+              case Some((a, sc)) => AsShift(a, sc)
+              case None => runAggOf(e) match {
+                case Some((a, fn, rows, attr)) => AsRunAgg(a, fn, rows, attr)
+                case None =>
+                  val (a, fn, lo, hi, attr) = movAggOf(e).get
+                  AsMovAgg(a, fn, lo, hi, attr)
+              }
             }
           }
         }
@@ -276,6 +335,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       val shiftCols = classified.collect { case AsShift(_, sc) => sc }
       val aggCols = classified.collect { case r: AsRunAgg => r }
       val movCols = classified.collect { case r: AsMovAgg => r }
+      val frameCols = classified.collect { case r: AsFrameAgg => r }
       // rank node below, shift above, running agg, moving agg on top —
       // all four declare the same OrderedDistribution and pass
       // partitioning + ordering through, so stacking costs no extra
@@ -292,11 +352,18 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         if (aggCols.isEmpty) withShifts
         else GlobalRunningAggNode(orderSpec, aggCols.map(_.attr),
           aggCols.map(_.fn), aggCols.map(_.rows), withShifts)
-      val node: LogicalPlan =
+      val withMovAggs: LogicalPlan =
         if (movCols.isEmpty) withRunAggs
         else GlobalMovingAggNode(orderSpec, movCols.map(_.attr),
           movCols.map(_.fn), movCols.map(_.lo), movCols.map(_.hi),
           withRunAggs)
+      // the whole-frame node requires nothing and preserves everything,
+      // so it rides the ordered siblings' shared range exchange when
+      // mixed, and introduces NO exchange when alone
+      val node: LogicalPlan =
+        if (frameCols.isEmpty) withMovAggs
+        else GlobalFrameAggNode(frameCols.map(_.attr),
+          frameCols.map(_.fn), withMovAggs)
       val projected = child.output ++ classified.map {
         case AsRank(a, m, rc) =>
           val value: Expression = m match {
@@ -318,6 +385,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         case AsMovAgg(a, _, _, _, attr) =>
           Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
+        case AsFrameAgg(a, _, attr) =>
+          Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
       }
       Project(projected, node)
   }
@@ -332,6 +402,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     GlobalShift.ensureStrategy(spark)
     GlobalRunningAgg.ensureStrategy(spark)
     GlobalMovingAgg.ensureStrategy(spark)
+    GlobalFrameAgg.ensureStrategy(spark)
     GraftSqlBridge.ofRows(spark, rewrite(df.queryExecution.analyzed))
   }
 }

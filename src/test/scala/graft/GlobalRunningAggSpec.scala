@@ -157,6 +157,47 @@ class GlobalRunningAggSpec extends AnyFunSuite {
     // bounded, not row-bounded, and still need real frame execution
     kept("SELECT v, sum(x) OVER (ORDER BY v RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM ra_t")
     kept("SELECT v, collect_list(x) OVER (ORDER BY v) AS s FROM ra_t")
-    kept("SELECT v, first_value(x) OVER (ORDER BY v) AS s FROM ra_t")
+    // nth_value is an AggregateWindowFunction whose merge throws — it
+    // needs real frame execution (first_value/last_value rewrite since
+    // the r12 ordered-allowlist widening, tested below)
+    kept("SELECT v, nth_value(x, 2) OVER (ORDER BY v) AS s FROM ra_t")
+  }
+
+  test("first_value/last_value run distributed: ROWS, RANGE ties, IGNORE NULLS") {
+    val df = spark.range(3000)
+      .select((col("id") * 131L % 2003L).as("v"), col("id"),
+        when(col("id") % 5 === 0, lit(null)).otherwise(col("id") % 89)
+          .as("x"))
+      .repartition(7)
+    // total order: every value deterministic, incl. the tie-free RANGE
+    val w = Window.orderBy("v", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def build(d: DataFrame) = d.select(col("v"), col("id"),
+      first(col("x")).over(w).as("fv"),
+      last(col("x")).over(w).as("lv"),
+      first(col("x"), ignoreNulls = true).over(w).as("fvn"),
+      last(col("x"), ignoreNulls = true).over(w).as("lvn"))
+    val windowed = build(df)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.schema == windowed.schema)
+    assert(forced.collect().toSet == windowed.collect().toSet)
+    val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalRunningAggExec => g }.size == 1, p.toString)
+  }
+
+  test("last_value under the default RANGE frame takes the tie-GROUP end") {
+    val df = spark.range(900)
+      .select((col("id") % 7).as("k"), (col("id") % 7 * 11).as("x"))
+      .repartition(5)
+    // x is a function of the order key, so the group-end value is
+    // deterministic despite arbitrary tie order
+    val w = Window.orderBy("k")
+    def build(d: DataFrame) = d.select(col("k"),
+      last(col("x")).over(w).as("lv"),
+      first(col("x")).over(w).as("fv"))
+    val windowed = build(df)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.collect().toSet == windowed.collect().toSet)
   }
 }

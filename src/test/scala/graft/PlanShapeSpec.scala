@@ -297,6 +297,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pm.collect {
       case g: graft.plans.GlobalMovingAggExec => g
     }.size == 1, s"q_movagg_rewrite must run through ONE GlobalMovingAggExec:\n$pm")
+    // the whole-frame family (r12): ratio-to-total through ONE
+    // GlobalFrameAggExec with NO exchange below it at all — the
+    // OVER () constant attaches to rows where they already live
+    val pf = plan("q_frameagg_rewrite")
+    assert(pf.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_frameagg_rewrite kept a WindowExec:\n$pf")
+    val frameExecs = pf.collect { case g: graft.plans.GlobalFrameAggExec => g }
+    assert(frameExecs.size == 1,
+      s"q_frameagg_rewrite must total through ONE GlobalFrameAggExec:\n$pf")
+    // exactly the day-rollup's own hash exchange (plus the final
+    // presentation sort's range exchange) — the whole-frame window adds
+    // NO exchange and certainly no single-partition funnel
+    assert(hashShuffles(pf) == 1,
+      s"the whole-frame aggregate must introduce NO exchange:\n$pf")
+    assert(pf.collect { case e: ShuffleExchangeExec => e }
+      .forall(_.outputPartitioning.numPartitions > 1),
+      s"q_frameagg_rewrite grew a 1-partition exchange:\n$pf")
+    // first_value/last_value (plain + IGNORE NULLS) as running windows:
+    // the ordered-allowlist widening routes all four through ONE
+    // GlobalRunningAggExec
+    val pfl = plan("q_firstlast_rewrite")
+    assert(pfl.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_firstlast_rewrite kept a WindowExec:\n$pfl")
+    assert(pfl.collect {
+      case g: graft.plans.GlobalRunningAggExec => g
+    }.size == 1, s"q_firstlast_rewrite must run through ONE GlobalRunningAggExec:\n$pfl")
   }
 
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
