@@ -15,7 +15,9 @@ import graft.rules.RewriteGlobalRankWindows
   * broadcast evaluate, ZERO shuffle) and the ordered-allowlist widening
   * that routes `first_value`/`last_value` (IGNORE NULLS included)
   * through [[graft.plans.GlobalRunningAgg]]'s prefix-merged buffers.
-  * Both queries are written with the BUILT-IN window functions and
+  * Late r12 added [[graft.plans.GlobalNthValue]] (`nth_value` under
+  * start-anchored frames: one global constant gated on frame length).
+  * All queries are written with the BUILT-IN window functions and
   * routed through [[RewriteGlobalRankWindows.force]], so the rewrite
   * itself — not a hand-built plan — is what the DuckDB oracle checks.
   */
@@ -104,5 +106,50 @@ object R110Queries {
         |  CAST(last_value(cents_nn IGNORE NULLS) OVER w AS BIGINT) AS last_nn
         |FROM k WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qFrameaggRewrite, qFirstlastRewrite)
+  /** `q_nthvalue_rewrite`: `nth_value` — plain, IGNORE NULLS, and
+    * whole-frame — through [[graft.plans.GlobalNthValue]]: the k-th
+    * (non-null) row of the ordered input is ONE global constant, and
+    * each row shows it iff its frame already reaches k rows. Day is
+    * unique after the rollup -> total order -> exact; the nullable
+    * column reuses the deterministic day-of-month % 3 pattern; k=7 /
+    * k=5 sit early (constant found in the first partitions), k=400
+    * sits deep (prefix telescoping crosses partitions at sf>=0.001's
+    * ~1100 days). */
+  val qNthvalueRewrite = QueryDef("q_nthvalue_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .cast(LongType).as("cents"))
+        .select(col("day"), col("cents"),
+          when(dayofmonth(col("day")) % 3 === 0, lit(null).cast(LongType))
+            .otherwise(col("cents")).as("cents_nn"))
+      val w = Window.orderBy(col("day"))
+      val wf = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val nth = daily.select(col("day"), col("cents"),
+        nth_value(col("cents"), 7).over(w).as("n7"),
+        nth_value(col("cents"), 400).over(w).as("n400"),
+        nth_value(col("cents_nn"), 5, ignoreNulls = true).over(w).as("n5nn"),
+        nth_value(col("cents"), 30).over(wf).as("n30w"))
+      RewriteGlobalRankWindows.force(nth).orderBy("day")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |k AS (SELECT day, cents,
+        |    CASE WHEN CAST(date_part('day', day) AS INT) % 3 = 0
+        |      THEN NULL ELSE cents END AS cents_nn
+        |  FROM daily)
+        |SELECT day, cents,
+        |  CAST(nth_value(cents, 7) OVER w AS BIGINT) AS n7,
+        |  CAST(nth_value(cents, 400) OVER w AS BIGINT) AS n400,
+        |  CAST(nth_value(cents_nn, 5 IGNORE NULLS) OVER w AS BIGINT) AS n5nn,
+        |  CAST(nth_value(cents, 30) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS n30w
+        |FROM k WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(qFrameaggRewrite, qFirstlastRewrite, qNthvalueRewrite)
 }

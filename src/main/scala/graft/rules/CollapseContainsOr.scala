@@ -68,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalMovingAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalFrameAggStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.GlobalNthValueStrategy)
     // conf-gated (spark.graft.rewrite.globalRankWindows, default off):
     // rewrite unpartitioned rank-family windows into the distributed
     // GlobalRankNode. Pre-CBO, not operator-optimization: it runs ONCE,

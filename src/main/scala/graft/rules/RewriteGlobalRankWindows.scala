@@ -2,14 +2,14 @@ package graft.rules
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, PercentRank, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnaryMinus, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, NthValue, PercentRank, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnaryMinus, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, Complete, Count, DeclarativeAggregate, First, Last, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
+import graft.plans.{GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -48,14 +48,17 @@ import graft.plans.GlobalShift.ShiftCol
   *    under the original alias; lead/lag types pass through), so
   *    nothing upstream re-resolves.
   *
-  * Five families rewrite: rank (GlobalRank), offset lead/lag
+  * Six families rewrite: rank (GlobalRank), offset lead/lag
   * (GlobalShift), running aggregates incl. first_value/last_value
-  * (GlobalRunningAgg), bounded-ROWS moving aggregates (GlobalMovingAgg)
-  * and whole-frame aggregates — `agg(e) OVER ()` / `UNBOUNDED ..
-  * UNBOUNDED`, the ratio-to-total shape — which [[GlobalFrameAggNode]]
-  * computes with ZERO shuffle. A `Window` node is left alone when any
-  * of its expressions is outside the families (nth_value and RANGE
-  * moving frames need real frame execution; lead/lag IGNORE NULLS and
+  * (GlobalRunningAgg), bounded-ROWS moving aggregates
+  * (GlobalMovingAgg), whole-frame aggregates — `agg(e) OVER ()` /
+  * `UNBOUNDED .. UNBOUNDED`, the ratio-to-total shape, which
+  * [[GlobalFrameAggNode]] computes with ZERO shuffle — and
+  * `nth_value` under frames anchored at the global start
+  * ([[GlobalNthValueNode]]: one global constant gated on frame
+  * length). A `Window` node is left alone when any of its expressions
+  * is outside the families (RANGE moving frames and moving-lower-bound
+  * nth_value need real frame execution; lead/lag IGNORE NULLS and
   * non-literal or over-cap offsets need unbounded lookback), when it
   * HAS a partition spec (partitioned windows scale fine), or when an
   * ordered-family member rides a non-deterministic order key.
@@ -281,6 +284,33 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** (alias, input, k, ignoreNulls, frame kind, generated attr) iff
+    * `ne` is a rewritable `nth_value` global window: a positive
+    * integer-literal offset within the boundary-state cap, under a
+    * running (`UNBOUNDED PRECEDING .. CURRENT ROW`, ROWS or RANGE) or
+    * whole-frame spec — every such frame starts at global row 1, so
+    * the k-th frame row is ONE global constant and each row's value is
+    * that constant gated on its frame reaching k rows
+    * ([[GlobalNthValueNode]]). Frames with a moving lower bound need
+    * real frame execution and keep WindowExec. */
+  private def nthOf(ne: NamedExpression): Option[(Alias, Expression, Int, Boolean, Int, AttributeReference)] = ne match {
+    case a @ Alias(we @ WindowExpression(
+        NthValue(input, Literal(k: Int, IntegerType), ignoreNulls),
+        WindowSpecDefinition(Seq(), _, SpecifiedWindowFrame(ft, lo, hi))), _)
+        if lo == UnboundedPreceding && k > 0 && k <= maxShift &&
+          input.deterministic =>
+      val kind = (ft, hi) match {
+        case (_, UnboundedFollowing) => Some(2)
+        case (RowFrame, CurrentRow) => Some(0)
+        case (_, CurrentRow) => Some(1)
+        case _ => None
+      }
+      kind.map(fk => (a, input, k, ignoreNulls, fk,
+        AttributeReference(s"__graft_${a.name}", input.dataType,
+          nullable = we.nullable)()))
+    case _ => None
+  }
+
   private sealed trait Rewritten
   private case class AsRank(a: Alias, mode: RankMode, rc: RankCol) extends Rewritten
   private case class AsShift(a: Alias, sc: ShiftCol) extends Rewritten
@@ -291,6 +321,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
                               attr: AttributeReference) extends Rewritten
   private case class AsFrameAgg(a: Alias, fn: DeclarativeAggregate,
                                 attr: AttributeReference) extends Rewritten
+  private case class AsNth(a: Alias, input: Expression, k: Int,
+                           ignoreNulls: Boolean, kind: Int,
+                           attr: AttributeReference) extends Rewritten
 
   /** Unconditional rewrite (the conf gate lives in [[apply]]).
     * Idempotent: the result contains no matching `Window`, so a
@@ -306,7 +339,8 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           val orderedOk = orderSpec.nonEmpty && orderSpec.forall(_.deterministic)
           wexprs.forall(e => frameAggOf(e).isDefined ||
             (orderedOk && (rankOf(e).isDefined || shiftOf(e).isDefined ||
-              runAggOf(e).isDefined || movAggOf(e).isDefined)))
+              runAggOf(e).isDefined || movAggOf(e).isDefined ||
+              nthOf(e).isDefined)))
         } =>
       // classify once (fresh generated attrs must be created exactly
       // once per expression); the families are disjoint — a whole-frame
@@ -323,9 +357,12 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
               case Some((a, sc)) => AsShift(a, sc)
               case None => runAggOf(e) match {
                 case Some((a, fn, rows, attr)) => AsRunAgg(a, fn, rows, attr)
-                case None =>
-                  val (a, fn, lo, hi, attr) = movAggOf(e).get
-                  AsMovAgg(a, fn, lo, hi, attr)
+                case None => movAggOf(e) match {
+                  case Some((a, fn, lo, hi, attr)) => AsMovAgg(a, fn, lo, hi, attr)
+                  case None =>
+                    val (a, input, k, ign, kind, attr) = nthOf(e).get
+                    AsNth(a, input, k, ign, kind, attr)
+                }
               }
             }
           }
@@ -336,6 +373,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       val aggCols = classified.collect { case r: AsRunAgg => r }
       val movCols = classified.collect { case r: AsMovAgg => r }
       val frameCols = classified.collect { case r: AsFrameAgg => r }
+      val nthCols = classified.collect { case r: AsNth => r }
       // rank node below, shift above, running agg, moving agg on top —
       // all four declare the same OrderedDistribution and pass
       // partitioning + ordering through, so stacking costs no extra
@@ -357,13 +395,18 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         else GlobalMovingAggNode(orderSpec, movCols.map(_.attr),
           movCols.map(_.fn), movCols.map(_.lo), movCols.map(_.hi),
           withRunAggs)
+      val withNth: LogicalPlan =
+        if (nthCols.isEmpty) withMovAggs
+        else GlobalNthValueNode(orderSpec, nthCols.map(_.attr),
+          nthCols.map(_.input), nthCols.map(_.k),
+          nthCols.map(_.ignoreNulls), nthCols.map(_.kind), withMovAggs)
       // the whole-frame node requires nothing and preserves everything,
       // so it rides the ordered siblings' shared range exchange when
       // mixed, and introduces NO exchange when alone
       val node: LogicalPlan =
-        if (frameCols.isEmpty) withMovAggs
+        if (frameCols.isEmpty) withNth
         else GlobalFrameAggNode(frameCols.map(_.attr),
-          frameCols.map(_.fn), withMovAggs)
+          frameCols.map(_.fn), withNth)
       val projected = child.output ++ classified.map {
         case AsRank(a, m, rc) =>
           val value: Expression = m match {
@@ -388,6 +431,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         case AsFrameAgg(a, _, attr) =>
           Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
+        case AsNth(a, _, _, _, _, attr) =>
+          Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
       }
       Project(projected, node)
   }
@@ -403,6 +449,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     GlobalRunningAgg.ensureStrategy(spark)
     GlobalMovingAgg.ensureStrategy(spark)
     GlobalFrameAgg.ensureStrategy(spark)
+    GlobalNthValue.ensureStrategy(spark)
     GraftSqlBridge.ofRows(spark, rewrite(df.queryExecution.analyzed))
   }
 }

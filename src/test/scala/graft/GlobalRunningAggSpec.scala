@@ -157,10 +157,11 @@ class GlobalRunningAggSpec extends AnyFunSuite {
     // bounded, not row-bounded, and still need real frame execution
     kept("SELECT v, sum(x) OVER (ORDER BY v RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM ra_t")
     kept("SELECT v, collect_list(x) OVER (ORDER BY v) AS s FROM ra_t")
-    // nth_value is an AggregateWindowFunction whose merge throws — it
-    // needs real frame execution (first_value/last_value rewrite since
-    // the r12 ordered-allowlist widening, tested below)
-    kept("SELECT v, nth_value(x, 2) OVER (ORDER BY v) AS s FROM ra_t")
+    // a moving lower bound un-anchors nth_value's frame start — the
+    // start-anchored forms rewrite via GlobalNthValue instead
+    // (GlobalNthValueSpec); first_value/last_value rewrite since the
+    // r12 ordered-allowlist widening, tested below
+    kept("SELECT v, nth_value(x, 2) OVER (ORDER BY v ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM ra_t")
   }
 
   test("first_value/last_value run distributed: ROWS, RANGE ties, IGNORE NULLS") {

@@ -325,6 +325,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pfl.collect {
       case g: graft.plans.GlobalRunningAggExec => g
     }.size == 1, s"q_firstlast_rewrite must run through ONE GlobalRunningAggExec:\n$pfl")
+    // nth_value (plain + IGNORE NULLS + whole-frame): all four
+    // expressions through ONE GlobalNthValueExec
+    val pn = plan("q_nthvalue_rewrite")
+    assert(pn.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_nthvalue_rewrite kept a WindowExec:\n$pn")
+    assert(pn.collect {
+      case g: graft.plans.GlobalNthValueExec => g
+    }.size == 1, s"q_nthvalue_rewrite must run through ONE GlobalNthValueExec:\n$pn")
   }
 
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
