@@ -39,6 +39,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *     arrays or the column's `default` (evaluated against the CURRENT
   *     row, matching WindowExec's offset-frame semantics).
   *
+  * IGNORE NULLS (late r12, lag-only): `lag(e, k) IGNORE NULLS` is the
+  * k-th most recent NON-NULL value strictly before the current row —
+  * still k values of state, just k non-null ones. Pass 1 collects the
+  * last k non-null values per partition, the driver telescopes them
+  * (a partition with fewer than k non-nulls — even zero — reaches
+  * through to earlier partitions), and pass 2 streams a k-capacity
+  * non-null ring seeded from that boundary. The LEAD mirror is NOT
+  * routed here: the k-th non-null ahead can be arbitrarily far (a
+  * null run has no bound), which is WindowExec's whole-partition
+  * territory.
+  *
   * Memory: pass 2 buffers `maxLead + 1` full rows and
   * `maxLag + maxLead + 1` value tuples — bounded by the requested
   * offsets, never by the data. The built-in buffers the entire input
@@ -64,6 +75,7 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class GlobalShiftNode(order: Seq[SortOrder], attrs: Seq[AttributeReference],
                            inputs: Seq[Expression], offsets: Seq[Int],
                            defaults: Seq[Expression],
+                           ignoreNullsFlags: Seq[Boolean],
                            child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ attrs
   override def producedAttributes: AttributeSet = AttributeSet(attrs)
@@ -73,8 +85,8 @@ case class GlobalShiftNode(order: Seq[SortOrder], attrs: Seq[AttributeReference]
 
 object GlobalShiftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalShiftNode(order, attrs, inputs, offsets, defaults, child) =>
-      GlobalShiftExec(order, attrs, inputs, offsets, defaults,
+    case GlobalShiftNode(order, attrs, inputs, offsets, defaults, ign, child) =>
+      GlobalShiftExec(order, attrs, inputs, offsets, defaults, ign,
         planLater(child)) :: Nil
     case _ => Nil
   }
@@ -83,6 +95,7 @@ object GlobalShiftStrategy extends SparkStrategy {
 case class GlobalShiftExec(order: Seq[SortOrder], attrs: Seq[AttributeReference],
                            inputs: Seq[Expression], offsets: Seq[Int],
                            defaults: Seq[Expression],
+                           ignoreNullsFlags: Seq[Boolean],
                            child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ attrs
@@ -113,14 +126,20 @@ case class GlobalShiftExec(order: Seq[SortOrder], attrs: Seq[AttributeReference]
     val offsets = this.offsets.toArray
     val inputs = this.inputs
     val defaults = this.defaults
+    // IGNORE NULLS columns (lag-only by construction: the k-th non-null
+    // AHEAD needs unbounded lookahead, so the matcher never routes it):
+    // boundary tails and the pass-2 ring hold NON-NULL values only —
+    // the state stays k values, just k non-null ones
+    val ign = (if (ignoreNullsFlags.isEmpty) Seq.fill(nShifts)(false)
+               else ignoreNullsFlags).toArray
     val nullDefault = defaults.map(isNullDefault).toArray
     val dataTypes = inputs.map(_.dataType).toArray
     val maxLag = offsets.collect { case o if o < 0 => -o }.maxOption.getOrElse(0)
     val maxLead = offsets.collect { case o if o > 0 => o }.maxOption.getOrElse(0)
 
     // pass 1: per partition (count, first-k values per lead col,
-    // last-k values per lag col) — 1-field UnsafeRow copies, at most
-    // |offset| per column per partition
+    // last-k (non-null for IGNORE NULLS) values per lag col) — 1-field
+    // UnsafeRow copies, at most |offset| per column per partition
     val boundary: Array[(Long, Array[Array[UnsafeRow]], Array[Array[UnsafeRow]])] =
       rdd.mapPartitionsWithIndex({ (pid, it) =>
         val projs = inputs.map(e => UnsafeProjection.create(Seq(e), childOutput)).toArray
@@ -135,9 +154,12 @@ case class GlobalShiftExec(order: Seq[SortOrder], attrs: Seq[AttributeReference]
             val o = offsets(j)
             if (o > 0 && count < o) heads(j) += projs(j)(row).copy()
             if (o < 0) {
-              val t = tails(j)
-              if (t.size == -o) t.pollFirst()
-              t.addLast(projs(j)(row).copy())
+              val v = projs(j)(row)
+              if (!ign(j) || !v.isNullAt(0)) {
+                val t = tails(j)
+                if (t.size == -o) t.pollFirst()
+                t.addLast(v.copy())
+              }
             }
             j += 1
           }
@@ -198,6 +220,29 @@ case class GlobalShiftExec(order: Seq[SortOrder], attrs: Seq[AttributeReference]
       val valRing = new Array[Array[UnsafeRow]](valCap)
       var readIdx = 0L // local rows pulled from the iterator
       var emitIdx = 0L // local rows emitted
+      // IGNORE NULLS lag columns: a k-capacity ring of the last k
+      // NON-NULL values strictly before the current row, seeded from
+      // the telescoped driver boundary (the last <=k non-nulls before
+      // this partition, globally); the k-th most recent is the oldest
+      // retained slot once the total count reaches k
+      val nnRing = new Array[Array[UnsafeRow]](nShifts)
+      val nnPos = new Array[Int](nShifts)
+      val nnCount = new Array[Long](nShifts)
+      locally {
+        var j = 0
+        while (j < nShifts) {
+          if (ign(j)) {
+            val kk = -offsets(j)
+            nnRing(j) = new Array[UnsafeRow](kk)
+            prevTail(j)(pid).foreach { v =>
+              nnRing(j)(nnPos(j)) = v
+              nnPos(j) = (nnPos(j) + 1) % kk
+              nnCount(j) += 1L
+            }
+          }
+          j += 1
+        }
+      }
       def valueOf(row1: UnsafeRow, dt: org.apache.spark.sql.types.DataType): Any =
         if (row1.isNullAt(0)) null else row1.get(0, dt)
       def evalInputs(r: InternalRow): Unit = {
@@ -212,7 +257,13 @@ case class GlobalShiftExec(order: Seq[SortOrder], attrs: Seq[AttributeReference]
         while (j < nShifts) {
           val src = emitIdx + offsets(j)
           val v: Any =
-            if (src >= 0L && src < partCount) {
+            if (ign(j)) {
+              // the k-th most recent non-null strictly before this row
+              val kk = -offsets(j)
+              if (nnCount(j) >= kk) valueOf(nnRing(j)(nnPos(j)), dataTypes(j))
+              else if (nullDefault(j)) null
+              else valueOf(defaultProjs(j)(row), dataTypes(j))
+            } else if (src >= 0L && src < partCount) {
               // in-partition: the ring retains [emitIdx-maxLag,
               // emitIdx+maxLead], and reads have been pulled to src
               valueOf(valRing((src % valCap).toInt)(j), dataTypes(j))
@@ -230,6 +281,20 @@ case class GlobalShiftExec(order: Seq[SortOrder], attrs: Seq[AttributeReference]
               else valueOf(defaultProjs(j)(row), dataTypes(j))
             }
           shiftRow.update(j, v)
+          j += 1
+        }
+        // the current row's value becomes visible to LATER rows only:
+        // push into the non-null rings after every column was computed
+        j = 0
+        while (j < nShifts) {
+          if (ign(j)) {
+            val cur = valRing((emitIdx % valCap).toInt)(j)
+            if (!cur.isNullAt(0)) {
+              nnRing(j)(nnPos(j)) = cur
+              nnPos(j) = (nnPos(j) + 1) % nnRing(j).length
+              nnCount(j) += 1L
+            }
+          }
           j += 1
         }
         emitIdx += 1L
@@ -269,10 +334,13 @@ object GlobalShift {
 
   /** One output shift column: generated attribute, the expression whose
     * value is shifted, the offset (positive = lead, negative = lag,
-    * 0 = current row), and the out-of-range default (evaluated against
-    * the current row; `Literal(null)` for the SQL default). */
+    * 0 = current row), the out-of-range default (evaluated against
+    * the current row; `Literal(null)` for the SQL default), and the
+    * IGNORE NULLS flag (lag-only: the k-th most recent NON-NULL value
+    * instead of the value k rows back). */
   case class ShiftCol(attr: AttributeReference, input: Expression,
-                      offset: Int, default: Expression)
+                      offset: Int, default: Expression,
+                      ignoreNulls: Boolean = false)
 
   /** One requested shift for the column-name API: `offset > 0` looks
     * ahead (lead), `< 0` behind (lag); out-of-range rows get null. */
@@ -315,6 +383,7 @@ object GlobalShift {
         in, s.offset, Literal.create(null, in.dataType))
     }
     GraftSqlBridge.ofRows(spark, GlobalShiftNode(order, cols.map(_.attr),
-      cols.map(_.input), cols.map(_.offset), cols.map(_.default), analyzed))
+      cols.map(_.input), cols.map(_.offset), cols.map(_.default),
+      cols.map(_.ignoreNulls), analyzed))
   }
 }

@@ -150,6 +150,47 @@ object R110Queries {
         |  CAST(nth_value(cents, 30) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS n30w
         |FROM k WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin))
 
+  /** `q_shiftnn_rewrite`: `lag ... IGNORE NULLS` through
+    * [[graft.plans.GlobalShift]]'s non-null ring (late r12, lag-only —
+    * the lead mirror needs unbounded lookahead and keeps WindowExec).
+    * The nullable column is the deterministic day-of-month % 3
+    * pattern, so ~1/3 of days are null and boundary telescoping
+    * crosses null runs; a plain lag rides the same node (mixed
+    * plain + IGNORE NULLS, one exec, one exchange — plan-pinned).
+    * Defaults stay NULL: DuckDB 1.0.0 parses `lag(x, k IGNORE NULLS)`
+    * but not a default argument combined with it. */
+  val qShiftnnRewrite = QueryDef("q_shiftnn_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .cast(LongType).as("cents"))
+        .select(col("day"), col("cents"),
+          when(dayofmonth(col("day")) % 3 === 0, lit(null).cast(LongType))
+            .otherwise(col("cents")).as("cents_nn"))
+      val w = Window.orderBy(col("day"))
+      val shifted = daily.select(col("day"), col("cents"), col("cents_nn"),
+        lag(col("cents_nn"), 1, null, ignoreNulls = true).over(w).as("nn1"),
+        lag(col("cents_nn"), 3, null, ignoreNulls = true).over(w).as("nn3"),
+        lag("cents", 1).over(w).as("plain1"))
+      RewriteGlobalRankWindows.force(shifted).orderBy("day")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |k AS (SELECT day, cents,
+        |    CASE WHEN CAST(date_part('day', day) AS INT) % 3 = 0
+        |      THEN NULL ELSE cents END AS cents_nn
+        |  FROM daily)
+        |SELECT day, cents, cents_nn,
+        |  CAST(lag(cents_nn, 1 IGNORE NULLS) OVER w AS BIGINT) AS nn1,
+        |  CAST(lag(cents_nn, 3 IGNORE NULLS) OVER w AS BIGINT) AS nn3,
+        |  CAST(lag(cents, 1) OVER w AS BIGINT) AS plain1
+        |FROM k WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(qFrameaggRewrite, qFirstlastRewrite, qNthvalueRewrite)
+    Seq(qFrameaggRewrite, qFirstlastRewrite, qNthvalueRewrite,
+      qShiftnnRewrite)
 }

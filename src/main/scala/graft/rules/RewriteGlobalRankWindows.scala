@@ -58,9 +58,10 @@ import graft.plans.GlobalShift.ShiftCol
   * ([[GlobalNthValueNode]]: one global constant gated on frame
   * length). A `Window` node is left alone when any of its expressions
   * is outside the families (RANGE moving frames and moving-lower-bound
-  * nth_value need real frame execution; lead/lag IGNORE NULLS and
-  * non-literal or over-cap offsets need unbounded lookback), when it
-  * HAS a partition spec (partitioned windows scale fine), or when an
+  * nth_value need real frame execution; LEAD with IGNORE NULLS and
+  * non-literal or over-cap offsets need unbounded lookahead — lag
+  * IGNORE NULLS rewrites via the non-null ring), when it HAS a
+  * partition spec (partitioned windows scale fine), or when an
   * ordered-family member rides a non-deterministic order key.
   *
   * OFF by default — enable with `spark.graft.rewrite.globalRankWindows=
@@ -116,21 +117,24 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   private def maxShift: Int =
     SQLConf.get.getConfString(MaxShiftKey, "1024").toInt
 
-  /** (input, signed offset, default) iff `ne` is a rewritable
-    * `lead`/`lag` global window: literal int offset within the cap, no
-    * IGNORE NULLS (that lookback is unbounded), and a default the
-    * offset node can evaluate (null literal, or same type as the
-    * input, evaluated against the current row — WindowExec's own
-    * offset-frame semantics). The sign is normalized so positive looks
-    * ahead: `lag(e, -2)` IS `lead(e, 2)`, as with the built-ins. */
+  /** (input, signed offset, default, ignoreNulls) iff `ne` is a
+    * rewritable `lead`/`lag` global window: literal int offset within
+    * the cap, and a default the offset node can evaluate (null
+    * literal, or same type as the input, evaluated against the current
+    * row — WindowExec's own offset-frame semantics). The sign is
+    * normalized so positive looks ahead: `lag(e, -2)` IS `lead(e, 2)`,
+    * as with the built-ins. IGNORE NULLS routes only when the
+    * NORMALIZED offset looks BACK: the k-th non-null behind is a
+    * k-value ring over the stream, but the k-th non-null AHEAD can be
+    * arbitrarily far (a null run has no bound) and keeps WindowExec. */
   private def shiftOf(ne: NamedExpression): Option[(Alias, ShiftCol)] = {
-    def spec(fn: Expression): Option[(Expression, Int, Expression)] = fn match {
-      case l: Lag if !l.ignoreNulls => l.inputOffset match {
-        case Literal(k: Int, IntegerType) => Some((l.input, -k, l.default))
+    def spec(fn: Expression): Option[(Expression, Int, Expression, Boolean)] = fn match {
+      case l: Lag => l.inputOffset match {
+        case Literal(k: Int, IntegerType) => Some((l.input, -k, l.default, l.ignoreNulls))
         case _ => None
       }
-      case l: Lead if !l.ignoreNulls => l.offset match {
-        case Literal(k: Int, IntegerType) => Some((l.input, k, l.default))
+      case l: Lead => l.offset match {
+        case Literal(k: Int, IntegerType) => Some((l.input, k, l.default, l.ignoreNulls))
         case _ => None
       }
       case _ => None
@@ -138,14 +142,16 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     ne match {
       case a @ Alias(we @ WindowExpression(fn, WindowSpecDefinition(Seq(), _, _)), _) =>
         spec(fn).collect {
-          case (input, off, default)
+          case (input, off, default, ignoreNulls)
               if math.abs(off) <= maxShift && input.deterministic &&
+                (!ignoreNulls || off < 0) &&
                 default.deterministic &&
                 (default.foldable && default.eval() == null ||
                   org.apache.spark.sql.types.DataType.equalsStructurally(
                     default.dataType, input.dataType, ignoreNullability = true)) =>
             (a, ShiftCol(AttributeReference(s"__graft_${a.name}",
-              input.dataType, nullable = we.nullable)(), input, off, default))
+              input.dataType, nullable = we.nullable)(), input, off, default,
+              ignoreNulls))
         }
       case _ => None
     }
@@ -385,7 +391,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         if (shiftCols.isEmpty) withRanks
         else GlobalShiftNode(orderSpec, shiftCols.map(_.attr),
           shiftCols.map(_.input), shiftCols.map(_.offset),
-          shiftCols.map(_.default), withRanks)
+          shiftCols.map(_.default), shiftCols.map(_.ignoreNulls), withRanks)
       val withRunAggs: LogicalPlan =
         if (aggCols.isEmpty) withShifts
         else GlobalRunningAggNode(orderSpec, aggCols.map(_.attr),

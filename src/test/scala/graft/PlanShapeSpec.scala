@@ -334,6 +334,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pn.collect {
       case g: graft.plans.GlobalNthValueExec => g
     }.size == 1, s"q_nthvalue_rewrite must run through ONE GlobalNthValueExec:\n$pn")
+    // lag IGNORE NULLS (the non-null ring) mixed with a plain lag:
+    // one GlobalShiftExec for all three offsets
+    val psn = plan("q_shiftnn_rewrite")
+    assert(psn.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_shiftnn_rewrite kept a WindowExec:\n$psn")
+    assert(psn.collect {
+      case g: graft.plans.GlobalShiftExec => g
+    }.size == 1, s"q_shiftnn_rewrite must shift through ONE GlobalShiftExec:\n$psn")
   }
 
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {

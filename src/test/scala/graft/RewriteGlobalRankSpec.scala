@@ -199,9 +199,11 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
     val df = spark.range(100).select(col("id").as("v"),
       when(col("id") % 3 === 0, col("id")).as("x"))
     df.createOrReplaceTempView("rw_shift_t")
-    // IGNORE NULLS needs unbounded lookback — not rewritable
+    // LEAD with IGNORE NULLS needs unbounded lookAHEAD (a null run has
+    // no bound) — not rewritable; lag IGNORE NULLS rewrites since the
+    // late-r12 non-null ring (tested in GlobalShiftIgnoreNullsSpec)
     val ign = RewriteGlobalRankWindows.force(spark.sql(
-      "SELECT v, lag(x) IGNORE NULLS OVER (ORDER BY v) AS p FROM rw_shift_t"))
+      "SELECT v, lead(x) IGNORE NULLS OVER (ORDER BY v) AS p FROM rw_shift_t"))
     val p1 = noAqePlan(ign)
     assert(p1.collect { case g: GlobalShiftExec => g }.isEmpty, p1.toString)
     assert(p1.collect { case x: WindowExec => x }.size == 1)
