@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, MutableProjection, SpecificInternalRow, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, GenericInternalRow, JoinedRow, MutableProjection, SpecificInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateFunction, DeclarativeAggregate, ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -20,16 +20,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * and buffering the whole input in that single task — the worst plan
   * shape in the engine for what is semantically a scalar. Here:
   *
-  *  1. pass 1 computes each partition's FULL aggregation buffer with
-  *     the function's own Catalyst `DeclarativeAggregate` update
-  *     projection — one small buffer per partition to the driver,
-  *     exactly a map-side partial aggregate;
-  *  2. the driver merges the partials with the function's own
-  *     `mergeExpressions` into ONE final buffer per function — the
-  *     reduce side, on `numPartitions` buffers instead of the data;
-  *  3. pass 2 re-maps the same child RDD, evaluates the final buffers
-  *     once per partition, and streams every row out joined with the
-  *     constant values — no sort, no exchange, no buffering.
+  *  1. pass 1 computes each partition's FULL aggregation buffer — one
+  *     small buffer per partition to the driver, exactly a map-side
+  *     partial aggregate;
+  *  2. the driver merges the partials into ONE final value per
+  *     function — the reduce side, on `numPartitions` buffers instead
+  *     of the data;
+  *  3. pass 2 re-maps the same child RDD and streams every row out
+  *     joined with the constant values — no sort, no exchange, no
+  *     buffering.
   *
   * The node requires NO distribution and NO ordering: it preserves the
   * child's partitioning and sort order untouched, so it stacks under
@@ -37,16 +36,29 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * window node mixes families (cumulative + total for a running
   * share), and costs nothing extra when it stands alone.
   *
-  * Restricted to ORDER-INSENSITIVE aggregates (the rewrite rule's
-  * shared allowlist: sum/min/max/count/avg, the moments, bit/bool
-  * reducers): without an ordering requirement the driver merge order
-  * is partition order, not data order, so first_value/last_value
-  * whole-frame windows (which DO depend on the order even over the
-  * full frame) stay on WindowExec. The functions run their own
-  * update/merge/evaluate expressions, so type behavior (decimal
-  * widening, ANSI overflow, null-skipping) is identical to the
-  * built-in by construction; the floating-point reassociation caveat
-  * is the same as every Spark partial aggregation.
+  * Two function kinds run here, each through its own Catalyst
+  * machinery so type behavior matches the built-in by construction:
+  *
+  *  - ORDER-INSENSITIVE [[DeclarativeAggregate]]s (the rewrite rule's
+  *    shared allowlist: sum/min/max/count/avg, the moments, bit/bool
+  *    reducers) via initial/update/merge/evaluate projections;
+  *  - BOUNDED-SKETCH [[TypedImperativeAggregate]]s (late r12:
+  *    approx_count_distinct's HLL++, approx_percentile's GK summary —
+  *    the rewrite rule's sketch allowlist) via initialize/update/
+  *    serialize/merge/eval. The buffers are sketch-sized by
+  *    construction — this is exactly the WindowWhitelist's documented
+  *    "at 100 TB the same statistic runs via approx_percentile"
+  *    alternative, executed. HLL++ registers are maxima, so its result
+  *    is bit-identical to the single-task built-in under ANY
+  *    partitioning; a GK summary's merge is order-sensitive within its
+  *    rank-error bound, so approx_percentile is deterministic for a
+  *    fixed partitioning and within the bound across partitionings —
+  *    the same property Spark's own partial-aggregate approx_percentile
+  *    has.
+  *
+  * first_value/last_value stay out of BOTH kinds here: whole-frame
+  * first/last depend on the global order, which this family never
+  * establishes.
   *
   * Cost note for 100 TB: the two passes read the child twice. When the
   * child is shuffle output (stacked with an ordered sibling, or any
@@ -61,7 +73,7 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * aggregated columns from the child.
   */
 case class GlobalFrameAggNode(attrs: Seq[AttributeReference],
-                              funcs: Seq[DeclarativeAggregate],
+                              funcs: Seq[AggregateFunction],
                               child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ attrs
   override def producedAttributes: AttributeSet = AttributeSet(attrs)
@@ -78,7 +90,7 @@ object GlobalFrameAggStrategy extends SparkStrategy {
 }
 
 case class GlobalFrameAggExec(attrs: Seq[AttributeReference],
-                              funcs: Seq[DeclarativeAggregate],
+                              funcs: Seq[AggregateFunction],
                               child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ attrs
@@ -102,66 +114,104 @@ case class GlobalFrameAggExec(attrs: Seq[AttributeReference],
     val funcsArr = funcs.toArray
     val dataTypes = funcsArr.map(_.dataType)
 
-    def newBuffers(): Array[SpecificInternalRow] = funcsArr.map { f =>
-      val b = new SpecificInternalRow(f.aggBufferAttributes.map(_.dataType))
-      val init = MutableProjection.create(f.initialValues, Nil)
-      init.target(b)(InternalRow.empty)
-      b
-    }
-    def toUnsafe(f: DeclarativeAggregate): UnsafeProjection =
-      UnsafeProjection.create(f.aggBufferAttributes, f.aggBufferAttributes)
+    // per-function partial machinery, declarative or imperative
+    // (fixed-width like HLL++, or typed/serialized like the GK
+    // percentile summary): both produce one UnsafeRow buffer per
+    // partition
+    def boundImperative(f: ImperativeAggregate): ImperativeAggregate =
+      BindReferences.bindReference(
+        f.withNewMutableAggBufferOffset(0).withNewInputAggBufferOffset(0),
+        childOutput).asInstanceOf[ImperativeAggregate]
 
     // pass 1: one full-partition buffer per function (map-side partial)
     val partials: Array[Array[UnsafeRow]] =
       rdd.mapPartitions({ it =>
-        val buffers = newBuffers()
+        val decl = funcsArr.map {
+          case d: DeclarativeAggregate => d
+          case _ => null
+        }
+        val imp = funcsArr.map {
+          case t: ImperativeAggregate => boundImperative(t)
+          case _ => null
+        }
+        val buffers: Array[SpecificInternalRow] = funcsArr.zipWithIndex.map {
+          case (f, j) =>
+            val b = new SpecificInternalRow(f.aggBufferAttributes.map(_.dataType))
+            if (decl(j) != null) {
+              val init = MutableProjection.create(decl(j).initialValues, Nil)
+              init.target(b)(InternalRow.empty)
+            } else imp(j).initialize(b)
+            b
+        }
         val upds = funcsArr.zipWithIndex.map { case (f, j) =>
-          val p = MutableProjection.create(f.updateExpressions,
-            f.aggBufferAttributes ++ childOutput)
-          p.target(buffers(j)); p
+          if (decl(j) == null) null
+          else {
+            val p = MutableProjection.create(decl(j).updateExpressions,
+              decl(j).aggBufferAttributes ++ childOutput)
+            p.target(buffers(j)); p
+          }
         }
         val joins = Array.fill(nFuncs)(new JoinedRow)
         it.foreach { row =>
           var i = 0
-          while (i < nFuncs) { upds(i)(joins(i)(buffers(i), row)); i += 1 }
+          while (i < nFuncs) {
+            if (upds(i) != null) upds(i)(joins(i)(buffers(i), row))
+            else imp(i).update(buffers(i), row)
+            i += 1
+          }
         }
-        Iterator(funcsArr.zip(buffers).map { case (f, b) => toUnsafe(f)(b).copy() })
+        Iterator(funcsArr.zipWithIndex.map { case (f, j) =>
+          imp(j) match {
+            case t: TypedImperativeAggregate[_] =>
+              t.serializeAggregateBufferInPlace(buffers(j))
+            case _ => ()
+          }
+          UnsafeProjection.create(f.aggBufferAttributes.map(_.dataType).toArray)
+            .apply(buffers(j)).copy()
+        })
       }, preservesPartitioning = true).collect()
 
-    // driver: merge every partial into ONE final buffer per function
-    // (allowlisted functions are order-insensitive, so partition order
-    // is as good as any)
-    val finals: Array[UnsafeRow] = {
-      val accs = newBuffers()
-      val merges = funcsArr.zipWithIndex.map { case (f, j) =>
-        val p = MutableProjection.create(f.mergeExpressions,
-          f.aggBufferAttributes ++ f.inputAggBufferAttributes)
-        p.target(accs(j)); p
+    // driver: merge every partial into ONE final VALUE per function
+    // (the allowlisted functions are order-insensitive — or, for the
+    // GK sketch, order-robust within its rank-error bound — so
+    // partition order is as good as any), shipped to pass 2 as
+    // 1-field UnsafeRows
+    val finals: Array[UnsafeRow] = Array.tabulate(nFuncs) { j =>
+      val value: Any = funcsArr(j) match {
+        case d: DeclarativeAggregate =>
+          val acc = new SpecificInternalRow(d.aggBufferAttributes.map(_.dataType))
+          MutableProjection.create(d.initialValues, Nil)
+            .target(acc)(InternalRow.empty)
+          val merge = MutableProjection.create(d.mergeExpressions,
+            d.aggBufferAttributes ++ d.inputAggBufferAttributes)
+          merge.target(acc)
+          val join = new JoinedRow
+          partials.foreach { bufs => merge(join(acc, bufs(j))) }
+          val evalRow = new SpecificInternalRow(Seq(d.dataType))
+          MutableProjection.create(Seq(d.evaluateExpression),
+            d.aggBufferAttributes).target(evalRow)(acc)
+          if (evalRow.isNullAt(0)) null else evalRow.get(0, d.dataType)
+        case t: ImperativeAggregate =>
+          val f = boundImperative(t)
+          val acc = new SpecificInternalRow(f.aggBufferAttributes.map(_.dataType))
+          f.initialize(acc)
+          partials.foreach { bufs => f.merge(acc, bufs(j)) }
+          f.eval(acc)
       }
-      val joins = Array.fill(nFuncs)(new JoinedRow)
-      partials.foreach { bufs =>
-        var i = 0
-        while (i < nFuncs) { merges(i)(joins(i)(accs(i), bufs(i))); i += 1 }
-      }
-      funcsArr.zip(accs).map { case (f, b) => toUnsafe(f)(b).copy() }
+      val proj = UnsafeProjection.create(Array(dataTypes(j)))
+      proj(new GenericInternalRow(Array(value))).copy()
     }
 
     val out = output
     val numOutputRows = longMetric("numOutputRows")
-    // pass 2: evaluate once per partition, stream rows joined with the
-    // constant aggregate values
+    // pass 2: stream rows joined with the constant aggregate values
     rdd.mapPartitions({ it =>
       val proj = UnsafeProjection.create(out, out)
       val aggRow = new GenericInternalRow(nFuncs)
       var j = 0
       while (j < nFuncs) {
-        val f = funcsArr(j)
-        val evalRow = new SpecificInternalRow(Seq(f.dataType))
-        val eval = MutableProjection.create(Seq(f.evaluateExpression),
-          f.aggBufferAttributes)
-        eval.target(evalRow)(finals(j))
         aggRow.update(j,
-          if (evalRow.isNullAt(0)) null else evalRow.get(0, dataTypes(j)))
+          if (finals(j).isNullAt(0)) null else finals(j).get(0, dataTypes(j)))
         j += 1
       }
       val joined = new JoinedRow

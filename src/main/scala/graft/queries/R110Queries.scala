@@ -190,7 +190,34 @@ object R110Queries {
         |  CAST(lag(cents, 1) OVER w AS BIGINT) AS plain1
         |FROM k WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin))
 
+  /** `q_frameagg_sketch`: the BOUNDED-SKETCH whole-frame tier —
+    * `approx_count_distinct(custkey) OVER ()` (HLL++, bit-identical
+    * under any partitioning) and `approx_percentile(cents, 0.5) OVER
+    * ()` (GK summary, exact within its rank-error bound) over the raw
+    * orders table, with zero shuffle. Rows-only by design: DuckDB's
+    * approx sketches are different algorithms, so cross-engine hashes
+    * cannot match — the accuracy contract (estimate vs exact distinct
+    * count / exact median) lives in RowsOnlyContractSpec, the same
+    * treatment as the KMV/theta sketch queries. The exact `n_orders`
+    * column rides along so the single output row still pins something
+    * bit-checkable in the contract. */
+  val qFrameaggSketch = QueryDef("q_frameagg_sketch",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val base = orders.select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy()
+      val sk = base.select(
+        // rsd 0.01 → ~1% expected error, comfortably inside the
+        // contract's 5% band (the default 5% rsd sits ON the band)
+        approx_count_distinct(col("o_custkey"), 0.01).over(w).as("acd_cust"),
+        expr("approx_percentile(cents, 0.5, 10000)").over(w).as("med_cents"),
+        count(lit(1)).over(w).as("n_orders"))
+      RewriteGlobalRankWindows.force(sk).distinct()
+    },
+    None)
+
   val all: Seq[QueryDef] =
     Seq(qFrameaggRewrite, qFirstlastRewrite, qNthvalueRewrite,
-      qShiftnnRewrite)
+      qShiftnnRewrite, qFrameaggSketch)
 }

@@ -268,23 +268,48 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     }
   }
 
+  /** The BOUNDED-SKETCH allowlist for the whole-frame family:
+    * imperative aggregates whose buffer is sketch-sized by
+    * construction and whose merge is order-robust —
+    * approx_count_distinct's HLL++ (register maxima: bit-identical
+    * under any partitioning) and approx_percentile's GK summary
+    * (within its rank-error bound across partitionings, the same
+    * property Spark's own partial aggregation gives it). This is the
+    * WindowWhitelist's documented "at 100 TB the same statistic runs
+    * via approx_percentile" alternative, executed. Unbounded-buffer
+    * imperatives (collect_list/percentile/mode) stay on WindowExec. */
+  private def sketchAllowed(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Boolean =
+    fn match {
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus => true
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile => true
+      case _ => false
+    }
+
   /** (alias, function, generated attr) iff `ne` is a rewritable
     * WHOLE-FRAME global window: an order-insensitive allowlisted
-    * aggregate over `... BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
-    * FOLLOWING` (ROWS or RANGE — over the full frame they are the same
-    * set) or the analyzer's resolution of `OVER ()`. The value is one
-    * constant — the aggregate of the whole input — so no order is
-    * needed at all and [[GlobalFrameAggNode]] computes it with zero
-    * shuffle. First/Last stay out: their whole-frame value depends on
-    * the global order, which this family never establishes. */
-  private def frameAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, AttributeReference)] = ne match {
+    * aggregate — declarative, or a bounded-sketch imperative from
+    * [[sketchAllowed]] — over `... BETWEEN UNBOUNDED PRECEDING AND
+    * UNBOUNDED FOLLOWING` (ROWS or RANGE — over the full frame they
+    * are the same set) or the analyzer's resolution of `OVER ()`. The
+    * value is one constant — the aggregate of the whole input — so no
+    * order is needed at all and [[GlobalFrameAggNode]] computes it
+    * with zero shuffle. First/Last stay out: their whole-frame value
+    * depends on the global order, which this family never
+    * establishes. */
+  private def frameAggOf(ne: NamedExpression): Option[(Alias, org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction, AttributeReference)] = ne match {
     case a @ Alias(we @ WindowExpression(
         AggregateExpression(fn0, Complete, false, None, _),
         WindowSpecDefinition(Seq(), _,
           SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _) =>
-      unwrapAgg(fn0).collect {
-        case fn if allowedAgg(fn) && fn.deterministic =>
-          (a, fn, AttributeReference(s"__graft_${a.name}", fn.dataType,
+      val fn: Option[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction] =
+        unwrapAgg(fn0) match {
+          case Some(d) if allowedAgg(d) => Some(d)
+          case _ if sketchAllowed(fn0) => Some(fn0)
+          case _ => None
+        }
+      fn.collect {
+        case f if f.deterministic =>
+          (a, f, AttributeReference(s"__graft_${a.name}", f.dataType,
             nullable = we.nullable)())
       }
     case _ => None
@@ -325,7 +350,8 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   private case class AsMovAgg(a: Alias, fn: DeclarativeAggregate,
                               lo: Int, hi: Int,
                               attr: AttributeReference) extends Rewritten
-  private case class AsFrameAgg(a: Alias, fn: DeclarativeAggregate,
+  private case class AsFrameAgg(a: Alias,
+                                fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
                                 attr: AttributeReference) extends Rewritten
   private case class AsNth(a: Alias, input: Expression, k: Int,
                            ignoreNulls: Boolean, kind: Int,

@@ -111,6 +111,55 @@ class GlobalFrameAggSpec extends AnyFunSuite {
       s"the whole-frame node must ride the running family's exchange:\n$p")
   }
 
+  test("sketch allowlist: approx_count_distinct OVER () is bit-equal to the built-in") {
+    // HLL++ registers are maxima — the merged-partials result is
+    // bit-identical to the single-task built-in under ANY partitioning
+    val df = spark.range(30000)
+      .select((col("id") % 101).as("v"), (col("id") * 2654435761L % 7919L).as("x"))
+      .repartition(7)
+    val w = Window.partitionBy()
+    def build(d: DataFrame) = d.select(col("v"),
+      approx_count_distinct(col("x")).over(w).as("acd"),
+      approx_count_distinct(col("x"), 0.01).over(w).as("acd_hi"))
+    val windowed = build(df)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.schema == windowed.schema)
+    assert(forced.collect().toSet == windowed.collect().toSet)
+    val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalFrameAggExec => g }.size == 1, p.toString)
+    assert(p.collect { case e: ShuffleExchangeExec => e }.size == 1,
+      s"only the repartition's own exchange:\n$p")
+  }
+
+  test("sketch allowlist: approx_percentile OVER () lands within the GK rank-error bound") {
+    val n = 20000
+    val df = spark.range(n)
+      .select(col("id").as("v"), (col("id") * 48271L % 104729L).as("x"))
+      .repartition(9)
+    df.createOrReplaceTempView("fa_pct")
+    // accuracy 10000 → rank error ≤ n/accuracy = 2 ranks
+    val sqlText =
+      """SELECT v, approx_percentile(x, 0.5, 10000) OVER () AS med
+        |FROM fa_pct""".stripMargin
+    val windowed = spark.sql(sqlText)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.schema == windowed.schema)
+    val got = forced.select("med").distinct().collect()
+    assert(got.length == 1)
+    val med = got(0).getLong(0)
+    // exact rank window: the value must sit within ±(rank error + 1)
+    // positions of the true median in the sorted domain
+    val sorted = df.select("x").orderBy("x").collect().map(_.getLong(0))
+    val target = (0.5 * (n - 1)).toInt
+    val lo = sorted(math.max(0, target - 3))
+    val hi = sorted(math.min(n - 1, target + 3))
+    assert(med >= lo && med <= hi, s"median $med outside [$lo, $hi]")
+    val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalFrameAggExec => g }.size == 1, p.toString)
+  }
+
   test("non-rewrites: order-dependent whole-frame functions keep WindowExec") {
     val df = spark.range(80).select(col("id").as("v"), (col("id") % 9).as("x"))
     df.createOrReplaceTempView("fa_keep")
@@ -125,5 +174,9 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     kept("SELECT v, first_value(x) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s FROM fa_keep")
     kept("SELECT v, last_value(x) OVER () AS s FROM fa_keep")
     kept("SELECT v, collect_list(x) OVER () AS s FROM fa_keep")
+    // unbounded-buffer imperatives are NOT sketches: exact percentile
+    // buffers every value, which is WindowExec's whole-partition
+    // territory either way
+    kept("SELECT v, percentile(x, 0.5) OVER () AS s FROM fa_keep")
   }
 }

@@ -120,11 +120,36 @@ class RowsOnlyContractSpec extends AnyFunSuite
   }
 
   for (name <- Seq("q_minhash_lsh", "q_minhash_typed", "q_ann_lsh",
-      "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq", "q_hll_sketch")) {
+      "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq", "q_hll_sketch",
+      "q_frameagg_sketch")) {
     test(s"$name: bit-for-bit deterministic across runs") {
       val a = run(name).collect().map(_.toString).sorted
       val b = run(name).collect().map(_.toString).sorted
       assert(a.sameElements(b), s"$name is not reproducible")
     }
+  }
+
+  test("q_frameagg_sketch: HLL within 5% of exact distinct, GK median within rank bound, count exact") {
+    val rows = run("q_frameagg_sketch").collect()
+    assert(rows.length == 1, s"one constant row expected, got ${rows.length}")
+    val r = rows(0)
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("cents"))
+    val exactDistinct = base.select(countDistinct("o_custkey")).collect()(0).getLong(0)
+    val n = base.count()
+    assert(r.getLong(r.fieldIndex("n_orders")) == n, "whole-frame count must be exact")
+    val acd = r.getLong(r.fieldIndex("acd_cust"))
+    assert(math.abs(acd - exactDistinct).toDouble / exactDistinct < 0.05,
+      s"HLL $acd vs exact $exactDistinct")
+    // GK with accuracy 10000 on n rows: rank error <= n/10000 — allow
+    // that window (+1 for the floor) around the exact median position
+    val sorted = base.select("cents").orderBy("cents").collect().map(_.getLong(0))
+    val target = (0.5 * (n - 1)).toInt
+    val slack = (n / 10000L).toInt + 1
+    val lo = sorted(math.max(0, target - slack))
+    val hi = sorted(math.min((n - 1).toInt, target + slack))
+    val med = r.getLong(r.fieldIndex("med_cents"))
+    assert(med >= lo && med <= hi, s"GK median $med outside [$lo, $hi]")
   }
 }
