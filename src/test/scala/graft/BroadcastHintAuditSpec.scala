@@ -368,9 +368,16 @@ private[graft] object WindowWhitelist {
       "q_rfm_ranked routes q_rfm through it, PlanShapeSpec-pinned), and " +
       "since r12 the engine rewrites these windows AUTOMATICALLY: " +
       "RewriteGlobalRankWindows (conf spark.graft.rewrite." +
-      "globalRankWindows, or force()) covers the rank, offset, and " +
-      "running-aggregate families — q_rank_family / q_ntile_rewrite / " +
-      "q_shift_rewrite / q_runagg_rewrite are the oracle-checked proofs"
+      "globalRankWindows, or force()) covers the rank, offset (incl. " +
+      "lag IGNORE NULLS), running-aggregate (incl. first/last_value), " +
+      "moving-frame, whole-frame (zero-shuffle GlobalFrameAgg, with a " +
+      "bounded-sketch approx_count_distinct/approx_percentile tier — " +
+      "the literal 'runs via approx_percentile' form), and nth_value " +
+      "families — q_rank_family / q_ntile_rewrite / q_shift_rewrite / " +
+      "q_shiftnn_rewrite / q_runagg_rewrite / q_movagg_rewrite / " +
+      "q_frameagg_rewrite / q_firstlast_rewrite / q_nthvalue_rewrite " +
+      "are the oracle-checked proofs, q_frameagg_sketch the " +
+      "contract-checked sketch proof"
   private def E(bound: String, keys: String*): Entry =
     Entry(bound, keys.toSet)
   val entries: Map[String, Entry] = Map(
