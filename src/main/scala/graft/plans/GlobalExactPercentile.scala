@@ -1,0 +1,288 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+/** Distributed EXACT whole-frame percentile (r12) — `percentile(e, p)
+  * OVER ()` / `median(e) OVER ()` over an integral column, with ZERO
+  * shuffle and NO sort: iterative histogram narrowing (distributed
+  * selection) finds the exact order statistics.
+  *
+  * The built-in runs Spark's `Percentile`, whose buffer is a counts
+  * map over EVERY distinct value, inside a single-partition WindowExec
+  * — at 100 TB that is one task holding a corpus-sized map under a
+  * corpus-wide sort. But an exact percentile is just two order
+  * statistics, and an order statistic needs no sort:
+  *
+  *  1. one stats pass: per-partition non-null count / min / max per
+  *     column — merged on the driver; `pos = p * (N-1)` fixes the two
+  *     target ranks (floor and ceil), rank 0 and rank N-1 resolve to
+  *     min/max immediately;
+  *  2. selection passes: each unresolved rank holds a candidate range
+  *     `[lo, hi]`; every pass histograms the values inside each range
+  *     into 4096 equal-width integer buckets (all columns and ranks in
+  *     ONE pass over the data), the driver walks the counts to the
+  *     bucket containing the rank and recurses into it. The range
+  *     shrinks 4096x per pass, so a 64-bit domain resolves in at most
+  *     6 passes — 2-3 in practice — each a fully parallel scan with
+  *     4096 longs per rank of driver state;
+  *  3. the driver interpolates EXACTLY Spark's `PercentileBase`
+  *     arithmetic (`(higher-pos)*lower + (pos-lower)*higher`, with its
+  *     equal-endpoint early-outs), so the result is bit-identical to
+  *     the built-in; one output pass attaches the constant to every
+  *     row, preserving the child's partitioning and ordering.
+  *
+  * Restricted to INTEGRAL input columns (byte/short/int/long): integer
+  * bucket arithmetic is exact, so the narrowing can never mis-bucket a
+  * value — float domains would need careful boundary handling for no
+  * current caller. Nulls are ignored (Percentile's own semantics);
+  * an all-null / empty input yields null. NaN-free by construction.
+  *
+  * The passes scan the child O(log_4096(range)) times; like
+  * [[GlobalFrameAgg]], when the child is shuffle output the re-reads
+  * hit shuffle files, and on a bare scan they are parallel re-scans —
+  * against the built-in's single task buffering a corpus-sized map,
+  * not a contest at scale.
+  *
+  * Parallel-seq layout for the same reason as the siblings: QueryPlan
+  * only collects top-level Expression fields into `references`.
+  */
+case class GlobalExactPercentileNode(attrs: Seq[AttributeReference],
+                                     inputs: Seq[Expression],
+                                     percentages: Seq[Double],
+                                     child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ attrs
+  override def producedAttributes: AttributeSet = AttributeSet(attrs)
+  override protected def withNewChildInternal(newChild: LogicalPlan): GlobalExactPercentileNode =
+    copy(child = newChild)
+}
+
+object GlobalExactPercentileStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GlobalExactPercentileNode(attrs, inputs, pcts, child) =>
+      GlobalExactPercentileExec(attrs, inputs, pcts, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
+                                     inputs: Seq[Expression],
+                                     percentages: Seq[Double],
+                                     child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ attrs
+  override def producedAttributes: AttributeSet = AttributeSet(attrs)
+  override def outputOrdering: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+    child.outputOrdering
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override lazy val metrics =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+      "selectionPasses" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "selection passes"))
+
+  private val Buckets = 4096
+
+  /** Long value of `e` on `row`, or None for null — integral types
+    * only (enforced by the rewrite matcher). */
+  private def longOf(dt: DataType, v: Any): Long = dt match {
+    case LongType => v.asInstanceOf[Long]
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case ShortType => v.asInstanceOf[Short].toLong
+    case ByteType => v.asInstanceOf[Byte].toLong
+    case other => throw new IllegalStateException(s"non-integral $other")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rdd = child.execute()
+    val childOutput = child.output
+    val nCols = inputs.length
+    val inputsArr = inputs.toArray
+    val dts = inputsArr.map(_.dataType)
+
+    // pass 0: per-column (non-null count, min, max)
+    val stats: Array[(Long, Long, Long)] = {
+      val partial = rdd.mapPartitions({ it =>
+        val projs = inputsArr.map(e => UnsafeProjection.create(Seq(e), childOutput))
+        val cnt = new Array[Long](nCols)
+        val mn = Array.fill(nCols)(Long.MaxValue)
+        val mx = Array.fill(nCols)(Long.MinValue)
+        it.foreach { row =>
+          var j = 0
+          while (j < nCols) {
+            val r = projs(j)(row)
+            if (!r.isNullAt(0)) {
+              val v = longOf(dts(j), r.get(0, dts(j)))
+              cnt(j) += 1L
+              if (v < mn(j)) mn(j) = v
+              if (v > mx(j)) mx(j) = v
+            }
+            j += 1
+          }
+        }
+        Iterator((cnt, mn, mx))
+      }, preservesPartitioning = true).collect()
+      Array.tabulate(nCols) { j =>
+        val c = partial.map(_._1(j)).sum
+        val mn = partial.map(_._2(j)).foldLeft(Long.MaxValue)(math.min)
+        val mx = partial.map(_._3(j)).foldLeft(Long.MinValue)(math.max)
+        (c, mn, mx)
+      }
+    }
+
+    // the ranks each column needs: floor/ceil of p*(N-1)
+    final case class Target(col: Int, rank: Long,
+                            var lo: Long, var hi: Long, var rankLeft: Long) {
+      def resolved: Boolean = lo == hi
+    }
+    val positions: Array[Double] = Array.tabulate(nCols) { j =>
+      val n = stats(j)._1
+      if (n == 0) 0.0 else percentages(j) * (n - 1)
+    }
+    val targets: Array[Target] = (0 until nCols).flatMap { j =>
+      val (n, mn, mx) = stats(j)
+      if (n == 0) Nil
+      else {
+        val lower = math.floor(positions(j)).toLong
+        val higher = math.ceil(positions(j)).toLong
+        Seq(lower, higher).distinct.flatMap { r =>
+          // rank 0 / N-1 are the stats pass's min/max — already exact
+          if (r == 0L) Some(Target(j, r, mn, mn, 0L))
+          else if (r == n - 1) Some(Target(j, r, mx, mx, 0L))
+          else Some(Target(j, r, mn, mx, r))
+        }
+      }
+    }.toArray
+
+    // selection passes: histogram each active target's [lo, hi] into
+    // equal-width integer buckets, recurse into the rank's bucket
+    var passes = 0L
+    while (targets.exists(!_.resolved)) {
+      passes += 1L
+      val active = targets.zipWithIndex.filter(!_._1.resolved)
+      val aIdx = active.map(_._2)
+      val aCol = active.map(_._1.col)
+      val aLo = active.map(_._1.lo)
+      val aHi = active.map(_._1.hi)
+      val nActive = active.length
+      // width via unsigned span so a full-Long range cannot overflow:
+      // span = hi - lo computed in BigInt once per pass, per target
+      val widths: Array[Long] = Array.tabulate(nActive) { i =>
+        val span = BigInt(aHi(i)) - BigInt(aLo(i)) + 1
+        ((span + Buckets - 1) / Buckets).max(1).toLong
+      }
+      val counts: Array[Array[Long]] =
+        rdd.mapPartitions({ it =>
+          val projs = aCol.map(j =>
+            UnsafeProjection.create(Seq(inputsArr(j)), childOutput))
+          val cts = Array.fill(nActive)(new Array[Long](Buckets))
+          it.foreach { row =>
+            var i = 0
+            while (i < nActive) {
+              val r = projs(i)(row)
+              if (!r.isNullAt(0)) {
+                val v = longOf(dts(aCol(i)), r.get(0, dts(aCol(i))))
+                if (v >= aLo(i) && v <= aHi(i)) {
+                  // (v - lo) cannot overflow: v,lo share [lo,hi] whose
+                  // width/Buckets fits by construction of widths
+                  val b = java.lang.Long.divideUnsigned(v - aLo(i), widths(i)).toInt
+                  cts(i)(math.min(b, Buckets - 1)) += 1L
+                }
+              }
+              i += 1
+            }
+          }
+          Iterator(cts)
+        }, preservesPartitioning = true)
+          .reduce { (a, b) =>
+            var i = 0
+            while (i < nActive) {
+              var k = 0
+              while (k < Buckets) { a(i)(k) += b(i)(k); k += 1 }
+              i += 1
+            }
+            a
+          }
+      var i = 0
+      while (i < nActive) {
+        val t = targets(aIdx(i))
+        var cum = 0L
+        var k = 0
+        var found = false
+        while (!found && k < Buckets) {
+          val c = counts(i)(k)
+          if (cum + c > t.rankLeft) {
+            // two's-complement wraparound in newLo/rawHi is benign —
+            // the true values are inside [lo, hi] ⊂ Long — EXCEPT the
+            // last bucket's raw end, which can exceed Long.MaxValue
+            // and wrap negative: detect and clamp to hi
+            val newLo = t.lo + widths(i) * k
+            val rawHi = newLo + widths(i) - 1L
+            val newHi = if (rawHi < newLo) t.hi else math.min(t.hi, rawHi)
+            t.rankLeft -= cum
+            t.lo = newLo
+            t.hi = newHi
+            found = true
+          } else { cum += c; k += 1 }
+        }
+        require(found,
+          s"selection bookkeeping: rank ${t.rank} not found in [${t.lo}, ${t.hi}]")
+        i += 1
+      }
+    }
+    longMetric("selectionPasses") += passes
+
+    // driver: Spark PercentileBase's own interpolation, bit-for-bit
+    val byColRank: Map[(Int, Long), Long] =
+      targets.map(t => (t.col, t.rank) -> t.lo).toMap
+    val finals: Array[Any] = Array.tabulate(nCols) { j =>
+      val n = stats(j)._1
+      if (n == 0) null
+      else {
+        val pos = positions(j)
+        val lower = math.floor(pos).toLong
+        val higher = math.ceil(pos).toLong
+        val vLo = byColRank((j, lower))
+        if (higher == lower) vLo.toDouble
+        else {
+          val vHi = byColRank((j, higher))
+          if (vHi == vLo) vLo.toDouble
+          else (higher - pos) * vLo.toDouble + (pos - lower) * vHi.toDouble
+        }
+      }
+    }
+
+    val out = output
+    val numOutputRows = longMetric("numOutputRows")
+    rdd.mapPartitions({ it =>
+      val proj = UnsafeProjection.create(out, out)
+      val aggRow = new GenericInternalRow(finals.asInstanceOf[Array[Any]])
+      val joined = new JoinedRow
+      it.map { row =>
+        numOutputRows += 1
+        proj(joined(row, aggRow))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GlobalExactPercentileExec =
+    copy(child = newChild)
+}
+
+object GlobalExactPercentile {
+  /** Idempotent, race-safe strategy registration — same idiom as the
+    * sibling operators. */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    GlobalExactPercentile.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GlobalExactPercentileStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GlobalExactPercentileStrategy
+      }
+    }
+}

@@ -217,7 +217,46 @@ object R110Queries {
     },
     None)
 
+  /** `q_pctexact_rewrite`: EXACT whole-frame percentiles through
+    * [[graft.plans.GlobalExactPercentile]] — `percentile(cents, p)
+    * OVER ()` and `median OVER ()` found by iterative histogram
+    * narrowing (zero shuffle, no sort, no corpus-sized driver state),
+    * checked against DuckDB's `quantile_cont`. The percentages stay
+    * on quarter fractions: p*(N-1) and the interpolation weights are
+    * then power-of-two-denominator doubles, so both engines'
+    * interpolation arithmetic is EXACT on integer cents (< 2^53) and
+    * the hash compare is safe — the same reasoning as the house
+    * trunc-div rule, applied to type-7 quantiles. p=0.9 and friends
+    * (inexact fractions) are covered by the bit-for-bit spec against
+    * Spark's own built-in instead. */
+  val qPctexactRewrite = QueryDef("q_pctexact_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .cast(LongType).as("cents"))
+      val w = Window.partitionBy()
+      val pct = daily.select(
+        expr("percentile(cents, 0.25)").over(w).as("p25"),
+        expr("percentile(cents, 0.5)").over(w).as("p50"),
+        expr("percentile(cents, 0.75)").over(w).as("p75"),
+        expr("median(cents)").over(w).as("med"),
+        count(lit(1)).over(w).as("n_days"))
+      RewriteGlobalRankWindows.force(pct).distinct()
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT quantile_cont(cents, 0.25) AS p25,
+        |  quantile_cont(cents, 0.5) AS p50,
+        |  quantile_cont(cents, 0.75) AS p75,
+        |  quantile_cont(cents, 0.5) AS med,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        |FROM daily""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qFrameaggRewrite, qFirstlastRewrite, qNthvalueRewrite,
-      qShiftnnRewrite, qFrameaggSketch)
+      qShiftnnRewrite, qFrameaggSketch, qPctexactRewrite)
 }

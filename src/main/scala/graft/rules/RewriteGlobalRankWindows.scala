@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
+import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -342,6 +342,63 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** (alias, input, percentage, generated attr) iff `ne` is a
+    * rewritable EXACT-PERCENTILE whole-frame global window:
+    * `percentile(e, p) OVER ()` / `median(e) OVER ()` (Median is
+    * RuntimeReplaceable to Percentile) with a scalar literal
+    * percentage, unit frequency, no REVERSE, and an INTEGRAL input —
+    * [[GlobalExactPercentileNode]] finds the two order statistics by
+    * iterative histogram narrowing, zero shuffle, no sort, and
+    * interpolates with PercentileBase's own arithmetic. Array
+    * percentages, weighted frequencies, percentile_disc's reverse
+    * form, and non-integral inputs keep WindowExec. */
+  private def pctOf(ne: NamedExpression): Option[(Alias, Expression, Double, AttributeReference)] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    ne match {
+      case a @ Alias(WindowExpression(
+          AggregateExpression(fn0, Complete, false, None, _),
+          WindowSpecDefinition(Seq(), _,
+            SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _) =>
+        val pctFn = fn0 match {
+          case p: Percentile => Some(p)
+          case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceableAggregate =>
+            r.replacement match {
+              case p: Percentile => Some(p)
+              case _ => None
+            }
+          case _ => None
+        }
+        // the ANALYZED plan wraps SQL literals in implicit casts
+        // (0.5 parses as DECIMAL(1,1) then casts to double), so fold
+        // rather than pattern-match the literals
+        def foldedDouble(e: Expression): Option[Double] =
+          if (e.foldable && e.dataType == org.apache.spark.sql.types.DoubleType)
+            Option(e.eval()).map(_.asInstanceOf[Double])
+          else None
+        def unitFrequency(e: Expression): Boolean =
+          e.foldable && (e.eval() match {
+            case 1L | 1 => true
+            case _ => false
+          })
+        pctFn.flatMap { p =>
+          val ok = !p.reverse && p.child.deterministic &&
+            (p.child.dataType match {
+              case LongType | IntegerType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.ByteType => true
+              case _ => false
+            }) && unitFrequency(p.frequencyExpression)
+          if (!ok) None
+          else foldedDouble(p.percentageExpression)
+            .filter(d => d >= 0.0 && d <= 1.0)
+            .map(d => (a, p.child, d,
+              AttributeReference(s"__graft_${a.name}",
+                org.apache.spark.sql.types.DoubleType, nullable = true)()))
+        }
+      case _ => None
+    }
+  }
+
   private sealed trait Rewritten
   private case class AsRank(a: Alias, mode: RankMode, rc: RankCol) extends Rewritten
   private case class AsShift(a: Alias, sc: ShiftCol) extends Rewritten
@@ -356,6 +413,8 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   private case class AsNth(a: Alias, input: Expression, k: Int,
                            ignoreNulls: Boolean, kind: Int,
                            attr: AttributeReference) extends Rewritten
+  private case class AsPct(a: Alias, input: Expression, pct: Double,
+                           attr: AttributeReference) extends Rewritten
 
   /** Unconditional rewrite (the conf gate lives in [[apply]]).
     * Idempotent: the result contains no matching `Window`, so a
@@ -369,7 +428,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           // construction; the ordered families still require a
           // deterministic order
           val orderedOk = orderSpec.nonEmpty && orderSpec.forall(_.deterministic)
-          wexprs.forall(e => frameAggOf(e).isDefined ||
+          wexprs.forall(e => frameAggOf(e).isDefined || pctOf(e).isDefined ||
             (orderedOk && (rankOf(e).isDefined || shiftOf(e).isDefined ||
               runAggOf(e).isDefined || movAggOf(e).isDefined ||
               nthOf(e).isDefined)))
@@ -381,7 +440,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       val classified: Seq[Rewritten] = wexprs.map { e =>
         frameAggOf(e) match {
           case Some((a, fn, attr)) => AsFrameAgg(a, fn, attr)
-          case None => rankOf(e) match {
+          case None => pctOf(e) match {
+            case Some((a, input, pct, attr)) => AsPct(a, input, pct, attr)
+            case None => rankOf(e) match {
             case Some((a, m)) => AsRank(a, m,
               RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
                 nullable = false)(), m))
@@ -397,6 +458,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
                 }
               }
             }
+            }
           }
         }
       }
@@ -406,6 +468,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       val movCols = classified.collect { case r: AsMovAgg => r }
       val frameCols = classified.collect { case r: AsFrameAgg => r }
       val nthCols = classified.collect { case r: AsNth => r }
+      val pctCols = classified.collect { case r: AsPct => r }
       // rank node below, shift above, running agg, moving agg on top —
       // all four declare the same OrderedDistribution and pass
       // partitioning + ordering through, so stacking costs no extra
@@ -432,13 +495,17 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         else GlobalNthValueNode(orderSpec, nthCols.map(_.attr),
           nthCols.map(_.input), nthCols.map(_.k),
           nthCols.map(_.ignoreNulls), nthCols.map(_.kind), withMovAggs)
-      // the whole-frame node requires nothing and preserves everything,
-      // so it rides the ordered siblings' shared range exchange when
-      // mixed, and introduces NO exchange when alone
-      val node: LogicalPlan =
+      // the whole-frame nodes require nothing and preserve everything,
+      // so they ride the ordered siblings' shared range exchange when
+      // mixed, and introduce NO exchange when alone
+      val withFrameAggs: LogicalPlan =
         if (frameCols.isEmpty) withNth
         else GlobalFrameAggNode(frameCols.map(_.attr),
           frameCols.map(_.fn), withNth)
+      val node: LogicalPlan =
+        if (pctCols.isEmpty) withFrameAggs
+        else GlobalExactPercentileNode(pctCols.map(_.attr),
+          pctCols.map(_.input), pctCols.map(_.pct), withFrameAggs)
       val projected = child.output ++ classified.map {
         case AsRank(a, m, rc) =>
           val value: Expression = m match {
@@ -466,6 +533,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         case AsNth(a, _, _, _, _, attr) =>
           Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
+        case AsPct(a, _, _, attr) =>
+          Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
       }
       Project(projected, node)
   }
@@ -482,6 +552,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     GlobalMovingAgg.ensureStrategy(spark)
     GlobalFrameAgg.ensureStrategy(spark)
     GlobalNthValue.ensureStrategy(spark)
+    GlobalExactPercentile.ensureStrategy(spark)
     GraftSqlBridge.ofRows(spark, rewrite(df.queryExecution.analyzed))
   }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{GlobalExactPercentileExec, GlobalFrameAggExec}
+import graft.rules.RewriteGlobalRankWindows
+
+/** [[graft.plans.GlobalExactPercentile]] — exact whole-frame
+  * percentile/median by iterative histogram narrowing: zero shuffle,
+  * no sort, PercentileBase's own interpolation arithmetic. Pinned
+  * BIT-equal against the built-in (same order statistics, same
+  * formula): duplicates, negatives, nulls, p in {0, .25, .5, .9, 1},
+  * median's RuntimeReplaceable unwrap, extreme-Long domains (the
+  * unsigned-span bucket math), the all-null column, the mixed stack
+  * with GlobalFrameAgg, and the non-rewrites. */
+class GlobalExactPercentileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def noAqePlan(df: DataFrame) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("percentile OVER () == built-in bit-for-bit: dups, negatives, nulls, 5 p-values") {
+    val df = spark.range(7000)
+      .select(col("id").as("v"),
+        when(col("id") % 13 === 0, lit(null))
+          .otherwise((col("id") * 48271L % 997L) - 450L).as("x"))
+      .repartition(8)
+    df.createOrReplaceTempView("pct_t")
+    val sqlText =
+      """SELECT v,
+        |  percentile(x, 0.5) OVER () AS p50,
+        |  percentile(x, 0.25) OVER () AS p25,
+        |  percentile(x, 0.9) OVER () AS p90,
+        |  percentile(x, 0.0) OVER () AS p0,
+        |  percentile(x, 1.0) OVER () AS p100,
+        |  median(x) OVER () AS med
+        |FROM pct_t""".stripMargin
+    val windowed = spark.sql(sqlText)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.schema == windowed.schema)
+    assert(forced.collect().toSet == windowed.collect().toSet)
+    val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalExactPercentileExec => g }.size == 1, p.toString)
+    assert(p.collect { case e: ShuffleExchangeExec => e }.size == 1,
+      s"only the repartition's own exchange:\n$p")
+  }
+
+  test("extreme Long domain: the unsigned-span bucket math narrows correctly") {
+    val df = Seq(Long.MinValue, Long.MinValue + 1, -7L, 0L, 3L,
+      Long.MaxValue - 1, Long.MaxValue)
+      .toDF("x").repartition(3).select(col("x"), lit(1).as("v"))
+    df.createOrReplaceTempView("pct_ext")
+    val sqlText =
+      "SELECT v, percentile(x, 0.5) OVER () AS p50, percentile(x, 0.75) OVER () AS p75 FROM pct_ext"
+    val windowed = spark.sql(sqlText)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.collect().toSet == windowed.collect().toSet)
+    // median of the 7 sorted values is the 4th: 0
+    assert(forced.select("p50").distinct().collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("all-null yields null; empty input yields no rows") {
+    val nulls = spark.range(40).select(col("id").as("v"),
+      lit(null).cast("long").as("x"))
+    nulls.createOrReplaceTempView("pct_nulls")
+    val forcedN = RewriteGlobalRankWindows.force(
+      spark.sql("SELECT v, percentile(x, 0.5) OVER () AS p FROM pct_nulls"))
+    assert(forcedN.select("p").distinct().collect().map(_.get(0)).toSeq == Seq(null))
+    val empty = spark.range(0).select(col("id").as("v"), col("id").as("x"))
+    empty.createOrReplaceTempView("pct_empty")
+    assert(RewriteGlobalRankWindows.force(
+      spark.sql("SELECT v, percentile(x, 0.5) OVER () AS p FROM pct_empty"))
+      .collect().isEmpty)
+  }
+
+  test("mixed stack: percentile + sum OVER () — both zero-shuffle nodes, no exchange") {
+    val df = spark.range(500).select(col("id").as("v"), (col("id") % 37).as("x"))
+    df.createOrReplaceTempView("pct_mix")
+    val sqlText =
+      "SELECT v, percentile(x, 0.5) OVER () AS p50, sum(x) OVER () AS tot FROM pct_mix"
+    val windowed = spark.sql(sqlText)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.collect().toSet == windowed.collect().toSet)
+    val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalExactPercentileExec => g }.size == 1)
+    assert(p.collect { case g: GlobalFrameAggExec => g }.size == 1)
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"whole-frame statistics must introduce NO exchange:\n$p")
+  }
+
+  test("non-rewrites: double input, array percentages, running percentile keep WindowExec") {
+    val df = spark.range(60).select(col("id").as("v"),
+      (col("id") % 9).as("x"), (col("id") % 9).cast("double").as("xd"))
+    df.createOrReplaceTempView("pct_keep")
+    def kept(sql: String): Unit = {
+      val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sql)))
+      assert(p.collect { case g: GlobalExactPercentileExec => g }.isEmpty, sql)
+      assert(p.collect { case x: WindowExec => x }.size == 1, sql)
+    }
+    // non-integral input: float bucket boundaries would need their own
+    // exactness argument — no current caller
+    kept("SELECT v, percentile(xd, 0.5) OVER () AS s FROM pct_keep")
+    // array percentages return ARRAY<DOUBLE> — out of the scalar form
+    kept("SELECT v, percentile(x, array(0.25, 0.75)) OVER () AS s FROM pct_keep")
+    // a running frame is not whole-frame: the prefix percentile
+    // genuinely needs frame execution
+    kept("SELECT v, percentile(x, 0.5) OVER (ORDER BY v) AS s FROM pct_keep")
+  }
+}

@@ -174,9 +174,10 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     kept("SELECT v, first_value(x) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s FROM fa_keep")
     kept("SELECT v, last_value(x) OVER () AS s FROM fa_keep")
     kept("SELECT v, collect_list(x) OVER () AS s FROM fa_keep")
-    // unbounded-buffer imperatives are NOT sketches: exact percentile
-    // buffers every value, which is WindowExec's whole-partition
-    // territory either way
-    kept("SELECT v, percentile(x, 0.5) OVER () AS s FROM fa_keep")
+    // unbounded-buffer imperatives are NOT sketches — exact percentile
+    // on an INTEGRAL column routes to GlobalExactPercentile instead
+    // (GlobalExactPercentileSpec); the double-input form has no
+    // bucket-exactness argument and stays built-in
+    kept("SELECT v, percentile(CAST(x AS DOUBLE), 0.5) OVER () AS s FROM fa_keep")
   }
 }

@@ -343,6 +343,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(psn.collect {
       case g: graft.plans.GlobalShiftExec => g
     }.size == 1, s"q_shiftnn_rewrite must shift through ONE GlobalShiftExec:\n$psn")
+    // exact whole-frame percentiles: four statistics through ONE
+    // GlobalExactPercentileExec, and — beyond the day-rollup's own
+    // hash exchange — NO other exchange and NO 1-partition funnel
+    val pp = plan("q_pctexact_rewrite")
+    assert(pp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_pctexact_rewrite kept a WindowExec:\n$pp")
+    assert(pp.collect {
+      case g: graft.plans.GlobalExactPercentileExec => g
+    }.size == 1, s"q_pctexact_rewrite must select through ONE GlobalExactPercentileExec:\n$pp")
+    assert(pp.collect { case e: ShuffleExchangeExec => e }
+      .forall(_.outputPartitioning.numPartitions > 1),
+      s"q_pctexact_rewrite grew a 1-partition exchange:\n$pp")
   }
 
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
