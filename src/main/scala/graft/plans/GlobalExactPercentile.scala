@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Distributed EXACT whole-frame percentile (r12) — `percentile(e, p)
   * OVER ()` / `median(e) OVER ()` over an integral column, with ZERO
@@ -36,11 +36,15 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *     the built-in; one output pass attaches the constant to every
   *     row, preserving the child's partitioning and ordering.
   *
-  * Restricted to INTEGRAL input columns (byte/short/int/long): integer
-  * bucket arithmetic is exact, so the narrowing can never mis-bucket a
-  * value — float domains would need careful boundary handling for no
-  * current caller. Nulls are ignored (Percentile's own semantics);
-  * an all-null / empty input yields null. NaN-free by construction.
+  * Input columns: INTEGRAL (byte/short/int/long — selection keys are
+  * the values themselves) and FLOAT/DOUBLE (keys are the IEEE
+  * sortable-bits mapping, whose signed-long order equals the double
+  * total order on the UnsafeRow-normalized values both this operator
+  * and the built-in see — so integer bucket arithmetic stays exact and
+  * the recovered endpoints are bit-identical). Decimals stay on
+  * WindowExec. Nulls are ignored (Percentile's own semantics); an
+  * all-null / empty input yields null; NaN maps canonical-greatest,
+  * exactly the built-in's sort position.
   *
   * The passes scan the child O(log_4096(range)) times; like
   * [[GlobalFrameAgg]], when the child is shuffle output the re-reads
@@ -89,14 +93,36 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
 
   private val Buckets = 4096
 
-  /** Long value of `e` on `row`, or None for null — integral types
-    * only (enforced by the rewrite matcher). */
+  /** The value as a SELECTION KEY long whose signed order equals the
+    * column type's total order. Integrals map to themselves;
+    * float/double map through the IEEE sortable-bits trick (flip
+    * all-but-sign for negatives): signed-long order then equals Java's
+    * Double total order (-0.0 < 0.0, canonical NaN greatest) — which
+    * is Spark's order on the UnsafeRow-normalized values both this
+    * operator and the built-in actually see. */
   private def longOf(dt: DataType, v: Any): Long = dt match {
     case LongType => v.asInstanceOf[Long]
     case IntegerType => v.asInstanceOf[Int].toLong
     case ShortType => v.asInstanceOf[Short].toLong
     case ByteType => v.asInstanceOf[Byte].toLong
-    case other => throw new IllegalStateException(s"non-integral $other")
+    case DoubleType => sortableBits(v.asInstanceOf[Double])
+    case FloatType => sortableBits(v.asInstanceOf[Float].toDouble)
+    case other => throw new IllegalStateException(s"unsupported $other")
+  }
+
+  private def sortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d) // canonical NaN
+    if (b < 0) b ^ Long.MaxValue else b
+  }
+
+  /** The interpolation endpoint as the DOUBLE the built-in would use:
+    * the selection key mapped back for floating columns, the integer
+    * widened for integral ones. */
+  private def endpointDouble(dt: DataType, key: Long): Double = dt match {
+    case DoubleType | FloatType =>
+      val b = if (key < 0) key ^ Long.MaxValue else key
+      java.lang.Double.longBitsToDouble(b)
+    case _ => key.toDouble
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -248,12 +274,16 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
         val pos = positions(j)
         val lower = math.floor(pos).toLong
         val higher = math.ceil(pos).toLong
-        val vLo = byColRank((j, lower))
-        if (higher == lower) vLo.toDouble
+        val kLo = byColRank((j, lower))
+        val vLo = endpointDouble(dts(j), kLo)
+        if (higher == lower) vLo
         else {
-          val vHi = byColRank((j, higher))
-          if (vHi == vLo) vLo.toDouble
-          else (higher - pos) * vLo.toDouble + (pos - lower) * vHi.toDouble
+          val kHi = byColRank((j, higher))
+          if (kHi == kLo) vLo
+          else {
+            val vHi = endpointDouble(dts(j), kHi)
+            (higher - pos) * vLo + (pos - lower) * vHi
+          }
         }
       }
     }

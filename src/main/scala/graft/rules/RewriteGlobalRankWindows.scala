@@ -346,12 +346,13 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * rewritable EXACT-PERCENTILE whole-frame global window:
     * `percentile(e, p) OVER ()` / `median(e) OVER ()` (Median is
     * RuntimeReplaceable to Percentile) with a scalar literal
-    * percentage, unit frequency, no REVERSE, and an INTEGRAL input —
-    * [[GlobalExactPercentileNode]] finds the two order statistics by
-    * iterative histogram narrowing, zero shuffle, no sort, and
-    * interpolates with PercentileBase's own arithmetic. Array
-    * percentages, weighted frequencies, percentile_disc's reverse
-    * form, and non-integral inputs keep WindowExec. */
+    * percentage, unit frequency, no REVERSE, and an integral or
+    * float/double input — [[GlobalExactPercentileNode]] finds the two
+    * order statistics by iterative histogram narrowing (floating
+    * columns through the IEEE sortable-bits keys), zero shuffle, no
+    * sort, and interpolates with PercentileBase's own arithmetic.
+    * Array percentages, weighted frequencies, percentile_disc's
+    * reverse form, and decimal inputs keep WindowExec. */
   private def pctOf(ne: NamedExpression): Option[(Alias, Expression, Double, AttributeReference)] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
     ne match {
@@ -385,7 +386,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
             (p.child.dataType match {
               case LongType | IntegerType |
                    org.apache.spark.sql.types.ShortType |
-                   org.apache.spark.sql.types.ByteType => true
+                   org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.DoubleType |
+                   org.apache.spark.sql.types.FloatType => true
               case _ => false
             }) && unitFrequency(p.frequencyExpression)
           if (!ok) None

@@ -99,18 +99,48 @@ class GlobalExactPercentileSpec extends AnyFunSuite {
       s"whole-frame statistics must introduce NO exchange:\n$p")
   }
 
-  test("non-rewrites: double input, array percentages, running percentile keep WindowExec") {
+  test("float/double columns: sortable-bits keys — bit-equal incl. NaN, infinities, -ulp values") {
+    val df = spark.range(3000)
+      .select(col("id").as("v"),
+        when(col("id") % 17 === 0, lit(Double.NaN))
+          .when(col("id") % 23 === 0, lit(Double.PositiveInfinity))
+          .when(col("id") % 29 === 0, lit(Double.NegativeInfinity))
+          .otherwise((col("id") * 48271 % 997 - 450).cast("double") / 7.0)
+          .as("xd"),
+        ((col("id") * 131 % 211 - 100).cast("float") / lit(3.0f)).as("xf"))
+      .repartition(6)
+    df.createOrReplaceTempView("pct_fd")
+    val sqlText =
+      """SELECT v,
+        |  percentile(xd, 0.5) OVER () AS d50,
+        |  percentile(xd, 0.25) OVER () AS d25,
+        |  percentile(xf, 0.9) OVER () AS f90,
+        |  median(xf) OVER () AS fmed
+        |FROM pct_fd""".stripMargin
+    val windowed = spark.sql(sqlText)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.schema == windowed.schema)
+    // NaN-safe bit comparison: compare the raw bits of each double
+    def bitsOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), (1 to 4).map(i =>
+        java.lang.Double.doubleToLongBits(r.getDouble(i))))).toSet
+    assert(bitsOf(forced.collect()) == bitsOf(windowed.collect()))
+    val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalExactPercentileExec => g }.size == 1, p.toString)
+  }
+
+  test("non-rewrites: decimal input, array percentages, running percentile keep WindowExec") {
     val df = spark.range(60).select(col("id").as("v"),
-      (col("id") % 9).as("x"), (col("id") % 9).cast("double").as("xd"))
+      (col("id") % 9).as("x"), (col("id") % 9).cast("decimal(10,2)").as("xc"))
     df.createOrReplaceTempView("pct_keep")
     def kept(sql: String): Unit = {
       val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sql)))
       assert(p.collect { case g: GlobalExactPercentileExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    // non-integral input: float bucket boundaries would need their own
-    // exactness argument — no current caller
-    kept("SELECT v, percentile(xd, 0.5) OVER () AS s FROM pct_keep")
+    // decimal input: no exact long selection key — stays built-in
+    kept("SELECT v, percentile(xc, 0.5) OVER () AS s FROM pct_keep")
     // array percentages return ARRAY<DOUBLE> — out of the scalar form
     kept("SELECT v, percentile(x, array(0.25, 0.75)) OVER () AS s FROM pct_keep")
     // a running frame is not whole-frame: the prefix percentile

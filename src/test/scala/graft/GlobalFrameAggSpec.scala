@@ -175,9 +175,9 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     kept("SELECT v, last_value(x) OVER () AS s FROM fa_keep")
     kept("SELECT v, collect_list(x) OVER () AS s FROM fa_keep")
     // unbounded-buffer imperatives are NOT sketches — exact percentile
-    // on an INTEGRAL column routes to GlobalExactPercentile instead
-    // (GlobalExactPercentileSpec); the double-input form has no
-    // bucket-exactness argument and stays built-in
-    kept("SELECT v, percentile(CAST(x AS DOUBLE), 0.5) OVER () AS s FROM fa_keep")
+    // on integral/float columns routes to GlobalExactPercentile
+    // instead (GlobalExactPercentileSpec); the decimal form has no
+    // exact long selection key and stays built-in
+    kept("SELECT v, percentile(CAST(x AS DECIMAL(10,2)), 0.5) OVER () AS s FROM fa_keep")
   }
 }
