@@ -91,46 +91,18 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
       "selectionPasses" -> org.apache.spark.sql.execution.metric.SQLMetrics
         .createMetric(sparkContext, "selection passes"))
 
-  private val Buckets = 4096
-
-  /** The value as a SELECTION KEY long whose signed order equals the
-    * column type's total order. Integrals map to themselves;
-    * float/double map through the IEEE sortable-bits trick (flip
-    * all-but-sign for negatives): signed-long order then equals Java's
-    * Double total order (-0.0 < 0.0, canonical NaN greatest) — which
-    * is Spark's order on the UnsafeRow-normalized values both this
-    * operator and the built-in actually see. */
-  private def longOf(dt: DataType, v: Any): Long = dt match {
-    case LongType => v.asInstanceOf[Long]
-    case IntegerType => v.asInstanceOf[Int].toLong
-    case ShortType => v.asInstanceOf[Short].toLong
-    case ByteType => v.asInstanceOf[Byte].toLong
-    case DoubleType => sortableBits(v.asInstanceOf[Double])
-    case FloatType => sortableBits(v.asInstanceOf[Float].toDouble)
-    case other => throw new IllegalStateException(s"unsupported $other")
-  }
-
-  private def sortableBits(d: Double): Long = {
-    val b = java.lang.Double.doubleToLongBits(d) // canonical NaN
-    if (b < 0) b ^ Long.MaxValue else b
-  }
-
-  /** The interpolation endpoint as the DOUBLE the built-in would use:
-    * the selection key mapped back for floating columns, the integer
-    * widened for integral ones. */
-  private def endpointDouble(dt: DataType, key: Long): Double = dt match {
-    case DoubleType | FloatType =>
-      val b = if (key < 0) key ^ Long.MaxValue else key
-      java.lang.Double.longBitsToDouble(b)
-    case _ => key.toDouble
-  }
-
   override protected def doExecute(): RDD[InternalRow] = {
     val rdd = child.execute()
     val childOutput = child.output
     val nCols = inputs.length
     val inputsArr = inputs.toArray
     val dts = inputsArr.map(_.dataType)
+    // statics aliased to locals so the task closures capture ONLY
+    // these (and never `this` — shipping the whole plan subtree per
+    // selection pass, or dragging a closure-unsafe child into the
+    // closure, like the sibling operators avoid)
+    val Buckets = GlobalExactPercentile.Buckets
+    val longOf = GlobalExactPercentile.longOf _
 
     // pass 0: per-column (non-null count, min, max)
     val stats: Array[(Long, Long, Long)] = {
@@ -275,13 +247,13 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
         val lower = math.floor(pos).toLong
         val higher = math.ceil(pos).toLong
         val kLo = byColRank((j, lower))
-        val vLo = endpointDouble(dts(j), kLo)
+        val vLo = GlobalExactPercentile.endpointDouble(dts(j), kLo)
         if (higher == lower) vLo
         else {
           val kHi = byColRank((j, higher))
           if (kHi == kLo) vLo
           else {
-            val vHi = endpointDouble(dts(j), kHi)
+            val vHi = GlobalExactPercentile.endpointDouble(dts(j), kHi)
             (higher - pos) * vLo + (pos - lower) * vHi
           }
         }
@@ -306,6 +278,41 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
 }
 
 object GlobalExactPercentile {
+  private[plans] val Buckets = 4096
+
+  /** The value as a SELECTION KEY long whose signed order equals the
+    * column type's total order. Integrals map to themselves;
+    * float/double map through the IEEE sortable-bits trick (flip
+    * all-but-sign for negatives): signed-long order then equals Java's
+    * Double total order (-0.0 < 0.0, canonical NaN greatest) — which
+    * is Spark's order on the UnsafeRow-normalized values both this
+    * operator and the built-in actually see. Static so task closures
+    * capture no operator state. */
+  private[plans] def longOf(dt: DataType, v: Any): Long = dt match {
+    case LongType => v.asInstanceOf[Long]
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case ShortType => v.asInstanceOf[Short].toLong
+    case ByteType => v.asInstanceOf[Byte].toLong
+    case DoubleType => sortableBits(v.asInstanceOf[Double])
+    case FloatType => sortableBits(v.asInstanceOf[Float].toDouble)
+    case other => throw new IllegalStateException(s"unsupported $other")
+  }
+
+  private def sortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d) // canonical NaN
+    if (b < 0) b ^ Long.MaxValue else b
+  }
+
+  /** The interpolation endpoint as the DOUBLE the built-in would use:
+    * the selection key mapped back for floating columns, the integer
+    * widened for integral ones. Driver-side only. */
+  private[plans] def endpointDouble(dt: DataType, key: Long): Double = dt match {
+    case DoubleType | FloatType =>
+      val b = if (key < 0) key ^ Long.MaxValue else key
+      java.lang.Double.longBitsToDouble(b)
+    case _ => key.toDouble
+  }
+
   /** Idempotent, race-safe strategy registration — same idiom as the
     * sibling operators. */
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =

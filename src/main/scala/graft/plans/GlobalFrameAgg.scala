@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, GenericInternalRow, JoinedRow, MutableProjection, SpecificInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, GenericInternalRow, JoinedRow, SpecificInternalRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateFunction, DeclarativeAggregate, ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -136,18 +136,17 @@ case class GlobalFrameAggExec(attrs: Seq[AttributeReference],
         }
         val buffers: Array[SpecificInternalRow] = funcsArr.zipWithIndex.map {
           case (f, j) =>
-            val b = new SpecificInternalRow(f.aggBufferAttributes.map(_.dataType))
-            if (decl(j) != null) {
-              val init = MutableProjection.create(decl(j).initialValues, Nil)
-              init.target(b)(InternalRow.empty)
-            } else imp(j).initialize(b)
-            b
+            if (decl(j) != null) AggPlumbing.newBuffer(decl(j))
+            else {
+              val b = new SpecificInternalRow(f.aggBufferAttributes.map(_.dataType))
+              imp(j).initialize(b)
+              b
+            }
         }
         val upds = funcsArr.zipWithIndex.map { case (f, j) =>
           if (decl(j) == null) null
           else {
-            val p = MutableProjection.create(decl(j).updateExpressions,
-              decl(j).aggBufferAttributes ++ childOutput)
+            val p = AggPlumbing.updateProj(decl(j), childOutput)
             p.target(buffers(j)); p
           }
         }
@@ -179,17 +178,13 @@ case class GlobalFrameAggExec(attrs: Seq[AttributeReference],
     val finals: Array[UnsafeRow] = Array.tabulate(nFuncs) { j =>
       val value: Any = funcsArr(j) match {
         case d: DeclarativeAggregate =>
-          val acc = new SpecificInternalRow(d.aggBufferAttributes.map(_.dataType))
-          MutableProjection.create(d.initialValues, Nil)
-            .target(acc)(InternalRow.empty)
-          val merge = MutableProjection.create(d.mergeExpressions,
-            d.aggBufferAttributes ++ d.inputAggBufferAttributes)
+          val acc = AggPlumbing.newBuffer(d)
+          val merge = AggPlumbing.mergeProj(d)
           merge.target(acc)
           val join = new JoinedRow
           partials.foreach { bufs => merge(join(acc, bufs(j))) }
           val evalRow = new SpecificInternalRow(Seq(d.dataType))
-          MutableProjection.create(Seq(d.evaluateExpression),
-            d.aggBufferAttributes).target(evalRow)(acc)
+          AggPlumbing.evalProj(d).target(evalRow)(acc)
           if (evalRow.isNullAt(0)) null else evalRow.get(0, d.dataType)
         case t: ImperativeAggregate =>
           val f = boundImperative(t)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, MutableProjection, SortOrder, SpecificInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, SpecificInternalRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
@@ -187,18 +187,16 @@ case class GlobalMovingAggExec(order: Seq[SortOrder],
         new SpecificInternalRow(f.aggBufferAttributes.map(_.dataType))
       }
       val inits = funcsArr.zipWithIndex.map { case (f, j) =>
-        val p = MutableProjection.create(f.initialValues, Nil)
+        val p = AggPlumbing.initProj(f)
         p.target(buffers(j)); p
       }
       val upds = funcsArr.zipWithIndex.map { case (f, j) =>
-        val p = MutableProjection.create(f.updateExpressions,
-          f.aggBufferAttributes ++ neededAttrs)
+        val p = AggPlumbing.updateProj(f, neededAttrs)
         p.target(buffers(j)); p
       }
       val evalRows = funcsArr.map(f => new SpecificInternalRow(Seq(f.dataType)))
       val evals = funcsArr.zipWithIndex.map { case (f, j) =>
-        val p = MutableProjection.create(Seq(f.evaluateExpression),
-          f.aggBufferAttributes)
+        val p = AggPlumbing.evalProj(f)
         p.target(evalRows(j)); p
       }
       val joins = Array.fill(nFuncs)(new JoinedRow)

@@ -122,13 +122,18 @@ case class GlobalNthValueExec(order: Seq[SortOrder],
         it.foreach { row =>
           var j = 0
           while (j < nCols) {
-            val v = valProjs(j)(row)
-            val isNull = v.isNullAt(0)
-            if (!isNull) nn(j) += 1L
-            // plain: first k rows' values; ignore-nulls: first k
-            // non-null values
-            if (heads(j).length < ksArr(j) && (!ignArr(j) || !isNull)) {
-              heads(j) += v.copy()
+            // plain columns stop evaluating once their k head values
+            // are banked (their non-null counts are never read);
+            // IGNORE NULLS columns keep counting non-nulls to the end
+            if (ignArr(j) || heads(j).length < ksArr(j)) {
+              val v = valProjs(j)(row)
+              val isNull = v.isNullAt(0)
+              if (!isNull) nn(j) += 1L
+              // plain: first k rows' values; ignore-nulls: first k
+              // non-null values
+              if (heads(j).length < ksArr(j) && (!ignArr(j) || !isNull)) {
+                heads(j) += v.copy()
+              }
             }
             j += 1
           }

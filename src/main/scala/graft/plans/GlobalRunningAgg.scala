@@ -114,18 +114,12 @@ case class GlobalRunningAggExec(order: Seq[SortOrder],
     val keyTypes = keyExprs.map(_.dataType)
     val dataTypes = funcsArr.map(_.dataType)
 
-    def newBuffers(): Array[SpecificInternalRow] = funcsArr.map { f =>
-      val b = new SpecificInternalRow(f.aggBufferAttributes.map(_.dataType))
-      val init = MutableProjection.create(f.initialValues, Nil)
-      init.target(b)(InternalRow.empty)
-      b
-    }
-    def updateProjs(): Array[MutableProjection] = funcsArr.map { f =>
-      MutableProjection.create(f.updateExpressions,
-        f.aggBufferAttributes ++ childOutput)
-    }
+    def newBuffers(): Array[SpecificInternalRow] =
+      funcsArr.map(AggPlumbing.newBuffer)
+    def updateProjs(): Array[MutableProjection] =
+      funcsArr.map(AggPlumbing.updateProj(_, childOutput))
     def toUnsafe(f: DeclarativeAggregate): UnsafeProjection =
-      UnsafeProjection.create(f.aggBufferAttributes, f.aggBufferAttributes)
+      AggPlumbing.toUnsafe(f)
 
     // pass 1: one full-partition buffer per function — collected, then
     // prefix-merged on the driver with each function's own merge
@@ -153,10 +147,7 @@ case class GlobalRunningAggExec(order: Seq[SortOrder],
     // prefixes(pid)(j): function j's buffer over everything BEFORE pid
     val prefixes: Array[Array[UnsafeRow]] = {
       val accs = newBuffers()
-      val merges = funcsArr.map { f =>
-        MutableProjection.create(f.mergeExpressions,
-          f.aggBufferAttributes ++ f.inputAggBufferAttributes)
-      }
+      val merges = funcsArr.map(AggPlumbing.mergeProj)
       val joins = Array.fill(nFuncs)(new JoinedRow)
       var j = 0
       while (j < nFuncs) { merges(j).target(accs(j)); j += 1 }
@@ -184,17 +175,13 @@ case class GlobalRunningAggExec(order: Seq[SortOrder],
       val evalRows = funcsArr.map(f =>
         new SpecificInternalRow(Seq(f.dataType)))
       val evals = funcsArr.zipWithIndex.map { case (f, j) =>
-        val p = MutableProjection.create(Seq(f.evaluateExpression),
-          f.aggBufferAttributes)
+        val p = AggPlumbing.evalProj(f)
         p.target(evalRows(j))
         p
       }
       // seed: merge this partition's prefix into the fresh init buffer
       locally {
-        val merges = funcsArr.map { f =>
-          MutableProjection.create(f.mergeExpressions,
-            f.aggBufferAttributes ++ f.inputAggBufferAttributes)
-        }
+        val merges = funcsArr.map(AggPlumbing.mergeProj)
         val join = new JoinedRow
         var j = 0
         while (j < nFuncs) {
