@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Hundred-second wave — rank correlations and cross-correlation.
   *
@@ -100,13 +101,18 @@ object R102Queries {
       val per = perUser(s, dir)
       val wx = Window.orderBy("x")
       val wy = Window.orderBy("y")
-      val r = per
+      // r13 (VERDICT r12 task 1): both global rank() windows route
+      // through GlobalRank (rank is tie-exact — see the tie-containment
+      // argument on GlobalRankNode), retiring the ENTITY whitelist
+      // entry; the per-x/per-y tie counts stay on keyed (partitioned)
+      // WindowExec, which scales by key.
+      val r = RewriteGlobalRankWindows.force(per
         .withColumn("rx_min", rank().over(wx).cast("long"))
         .withColumn("tx", count(lit(1)).over(Window.partitionBy("x")).cast("long"))
         .withColumn("rx2", lit(2L) * col("rx_min") + col("tx") - 1L)
         .withColumn("ry_min", rank().over(wy).cast("long"))
         .withColumn("ty", count(lit(1)).over(Window.partitionBy("y")).cast("long"))
-        .withColumn("ry2", lit(2L) * col("ry_min") + col("ty") - 1L)
+        .withColumn("ry2", lit(2L) * col("ry_min") + col("ty") - 1L))
       r.agg(count(lit(1)).cast("long").as("n"),
           sum(col("rx2")).cast("long").as("sx"),
           sum(col("ry2")).cast("long").as("sy"),

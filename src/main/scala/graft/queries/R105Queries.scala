@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Hundred-fifth wave — MCC, Brier decomposition, and entropy rate.
   *
@@ -136,16 +137,20 @@ object R105Queries {
       val per = Tables.events(s, dir).groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("act"),
           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-      // "forecast" = activity decile rank mapped to (rank+0.5)/10
+      // "forecast" = activity decile rank mapped to (rank+0.5)/10.
+      // r13 (VERDICT r12 task 1): the global row_number routes through
+      // GlobalRank and the total count through zero-shuffle
+      // GlobalFrameAgg (`count(*) OVER ()` — matching the oracle's
+      // form), retiring the ENTITY whitelist entry. row_number is
+      // tie-exact here (ORDER BY ends on the unique user_id).
       val w = Window.orderBy(col("act"), col("user_id"))
-      val tot = Window.partitionBy(lit(1))
-      val binned = per
+      val binned = RewriteGlobalRankWindows.force(per
         .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("nn", count(lit(1)).over(tot).cast("long"))
+        .withColumn("nn", count(lit(1)).over().cast("long"))
         .withColumn("bin",
           least(lit(brierBins - 1L), ((col("rk") - 1L) * brierBins -
             ((col("rk") - 1L) * brierBins) % col("nn")) / col("nn")).cast("long"))
-        .withColumn("f", expr(s"(CAST(bin AS DOUBLE) + 0.5) / $brierBins.0"))
+        .withColumn("f", expr(s"(CAST(bin AS DOUBLE) + 0.5) / $brierBins.0")))
       val cells = binned.groupBy("bin", "f")
         .agg(count(lit(1)).cast("long").as("nb"),
           sum(col("y")).cast("long").as("pb"))

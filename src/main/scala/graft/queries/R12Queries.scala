@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Twelfth wave — analyst patterns:
   *
@@ -80,7 +81,13 @@ object R12Queries {
   val qRfm = QueryDef("q_rfm",
     (s, dir) => {
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql(rfmSparkSql)
+      // r13 (VERDICT r12 task 1): the ENTITY-class whitelist entry is
+      // retired — the three global ntile windows route through the
+      // distributed GlobalRank family instead of a reviewed
+      // single-partition WindowExec. ntile is tie-exact here (both
+      // ORDER BYs end on the unique o_custkey), so the oracle hash is
+      // unchanged.
+      RewriteGlobalRankWindows.force(s.sql(rfmSparkSql))
     },
     Some(
       """WITH base AS (

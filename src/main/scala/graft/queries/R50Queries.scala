@@ -75,7 +75,13 @@ object R50Queries {
       val sh = ExtQueries.shingled(s, dir, 200)
       val sig = DedupOps.minhashSignatures(sh, "doc_id", ExtQueries.numSeeds)
       val bands = DedupOps.lshBands(sig, "doc_id", rowsPerBand = 4)
-      val delta = bands.where(col("doc_id") % 7 === 0)
+      // r13 (VERDICT r12 task 2): delta = doc_id % 5 — at the driver's
+      // sf0.01 this delta TOUCHES candidate pair (61, 185), so the
+      // oracle row actually exercises the delta×index probe (the former
+      // % 7 delta hit zero pairs for four straight rounds — both
+      // engines agreeing on an empty set proved nothing). DedupSimSpec
+      // additionally pins the probe on a crafted colliding delta.
+      val delta = bands.where(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("did"), col("band"), col("band_sig"))
       delta.join(bands, Seq("band", "band_sig"))
         .where(col("doc_id") =!= col("did"))
@@ -87,7 +93,7 @@ object R50Queries {
     Some(
       s"""WITH ${ExtQueries.lshBandsSql(200)}
          |SELECT a, b FROM cand
-         |WHERE a % 7 = 0 OR b % 7 = 0
+         |WHERE a % 5 = 0 OR b % 5 = 0
          |ORDER BY a, b""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(qCrawlSchedule, qMinhashIncremental)

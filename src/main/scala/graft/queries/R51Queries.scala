@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.TextOps
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Fifty-first wave — classifier evaluation, skew diagnostics, and the
   * dataset card.
@@ -83,15 +84,19 @@ object R51Queries {
     (s, dir) => {
       val g = t(s, dir, "events").groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("c"))
-      val ranked = g
+      // r13 (VERDICT r12 task 1): both global row_numbers (one per
+      // ORDER BY direction) route through GlobalRank and the total key
+      // count through zero-shuffle GlobalFrameAgg, retiring the ENTITY
+      // whitelist entry — the skew AUDIT itself no longer funnels.
+      // row_number is tie-exact here (both orders end on user_id).
+      val ranked = RewriteGlobalRankWindows.force(g
         .withColumn("i",
           row_number().over(Window.orderBy(col("c"), col("user_id")))
             .cast("long"))
         .withColumn("rd",
           row_number().over(Window.orderBy(col("c").desc, col("user_id")))
             .cast("long"))
-        .withColumn("k",
-          count(lit(1)).over(Window.partitionBy(lit(1))).cast("long"))
+        .withColumn("k", count(lit(1)).over().cast("long")))
       ranked.agg(
           sum(col("c")).as("n"), max(col("k")).as("k"),
           max(when(col("rd") === 1, col("c"))).as("top1"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Eighty-first wave — privacy risk audit, join-cardinality estimation,
   * and optimal 2-class binning.
@@ -102,8 +103,12 @@ object R81Queries {
     (s, dir) => {
       val freq = t(s, dir, "lineitem").groupBy("l_partkey")
         .agg(count(lit(1)).cast("long").as("f"))
-      val ranked = freq.withColumn("rk",
-        row_number().over(Window.orderBy(col("f").desc, col("l_partkey"))))
+      // r13 (VERDICT r12 task 1): the global frequency rank routes
+      // through GlobalRank (tie-exact — the order ends on the unique
+      // l_partkey), retiring the ENTITY whitelist entry: the histogram
+      // build itself now scales with |partkeys|, not one task.
+      val ranked = RewriteGlobalRankWindows.force(freq.withColumn("rk",
+        row_number().over(Window.orderBy(col("f").desc, col("l_partkey")))))
       val stats = ranked.agg(
         sum(col("f") * col("f")).cast("long").as("actual"),
         sum(when(col("rk") <= topH, col("f") * col("f")).otherwise(0L))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.GraphOps
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Ninety-fourth wave — graph assortativity, uplift curves, and
   * propensity stratification.
@@ -122,14 +123,18 @@ object R94Queries {
           max(when(col("us") >= col("m") && col("event_type") === "purchase", 1L)
             .otherwise(0L)).as("y"))
         .withColumn("treat", when(col("user_id") % 2 === 1, 1L).otherwise(0L))
+      // r13 (VERDICT r12 task 1): the global score rank routes through
+      // GlobalRank, the user count through zero-shuffle GlobalFrameAgg,
+      // and the cumulative decile sums below through GlobalRunningAgg —
+      // the ENTITY whitelist entry is retired. row_number is tie-exact
+      // here (the order ends on the unique user_id).
       val w = Window.orderBy(col("score").desc, col("user_id"))
-      val n = Window.partitionBy(lit(1))
-      val ranked = per
+      val ranked = RewriteGlobalRankWindows.force(per
         .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("nn", count(lit(1)).over(n).cast("long"))
+        .withColumn("nn", count(lit(1)).over().cast("long"))
         .withColumn("decile",
           least(lit(9L), ((col("rk") - 1L) * 10L -
-            ((col("rk") - 1L) * 10L) % col("nn")) / col("nn")).cast("long"))
+            ((col("rk") - 1L) * 10L) % col("nn")) / col("nn")).cast("long")))
       val cells = ranked.groupBy("decile")
         .agg(sum(col("treat")).cast("long").as("nt"),
           sum(lit(1L) - col("treat")).cast("long").as("nc"),
@@ -137,14 +142,19 @@ object R94Queries {
           sum((lit(1L) - col("treat")) * col("y")).cast("long").as("yc"))
       val wc = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cells
-        .withColumn("cnt", sum(col("nt")).over(wc).cast("long"))
-        .withColumn("cnc", sum(col("nc")).over(wc).cast("long"))
-        .withColumn("cyt", sum(col("yt")).over(wc).cast("long"))
-        .withColumn("cyc", sum(col("yc")).over(wc).cast("long"))
+      // all four cumulative sums in ONE select → one analyzed Window
+      // node → ONE GlobalRunningAgg (stacked withColumns would each
+      // carry their own node; the operators would still share the one
+      // range exchange, but one node is the plan PlanShapeSpec pins)
+      RewriteGlobalRankWindows.force(cells
+        .select(col("decile"), col("nt"), col("nc"), col("yt"), col("yc"),
+          sum(col("nt")).over(wc).cast("long").as("cnt"),
+          sum(col("nc")).over(wc).cast("long").as("cnc"),
+          sum(col("yt")).over(wc).cast("long").as("cyt"),
+          sum(col("yc")).over(wc).cast("long").as("cyc"))
         .select(col("decile"), col("nt"), col("nc"), col("yt"), col("yc"),
           round(expr("CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE)" +
-            " * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)"), 6).as("qini"))
+            " * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)"), 6).as("qini")))
         .orderBy("decile")
     },
     Some(
@@ -200,20 +210,21 @@ object R94Queries {
         // coarse "propensity" strata: activity quintile by exact ranks
         .withColumn("rk", row_number().over(
           Window.orderBy(col("act"), col("user_id"))).cast("long"))
-        .withColumn("nn",
-          count(lit(1)).over(Window.partitionBy(lit(1))).cast("long"))
+        .withColumn("nn", count(lit(1)).over().cast("long"))
         .withColumn("bin",
           least(lit(4L), ((col("rk") - 1L) * 5L -
             ((col("rk") - 1L) * 5L) % col("nn")) / col("nn")).cast("long"))
-      val cells = per.groupBy("bin")
+      // r13 (VERDICT r12 task 1): rank → GlobalRank, total counts →
+      // zero-shuffle GlobalFrameAgg — the ENTITY whitelist entry is
+      // retired (row_number tie-exact: order ends on unique user_id).
+      val cells = RewriteGlobalRankWindows.force(per).groupBy("bin")
         .agg(sum(col("treat")).cast("long").as("nt"),
           sum(lit(1L) - col("treat")).cast("long").as("nc"),
           sum(col("treat") * col("y")).cast("long").as("yt"),
           sum((lit(1L) - col("treat")) * col("y")).cast("long").as("yc"))
         .where(col("nt") > 0 && col("nc") > 0)
-      val tot = Window.partitionBy(lit(1))
-      cells
-        .withColumn("ntot", sum(col("nt")).over(tot).cast("long"))
+      RewriteGlobalRankWindows.force(cells
+        .withColumn("ntot", sum(col("nt")).over().cast("long")))
         .agg(count(lit(1)).cast("long").as("n_bins"),
           max(col("ntot")).as("n_treated"),
           round(expr("sum((CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)" +

@@ -294,17 +294,19 @@ class BroadcastHintAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // the fixture "query" grew a corpus-keyed aggregate under its global
     // window — same name, same whitelist entry, DIFFERENT shape
+    // (r13: re-pointed from q_rfm to q_cusum — q_rfm's ENTITY entry was
+    // retired when the query started routing through GlobalRank)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mutated = docs.groupBy(col("doc_id"))
       .agg(sum(length(col("text"))).as("sz"))
       .withColumn("rk", row_number().over(Window.orderBy(col("sz"))))
     val out = mutable.Buffer[String]()
     val shapes = mutable.Map[String, mutable.Set[String]]()
-    auditWindows("q_rfm", mutated.queryExecution.analyzed, out, shapes)
+    auditWindows("q_cusum", mutated.queryExecution.analyzed, out, shapes)
     assert(out.isEmpty, "whitelisted name must not raise the unlisted audit")
-    val entry = WindowWhitelist.entries("q_rfm")
-    val v = WindowWhitelist.shapeViolation("q_rfm",
-      shapes.get("q_rfm").map(_.toSet).getOrElse(Set.empty), entry)
+    val entry = WindowWhitelist.entries("q_cusum")
+    val v = WindowWhitelist.shapeViolation("q_cusum",
+      shapes.get("q_cusum").map(_.toSet).getOrElse(Set.empty), entry)
     assert(v.nonEmpty, "mutated window shape must fail the pin")
     assert(v.get.contains("doc_id"), v.get)
   }
@@ -361,23 +363,16 @@ private[graft] object WindowWhitelist {
   private val YM = "CALENDAR: (year, month)-keyed aggregate — |distinct months|"
   private def VAL(k: String) =
     s"VALUE-DOMAIN: $k-keyed aggregate — |distinct $k values|"
-  private def ENT(k: String) =
-    s"ENTITY: per-$k rollup — |${k}s|; exact-rank fixture form, " +
-      "approx/range-partitioned at 100 TB — the executed scale twin is " +
-      "graft.plans.GlobalRank (two-pass range-partitioned exact rank; " +
-      "q_rfm_ranked routes q_rfm through it, PlanShapeSpec-pinned), and " +
-      "since r12 the engine rewrites these windows AUTOMATICALLY: " +
-      "RewriteGlobalRankWindows (conf spark.graft.rewrite." +
-      "globalRankWindows, or force()) covers the rank, offset (incl. " +
-      "lag IGNORE NULLS), running-aggregate (incl. first/last_value), " +
-      "moving-frame, whole-frame (zero-shuffle GlobalFrameAgg, with a " +
-      "bounded-sketch approx_count_distinct/approx_percentile tier — " +
-      "the literal 'runs via approx_percentile' form), and nth_value " +
-      "families — q_rank_family / q_ntile_rewrite / q_shift_rewrite / " +
-      "q_shiftnn_rewrite / q_runagg_rewrite / q_movagg_rewrite / " +
-      "q_frameagg_rewrite / q_firstlast_rewrite / q_nthvalue_rewrite " +
-      "are the oracle-checked proofs, q_frameagg_sketch the " +
-      "contract-checked sketch proof"
+  // The former ENTITY class (per-user/customer/partkey rollups —
+  // "bounded by |entities|, itself data-scaled") is RETIRED as of r13
+  // (VERDICT r12 task 1): every member (q_brier, q_join_cardest,
+  // q_psm_att, q_qini, q_rfm, q_skew_audit, q_spearman) now routes its
+  // global windows through RewriteGlobalRankWindows.force — GlobalRank
+  // for ranks, GlobalFrameAgg for OVER () totals, GlobalRunningAgg for
+  // cumulative frames — so their plans contain no unpartitioned
+  // WindowExec to whitelist (PlanShapeSpec pins the shapes). Only the
+  // CALENDAR / VALUE-DOMAIN classes remain: their window inputs are
+  // bounded by time span or value domain, independent of corpus rows.
   private def E(bound: String, keys: String*): Entry =
     Entry(bound, keys.toSet)
   val entries: Map[String, Entry] = Map(
@@ -386,7 +381,6 @@ private[graft] object WindowWhitelist {
     "q_bh_fdr" -> E("VALUE-DOMAIN: (seg, t_obs) per-segment test stats — |segments| rows (5)", "[seg, t_obs]"),
     "q_boost" -> E(VAL("stump-threshold x"), "[x]"),
     "q_bootstrap_ci" -> E("VALUE-DOMAIN: per-replicate aggregate — B (constant) bootstrap rows", "[r]"),
-    "q_brier" -> E(ENT("user"), "[user_id]"),
     "q_changepoint" -> E(CAL, "[CAST((CAST((unix_micros(CAST(o_orderdate AS TIMESTAMP)) - (((unix_micros(CAST(o_orderdate AS TIMESTAMP)) % 86400000000L) + 86400000000L) % 86400000000L)) AS DOUBLE) / CAST(86400000000L AS DOUBLE)) AS BIGINT)]"),
     "q_coverage_p90" -> E(VAL("(lang, source)"), "[lang, source]"),
     "q_cusum" -> E(CAL, "[day]"),
@@ -398,7 +392,6 @@ private[graft] object WindowWhitelist {
     "q_haar" -> E(CAL, "[day]"),
     "q_isotonic" -> E(VAL("calibration-bin"), "[b]"),
     "q_jenks" -> E(CAL, "[day]"),
-    "q_join_cardest" -> E(ENT("partkey"), "[l_partkey]"),
     "q_ks_test" -> E(VAL("sample value"), "[v]"),
     "q_lift_curve" -> E(VAL("price-cents"), "[cents]"),
     "q_lorenz_deciles" -> E(VAL("price-cents"), "[cents]"),
@@ -406,14 +399,9 @@ private[graft] object WindowWhitelist {
     "q_mase" -> E(CAL, "[day]"),
     "q_mom_growth" -> E(YM, "[CAST(year(CAST(orders.o_orderdate AS DATE)) AS BIGINT), CAST(month(CAST(orders.o_orderdate AS DATE)) AS BIGINT)]"),
     "q_psi" -> E(VAL("sample value"), "[v]"),
-    "q_psm_att" -> E(ENT("user"), "[user_id]"),
-    "q_qini" -> E(ENT("user") + "; second window rides the 10-row decile agg", "[decile]", "[user_id]"),
-    "q_rfm" -> E(ENT("customer"), "[orders.o_custkey]"),
     "q_rolling_corr" -> E(CAL, "[to_date(ts)]"),
     "q_runs_test" -> E(CAL, "[day]"),
     "q_seasonal_residuals" -> E(CAL, "[day]"),
-    "q_skew_audit" -> E(ENT("user"), "[user_id]"),
-    "q_spearman" -> E(ENT("user"), "[user_id]"),
     "q_sprt" -> E(CAL, "[day]"),
     "q_stump" -> E(VAL("stump-threshold x"), "[x]"),
     "q_survival_km" -> E(VAL("duration-days"), "[dur_d]"),

@@ -90,6 +90,40 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("incremental LSH probe: delta×index finds exactly the delta-touching pairs") {
+    // the q_minhash_incremental shape (r13, VERDICT r12 task 2 — its
+    // oracle row was vacuous at the old fixture knobs): a crafted
+    // corpus where doc 4 collides with docs 0/3 and docs 1/2 collide
+    // with each other; a delta containing ONLY doc 4 must probe the
+    // full band index and emit exactly the pairs touching doc 4 —
+    // never the (0,3) or (1,2) pairs the full join would also find.
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy dog") // the delta doc
+    ).toDF("doc_id", "text")
+    val sh = corpus.select($"doc_id",
+      explode(TextOps.wordNgrams($"text", 3)).as("shingle")).distinct()
+    val bands = DedupOps.lshBands(
+      DedupOps.minhashSignatures(sh, "doc_id", 8), "doc_id", rowsPerBand = 4)
+    val delta = bands.where($"doc_id" === 4L)
+      .select($"doc_id".as("did"), $"band", $"band_sig")
+    val got = delta.join(bands, Seq("band", "band_sig"))
+      .where($"doc_id" =!= $"did")
+      .select(least($"did", $"doc_id").as("a"),
+        greatest($"did", $"doc_id").as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 4L), (3L, 4L)),
+      s"delta probe must emit exactly the pairs touching doc 4, got $got")
+    // sanity: the FULL candidate set does contain the non-delta pairs
+    // the probe correctly excluded
+    val full = DedupOps.lshCandidatePairs(bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(full.contains((0L, 3L)) && full.contains((1L, 2L)), full.toString)
+  }
+
   test("simhash: identical texts get identical fingerprints, in [0, 2^16)") {
     val got = DedupOps.simhash16(
       docs.select($"doc_id", explode(split($"text", " ")).as("tok")),

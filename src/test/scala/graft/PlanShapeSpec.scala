@@ -358,6 +358,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_pctexact_rewrite grew a 1-partition exchange:\n$pp")
   }
 
+  test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
+    // r13 (VERDICT r12 task 1): the seven former ENTITY-class
+    // WindowWhitelist entries now route through
+    // RewriteGlobalRankWindows.force — these pins are what replaced the
+    // whitelist review. Counts are exact: a query silently growing (or
+    // losing) a distributed operator fails here.
+    def winExecs(p: SparkPlan) = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    def ranks(p: SparkPlan) = p.collect { case g: graft.plans.GlobalRankExec => g }.size
+    def frames(p: SparkPlan) = p.collect { case g: graft.plans.GlobalFrameAggExec => g }.size
+    def runs(p: SparkPlan) = p.collect { case g: graft.plans.GlobalRunningAggExec => g }.size
+    val expected = Seq(
+      // name -> (ranks, frameAggs, runningAggs, partitioned WindowExec)
+      ("q_rfm", 3, 0, 0, 0), // three ntile quartiles, one per ORDER BY
+      ("q_spearman", 2, 0, 0, 2), // ranks distributed; per-x/per-y tie
+      // counts stay on KEYED WindowExec (scales by key)
+      ("q_brier", 1, 1, 0, 0), // decile rank + total count
+      ("q_skew_audit", 2, 1, 0, 0), // asc+desc ranks + key count
+      ("q_join_cardest", 1, 0, 0, 0), // frequency rank
+      ("q_qini", 1, 1, 1, 0), // score rank + count + cumulative deciles
+      ("q_psm_att", 1, 2, 0, 0)) // quintile rank + two totals
+    for ((name, nRank, nFrame, nRun, nKeyedWin) <- expected) {
+      val p = plan(name)
+      val wins = winExecs(p)
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$name kept an UNPARTITIONED WindowExec:\n$p")
+      assert(wins.size == nKeyedWin,
+        s"$name: expected $nKeyedWin keyed WindowExec, got ${wins.size}:\n$p")
+      assert(ranks(p) == nRank,
+        s"$name: expected $nRank GlobalRankExec, got ${ranks(p)}:\n$p")
+      assert(frames(p) == nFrame,
+        s"$name: expected $nFrame GlobalFrameAggExec, got ${frames(p)}:\n$p")
+      assert(runs(p) == nRun,
+        s"$name: expected $nRun GlobalRunningAggExec, got ${runs(p)}:\n$p")
+    }
+  }
+
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
     val p = plan("q_clamped_runsum")
     assert(hashShuffles(p) == 1,
