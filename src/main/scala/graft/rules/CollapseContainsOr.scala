@@ -67,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.GlobalShiftStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalMovingAggStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.GlobalRangeMovingAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalFrameAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalNthValueStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalExactPercentileStrategy)

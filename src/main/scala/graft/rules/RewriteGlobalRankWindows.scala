@@ -2,14 +2,14 @@ package graft.rules
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, NthValue, PercentRank, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnaryMinus, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, NthValue, PercentRank, RangeFrame, Rank, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnaryMinus, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, Complete, Count, DeclarativeAggregate, First, Last, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
+import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -48,16 +48,19 @@ import graft.plans.GlobalShift.ShiftCol
   *    under the original alias; lead/lag types pass through), so
   *    nothing upstream re-resolves.
   *
-  * Six families rewrite: rank (GlobalRank), offset lead/lag
+  * Seven families rewrite: rank (GlobalRank), offset lead/lag
   * (GlobalShift), running aggregates incl. first_value/last_value
   * (GlobalRunningAgg), bounded-ROWS moving aggregates
-  * (GlobalMovingAgg), whole-frame aggregates — `agg(e) OVER ()` /
-  * `UNBOUNDED .. UNBOUNDED`, the ratio-to-total shape, which
-  * [[GlobalFrameAggNode]] computes with ZERO shuffle — and
-  * `nth_value` under frames anchored at the global start
-  * ([[GlobalNthValueNode]]: one global constant gated on frame
-  * length). A `Window` node is left alone when any of its expressions
-  * is outside the families (RANGE moving frames and moving-lower-bound
+  * (GlobalMovingAgg), bounded-RANGE moving aggregates on a single
+  * ascending integral key (GlobalRangeMovingAgg — the r13
+  * dense-domain tier: per-key buffers bounded by the VALUE extent),
+  * whole-frame aggregates — `agg(e) OVER ()` / `UNBOUNDED ..
+  * UNBOUNDED`, the ratio-to-total shape, which [[GlobalFrameAggNode]]
+  * computes with ZERO shuffle — and `nth_value` under frames anchored
+  * at the global start ([[GlobalNthValueNode]]: one global constant
+  * gated on frame length). A `Window` node is left alone when any of
+  * its expressions is outside the families (RANGE moving frames on
+  * non-integral or descending/multi-key orders and moving-lower-bound
   * nth_value need real frame execution; LEAD with IGNORE NULLS and
   * non-literal or over-cap offsets need unbounded lookahead — lag
   * IGNORE NULLS rewrites via the non-null ring), when it HAS a
@@ -268,6 +271,72 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     }
   }
 
+  /** (alias, function, lo, hi, generated attr) iff `ne` is a rewritable
+    * RANGE-MOVING global window (r13, the dense-domain tier): an
+    * order-INSENSITIVE allowlisted aggregate ([[allowedAgg]] — not the
+    * ordered widening: per-key buffers make First/Last undefined) over
+    * `RANGE BETWEEN lo AND hi` with integral-literal value offsets
+    * within the boundary-state cap, on a SINGLE ASCENDING INTEGRAL
+    * order key (int/long/short/byte/date — the dense-domain
+    * precondition: the value window holds at most `hi - lo + 1`
+    * distinct keys, so [[GlobalRangeMovingAggNode]] ships per-key
+    * BUFFERS bounded by the value extent, never rows bounded by
+    * density). `UNBOUNDED PRECEDING .. CURRENT ROW` RANGE frames are
+    * the running family; descending/multi-key orders, non-integral
+    * keys, and half-unbounded bounded frames keep WindowExec. */
+  private def rangeMovAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Long, Long, AttributeReference)] = {
+    // value bound → Long: CurrentRow is 0; otherwise a foldable
+    // integral expression (the parser's `k PRECEDING` arrives as
+    // UnaryMinus(Literal(k)), the DataFrame API as a signed literal,
+    // and the analyzer may wrap either in a cast to the key type).
+    // DATE orders carry INTERVAL-typed bounds (the analyzer requires
+    // them) — fold day-PURE intervals to the int-days domain; sub-day
+    // or month-bearing intervals are not fixed day counts and keep
+    // WindowExec.
+    val usPerDay = 86400000000L
+    def bound(e: Expression): Option[Long] = e match {
+      case CurrentRow => Some(0L)
+      case _ if e.foldable => e.dataType match {
+        case IntegerType => Option(e.eval()).map(_.asInstanceOf[Int].toLong)
+        case LongType => Option(e.eval()).map(_.asInstanceOf[Long])
+        case org.apache.spark.sql.types.ShortType =>
+          Option(e.eval()).map(_.asInstanceOf[Short].toLong)
+        case org.apache.spark.sql.types.ByteType =>
+          Option(e.eval()).map(_.asInstanceOf[Byte].toLong)
+        case _: org.apache.spark.sql.types.DayTimeIntervalType =>
+          Option(e.eval()).map(_.asInstanceOf[Long])
+            .filter(_ % usPerDay == 0L).map(_ / usPerDay)
+        case org.apache.spark.sql.types.CalendarIntervalType =>
+          Option(e.eval())
+            .map(_.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval])
+            .filter(ci => ci.months == 0 && ci.microseconds == 0L)
+            .map(_.days.toLong)
+        case _ => None
+      }
+      case _ => None
+    }
+    ne match {
+      case a @ Alias(we @ WindowExpression(
+          AggregateExpression(fn0, Complete, false, None, _),
+          WindowSpecDefinition(Seq(),
+            Seq(SortOrder(key, Ascending, _, _)),
+            SpecifiedWindowFrame(RangeFrame, lo0, hi0))), _)
+          if lo0 != UnboundedPreceding && hi0 != UnboundedFollowing &&
+            GlobalRangeMovingAgg.integralKey(key.dataType) &&
+            key.deterministic =>
+        for {
+          lo <- bound(lo0)
+          hi <- bound(hi0)
+          if lo <= hi && math.max(math.abs(lo), math.abs(hi)) <= maxShift.toLong
+          fn <- unwrapAgg(fn0)
+          if allowedAgg(fn) && fn.deterministic
+        } yield (a, fn, lo, hi,
+          AttributeReference(s"__graft_${a.name}", fn.dataType,
+            nullable = we.nullable)())
+      case _ => None
+    }
+  }
+
   /** The BOUNDED-SKETCH allowlist for the whole-frame family:
     * imperative aggregates whose buffer is sketch-sized by
     * construction and whose merge is order-robust —
@@ -410,6 +479,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   private case class AsMovAgg(a: Alias, fn: DeclarativeAggregate,
                               lo: Int, hi: Int,
                               attr: AttributeReference) extends Rewritten
+  private case class AsRangeMov(a: Alias, fn: DeclarativeAggregate,
+                                lo: Long, hi: Long,
+                                attr: AttributeReference) extends Rewritten
   private case class AsFrameAgg(a: Alias,
                                 fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
                                 attr: AttributeReference) extends Rewritten
@@ -434,7 +506,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           wexprs.forall(e => frameAggOf(e).isDefined || pctOf(e).isDefined ||
             (orderedOk && (rankOf(e).isDefined || shiftOf(e).isDefined ||
               runAggOf(e).isDefined || movAggOf(e).isDefined ||
-              nthOf(e).isDefined)))
+              rangeMovAggOf(e).isDefined || nthOf(e).isDefined)))
         } =>
       // classify once (fresh generated attrs must be created exactly
       // once per expression); the families are disjoint — a whole-frame
@@ -455,9 +527,13 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
                 case Some((a, fn, rows, attr)) => AsRunAgg(a, fn, rows, attr)
                 case None => movAggOf(e) match {
                   case Some((a, fn, lo, hi, attr)) => AsMovAgg(a, fn, lo, hi, attr)
-                  case None =>
-                    val (a, input, k, ign, kind, attr) = nthOf(e).get
-                    AsNth(a, input, k, ign, kind, attr)
+                  case None => rangeMovAggOf(e) match {
+                    case Some((a, fn, lo, hi, attr)) =>
+                      AsRangeMov(a, fn, lo, hi, attr)
+                    case None =>
+                      val (a, input, k, ign, kind, attr) = nthOf(e).get
+                      AsNth(a, input, k, ign, kind, attr)
+                  }
                 }
               }
             }
@@ -469,6 +545,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       val shiftCols = classified.collect { case AsShift(_, sc) => sc }
       val aggCols = classified.collect { case r: AsRunAgg => r }
       val movCols = classified.collect { case r: AsMovAgg => r }
+      val rangeMovCols = classified.collect { case r: AsRangeMov => r }
       val frameCols = classified.collect { case r: AsFrameAgg => r }
       val nthCols = classified.collect { case r: AsNth => r }
       val pctCols = classified.collect { case r: AsPct => r }
@@ -493,11 +570,16 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         else GlobalMovingAggNode(orderSpec, movCols.map(_.attr),
           movCols.map(_.fn), movCols.map(_.lo), movCols.map(_.hi),
           withRunAggs)
+      val withRangeMov: LogicalPlan =
+        if (rangeMovCols.isEmpty) withMovAggs
+        else GlobalRangeMovingAggNode(orderSpec, rangeMovCols.map(_.attr),
+          rangeMovCols.map(_.fn), rangeMovCols.map(_.lo),
+          rangeMovCols.map(_.hi), withMovAggs)
       val withNth: LogicalPlan =
-        if (nthCols.isEmpty) withMovAggs
+        if (nthCols.isEmpty) withRangeMov
         else GlobalNthValueNode(orderSpec, nthCols.map(_.attr),
           nthCols.map(_.input), nthCols.map(_.k),
-          nthCols.map(_.ignoreNulls), nthCols.map(_.kind), withMovAggs)
+          nthCols.map(_.ignoreNulls), nthCols.map(_.kind), withRangeMov)
       // the whole-frame nodes require nothing and preserve everything,
       // so they ride the ordered siblings' shared range exchange when
       // mixed, and introduce NO exchange when alone
@@ -530,6 +612,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         case AsMovAgg(a, _, _, _, attr) =>
           Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
+        case AsRangeMov(a, _, _, _, attr) =>
+          Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
         case AsFrameAgg(a, _, attr) =>
           Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
@@ -553,6 +638,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     GlobalShift.ensureStrategy(spark)
     GlobalRunningAgg.ensureStrategy(spark)
     GlobalMovingAgg.ensureStrategy(spark)
+    GlobalRangeMovingAgg.ensureStrategy(spark)
     GlobalFrameAgg.ensureStrategy(spark)
     GlobalNthValue.ensureStrategy(spark)
     GlobalExactPercentile.ensureStrategy(spark)

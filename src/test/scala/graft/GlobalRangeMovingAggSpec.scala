@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{GlobalMovingAggExec, GlobalRangeMovingAggExec}
+import graft.rules.RewriteGlobalRankWindows
+
+/** [[graft.plans.GlobalRangeMovingAgg]] — distributed exact global
+  * RANGE-frame moving aggregates (r13, VERDICT r12 task 3, the
+  * dense-domain tier): per-key partial buffers bounded by the VALUE
+  * extent, a zipped lead/lag pass-2 pair, no density-bounded state
+  * anywhere. Every value is pinned bit-for-bit against the built-in
+  * WindowExec on fixtures that exercise the boundary machinery: key
+  * gaps wider than the frame, tie groups, frames wider than
+  * partitions (key telescoping), NULL keys, per-function frames,
+  * pure-past/pure-future frames, date keys, and the remaining
+  * non-rewrites. */
+class GlobalRangeMovingAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def noAqePlan(df: DataFrame) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** The forced plan must equal the built-in's result EXACTLY (sorted
+    * row-by-row, not set compare — row multiplicity matters; ADVICE
+    * r12), use zero WindowExec and exactly one range-moving node. */
+  private def assertSame(windowed: DataFrame): Unit = {
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.schema == windowed.schema)
+    val sortCols = windowed.columns.map(col).toSeq
+    assert(forced.sort(sortCols: _*).collect().toSeq ==
+      windowed.sort(sortCols: _*).collect().toSeq)
+    val p = noAqePlan(forced)
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalRangeMovingAggExec => g }.size == 1,
+      p.toString)
+  }
+
+  test("trailing RANGE frame: sum/min/max/count/avg == built-ins across partitions") {
+    // long keys with gaps AND ties: v = (id*13)%211 repeats and skips
+    val df = spark.range(1500)
+      .select((col("id") * 13L % 211L).as("v"), (col("id") % 97 - 30).as("x"))
+      .repartition(9)
+    val w = Window.orderBy("v").rangeBetween(-5, 0)
+    assertSame(df.select(col("v"), col("x"),
+      sum("x").over(w).as("rs"), min("x").over(w).as("rmin"),
+      max("x").over(w).as("rmax"), count("x").over(w).as("rcnt"),
+      avg("x").over(w).as("ravg")))
+  }
+
+  test("RANGE vs ROWS divergence: gaps in the key domain make them differ (fixture sanity)") {
+    // guard against a fixture where RANGE degenerates to ROWS — the
+    // whole point of the tier is value-bounded frames over gappy keys
+    val df = spark.range(200)
+      .select((col("id") * 7L % 143L).as("v"), (col("id") % 11).as("x"))
+    val rangeW = Window.orderBy("v").rangeBetween(-3, 0)
+    val rowsW = Window.orderBy("v").rowsBetween(-3, 0)
+    val a = df.select(sum("x").over(rangeW).as("s")).collect().map(_.getLong(0)).sorted
+    val b = df.select(sum("x").over(rowsW).as("s")).collect().map(_.getLong(0)).sorted
+    assert(!(a sameElements b), "fixture must distinguish RANGE from ROWS")
+  }
+
+  test("centered, pure-past, pure-future, and mixed frames in ONE node") {
+    val df = spark.range(900)
+      .select((col("id") * 37L % 401L).as("v"), (col("id") % 83).as("x"))
+      .repartition(7)
+    val wc = Window.orderBy("v").rangeBetween(-2, 2)
+    val wp = Window.orderBy("v").rangeBetween(-7, -3)
+    val wf = Window.orderBy("v").rangeBetween(1, 4)
+    assertSame(df.select(col("v"), col("x"),
+      sum("x").over(wc).as("c"), sum("x").over(wp).as("p"),
+      count("x").over(wf).as("f")))
+  }
+
+  test("frames wider than partitions: per-key boundary buffers telescope") {
+    // 40 partitions over 300 rows with keys 0..59 and a frame of ±30:
+    // most frames span several partitions' key ranges
+    val df = spark.range(300)
+      .select((col("id") % 60L).as("v"), (col("id") % 17 - 4).as("x"))
+      .repartition(40)
+    val w = Window.orderBy("v").rangeBetween(-30, 30)
+    assertSame(df.select(col("v"), col("x"), sum("x").over(w).as("s"),
+      count("x").over(w).as("c")))
+  }
+
+  test("NULL order keys: the null block's frame is the null block (built-in parity)") {
+    val df = spark.range(400)
+      .select(when(col("id") % 11 === 0, lit(null))
+        .otherwise(col("id") * 3L % 101L).as("v"),
+        (col("id") % 19).as("x"))
+      .repartition(6)
+    val w = Window.orderBy("v").rangeBetween(-4, 1)
+    assertSame(df.select(col("v"), col("x"),
+      sum("x").over(w).as("s"), count("x").over(w).as("c"),
+      avg("x").over(w).as("a")))
+  }
+
+  test("empty frames (gaps wider than the extent) evaluate the initial buffer") {
+    // keys spaced 100 apart with a ±3 frame: every frame is exactly the
+    // current tie group; pure-future frames at the end are EMPTY (null
+    // sum, zero count) — must match the built-in's empty-frame values
+    val df = spark.range(50)
+      .select((col("id") * 100L).as("v"), col("id").as("x"))
+      .repartition(5)
+    val wf = Window.orderBy("v").rangeBetween(1, 3)
+    assertSame(df.select(col("v"), col("x"),
+      sum("x").over(wf).as("s"), count("x").over(wf).as("c")))
+  }
+
+  test("date order key: INTERVAL-day RANGE frames (int-days domain)") {
+    // the analyzer requires interval-typed bounds over DATE orders —
+    // the matcher folds day-pure intervals to the int-days domain
+    spark.range(500)
+      .select(date_add(lit("2024-01-01").cast("date"),
+        (col("id") * 5 % 97).cast("int")).as("d"),
+        (col("id") % 23).as("x"))
+      .repartition(8)
+      .createOrReplaceTempView("rma_dates")
+    assertSame(spark.sql(
+      """SELECT d, x,
+        |  sum(x) OVER (ORDER BY d RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+        |               AND CURRENT ROW) AS s,
+        |  avg(x) OVER (ORDER BY d RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+        |               AND INTERVAL 2 DAYS FOLLOWING) AS a
+        |FROM rma_dates""".stripMargin))
+  }
+
+  test("tie groups share one frame value (and row multiplicity is preserved)") {
+    // only 5 distinct keys over 1000 rows: huge tie groups, and the
+    // per-key buffer is the WHOLE group — frames hold millions of rows
+    // at scale but ship as one buffer (the design claim, miniaturized)
+    val df = spark.range(1000)
+      .select((col("id") % 5L).as("v"), (col("id") % 13).as("x"))
+      .repartition(6)
+    val w = Window.orderBy("v").rangeBetween(-1, 1)
+    assertSame(df.select(col("v"), col("x"), sum("x").over(w).as("s"),
+      count("x").over(w).as("c")))
+  }
+
+  test("stacks with the ROWS moving family on ONE shared range exchange") {
+    val df = spark.range(600)
+      .select((col("id") * 11L % 301L).as("v"), (col("id") % 29).as("x"))
+      .repartition(5)
+    val wRange = Window.orderBy("v").rangeBetween(-3, 0)
+    val wRows = Window.orderBy("v").rowsBetween(-3, 0)
+    val windowed = df.select(col("v"), col("x"),
+      sum("x").over(wRange).as("vr"), sum("x").over(wRows).as("rr"))
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.sort("v", "x", "vr", "rr").collect().toSeq ==
+      windowed.sort("v", "x", "vr", "rr").collect().toSeq)
+    val p = noAqePlan(forced)
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalRangeMovingAggExec => g }.size == 1)
+    assert(p.collect { case g: GlobalMovingAggExec => g }.size == 1)
+    // exactly ONE range exchange (the fixture's own round-robin
+    // repartition sits below it and doesn't count)
+    assert(p.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }.size == 1, s"both moving families must share one range exchange:\n$p")
+  }
+
+  test("non-rewrites: descending, non-integral, multi-key, half-unbounded, over-cap, first_value") {
+    spark.range(100).select(col("id").as("v"),
+      (col("id") % 7).as("x"), (col("id") * 1.5).as("d"))
+      .createOrReplaceTempView("rma_nr")
+    def kept(sql: String): Unit = {
+      val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sql)))
+      assert(p.collect { case g: GlobalRangeMovingAggExec => g }.isEmpty, sql)
+      assert(p.collect { case x: WindowExec => x }.size == 1, sql)
+    }
+    // descending key: tier 1 is ascending-only
+    kept("SELECT v, sum(x) OVER (ORDER BY v DESC RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
+    // double key: not a dense domain
+    kept("SELECT d, sum(x) OVER (ORDER BY d RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
+    // half-unbounded bounded frame
+    kept("SELECT v, sum(x) OVER (ORDER BY v RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s FROM rma_nr")
+    // over-cap value extent (boundary buffers scale with it)
+    kept("SELECT v, sum(x) OVER (ORDER BY v RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
+    // order-SENSITIVE aggregate: per-key buffers make first_value
+    // undefined here (the ROWS families' ordered widening doesn't apply)
+    kept("SELECT v, first_value(x) OVER (ORDER BY v RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
+  }
+}

@@ -153,9 +153,10 @@ class GlobalRunningAggSpec extends AnyFunSuite {
     // analyzer itself — the matcher's isDistinct=false / filter=None
     // arms are pure defense)
     // bounded ROWS moving frames route to GlobalMovingAgg since late
-    // r12 (GlobalMovingAggSpec) — RANGE moving frames are value-
-    // bounded, not row-bounded, and still need real frame execution
-    kept("SELECT v, sum(x) OVER (ORDER BY v RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM ra_t")
+    // r12 (GlobalMovingAggSpec); bounded RANGE moving frames on
+    // integral ascending keys route to GlobalRangeMovingAgg since r13
+    // (GlobalRangeMovingAggSpec pins both directions) — unbounded-
+    // buffer imperatives still keep WindowExec
     kept("SELECT v, collect_list(x) OVER (ORDER BY v) AS s FROM ra_t")
     // a moving lower bound un-anchors nth_value's frame start — the
     // start-anchored forms rewrite via GlobalNthValue instead

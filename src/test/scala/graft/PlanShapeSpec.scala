@@ -356,6 +356,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pp.collect { case e: ShuffleExchangeExec => e }
       .forall(_.outputPartitioning.numPartitions > 1),
       s"q_pctexact_rewrite grew a 1-partition exchange:\n$pp")
+    // the r13 dense-domain RANGE tier: three value-bounded frames
+    // through ONE GlobalRangeMovingAggExec, zero WindowExec, no
+    // 1-partition exchange anywhere
+    val prm = plan("q_rangemov_rewrite")
+    assert(prm.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_rangemov_rewrite kept a WindowExec:\n$prm")
+    assert(prm.collect {
+      case g: graft.plans.GlobalRangeMovingAggExec => g
+    }.size == 1,
+      s"q_rangemov_rewrite must run through ONE GlobalRangeMovingAggExec:\n$prm")
+    assert(prm.collect { case e: ShuffleExchangeExec => e }
+      .forall(_.outputPartitioning.numPartitions > 1),
+      s"q_rangemov_rewrite grew a 1-partition exchange:\n$prm")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
