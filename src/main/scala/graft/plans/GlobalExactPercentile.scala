@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Distributed EXACT whole-frame percentile (r12) — `percentile(e, p)
   * OVER ()` / `median(e) OVER ()` over an integral column, with ZERO
@@ -37,11 +37,17 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
   *     row, preserving the child's partitioning and ordering.
   *
   * Input columns: INTEGRAL (byte/short/int/long — selection keys are
-  * the values themselves) and FLOAT/DOUBLE (keys are the IEEE
+  * the values themselves), FLOAT/DOUBLE (keys are the IEEE
   * sortable-bits mapping, whose signed-long order equals the double
   * total order on the UnsafeRow-normalized values both this operator
   * and the built-in see — so integer bucket arithmetic stays exact and
-  * the recovered endpoints are bit-identical). Decimals stay on
+  * the recovered endpoints are bit-identical), and — since r13
+  * (VERDICT r12 task 4) — BOUNDED-PRECISION DECIMALS (precision <= 18:
+  * the key is the unscaled long, whose signed order equals the decimal
+  * order at the column's fixed scale; the endpoint maps back through
+  * `Decimal(key, p, s).toDouble`, the exact `toDoubleValue` the
+  * built-in interpolates with — `percentile` over money columns is the
+  * common case at scale). Wider decimals (no exact long key) stay on
   * WindowExec. Nulls are ignored (Percentile's own semantics); an
   * all-null / empty input yields null; NaN maps canonical-greatest,
   * exactly the built-in's sort position.
@@ -286,8 +292,23 @@ object GlobalExactPercentile {
     * all-but-sign for negatives): signed-long order then equals Java's
     * Double total order (-0.0 < 0.0, canonical NaN greatest) — which
     * is Spark's order on the UnsafeRow-normalized values both this
-    * operator and the built-in actually see. Static so task closures
-    * capture no operator state. */
+    * operator and the built-in actually see. Bounded-precision
+    * decimals (precision <= 18) map to the unscaled long — exact, and
+    * order-equal at the column's fixed scale. Static so task closures
+    * capture no operator state.
+    *
+    * NORMALIZATION PRECONDITION (ADVICE r12): the driver-side
+    * interpolation treats selection-KEY equality (`kHi == kLo`) as
+    * PercentileBase's double VALUE equality. For float/double that
+    * equivalence holds only because every input row here has passed
+    * through UnsafeRow writes, which normalize -0.0 to +0.0 and every
+    * NaN to the canonical bits — distinct raw bit patterns of an
+    * equal/unordered value cannot reach this mapping. A future input
+    * path that bypasses UnsafeRow normalization, or a type extension
+    * whose key is many-to-one on distinct values, must re-derive that
+    * equivalence before reusing `endpointDouble`. (The decimal key is
+    * exactly one-to-one at fixed scale, so the equivalence is
+    * structural there.) */
   private[plans] def longOf(dt: DataType, v: Any): Long = dt match {
     case LongType => v.asInstanceOf[Long]
     case IntegerType => v.asInstanceOf[Int].toLong
@@ -295,6 +316,8 @@ object GlobalExactPercentile {
     case ByteType => v.asInstanceOf[Byte].toLong
     case DoubleType => sortableBits(v.asInstanceOf[Double])
     case FloatType => sortableBits(v.asInstanceOf[Float].toDouble)
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      v.asInstanceOf[Decimal].toUnscaledLong
     case other => throw new IllegalStateException(s"unsupported $other")
   }
 
@@ -310,6 +333,10 @@ object GlobalExactPercentile {
     case DoubleType | FloatType =>
       val b = if (key < 0) key ^ Long.MaxValue else key
       java.lang.Double.longBitsToDouble(b)
+    case d: DecimalType =>
+      // the built-in interpolates PercentileBase.toDoubleValue =
+      // Decimal.toDouble — rebuild the decimal at the column's scale
+      Decimal(key, d.precision, d.scale).toDouble
     case _ => key.toDouble
   }
 

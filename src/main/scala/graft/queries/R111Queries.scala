@@ -68,5 +68,47 @@ object R111Queries {
         |    RANGE BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS fut_min
         |FROM daily ORDER BY dayn""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qRangemovRewrite)
+  /** `q_pctexact_decimal`: exact percentiles over a DECIMAL(18,2)
+    * money column through the r13 decimal tier of
+    * [[graft.plans.GlobalExactPercentile]] (VERDICT r12 task 4 —
+    * unscaled-long selection keys). Hash safety: the decimal values
+    * are exact binary quarters (k/4 at scale 2: .00/.25/.50/.75), the
+    * percentages are quarter fractions, so `p*(N-1)`, both
+    * interpolation weights, the `Decimal.toDouble` endpoints, and
+    * every product/sum are EXACT doubles — both engines' type-7
+    * interpolation agrees bit-for-bit regardless of how each
+    * associates the formula (the q_pctexact_rewrite argument carried
+    * onto decimals). The DuckDB side computes the same values in
+    * plain DOUBLE (`q/4.0`), keeping the oracle SQL decimal-free per
+    * the fragility guard; only the SPARK side exercises the decimal
+    * key path. Negatives included (`q - 199`): the unscaled-long key
+    * must order signed values correctly. */
+  val qPctexactDecimal = QueryDef("q_pctexact_decimal",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val dec = orders.select(
+        ((expr("CAST(round(o_totalprice) AS BIGINT)") % 397L - 199L)
+          .cast("decimal(18,0)") / 4).cast("decimal(18,2)").as("m"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      RewriteGlobalRankWindows.force(dec.select(
+        expr("percentile(m, 0.25)").over(w).as("p25"),
+        expr("percentile(m, 0.5)").over(w).as("p50"),
+        expr("percentile(m, 0.75)").over(w).as("p75"),
+        expr("median(m)").over(w).as("med"),
+        count(lit(1)).over(w).cast("long").as("n")))
+        .distinct()
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT CAST(CAST(round(o_totalprice) AS BIGINT) % 397 - 199 AS DOUBLE)
+        |    / 4.0 AS m
+        |  FROM orders)
+        |SELECT quantile_cont(m, 0.25) AS p25,
+        |  quantile_cont(m, 0.5) AS p50,
+        |  quantile_cont(m, 0.75) AS p75,
+        |  quantile_cont(m, 0.5) AS med,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qRangemovRewrite, qPctexactDecimal)
 }

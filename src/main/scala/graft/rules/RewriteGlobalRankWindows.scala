@@ -420,8 +420,10 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * order statistics by iterative histogram narrowing (floating
     * columns through the IEEE sortable-bits keys), zero shuffle, no
     * sort, and interpolates with PercentileBase's own arithmetic.
-    * Array percentages, weighted frequencies, percentile_disc's
-    * reverse form, and decimal inputs keep WindowExec. */
+    * Bounded-precision decimal inputs (precision <= 18) select on the
+    * exact unscaled-long key (r13). Array percentages, weighted
+    * frequencies, percentile_disc's reverse form, and wider decimals
+    * keep WindowExec. */
   private def pctOf(ne: NamedExpression): Option[(Alias, Expression, Double, AttributeReference)] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
     ne match {
@@ -458,6 +460,11 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
                    org.apache.spark.sql.types.ByteType |
                    org.apache.spark.sql.types.DoubleType |
                    org.apache.spark.sql.types.FloatType => true
+              // r13 (VERDICT r12 task 4): bounded-precision decimals
+              // select on the exact unscaled long; wider decimals have
+              // no exact long key and keep WindowExec
+              case d: org.apache.spark.sql.types.DecimalType =>
+                d.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS
               case _ => false
             }) && unitFrequency(p.frequencyExpression)
           if (!ok) None

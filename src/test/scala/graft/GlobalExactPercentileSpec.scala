@@ -130,16 +130,51 @@ class GlobalExactPercentileSpec extends AnyFunSuite {
     assert(p.collect { case g: GlobalExactPercentileExec => g }.size == 1, p.toString)
   }
 
-  test("non-rewrites: decimal input, array percentages, running percentile keep WindowExec") {
+  test("decimal columns (precision <= 18): unscaled-long keys — bit-equal incl. negatives, nulls, p=0.9") {
+    // r13 (VERDICT r12 task 4): arbitrary cents at scale 2 including
+    // negatives and nulls, exact (p=0.0/0.25) and inexact (p=0.9)
+    // interpolation weights — the forced plan must reproduce the
+    // built-in's doubles bit-for-bit (both interpolate on
+    // Decimal.toDouble endpoints)
+    val df = spark.range(5000)
+      .select(col("id").as("v"),
+        when(col("id") % 11 === 0, lit(null))
+          .otherwise(((col("id") * 48271L % 99991L) - 45000L)
+            .cast("decimal(18,0)") / 100)
+          .cast("decimal(18,2)").as("m"))
+      .repartition(7)
+    df.createOrReplaceTempView("pct_dec")
+    val sqlText =
+      """SELECT v,
+        |  percentile(m, 0.5) OVER () AS p50,
+        |  percentile(m, 0.25) OVER () AS p25,
+        |  percentile(m, 0.9) OVER () AS p90,
+        |  percentile(m, 0.0) OVER () AS p0,
+        |  median(m) OVER () AS med
+        |FROM pct_dec""".stripMargin
+    val windowed = spark.sql(sqlText)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.schema == windowed.schema)
+    def bitsOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), (1 to 5).map(i =>
+        java.lang.Double.doubleToLongBits(r.getDouble(i))))).toSet
+    assert(bitsOf(forced.collect()) == bitsOf(windowed.collect()))
+    val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalExactPercentileExec => g }.size == 1, p.toString)
+  }
+
+  test("non-rewrites: wide decimals, array percentages, running percentile keep WindowExec") {
     val df = spark.range(60).select(col("id").as("v"),
-      (col("id") % 9).as("x"), (col("id") % 9).cast("decimal(10,2)").as("xc"))
+      (col("id") % 9).as("x"), (col("id") % 9).cast("decimal(20,2)").as("xc"))
     df.createOrReplaceTempView("pct_keep")
     def kept(sql: String): Unit = {
       val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sql)))
       assert(p.collect { case g: GlobalExactPercentileExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    // decimal input: no exact long selection key — stays built-in
+    // precision > 18: no exact long selection key — stays built-in
+    // (bounded-precision decimals rewrite since r13, tested above)
     kept("SELECT v, percentile(xc, 0.5) OVER () AS s FROM pct_keep")
     // array percentages return ARRAY<DOUBLE> — out of the scalar form
     kept("SELECT v, percentile(x, array(0.25, 0.75)) OVER () AS s FROM pct_keep")
