@@ -110,5 +110,56 @@ object R111Queries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM t""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qRangemovRewrite, qPctexactDecimal)
+  /** `q_skewrank_rewrite`: per-key event sequencing under a HOT key —
+    * the r13 skew tier ([[graft.plans.PartitionedRank]], VERDICT r12
+    * task 6). A third of all users fold into key -1, so the built-in
+    * hash-clustered WindowExec would push ~1/3 of the corpus through
+    * ONE task; `RewriteGlobalRankWindows.forceSkew` routes the window
+    * through the composite `(k, v)` range sub-split with per-key
+    * offset stitching instead (PlanShapeSpec pins the shape). The
+    * window order ends on the unique event_id, so row_number is
+    * deterministic; the per-key rollup keeps the oracle row small
+    * while `sum(rn * cents)` pins the FULL rank assignment, not just
+    * the extremes. */
+  val qSkewrankRewrite = QueryDef("q_skewrank_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cents"), col("event_id"))
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("cents"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("dr")))
+        .groupBy("k")
+        .agg(count(lit(1)).cast("long").as("n"),
+          max(col("rk")).as("max_rk"),
+          max(col("dr")).as("n_distinct"),
+          sum(col("rn") * col("cents")).cast("long").as("rank_checksum"))
+        .orderBy("k")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |ranked AS (
+        |  SELECT k, cents,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY cents, event_id)
+        |      AS BIGINT) AS rn,
+        |    CAST(rank() OVER (PARTITION BY k ORDER BY cents, event_id)
+        |      AS BIGINT) AS rk,
+        |    CAST(dense_rank() OVER (PARTITION BY k ORDER BY cents, event_id)
+        |      AS BIGINT) AS dr
+        |  FROM ev)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n, max(rk) AS max_rk,
+        |  max(dr) AS n_distinct,
+        |  CAST(sum(rn * cents) AS BIGINT) AS rank_checksum
+        |FROM ranked GROUP BY k ORDER BY k""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(qRangemovRewrite, qPctexactDecimal, qSkewrankRewrite)
 }

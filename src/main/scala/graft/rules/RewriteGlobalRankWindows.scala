@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode}
+import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedRank, PartitionedRankNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -79,11 +79,24 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.rewrite.globalRankWindows"
 
+  /** The r13 skew tier's own gate (VERDICT r12 task 6): PARTITIONED
+    * rank windows through [[graft.plans.PartitionedRankNode]]. A
+    * separate conf on purpose — on a FLAT key histogram the built-in's
+    * hash exchange beats a range exchange plus a count job, so the
+    * skew route must be an explicit choice (this conf, or
+    * [[forceSkew]]), never a side effect of enabling the global-window
+    * rewrite. */
+  val SkewConfKey = "spark.graft.rewrite.partitionedRankWindows"
+
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "false").trim.equalsIgnoreCase("true")
+  private def skewEnabled: Boolean =
+    SQLConf.get.getConfString(SkewConfKey, "false").trim.equalsIgnoreCase("true")
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled) plan else rewrite(plan)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val p1 = if (!enabled) plan else rewrite(plan)
+    if (!skewEnabled) p1 else rewriteSkew(p1)
+  }
 
   /** The rank statistic `fn` computes, if `fn` is in the rewritable
     * family. `ntile` only with a positive integer-literal bucket count
@@ -633,6 +646,62 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
             explicitMetadata = Some(a.metadata))
       }
       Project(projected, node)
+  }
+
+  /** The skew tier's rewrite: a PARTITIONED `Window` whose expressions
+    * are ALL stitchable rank modes (row_number/rank/dense_rank — the
+    * per-key position arithmetic that telescopes across a hot key's
+    * range sub-split) becomes one [[PartitionedRankNode]]. Percent/
+    * cume/ntile need each key's total (a second stitching direction)
+    * and keep WindowExec. */
+  private[graft] def rewriteSkew(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Window(wexprs, partSpec, orderSpec, child, _)
+        if wexprs.nonEmpty && partSpec.nonEmpty &&
+          partSpec.forall(_.deterministic) &&
+          orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
+          wexprs.forall(e => skewRankOf(e).isDefined) =>
+      val classified = wexprs.map(e => skewRankOf(e).get)
+      val rankCols = classified.map { case (a, m) =>
+        RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
+          nullable = false)(), m)
+      }
+      val node = PartitionedRankNode(partSpec, orderSpec, rankCols, child)
+      val projected = child.output ++ classified.zip(rankCols).map {
+        case ((a, _), rc) =>
+          // the built-ins are INT; the node emits LONG — cast back so
+          // downstream types and the user-visible schema are unchanged
+          Alias(Cast(rc.attr, IntegerType), a.name)(exprId = a.exprId,
+            qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+      }
+      Project(projected, node)
+  }
+
+  /** (alias, mode) iff `ne` is a PARTITIONED window over a stitchable
+    * rank mode. */
+  private def skewRankOf(ne: NamedExpression): Option[(Alias, RankMode)] = ne match {
+    case a @ Alias(WindowExpression(fn, WindowSpecDefinition(ps, _, _)), _)
+        if ps.nonEmpty =>
+      fn match {
+        case _: RowNumber => Some((a, RankMode.RowNumber))
+        case _: Rank => Some((a, RankMode.Rank))
+        case _: DenseRank => Some((a, RankMode.DenseRank))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** [[force]]'s sibling for the skew tier: apply BOTH the global
+    * rewrite and the partitioned-rank rewrite to one DataFrame,
+    * unconditionally and without session-conf side effects. Separate
+    * from [[force]] so existing force() call sites keep their plans
+    * (the skew route costs a range exchange + count job and must be
+    * chosen, not inherited). */
+  def forceSkew(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    PartitionedRank.ensureStrategy(spark)
+    val globalised = force(df)
+    GraftSqlBridge.ofRows(spark,
+      rewriteSkew(globalised.queryExecution.analyzed))
   }
 
   /** Apply the rewrite to ONE DataFrame, unconditionally and without

@@ -370,6 +370,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(prm.collect { case e: ShuffleExchangeExec => e }
       .forall(_.outputPartitioning.numPartitions > 1),
       s"q_rangemov_rewrite grew a 1-partition exchange:\n$prm")
+    // the r13 skew tier: the hot-key partitioned window runs through
+    // ONE PartitionedRankExec under a composite RANGE exchange — no
+    // hash-clustered WindowExec funnel for key -1's third of the corpus
+    val psk = plan("q_skewrank_rewrite")
+    assert(psk.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewrank_rewrite kept a WindowExec:\n$psk")
+    assert(psk.collect {
+      case g: graft.plans.PartitionedRankExec => g
+    }.size == 1,
+      s"q_skewrank_rewrite must rank through ONE PartitionedRankExec:\n$psk")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
