@@ -350,22 +350,39 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     }
   }
 
+  /** Sub-gate for the sketch tier (ADVICE r12): routing
+    * `approx_percentile OVER ()` through GlobalFrameAgg makes that one
+    * function's RESULT partitioning-dependent — the GK summary merge
+    * order is partition order, so output bits can change when the
+    * partition count changes (AQE, cluster size), within the
+    * function's rank-error contract but unlike the single-task
+    * built-in. (HLL++ has no such dependence: register maxima are
+    * bit-identical under any partitioning.) Exact-reproducibility runs
+    * can disable JUST the sketch tier here without giving up the exact
+    * families. Default on — the whole-frame rewrite is the documented
+    * 100 TB path and the error contract is the function's own. */
+  val SketchConfKey = "spark.graft.rewrite.sketchFrameAgg"
+  private def sketchTierEnabled: Boolean =
+    SQLConf.get.getConfString(SketchConfKey, "true").trim.equalsIgnoreCase("true")
+
   /** The BOUNDED-SKETCH allowlist for the whole-frame family:
     * imperative aggregates whose buffer is sketch-sized by
     * construction and whose merge is order-robust —
     * approx_count_distinct's HLL++ (register maxima: bit-identical
     * under any partitioning) and approx_percentile's GK summary
     * (within its rank-error bound across partitionings, the same
-    * property Spark's own partial aggregation gives it). This is the
-    * WindowWhitelist's documented "at 100 TB the same statistic runs
-    * via approx_percentile" alternative, executed. Unbounded-buffer
-    * imperatives (collect_list/percentile/mode) stay on WindowExec. */
+    * property Spark's own partial aggregation gives it; see
+    * [[SketchConfKey]] for the reproducibility caveat and its own
+    * off-switch). This is the WindowWhitelist's documented "at 100 TB
+    * the same statistic runs via approx_percentile" alternative,
+    * executed. Unbounded-buffer imperatives (collect_list/percentile/
+    * mode) stay on WindowExec. */
   private def sketchAllowed(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Boolean =
-    fn match {
+    sketchTierEnabled && (fn match {
       case _: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus => true
       case _: org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile => true
       case _ => false
-    }
+    })
 
   /** (alias, function, generated attr) iff `ne` is a rewritable
     * WHOLE-FRAME global window: an order-insensitive allowlisted

@@ -47,7 +47,7 @@ class GlobalExactPercentileSpec extends AnyFunSuite {
     val windowed = spark.sql(sqlText)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalExactPercentileExec => g }.size == 1, p.toString)
@@ -64,7 +64,7 @@ class GlobalExactPercentileSpec extends AnyFunSuite {
       "SELECT v, percentile(x, 0.5) OVER () AS p50, percentile(x, 0.75) OVER () AS p75 FROM pct_ext"
     val windowed = spark.sql(sqlText)
     val forced = RewriteGlobalRankWindows.force(windowed)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     // median of the 7 sorted values is the 4th: 0
     assert(forced.select("p50").distinct().collect()(0).getDouble(0) == 0.0)
   }
@@ -90,7 +90,7 @@ class GlobalExactPercentileSpec extends AnyFunSuite {
       "SELECT v, percentile(x, 0.5) OVER () AS p50, sum(x) OVER () AS tot FROM pct_mix"
     val windowed = spark.sql(sqlText)
     val forced = RewriteGlobalRankWindows.force(windowed)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalExactPercentileExec => g }.size == 1)

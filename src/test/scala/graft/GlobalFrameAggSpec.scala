@@ -42,7 +42,7 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalFrameAggExec => g }.size == 1, p.toString)
@@ -62,7 +62,7 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     val windowed = spark.sql(sqlText)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalFrameAggExec => g }.size == 1, p.toString)
@@ -75,8 +75,8 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     val w = Window.partitionBy()
     def build(d: DataFrame) = d.select(col("v"),
       sum("x").over(w).as("s"), count("x").over(w).as("c"))
-    assert(RewriteGlobalRankWindows.force(build(nulls)).collect().toSet ==
-      build(nulls).collect().toSet)
+    assert(RowMultiset.of(RewriteGlobalRankWindows.force(build(nulls))) ==
+      RowMultiset.of(build(nulls)))
     // empty input: no rows out, no failure from the empty driver merge
     val empty = spark.range(0).select(col("id").as("v"), col("id").as("x"))
     assert(RewriteGlobalRankWindows.force(build(empty)).collect().isEmpty)
@@ -88,7 +88,7 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     val wantDec = buildDec(dec)
     val gotDec = RewriteGlobalRankWindows.force(buildDec(dec))
     assert(gotDec.schema == wantDec.schema)
-    assert(gotDec.collect().toSet == wantDec.collect().toSet)
+    assert(RowMultiset.of(gotDec) == RowMultiset.of(wantDec))
   }
 
   test("ratio-to-total mix: running + whole-frame stack on ONE range exchange") {
@@ -102,7 +102,7 @@ class GlobalFrameAggSpec extends AnyFunSuite {
         |FROM fa_mix""".stripMargin
     val windowed = spark.sql(sqlText)
     val forced = RewriteGlobalRankWindows.force(windowed)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalRunningAggExec => g }.size == 1, p.toString)
@@ -124,7 +124,7 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalFrameAggExec => g }.size == 1, p.toString)
@@ -160,6 +160,31 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     assert(p.collect { case g: GlobalFrameAggExec => g }.size == 1, p.toString)
   }
 
+  test("sketch sub-conf: spark.graft.rewrite.sketchFrameAgg=false keeps sketches on WindowExec") {
+    // ADVICE r12: approx_percentile's GK merge order is partition
+    // order, so the sketch tier's output is partitioning-dependent
+    // (within the rank-error contract) — exact-reproducibility runs
+    // can turn off JUST the sketch tier; the exact families still fire
+    spark.range(500).select(col("id").as("v"), (col("id") % 71).as("x"))
+      .createOrReplaceTempView("fa_subconf")
+    val sqlText =
+      """SELECT v, approx_percentile(x, 0.5, 1000) OVER () AS med,
+        |  sum(x) OVER () AS tot
+        |FROM fa_subconf""".stripMargin
+    spark.conf.set(RewriteGlobalRankWindows.SketchConfKey, "false")
+    try {
+      val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
+      // the mixed node keeps WindowExec whole (one out-of-family
+      // expression pins the node, same as every other family gate)
+      assert(p.collect { case g: GlobalFrameAggExec => g }.isEmpty, p.toString)
+      assert(p.collect { case x: WindowExec => x }.size == 1, p.toString)
+    } finally spark.conf.unset(RewriteGlobalRankWindows.SketchConfKey)
+    // back on (default): the same SQL rewrites
+    val p2 = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
+    assert(p2.collect { case g: GlobalFrameAggExec => g }.size == 1, p2.toString)
+    assert(p2.collect { case x: WindowExec => x }.isEmpty, p2.toString)
+  }
+
   test("non-rewrites: order-dependent whole-frame functions keep WindowExec") {
     val df = spark.range(80).select(col("id").as("v"), (col("id") % 9).as("x"))
     df.createOrReplaceTempView("fa_keep")
@@ -175,9 +200,10 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     kept("SELECT v, last_value(x) OVER () AS s FROM fa_keep")
     kept("SELECT v, collect_list(x) OVER () AS s FROM fa_keep")
     // unbounded-buffer imperatives are NOT sketches — exact percentile
-    // on integral/float columns routes to GlobalExactPercentile
-    // instead (GlobalExactPercentileSpec); the decimal form has no
-    // exact long selection key and stays built-in
-    kept("SELECT v, percentile(CAST(x AS DECIMAL(10,2)), 0.5) OVER () AS s FROM fa_keep")
+    // on integral/float/bounded-decimal columns routes to
+    // GlobalExactPercentile instead (GlobalExactPercentileSpec; the
+    // decimal tier landed in r13); only WIDE decimals (precision > 18,
+    // no exact long selection key) stay built-in
+    kept("SELECT v, percentile(CAST(x AS DECIMAL(20,2)), 0.5) OVER () AS s FROM fa_keep")
   }
 }

@@ -31,7 +31,7 @@ class GlobalMovingAggSpec extends AnyFunSuite {
   private def assertSame(windowed: DataFrame): Unit = {
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalMovingAggExec => g }.size == 1, p.toString)
@@ -111,7 +111,7 @@ class GlobalMovingAggSpec extends AnyFunSuite {
       sum("x").over(wr).as("rsum"),
       sum("x").over(wm).as("msum"))
     val forced = RewriteGlobalRankWindows.force(windowed)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalRankExec => g }.size == 1)

@@ -43,7 +43,7 @@ class GlobalNthValueSpec extends AnyFunSuite {
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalNthValueExec => g }.size == 1, p.toString)
@@ -65,7 +65,7 @@ class GlobalNthValueSpec extends AnyFunSuite {
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     // k past the input end: null on every row (checked against the
     // built-in above, and explicitly here)
     assert(forced.select("npast").distinct().collect().toSeq
@@ -82,7 +82,7 @@ class GlobalNthValueSpec extends AnyFunSuite {
       sum("x").over(wr).as("rsum"),
       nth_value(col("x"), 3).over(wr).as("n3"))
     val forced = RewriteGlobalRankWindows.force(windowed)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalRankExec => g }.size == 1)

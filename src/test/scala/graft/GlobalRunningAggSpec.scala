@@ -39,7 +39,7 @@ class GlobalRunningAggSpec extends AnyFunSuite {
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalRunningAggExec => g }.size == 1, p.toString)
@@ -57,7 +57,7 @@ class GlobalRunningAggSpec extends AnyFunSuite {
       sum("x").over(w).as("rsum"), count(lit(1)).over(w).as("rcnt"))
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
   }
 
   test("decimal sum widens, avg divides, count skips nulls — the functions' own exprs") {
@@ -75,7 +75,7 @@ class GlobalRunningAggSpec extends AnyFunSuite {
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
   }
 
   test("count(*) and three-family stack: rank + shift + running agg on ONE exchange") {
@@ -90,7 +90,7 @@ class GlobalRunningAggSpec extends AnyFunSuite {
       count(lit(1)).over(wr).as("rcnt"),
       sum("x").over(wr).as("rsum"))
     val forced = RewriteGlobalRankWindows.force(windowed)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalRankExec => g }.size == 1)
@@ -113,7 +113,7 @@ class GlobalRunningAggSpec extends AnyFunSuite {
       expr("bool_or(f)").over(w).as("any_f"), expr("bool_and(f)").over(w).as("all_f"))
     val exactF = RewriteGlobalRankWindows.force(exactW)
     assert(exactF.schema == exactW.schema)
-    assert(exactF.collect().toSet == exactW.collect().toSet)
+    assert(RowMultiset.of(exactF) == RowMultiset.of(exactW))
     assert(noAqePlan(RewriteGlobalRankWindows.force(exactW)).collect {
       case g: GlobalRunningAggExec => g
     }.size == 1)
@@ -182,7 +182,7 @@ class GlobalRunningAggSpec extends AnyFunSuite {
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalRunningAggExec => g }.size == 1, p.toString)
@@ -200,6 +200,6 @@ class GlobalRunningAggSpec extends AnyFunSuite {
       first(col("x")).over(w).as("fv"))
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
   }
 }

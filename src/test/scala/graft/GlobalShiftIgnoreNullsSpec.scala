@@ -48,7 +48,7 @@ class GlobalShiftIgnoreNullsSpec extends AnyFunSuite {
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalShiftExec => g }.size == 1, p.toString)
@@ -67,7 +67,7 @@ class GlobalShiftIgnoreNullsSpec extends AnyFunSuite {
     val windowed = build(df)
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     // the all-null column never accumulates a non-null → default on
     // every row, on both engines
     assert(forced.select("an").distinct().collect().map(_.get(0)).toSeq == Seq(-7L))
@@ -83,7 +83,7 @@ class GlobalShiftIgnoreNullsSpec extends AnyFunSuite {
       lag(col("x"), 2, null, ignoreNulls = true).over(w).as("p2nn"),
       lead("x", 2).over(w).as("n2"))
     val forced = RewriteGlobalRankWindows.force(windowed)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalShiftExec => g }.size == 1, p.toString)

@@ -41,7 +41,7 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
     val forced = RewriteGlobalRankWindows.force(windowed)
     // user-visible schema unchanged: built-in INT / DOUBLE types survive
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
   }
 
   test("force(): tie-aware functions exact under heavy ties; positional ones consistent") {
@@ -111,8 +111,8 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
       collect_list("v").over(w).as("vs"))
     val p2 = noAqePlan(RewriteGlobalRankWindows.force(mixed))
     assert(p2.collect { case g: GlobalRankExec => g }.isEmpty, p2.toString)
-    assert(RewriteGlobalRankWindows.force(mixed).collect().toSet ==
-      mixed.collect().toSet)
+    assert(RowMultiset.of(RewriteGlobalRankWindows.force(mixed)) ==
+      RowMultiset.of(mixed))
   }
 
   test("conf gate: default off keeps WindowExec; flag on rewrites SQL windows") {
@@ -141,7 +141,7 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
       val p = on.queryExecution.executedPlan
       assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
       assert(p.collect { case g: GlobalRankExec => g }.size == 1, p.toString)
-      assert(on.collect().toSet == off.collect().toSet)
+      assert(RowMultiset.of(on) == RowMultiset.of(off))
       assert(on.schema == off.schema)
     } finally {
       SparkSession.setDefaultSession(spark)
@@ -163,7 +163,7 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
       lag("x", -4).over(w).as("neg"))
     val forced = RewriteGlobalRankWindows.force(windowed)
     assert(forced.schema == windowed.schema)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     // fresh force(): the lazy executedPlan above was already realized
     // under AQE, which hides the exec from a plain collect
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
@@ -183,7 +183,7 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
       lag("x", 1).over(w).as("prev"),
       lead("x", 1).over(w).as("nxt"))
     val forced = RewriteGlobalRankWindows.force(windowed)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
     val p = noAqePlan(RewriteGlobalRankWindows.force(windowed))
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalRankExec => g }.size == 1, p.toString)
@@ -234,6 +234,6 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
     val p = noAqePlan(forced)
     assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
     assert(p.collect { case g: GlobalRankExec => g }.size == 2, p.toString)
-    assert(forced.collect().toSet == windowed.collect().toSet)
+    assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
   }
 }

@@ -2,6 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Order-insensitive, MULTIPLICITY-PRESERVING result compare (ADVICE
+  * r12: `collect().toSet` dedupes rows, so a bug that drops or
+  * duplicates rows passes a set compare whenever the projection can
+  * collide — e.g. 7 distinct keys over 900 rows). Rendering each row
+  * and sorting keeps duplicates countable without needing an Ordering
+  * for every column type. */
+object RowMultiset {
+  def of(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+}
+
 /** One shared local session for the whole forked test JVM. */
 object SparkTestSession {
   lazy val spark: SparkSession = {
