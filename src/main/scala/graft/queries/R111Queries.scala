@@ -160,6 +160,49 @@ object R111Queries {
         |  CAST(sum(rn * cents) AS BIGINT) AS rank_checksum
         |FROM ranked GROUP BY k ORDER BY k""".stripMargin))
 
+  /** `q_skewrunagg_rewrite`: per-key CUMULATIVE statistics under the
+    * same hot key as `q_skewrank_rewrite`, through the skew tier's
+    * running-aggregate member ([[graft.plans.PartitionedRunningAgg]]).
+    * Row-level output on purpose — every one of the hot key's
+    * cumulative values crosses the stitched partition boundaries, so
+    * the DuckDB hash checks the full prefix stitching, not a rollup.
+    * The window order ends on the unique event_id (deterministic ROWS
+    * frame); first_value rides the same node, pinning the ordered
+    * prefix merge's keep-left exactness. All-BIGINT lattice. */
+  val qSkewrunaggRewrite = QueryDef("q_skewrunagg_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cents"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        sum("cents").over(w).cast("long").as("cum_cents"),
+        count(lit(1)).over(w).cast("long").as("cum_n"),
+        min("cents").over(w).cast("long").as("cum_min"),
+        first("cents").over(w).cast("long").as("first_cents")))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents, event_id
+        |  FROM events)
+        |SELECT k, event_id,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cum_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS cum_n,
+        |  CAST(min(cents) OVER w AS BIGINT) AS cum_min,
+        |  CAST(first_value(cents) OVER w AS BIGINT) AS first_cents
+        |FROM ev
+        |WINDOW w AS (PARTITION BY k ORDER BY cents, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY k, event_id""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(qRangemovRewrite, qPctexactDecimal, qSkewrankRewrite)
+    Seq(qRangemovRewrite, qPctexactDecimal, qSkewrankRewrite,
+      qSkewrunaggRewrite)
 }

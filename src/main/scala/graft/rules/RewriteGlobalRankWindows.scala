@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedRank, PartitionedRankNode}
+import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -666,31 +666,49 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   }
 
   /** The skew tier's rewrite: a PARTITIONED `Window` whose expressions
-    * are ALL stitchable rank modes (row_number/rank/dense_rank — the
+    * are ALL stitchable — rank modes (row_number/rank/dense_rank: the
     * per-key position arithmetic that telescopes across a hot key's
-    * range sub-split) becomes one [[PartitionedRankNode]]. Percent/
-    * cume/ntile need each key's total (a second stitching direction)
-    * and keep WindowExec. */
+    * range sub-split) and/or running aggregates (UNBOUNDED PRECEDING ..
+    * CURRENT ROW over the ordered allowlist: per-key prefix buffers
+    * stitch the same way) — becomes [[PartitionedRankNode]] and/or
+    * [[PartitionedRunningAggNode]], stacked on ONE composite range
+    * exchange. Percent/cume/ntile need each key's total (a second
+    * stitching direction) and keep WindowExec. */
   private[graft] def rewriteSkew(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Window(wexprs, partSpec, orderSpec, child, _)
         if wexprs.nonEmpty && partSpec.nonEmpty &&
           partSpec.forall(_.deterministic) &&
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
-          wexprs.forall(e => skewRankOf(e).isDefined) =>
-      val classified = wexprs.map(e => skewRankOf(e).get)
-      val rankCols = classified.map { case (a, m) =>
+          wexprs.forall(e =>
+            skewRankOf(e).isDefined || skewRunAggOf(e).isDefined) =>
+      val rankClassified = wexprs.flatMap(e => skewRankOf(e).map(e -> _))
+      val runClassified = wexprs.flatMap { e =>
+        if (skewRankOf(e).isDefined) None else skewRunAggOf(e).map(e -> _)
+      }
+      val rankCols = rankClassified.map { case (_, (a, m)) =>
         RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
           nullable = false)(), m)
       }
-      val node = PartitionedRankNode(partSpec, orderSpec, rankCols, child)
-      val projected = child.output ++ classified.zip(rankCols).map {
-        case ((a, _), rc) =>
+      val withRanks: LogicalPlan =
+        if (rankCols.isEmpty) child
+        else PartitionedRankNode(partSpec, orderSpec, rankCols, child)
+      val node: LogicalPlan =
+        if (runClassified.isEmpty) withRanks
+        else PartitionedRunningAggNode(partSpec, orderSpec,
+          runClassified.map(_._2._4), runClassified.map(_._2._2),
+          runClassified.map(_._2._3), withRanks)
+      val rankAliases = rankClassified.zip(rankCols).map {
+        case ((_, (a, _)), rc) =>
           // the built-ins are INT; the node emits LONG — cast back so
           // downstream types and the user-visible schema are unchanged
           Alias(Cast(rc.attr, IntegerType), a.name)(exprId = a.exprId,
             qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
       }
-      Project(projected, node)
+      val runAliases = runClassified.map { case (_, (a, _, _, attr)) =>
+        Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+          explicitMetadata = Some(a.metadata))
+      }
+      Project(child.output ++ rankAliases ++ runAliases, node)
   }
 
   /** (alias, mode) iff `ne` is a PARTITIONED window over a stitchable
@@ -707,6 +725,26 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** (alias, function, isRowsFrame, generated attr) iff `ne` is a
+    * PARTITIONED running-aggregate window over the ordered allowlist
+    * (same admission as [[runAggOf]] — the per-key prefix merge runs
+    * in partition order, which is global order under the composite
+    * exchange, so First/Last stay exact). */
+  private def skewRunAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Boolean, AttributeReference)] = ne match {
+    case a @ Alias(we @ WindowExpression(
+        AggregateExpression(fn0, Complete, false, None, _),
+        WindowSpecDefinition(ps, _,
+          SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _)
+        if ps.nonEmpty =>
+      unwrapAgg(fn0).collect {
+        case fn if allowedOrderedAgg(fn) && fn.deterministic =>
+          (a, fn, ft == RowFrame,
+            AttributeReference(s"__graft_${a.name}", fn.dataType,
+              nullable = we.nullable)())
+      }
+    case _ => None
+  }
+
   /** [[force]]'s sibling for the skew tier: apply BOTH the global
     * rewrite and the partitioned-rank rewrite to one DataFrame,
     * unconditionally and without session-conf side effects. Separate
@@ -716,6 +754,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   def forceSkew(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     PartitionedRank.ensureStrategy(spark)
+    PartitionedRunningAgg.ensureStrategy(spark)
     val globalised = force(df)
     GraftSqlBridge.ofRows(spark,
       rewriteSkew(globalised.queryExecution.analyzed))

@@ -120,9 +120,9 @@ class PartitionedRankSpec extends AnyFunSuite {
     // total-count-dependent modes need a second stitching direction
     kept("SELECT k, percent_rank() OVER (PARTITION BY k ORDER BY v) AS s FROM pr_nr")
     kept("SELECT k, ntile(4) OVER (PARTITION BY k ORDER BY v) AS s FROM pr_nr")
-    // offsets/aggregates are not position arithmetic
+    // offsets are not position arithmetic (running aggregates route to
+    // PartitionedRunningAgg since late r13 — PartitionedRunningAggSpec)
     kept("SELECT k, lead(v, 1) OVER (PARTITION BY k ORDER BY v) AS s FROM pr_nr")
-    kept("SELECT k, sum(v) OVER (PARTITION BY k ORDER BY v) AS s FROM pr_nr")
     // the plain force() path must NOT reroute partitioned windows — the
     // skew route is an explicit choice (flat histograms prefer the
     // built-in's hash exchange)

@@ -381,6 +381,16 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedRankExec => g
     }.size == 1,
       s"q_skewrank_rewrite must rank through ONE PartitionedRankExec:\n$psk")
+    // its running-aggregate sibling: cumulative per-key statistics
+    // through ONE PartitionedRunningAggExec, zero WindowExec
+    val psr = plan("q_skewrunagg_rewrite")
+    assert(psr.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewrunagg_rewrite kept a WindowExec:\n$psr")
+    assert(psr.collect {
+      case g: graft.plans.PartitionedRunningAggExec => g
+    }.size == 1,
+      s"q_skewrunagg_rewrite must run through ONE PartitionedRunningAggExec:\n$psr")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
