@@ -160,12 +160,22 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
         val upds = updateProjs()
         val joins = Array.fill(nFuncs)(new JoinedRow)
         val toUnsafes = funcsArr.map(AggPlumbing.toUnsafe)
-        var count = 0L
         var firstKey: Option[Long] = None
         var lastKey = 0L
         val head = scala.collection.mutable.ArrayBuffer.empty[KeyBufs]
         val tail = new java.util.ArrayDeque[KeyBufs]()
-        var curBufs: Array[SpecificInternalRow] = null
+        // one buffer set + one init projection set per PARTITION,
+        // re-targeted per key (not re-created per key — r13 self-review:
+        // MutableProjection.create per distinct key is per-key codegen
+        // cache traffic the siblings don't pay)
+        val curBufs = newBuffers()
+        val inits = funcsArr.zipWithIndex.map { case (f, j) =>
+          val p = AggPlumbing.initProj(f); p.target(curBufs(j)); p
+        }
+        locally {
+          var j = 0
+          while (j < nFuncs) { upds(j).target(curBufs(j)); j += 1 }
+        }
         var curKey = 0L
         var haveCur = false
         def snapshot(): KeyBufs = new KeyBufs(curKey,
@@ -182,7 +192,6 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
           haveCur = false
         }
         it.foreach { row =>
-          count += 1L
           val kr = keyProj(row)
           if (!kr.isNullAt(0)) { // null keys never cross partitions
             val k = keyOf(kr)
@@ -191,12 +200,8 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
               curKey = k
               if (firstKey.isEmpty) firstKey = Some(k)
               lastKey = k
-              if (curBufs == null) curBufs = newBuffers()
-              else funcsArr.indices.foreach { j =>
-                AggPlumbing.initProj(funcsArr(j)).target(curBufs(j))(InternalRow.empty)
-              }
               var j = 0
-              while (j < nFuncs) { upds(j).target(curBufs(j)); j += 1 }
+              while (j < nFuncs) { inits(j)(InternalRow.empty); j += 1 }
               haveCur = true
             }
             var j = 0
@@ -208,7 +213,7 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
         // matter to later partitions
         while (!tail.isEmpty &&
           tail.peekFirst().key < addSat(lastKey, -backExtent)) tail.pollFirst()
-        Iterator((pid, PartMeta(count, firstKey,
+        Iterator((pid, PartMeta(firstKey,
           firstKey.map(_ => lastKey), head.toArray,
           tail.toArray(new Array[KeyBufs](tail.size())))))
       }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
@@ -261,6 +266,12 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
 
     val out = output
     val numOutputRows = longMetric("numOutputRows")
+    // boundary buffers ride a BROADCAST, not the task closure: the
+    // closure would ship (and each task deserialize) every partition's
+    // buffers when a task needs only its own two slices (r13
+    // self-review); a broadcast deserializes once per executor
+    val bcPrevKeys = sparkContext.broadcast(prevKeys)
+    val bcNextKeys = sparkContext.broadcast(nextKeys)
     // pass 2: zip the sorted stream with itself — LEAD builds complete
     // per-key buffers into the sliding deque, LAG emits
     rdd.zipPartitions(rdd, preservesPartitioning = true) { (leadIt0, lagIt) =>
@@ -276,16 +287,21 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
       // the sliding per-key window (ascending keys), seeded with the
       // boundary keys before this partition
       val window = new java.util.ArrayDeque[KeyBufs]()
-      prevKeys(pid).foreach(window.addLast)
-      val nexts = nextKeys(pid)
+      bcPrevKeys.value(pid).foreach(window.addLast)
+      val nexts = bcNextKeys.value(pid)
       var nextIdx = 0
 
       // the null block (nulls first => consumed before any key)
       val nullBufs = newBuffers()
       var sawNull = false
 
-      // lead state: buffers for the key currently being built
-      var curBufs: Array[SpecificInternalRow] = null
+      // lead state: buffers for the key currently being built — one
+      // buffer/projection set per partition, re-targeted per key (r13
+      // self-review: no per-key MutableProjection.create)
+      val curBufs = newBuffers()
+      val leadInits = funcsArr.zipWithIndex.map { case (f, j) =>
+        val p = AggPlumbing.initProj(f); p.target(curBufs(j)); p
+      }
       var curKey = 0L
       var haveCur = false
       var leadDone = false
@@ -312,12 +328,12 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
           if (!haveCur || k != curKey) {
             closeCur()
             curKey = k
-            if (curBufs == null) curBufs = newBuffers()
-            else funcsArr.indices.foreach { j =>
-              AggPlumbing.initProj(funcsArr(j)).target(curBufs(j))(InternalRow.empty)
-            }
             var j = 0
-            while (j < nFuncs) { upds(j).target(curBufs(j)); j += 1 }
+            while (j < nFuncs) {
+              leadInits(j)(InternalRow.empty)
+              upds(j).target(curBufs(j))
+              j += 1
+            }
             haveCur = true
           }
           var j = 0
@@ -439,11 +455,11 @@ object GlobalRangeMovingAgg {
   final class KeyBufs(val key: Long, val bufs: Array[UnsafeRow])
     extends Serializable
 
-  /** Per-partition pass-1 payload: row count, first/last NON-NULL key,
-    * complete per-key buffers near each end (ascending key order).
-    * Top-level on purpose: an exec-inner class would drag the whole
-    * physical plan into the task-result serialization via `$outer`. */
-  private[plans] case class PartMeta(count: Long, firstKey: Option[Long],
+  /** Per-partition pass-1 payload: first/last NON-NULL key, complete
+    * per-key buffers near each end (ascending key order). Top-level on
+    * purpose: an exec-inner class would drag the whole physical plan
+    * into the task-result serialization via `$outer`. */
+  private[plans] case class PartMeta(firstKey: Option[Long],
                                      lastKey: Option[Long],
                                      head: Array[KeyBufs],
                                      tail: Array[KeyBufs])

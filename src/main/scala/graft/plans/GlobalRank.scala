@@ -184,7 +184,14 @@ case class GlobalRankExec(order: Seq[SortOrder], ranks: Seq[GlobalRank.RankCol],
         Iterator((pid, (rows, groups)))
       }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
     } else {
-      val countRdd = GlobalRank.preSortSource(child).execute()
+      // reuse the already-built RDD when there is no SortExec to skip —
+      // SparkPlan.execute() is not memoized, and re-executing a stacked
+      // graft child would re-run its own pass-1 driver jobs (r13
+      // self-review)
+      val countRdd = GlobalRank.preSortSource(child) match {
+        case same if same eq child => rdd
+        case preSort => preSort.execute()
+      }
       val n = countRdd.getNumPartitions
       val parts = if (needTotal || n == 0) 0 until n else 0 until (n - 1)
       val counts = new Array[Long](n) // uncounted tail stays 0 (unused)

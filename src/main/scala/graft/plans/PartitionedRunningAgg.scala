@@ -197,6 +197,10 @@ case class PartitionedRunningAggExec(partKeys: Seq[Expression],
 
     val out = output
     val numOutputRows = longMetric("numOutputRows")
+    // prefixes ride a broadcast: one executor-side deserialization
+    // instead of per-task closure payload (r13 self-review, same as
+    // GlobalRangeMovingAgg's boundary buffers)
+    val bcPrefixes = sparkContext.broadcast(prefixes)
     // pass 2: reset at key change, seed the first key from the prefix
     rdd.mapPartitionsWithIndex({ (pid, it) =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
@@ -220,7 +224,7 @@ case class PartitionedRunningAggExec(partKeys: Seq[Expression],
       }
       val aggRow = new GenericInternalRow(nFuncs)
       val joined = new JoinedRow
-      val prefix = prefixes(pid)
+      val prefix = bcPrefixes.value(pid)
       var curKey: UnsafeRow = null
       var onFirstKey = false
       def startKey(k: UnsafeRow): Unit = {

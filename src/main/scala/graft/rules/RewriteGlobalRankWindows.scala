@@ -332,7 +332,13 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       case a @ Alias(we @ WindowExpression(
           AggregateExpression(fn0, Complete, false, None, _),
           WindowSpecDefinition(Seq(),
-            Seq(SortOrder(key, Ascending, _, _)),
+            // NULLS FIRST required (the ascending default): the
+            // operator's null machinery consumes the null block at the
+            // STREAM HEAD — a NULLS LAST order would leave trailing
+            // null rows holding the last non-null key's frame (r13
+            // self-review)
+            Seq(SortOrder(key, Ascending,
+              org.apache.spark.sql.catalyst.expressions.NullsFirst, _)),
             SpecifiedWindowFrame(RangeFrame, lo0, hi0))), _)
           if lo0 != UnboundedPreceding && hi0 != UnboundedFollowing &&
             GlobalRangeMovingAgg.integralKey(key.dataType) &&
@@ -697,18 +703,25 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         else PartitionedRunningAggNode(partSpec, orderSpec,
           runClassified.map(_._2._4), runClassified.map(_._2._2),
           runClassified.map(_._2._3), withRanks)
-      val rankAliases = rankClassified.zip(rankCols).map {
-        case ((_, (a, _)), rc) =>
+      // replacement aliases keyed by SOURCE expression so the Project
+      // preserves the original per-expression column ORDER even when
+      // ranks and running aggregates interleave in wexprs (r13
+      // self-review: grouping by class would silently reorder the
+      // user-visible schema when the Window is the plan root)
+      val rankAliasByExpr: Map[NamedExpression, NamedExpression] =
+        rankClassified.zip(rankCols).map { case ((e, (a, _)), rc) =>
           // the built-ins are INT; the node emits LONG — cast back so
           // downstream types and the user-visible schema are unchanged
-          Alias(Cast(rc.attr, IntegerType), a.name)(exprId = a.exprId,
-            qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
-      }
-      val runAliases = runClassified.map { case (_, (a, _, _, attr)) =>
-        Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
-          explicitMetadata = Some(a.metadata))
-      }
-      Project(child.output ++ rankAliases ++ runAliases, node)
+          (e, Alias(Cast(rc.attr, IntegerType), a.name)(exprId = a.exprId,
+            qualifier = a.qualifier, explicitMetadata = Some(a.metadata)))
+        }.toMap
+      val runAliasByExpr: Map[NamedExpression, NamedExpression] =
+        runClassified.map { case (e, (a, _, _, attr)) =>
+          (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata)))
+        }.toMap
+      Project(child.output ++ wexprs.map(e =>
+        rankAliasByExpr.getOrElse(e, runAliasByExpr(e))), node)
   }
 
   /** (alias, mode) iff `ne` is a PARTITIONED window over a stitchable

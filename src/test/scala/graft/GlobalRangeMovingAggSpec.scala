@@ -181,6 +181,11 @@ class GlobalRangeMovingAggSpec extends AnyFunSuite {
     }
     // descending key: tier 1 is ascending-only
     kept("SELECT v, sum(x) OVER (ORDER BY v DESC RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
+    // NULLS LAST: the operator's null machinery consumes the null
+    // block at the STREAM HEAD — a nulls-last order must refuse (r13
+    // self-review: admitting it would leave trailing null rows with
+    // the last non-null key's frame)
+    kept("SELECT v, sum(x) OVER (ORDER BY v ASC NULLS LAST RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
     // double key: not a dense domain
     kept("SELECT d, sum(x) OVER (ORDER BY d RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
     // half-unbounded bounded frame
