@@ -202,7 +202,49 @@ object R111Queries {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY k, event_id""".stripMargin))
 
+  /** `q_leadnn_rewrite`: `lead ... IGNORE NULLS` through the late-r13
+    * [[graft.plans.GlobalLookahead]] — the offset family's LAST
+    * retired refusal (the r12 lag-only mirror documented "the lead
+    * form needs unbounded lookahead"; the zipped lead/lag pass holds k
+    * VALUES, never the null-run row gap). Same deterministic
+    * day-of-month % 3 null pattern as `q_shiftnn_rewrite`, so ~1/3 of
+    * days are null and the k=3 lookahead routinely crosses null runs
+    * and partition heads; a plain lead rides GlobalShift in the same
+    * window (two stacked execs, one exchange — plan-pinned). Defaults
+    * stay NULL: DuckDB 1.0.0 parses `lead(x, k IGNORE NULLS)` but not
+    * a default combined with it. */
+  val qLeadnnRewrite = QueryDef("q_leadnn_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .cast("long").as("cents"))
+        .select(col("day"), col("cents"),
+          when(dayofmonth(col("day")) % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("cents")).as("cents_nn"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      val shifted = daily.select(col("day"), col("cents"), col("cents_nn"),
+        lead(col("cents_nn"), 1, null, ignoreNulls = true).over(w).as("nn1"),
+        lead(col("cents_nn"), 3, null, ignoreNulls = true).over(w).as("nn3"),
+        lead("cents", 1).over(w).as("plain1"))
+      RewriteGlobalRankWindows.force(shifted).orderBy("day")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |k AS (SELECT day, cents,
+        |    CASE WHEN CAST(date_part('day', day) AS INT) % 3 = 0
+        |      THEN NULL ELSE cents END AS cents_nn
+        |  FROM daily)
+        |SELECT day, cents, cents_nn,
+        |  CAST(lead(cents_nn, 1 IGNORE NULLS) OVER w AS BIGINT) AS nn1,
+        |  CAST(lead(cents_nn, 3 IGNORE NULLS) OVER w AS BIGINT) AS nn3,
+        |  CAST(lead(cents, 1) OVER w AS BIGINT) AS plain1
+        |FROM k WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qRangemovRewrite, qPctexactDecimal, qSkewrankRewrite,
-      qSkewrunaggRewrite)
+      qSkewrunaggRewrite, qLeadnnRewrite)
 }

@@ -65,6 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalShiftStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.GlobalLookaheadStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalMovingAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.GlobalRangeMovingAggStrategy)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode}
+import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -58,14 +58,18 @@ import graft.plans.GlobalShift.ShiftCol
   * UNBOUNDED`, the ratio-to-total shape, which [[GlobalFrameAggNode]]
   * computes with ZERO shuffle — and `nth_value` under frames anchored
   * at the global start ([[GlobalNthValueNode]]: one global constant
-  * gated on frame length). A `Window` node is left alone when any of
-  * its expressions is outside the families (RANGE moving frames on
+  * gated on frame length). Late r13 retired the offset family's last
+  * refusal: `lead(e, k) IGNORE NULLS` routes through
+  * [[GlobalLookaheadNode]] (the zipped lead/lag pass holds k VALUES,
+  * never the null-run row gap; lag IGNORE NULLS was already the
+  * non-null ring). A `Window` node is left alone when any of its
+  * expressions is outside the families (RANGE moving frames on
   * non-integral or descending/multi-key orders and moving-lower-bound
-  * nth_value need real frame execution; LEAD with IGNORE NULLS and
-  * non-literal or over-cap offsets need unbounded lookahead — lag
-  * IGNORE NULLS rewrites via the non-null ring), when it HAS a
-  * partition spec (partitioned windows scale fine), or when an
-  * ordered-family member rides a non-deterministic order key.
+  * nth_value need real frame execution; non-literal or over-cap
+  * offsets fall back), when it HAS a partition spec (partitioned
+  * windows scale fine; the r13 SKEW tier routes rank/running members
+  * behind its own gate), or when an ordered-family member rides a
+  * non-deterministic order key.
   *
   * OFF by default — enable with `spark.graft.rewrite.globalRankWindows=
   * true` (session conf; the rule is injected by [[GraftExtensions]] as
@@ -168,6 +172,43 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
             (a, ShiftCol(AttributeReference(s"__graft_${a.name}",
               input.dataType, nullable = we.nullable)(), input, off, default,
               ignoreNulls))
+        }
+      case _ => None
+    }
+  }
+
+  /** (alias, input, k, default, generated attr) iff `ne` is a
+    * `lead(e, k) IGNORE NULLS` global window with a positive literal
+    * offset within the cap — the r13 [[GlobalLookaheadNode]] tier (the
+    * former "unbounded lookahead" refusal: the VALUE state is k
+    * values; the zipped pass 2 never buffers the null-run row gap).
+    * One node per expression — see the operator's single-column
+    * rationale. */
+  private def leadNNOf(ne: NamedExpression): Option[(Alias, Expression, Int, Expression, AttributeReference)] = {
+    def spec(fn: Expression): Option[(Expression, Int, Expression)] = fn match {
+      case l: Lead if l.ignoreNulls => l.offset match {
+        case Literal(kk: Int, IntegerType) if kk > 0 => Some((l.input, kk, l.default))
+        case _ => None
+      }
+      case l: Lag if l.ignoreNulls => l.inputOffset match {
+        // lag(e, -k) IGNORE NULLS is lead(e, k) IGNORE NULLS
+        case Literal(kk: Int, IntegerType) if kk < 0 => Some((l.input, -kk, l.default))
+        case _ => None
+      }
+      case _ => None
+    }
+    ne match {
+      case a @ Alias(we @ WindowExpression(fn, WindowSpecDefinition(Seq(), _, _)), _) =>
+        spec(fn).collect {
+          case (input, kk, default)
+              if kk <= maxShift && input.deterministic &&
+                default.deterministic &&
+                (default.foldable && default.eval() == null ||
+                  org.apache.spark.sql.types.DataType.equalsStructurally(
+                    default.dataType, input.dataType, ignoreNullability = true)) =>
+            (a, input, kk, default,
+              AttributeReference(s"__graft_${a.name}", input.dataType,
+                nullable = we.nullable)())
         }
       case _ => None
     }
@@ -525,6 +566,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   private case class AsRangeMov(a: Alias, fn: DeclarativeAggregate,
                                 lo: Long, hi: Long,
                                 attr: AttributeReference) extends Rewritten
+  private case class AsLeadNN(a: Alias, input: Expression, k: Int,
+                              default: Expression,
+                              attr: AttributeReference) extends Rewritten
   private case class AsFrameAgg(a: Alias,
                                 fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
                                 attr: AttributeReference) extends Rewritten
@@ -548,8 +592,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           val orderedOk = orderSpec.nonEmpty && orderSpec.forall(_.deterministic)
           wexprs.forall(e => frameAggOf(e).isDefined || pctOf(e).isDefined ||
             (orderedOk && (rankOf(e).isDefined || shiftOf(e).isDefined ||
-              runAggOf(e).isDefined || movAggOf(e).isDefined ||
-              rangeMovAggOf(e).isDefined || nthOf(e).isDefined)))
+              leadNNOf(e).isDefined || runAggOf(e).isDefined ||
+              movAggOf(e).isDefined || rangeMovAggOf(e).isDefined ||
+              nthOf(e).isDefined)))
         } =>
       // classify once (fresh generated attrs must be created exactly
       // once per expression); the families are disjoint — a whole-frame
@@ -566,6 +611,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
                 nullable = false)(), m))
             case None => shiftOf(e) match {
               case Some((a, sc)) => AsShift(a, sc)
+              case None => leadNNOf(e) match {
+                case Some((a, input, kk, default, attr)) =>
+                  AsLeadNN(a, input, kk, default, attr)
               case None => runAggOf(e) match {
                 case Some((a, fn, rows, attr)) => AsRunAgg(a, fn, rows, attr)
                 case None => movAggOf(e) match {
@@ -579,6 +627,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
                   }
                 }
               }
+              }
             }
             }
           }
@@ -586,6 +635,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       }
       val rankCols = classified.collect { case AsRank(_, _, rc) => rc }
       val shiftCols = classified.collect { case AsShift(_, sc) => sc }
+      val leadNNCols = classified.collect { case r: AsLeadNN => r }
       val aggCols = classified.collect { case r: AsRunAgg => r }
       val movCols = classified.collect { case r: AsMovAgg => r }
       val rangeMovCols = classified.collect { case r: AsRangeMov => r }
@@ -604,10 +654,16 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         else GlobalShiftNode(orderSpec, shiftCols.map(_.attr),
           shiftCols.map(_.input), shiftCols.map(_.offset),
           shiftCols.map(_.default), shiftCols.map(_.ignoreNulls), withRanks)
+      // one lookahead node per expression (single-column by design —
+      // the deque bound is per-column; see GlobalLookaheadNode)
+      val withLookaheads: LogicalPlan = leadNNCols.foldLeft(withShifts) {
+        case (p, AsLeadNN(_, input, kk, default, attr)) =>
+          GlobalLookaheadNode(orderSpec, attr, input, kk, default, p)
+      }
       val withRunAggs: LogicalPlan =
-        if (aggCols.isEmpty) withShifts
+        if (aggCols.isEmpty) withLookaheads
         else GlobalRunningAggNode(orderSpec, aggCols.map(_.attr),
-          aggCols.map(_.fn), aggCols.map(_.rows), withShifts)
+          aggCols.map(_.fn), aggCols.map(_.rows), withLookaheads)
       val withMovAggs: LogicalPlan =
         if (movCols.isEmpty) withRunAggs
         else GlobalMovingAggNode(orderSpec, movCols.map(_.attr),
@@ -648,6 +704,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
             explicitMetadata = Some(a.metadata))
         case AsShift(a, sc) =>
           Alias(sc.attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
+        case AsLeadNN(a, _, _, _, attr) =>
+          Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
         case AsRunAgg(a, _, _, attr) =>
           Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
@@ -781,6 +840,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     val spark = df.sparkSession
     GlobalRank.ensureStrategy(spark)
     GlobalShift.ensureStrategy(spark)
+    GlobalLookahead.ensureStrategy(spark)
     GlobalRunningAgg.ensureStrategy(spark)
     GlobalMovingAgg.ensureStrategy(spark)
     GlobalRangeMovingAgg.ensureStrategy(spark)

@@ -391,6 +391,22 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedRunningAggExec => g
     }.size == 1,
       s"q_skewrunagg_rewrite must run through ONE PartitionedRunningAggExec:\n$psr")
+    // late r13: lead IGNORE NULLS (the offset family's last retired
+    // refusal) through one GlobalLookaheadExec, the plain lead through
+    // GlobalShift, both on the shared range exchange
+    val pln = plan("q_leadnn_rewrite")
+    assert(pln.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_leadnn_rewrite kept a WindowExec:\n$pln")
+    // ONE lookahead exec: nn1 and nn3 shifted the SAME column, and the
+    // rewrite... each lead-IN expression gets its own node by design
+    assert(pln.collect {
+      case g: graft.plans.GlobalLookaheadExec => g
+    }.size == 2,
+      s"q_leadnn_rewrite must look ahead through TWO single-column GlobalLookaheadExec:\n$pln")
+    assert(pln.collect {
+      case g: graft.plans.GlobalShiftExec => g
+    }.size == 1, s"the plain lead must ride GlobalShift:\n$pln")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {

@@ -194,19 +194,20 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
       s"rank+shift must share one range exchange:\n$p")
   }
 
-  test("offset non-rewrites: IGNORE NULLS and over-cap offsets keep WindowExec") {
-    import graft.plans.GlobalShiftExec
+  test("offset non-rewrites: over-cap offsets keep WindowExec (lead IGNORE NULLS rewrites since r13)") {
+    import graft.plans.{GlobalLookaheadExec, GlobalShiftExec}
     val df = spark.range(100).select(col("id").as("v"),
       when(col("id") % 3 === 0, col("id")).as("x"))
     df.createOrReplaceTempView("rw_shift_t")
-    // LEAD with IGNORE NULLS needs unbounded lookAHEAD (a null run has
-    // no bound) — not rewritable; lag IGNORE NULLS rewrites since the
-    // late-r12 non-null ring (tested in GlobalShiftIgnoreNullsSpec)
+    // LEAD with IGNORE NULLS was the "unbounded lookahead" refusal —
+    // the r13 GlobalLookahead zipped tier retired it (its own parity
+    // pins live in GlobalLookaheadSpec); only the over-cap form keeps
+    // WindowExec now
     val ign = RewriteGlobalRankWindows.force(spark.sql(
       "SELECT v, lead(x) IGNORE NULLS OVER (ORDER BY v) AS p FROM rw_shift_t"))
     val p1 = noAqePlan(ign)
-    assert(p1.collect { case g: GlobalShiftExec => g }.isEmpty, p1.toString)
-    assert(p1.collect { case x: WindowExec => x }.size == 1)
+    assert(p1.collect { case g: GlobalLookaheadExec => g }.size == 1, p1.toString)
+    assert(p1.collect { case x: WindowExec => x }.isEmpty, p1.toString)
     // an offset past spark.graft.rewrite.maxShiftOffset must fall back
     // (boundary state scales with the offset)
     spark.conf.set(RewriteGlobalRankWindows.MaxShiftKey, "4")
