@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistri
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** SKEW-AWARE distributed PARTITIONED rank windows (r13, VERDICT r12
-  * task 6 — genuinely new physical surface): `row_number()/rank()/
-  * dense_rank() OVER (PARTITION BY k ORDER BY v)` WITHOUT requiring
-  * all rows of one key in one task.
+  * task 6 — genuinely new physical surface): the FULL rank family
+  * `row_number()/rank()/dense_rank()/percent_rank()/cume_dist()/
+  * ntile(b) OVER (PARTITION BY k ORDER BY v)` WITHOUT requiring all
+  * rows of one key in one task.
   *
   * The built-in WindowExec demands hash-clustering on `k`: every row
   * of a key lands in ONE task, so a hot key IS the job — and AQE
@@ -29,31 +30,38 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *     order — a hot key's rows spread over a contiguous RUN of
   *     partitions (range sub-split), each sorted by `(k, v)`; a
   *     `(k, v)` tie group still maps to exactly one partition (the
-  *     tie-containment argument), so rank/dense_rank stay tie-exact;
+  *     tie-containment argument), so the tie-aware modes stay exact;
   *  2. pass 1 collects per partition: its first/last key, the row and
-  *     tie-group counts of the LAST key's run, and whether the
-  *     partition holds a single key — four scalars and two narrow key
-  *     rows per partition, independent of data volume and of the key
-  *     histogram. The driver stitches runs left-to-right: a partition
-  *     whose first key continues its left neighbour's last key starts
-  *     that key at the accumulated (rows, groups) offset; every other
-  *     key starts at zero. Only the ONE key straddling each boundary
-  *     ever needs state — the per-partition-value GlobalRank argument;
-  *  3. pass 2 streams the same shuffle output: local per-key position
-  *     and tie-group arithmetic plus the partition's first-key offset.
-  *     Zero row buffering; one key copy per key/group change.
+  *     tie-group counts of the FIRST and LAST key runs, and whether
+  *     the partition holds a single key — six scalars and two narrow
+  *     key rows per partition, independent of data volume and of the
+  *     key histogram. The driver stitches runs left-to-right: a
+  *     partition whose first key continues its left neighbour's last
+  *     key starts that key at the accumulated (rows, groups) offset,
+  *     and — when a total-dependent mode is present — every
+  *     BOUNDARY-STRADDLING key's full row total telescopes from the
+  *     same stats (the "second stitching direction");
+  *  3. pass 2 streams local per-key position/tie arithmetic plus the
+  *     stitched offsets. `percent_rank`/`cume_dist`/`ntile` also need
+  *     each key's TOTAL row count before its first row is emitted:
+  *     for the partition's first/last key that total is driver
+  *     state, and for INTERIOR keys pass 2 zips the sorted stream
+  *     with itself — a KEY-lead iterator counts the current key's
+  *     rows, and (for cume_dist) a GROUP-lead iterator counts the
+  *     current `(k, v)` tie group — O(1) state each, the
+  *     [[GlobalRangeMovingAgg]] zip idiom, never a buffered key.
   *
-  * Supported modes: RowNumber / Rank / DenseRank (position arithmetic
-  * that telescopes per key). PercentRank/CumeDist/NTile need each
-  * key's TOTAL count — a second stitching direction — and stay on
-  * WindowExec for now (documented non-rewrite). Tie caveat identical
-  * to the built-in: row_number under a non-total `(k, v)` order is
-  * tie-order-dependent; rank/dense_rank are tie-exact.
+  * Tie caveat identical to the built-in: row_number/ntile under a
+  * non-total `(k, v)` order are tie-order-dependent;
+  * rank/dense_rank/percent_rank/cume_dist are tie-exact (group
+  * boundaries and sizes are value-determined, so the zipped iterators'
+  * alignment is tie-safe for them).
   *
   * Trade-off vs WindowExec, stated honestly: on a FLAT key histogram
   * the built-in's hash exchange is cheaper than a range exchange plus
-  * a count job. This operator is for the skewed tail — which is why
-  * the rewrite routes through it only under its own conf
+  * a count job (and the total-dependent modes add one or two zipped
+  * re-reads). This operator is for the skewed tail — which is why the
+  * rewrite routes through it only under its own conf
   * (`spark.graft.rewrite.partitionedRankWindows`) or the explicit
   * [[graft.rules.RewriteGlobalRankWindows.forceSkew]] path, never via
   * the default-path `force()`.
@@ -108,16 +116,24 @@ case class PartitionedRankExec(partKeys: Seq[Expression],
     val rdd = child.execute()
     val childOutput = child.output
     val modes = ranks.map(_.mode).toArray
-    val needTies = modes.contains(RankMode.Rank) ||
-      modes.contains(RankMode.DenseRank)
+    val needTies = modes.exists {
+      case RankMode.Rank | RankMode.DenseRank |
+           RankMode.PercentRank | RankMode.CumeDist => true
+      case _ => false
+    }
+    val needTotals = modes.exists {
+      case RankMode.PercentRank | RankMode.CumeDist | RankMode.NTile(_) => true
+      case _ => false
+    }
+    val needGroupSize = modes.contains(RankMode.CumeDist)
     val partExprs = partKeys
     val partTypes = partExprs.map(_.dataType)
     val ordExprs = order.map(_.child)
     val ordTypes = ordExprs.map(_.dataType)
 
-    // pass 1: per partition (firstKey, lastKey, last run's rows+groups,
-    // single-key flag) — the only driver state, two narrow keys + four
-    // scalars per partition
+    // pass 1: per partition (firstKey, lastKey, first/last run
+    // rows+groups, single-key flag) — the only driver state, two
+    // narrow keys + six scalars per partition
     val edges: Array[EdgeStats] =
       rdd.mapPartitionsWithIndex({ (pid, it) =>
         val keyProj = UnsafeProjection.create(partExprs, childOutput)
@@ -128,6 +144,8 @@ case class PartitionedRankExec(partKeys: Seq[Expression],
         var curKey: UnsafeRow = null
         var runRows = 0L
         var runGroups = 0L
+        var firstRunRows = 0L
+        var firstRunGroups = 0L
         var single = true
         var prevOrd: UnsafeRow = null
         it.foreach { row =>
@@ -136,6 +154,7 @@ case class PartitionedRankExec(partKeys: Seq[Expression],
             firstKey = k.copy(); curKey = firstKey
             runRows = 0L; runGroups = 0L; prevOrd = null
           } else if (keyOrd.compare(curKey, k) != 0) {
+            if (single) { firstRunRows = runRows; firstRunGroups = runGroups }
             curKey = k.copy(); single = false
             runRows = 0L; runGroups = 0L; prevOrd = null
           }
@@ -148,15 +167,16 @@ case class PartitionedRankExec(partKeys: Seq[Expression],
             }
           }
         }
+        if (single) { firstRunRows = runRows; firstRunGroups = runGroups }
         Iterator((pid, EdgeStats(firstKey,
           if (curKey == null) null
           else if (curKey eq firstKey) firstKey else curKey,
-          runRows, runGroups, single)))
+          firstRunRows, firstRunGroups, runRows, runGroups, single)))
       }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
 
-    // driver stitching: offset for each partition's FIRST key = the
-    // accumulated (rows, groups) of that key's run through earlier
-    // partitions; every later key in the partition starts at zero
+    // driver stitching, direction 1: offset for each partition's FIRST
+    // key = the accumulated (rows, groups) of that key's run through
+    // earlier partitions; every later key in the partition starts at 0
     val nParts = edges.length
     val keyOrdDriver = RowOrdering.createNaturalAscendingOrdering(partTypes)
     val rowOffsets = new Array[Long](nParts)
@@ -188,58 +208,225 @@ case class PartitionedRankExec(partKeys: Seq[Expression],
       }
     }
 
+    // driver stitching, direction 2 (total-dependent modes only): the
+    // FULL row total of each partition's first and last key, summed
+    // over the key's whole partition span — interior keys are counted
+    // locally by the pass-2 key-lead instead
+    val firstKeyTotals = new Array[Long](nParts)
+    val lastKeyTotals = new Array[Long](nParts)
+    if (needTotals) {
+      // members of the current boundary run: (pid, countsAsFirst,
+      // countsAsLast); finalized when the run's key ends
+      val members = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean, Boolean)]
+      var curKey: UnsafeRow = null
+      var accRows = 0L
+      def finalizeRun(): Unit = {
+        members.foreach { case (p, asFirst, asLast) =>
+          if (asFirst) firstKeyTotals(p) = accRows
+          if (asLast) lastKeyTotals(p) = accRows
+        }
+        members.clear()
+      }
+      var pid = 0
+      while (pid < nParts) {
+        val e = edges(pid)
+        if (e.firstKey != null) {
+          val continues = curKey != null &&
+            keyOrdDriver.compare(curKey, e.firstKey) == 0
+          if (continues && e.single) {
+            accRows += e.lastRunRows
+            members += ((pid, true, true))
+          } else if (continues) {
+            accRows += e.firstRunRows
+            members += ((pid, true, false))
+            finalizeRun()
+            curKey = e.lastKey; accRows = e.lastRunRows
+            members += ((pid, false, true))
+          } else {
+            finalizeRun()
+            if (e.single) {
+              curKey = e.firstKey; accRows = e.lastRunRows
+              members += ((pid, true, true))
+            } else {
+              // first key starts AND ends inside pid: local total
+              firstKeyTotals(pid) = e.firstRunRows
+              curKey = e.lastKey; accRows = e.lastRunRows
+              members += ((pid, false, true))
+            }
+          }
+        }
+        pid += 1
+      }
+      finalizeRun()
+    }
+
     val out = output
     val nRanks = modes.length
     val numOutputRows = longMetric("numOutputRows")
-    // pass 2: per-key local arithmetic + the first key's stitched offset
-    rdd.mapPartitionsWithIndex({ (pid, it) =>
-      val keyProj = UnsafeProjection.create(partExprs, childOutput)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(partTypes)
-      val ordProj = if (needTies) UnsafeProjection.create(ordExprs, childOutput) else null
-      val ordOrd = if (needTies) RowOrdering.createNaturalAscendingOrdering(ordTypes) else null
-      val proj = UnsafeProjection.create(out, out)
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(nRanks)
-      var curKey: UnsafeRow = null
-      var onFirstKey = false
-      var pos = 0L
-      var curRank = 0L
-      var dense = 0L
-      var prevOrd: UnsafeRow = null
-      it.map { row =>
-        val k = keyProj(row)
-        if (curKey == null || keyOrd.compare(curKey, k) != 0) {
-          onFirstKey = curKey == null // only the partition's first key
-          curKey = k.copy()
-          pos = if (onFirstKey) rowOffsets(pid) else 0L
-          dense = if (onFirstKey) groupOffsets(pid) else 0L
-          curRank = 0L
-          prevOrd = null
+
+    // the per-row emission arithmetic shared by both pass-2 shapes
+    val emitModes = modes
+    val emitMetric = numOutputRows
+    final class Emitter(outProj: UnsafeProjection) extends Serializable {
+      private val joined = new JoinedRow
+      private val rankRow = new GenericInternalRow(emitModes.length)
+      def emit(row: InternalRow, pos: Long, curRank: Long, dense: Long,
+               keyTotal: Long, groupEnd: Long): InternalRow = {
+        var i = 0
+        while (i < emitModes.length) {
+          emitModes(i) match {
+            case RankMode.RowNumber => rankRow.update(i, pos)
+            case RankMode.Rank => rankRow.update(i, curRank)
+            case RankMode.DenseRank => rankRow.update(i, dense)
+            case RankMode.PercentRank => rankRow.update(i,
+              if (keyTotal <= 1L) 0.0
+              else (curRank - 1L).toDouble / (keyTotal - 1L).toDouble)
+            case RankMode.CumeDist => rankRow.update(i,
+              groupEnd.toDouble / keyTotal.toDouble)
+            case RankMode.NTile(b) => rankRow.update(i,
+              GlobalRank.ntileOf(pos, keyTotal, b))
+          }
+          i += 1
         }
-        pos += 1L
-        if (needTies) {
+        emitMetric += 1
+        outProj(joined(row, rankRow))
+      }
+    }
+
+    if (!needTotals) {
+      // pure streaming: per-key local arithmetic + the first key's
+      // stitched offset — no second read
+      rdd.mapPartitionsWithIndex({ (pid, it) =>
+        val keyProj = UnsafeProjection.create(partExprs, childOutput)
+        val keyOrd = RowOrdering.createNaturalAscendingOrdering(partTypes)
+        val ordProj = if (needTies) UnsafeProjection.create(ordExprs, childOutput) else null
+        val ordOrd = if (needTies) RowOrdering.createNaturalAscendingOrdering(ordTypes) else null
+        val outProj = UnsafeProjection.create(out, out)
+        val em = new Emitter(outProj)
+        var curKey: UnsafeRow = null
+        var pos = 0L
+        var curRank = 0L
+        var dense = 0L
+        var prevOrd: UnsafeRow = null
+        it.map { row =>
+          val k = keyProj(row)
+          if (curKey == null || keyOrd.compare(curKey, k) != 0) {
+            val onFirstKey = curKey == null
+            curKey = k.copy()
+            pos = if (onFirstKey) rowOffsets(pid) else 0L
+            dense = if (onFirstKey) groupOffsets(pid) else 0L
+            curRank = 0L
+            prevOrd = null
+          }
+          pos += 1L
+          if (needTies) {
+            val o = ordProj(row)
+            if (prevOrd == null || ordOrd.compare(prevOrd, o) != 0) {
+              curRank = pos
+              dense += 1L
+              prevOrd = o.copy()
+            }
+          }
+          em.emit(row, pos, curRank, dense, 0L, 0L)
+        }
+      }, preservesPartitioning = true)
+    } else {
+      // total-dependent modes: zip the stream with itself — a KEY-lead
+      // counts interior keys' totals (first/last keys take the driver's
+      // stitched totals), and a GROUP-lead (cume_dist only) counts the
+      // current (k, v) tie group — O(1) state each
+      val bcFirstTotals = sparkContext.broadcast(firstKeyTotals)
+      val bcLastTotals = sparkContext.broadcast(lastKeyTotals)
+      val bcLastKeys = sparkContext.broadcast(edges.map(_.lastKey))
+      def zipped(f: (Int, Iterator[InternalRow], Iterator[InternalRow], Iterator[InternalRow]) => Iterator[InternalRow]): RDD[InternalRow] =
+        if (needGroupSize)
+          rdd.zipPartitions(rdd, rdd, preservesPartitioning = true) { (a, b, c) =>
+            f(org.apache.spark.TaskContext.getPartitionId(), a, b, c)
+          }
+        else
+          rdd.zipPartitions(rdd, preservesPartitioning = true) { (a, b) =>
+            f(org.apache.spark.TaskContext.getPartitionId(), a, b, Iterator.empty)
+          }
+      zipped { (pid, lagIt, keyLeadIt0, groupLeadIt0) =>
+        val keyProj = UnsafeProjection.create(partExprs, childOutput)
+        val keyProjL = UnsafeProjection.create(partExprs, childOutput)
+        val keyProjG = UnsafeProjection.create(partExprs, childOutput)
+        val keyOrd = RowOrdering.createNaturalAscendingOrdering(partTypes)
+        val ordProj = UnsafeProjection.create(ordExprs, childOutput)
+        val ordProjG = UnsafeProjection.create(ordExprs, childOutput)
+        val ordOrd = RowOrdering.createNaturalAscendingOrdering(ordTypes)
+        val outProj = UnsafeProjection.create(out, out)
+        val em = new Emitter(outProj)
+        val firstTot = bcFirstTotals.value(pid)
+        val lastTot = bcLastTotals.value(pid)
+        val lastKey = bcLastKeys.value(pid)
+
+        val keyLead = keyLeadIt0.buffered
+        // count the rows of `target`, discarding anything before it —
+        // the lead only moves forward, so skipped (first/last) keys
+        // fast-forward here
+        def countKey(target: UnsafeRow): Long = {
+          while (keyLead.hasNext &&
+            keyOrd.compare(keyProjL(keyLead.head), target) != 0) keyLead.next()
+          var n = 0L
+          while (keyLead.hasNext &&
+            keyOrd.compare(keyProjL(keyLead.head), target) == 0) {
+            keyLead.next(); n += 1L
+          }
+          n
+        }
+        val groupLead = groupLeadIt0.buffered
+        // size of the (targetKey, targetOrd) tie group
+        def countGroup(targetKey: UnsafeRow, targetOrd: UnsafeRow): Long = {
+          while (groupLead.hasNext && {
+            val h = groupLead.head
+            keyOrd.compare(keyProjG(h), targetKey) != 0 ||
+              ordOrd.compare(ordProjG(h), targetOrd) != 0
+          }) groupLead.next()
+          var n = 0L
+          while (groupLead.hasNext && {
+            val h = groupLead.head
+            keyOrd.compare(keyProjG(h), targetKey) == 0 &&
+              ordOrd.compare(ordProjG(h), targetOrd) == 0
+          }) { groupLead.next(); n += 1L }
+          n
+        }
+
+        var curKey: UnsafeRow = null
+        var onFirstKey = false
+        var pos = 0L
+        var curRank = 0L
+        var dense = 0L
+        var keyTotal = 0L
+        var groupEnd = 0L
+        var prevOrd: UnsafeRow = null
+        lagIt.map { row =>
+          val k = keyProj(row)
+          if (curKey == null || keyOrd.compare(curKey, k) != 0) {
+            onFirstKey = curKey == null
+            curKey = k.copy()
+            pos = if (onFirstKey) rowOffsets(pid) else 0L
+            dense = if (onFirstKey) groupOffsets(pid) else 0L
+            curRank = 0L
+            prevOrd = null
+            keyTotal =
+              if (onFirstKey) firstTot
+              else if (lastKey != null && keyOrd.compare(curKey, lastKey) == 0)
+                lastTot
+              else countKey(curKey)
+          }
+          pos += 1L
           val o = ordProj(row)
           if (prevOrd == null || ordOrd.compare(prevOrd, o) != 0) {
             curRank = pos
             dense += 1L
             prevOrd = o.copy()
+            if (needGroupSize) groupEnd = pos - 1L + countGroup(curKey, o)
           }
+          em.emit(row, pos, curRank, dense, keyTotal, groupEnd)
         }
-        var i = 0
-        while (i < nRanks) {
-          modes(i) match {
-            case RankMode.RowNumber => rankRow.update(i, pos)
-            case RankMode.Rank => rankRow.update(i, curRank)
-            case RankMode.DenseRank => rankRow.update(i, dense)
-            case other => throw new IllegalStateException(
-              s"PartitionedRank does not support $other")
-          }
-          i += 1
-        }
-        numOutputRows += 1
-        proj(joined(row, rankRow))
       }
-    }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): PartitionedRankExec =
@@ -252,6 +439,8 @@ object PartitionedRank {
     * serialization doesn't drag the plan along via `$outer`. */
   private[plans] case class EdgeStats(firstKey: UnsafeRow,
                                       lastKey: UnsafeRow,
+                                      firstRunRows: Long,
+                                      firstRunGroups: Long,
                                       lastRunRows: Long,
                                       lastRunGroups: Long,
                                       single: Boolean)

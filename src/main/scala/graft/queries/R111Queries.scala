@@ -244,7 +244,46 @@ object R111Queries {
         |  CAST(lead(cents, 1) OVER w AS BIGINT) AS plain1
         |FROM k WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin))
 
+  /** `q_skewpct_rewrite`: the skew tier's TOTAL-dependent modes
+    * (late r13 — percent_rank/cume_dist/ntile under the hot key).
+    * Each key's denominator comes from the driver's second stitching
+    * direction (boundary-straddling keys) or the zipped key/group
+    * leads (interior keys); row-level output puts every stitched
+    * denominator on the DuckDB hash. percent_rank/cume_dist are
+    * tie-exact over the coarse cents order (both engines compute one
+    * division of identical BIGINTs — bit-equal doubles); ntile is
+    * positional and rides its own total-order window. */
+  val qSkewpctRewrite = QueryDef("q_skewpct_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        (expr("CAST(round(value * 100.0) AS BIGINT)") % 50L).as("cbin"),
+        col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cbin"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cbin"), col("event_id"))
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        col("cbin"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(5).over(wT).cast("long").as("nt")))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) % 50 AS cbin, event_id
+        |  FROM events)
+        |SELECT k, event_id, cbin,
+        |  percent_rank() OVER (PARTITION BY k ORDER BY cbin) AS pr,
+        |  cume_dist() OVER (PARTITION BY k ORDER BY cbin) AS cd,
+        |  CAST(ntile(5) OVER (PARTITION BY k ORDER BY cbin, event_id)
+        |    AS BIGINT) AS nt
+        |FROM ev ORDER BY k, event_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qRangemovRewrite, qPctexactDecimal, qSkewrankRewrite,
-      qSkewrunaggRewrite, qLeadnnRewrite)
+      qSkewrunaggRewrite, qLeadnnRewrite, qSkewpctRewrite)
 }

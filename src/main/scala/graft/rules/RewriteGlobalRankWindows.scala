@@ -768,10 +768,15 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       // self-review: grouping by class would silently reorder the
       // user-visible schema when the Window is the plan root)
       val rankAliasByExpr: Map[NamedExpression, NamedExpression] =
-        rankClassified.zip(rankCols).map { case ((e, (a, _)), rc) =>
-          // the built-ins are INT; the node emits LONG — cast back so
-          // downstream types and the user-visible schema are unchanged
-          (e, Alias(Cast(rc.attr, IntegerType), a.name)(exprId = a.exprId,
+        rankClassified.zip(rankCols).map { case ((e, (a, m)), rc) =>
+          val value: Expression = m match {
+            // percent_rank / cume_dist are DOUBLE on both sides — as-is
+            case RankMode.PercentRank | RankMode.CumeDist => rc.attr
+            // the integral built-ins are INT; the node emits LONG —
+            // cast back so the user-visible schema is unchanged
+            case _ => Cast(rc.attr, IntegerType)
+          }
+          (e, Alias(value, a.name)(exprId = a.exprId,
             qualifier = a.qualifier, explicitMetadata = Some(a.metadata)))
         }.toMap
       val runAliasByExpr: Map[NamedExpression, NamedExpression] =
@@ -783,17 +788,15 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         rankAliasByExpr.getOrElse(e, runAliasByExpr(e))), node)
   }
 
-  /** (alias, mode) iff `ne` is a PARTITIONED window over a stitchable
-    * rank mode. */
+  /** (alias, mode) iff `ne` is a PARTITIONED window over the rank
+    * family — since late r13 the FULL family: the total-dependent
+    * modes (percent_rank/cume_dist/ntile) stitch each straddling key's
+    * total on the driver and count interior keys with the zipped
+    * key/group leads (see [[PartitionedRankNode]]). */
   private def skewRankOf(ne: NamedExpression): Option[(Alias, RankMode)] = ne match {
     case a @ Alias(WindowExpression(fn, WindowSpecDefinition(ps, _, _)), _)
         if ps.nonEmpty =>
-      fn match {
-        case _: RowNumber => Some((a, RankMode.RowNumber))
-        case _: Rank => Some((a, RankMode.Rank))
-        case _: DenseRank => Some((a, RankMode.DenseRank))
-        case _ => None
-      }
+      modeOf(fn).map(m => (a, m))
     case _ => None
   }
 

@@ -109,7 +109,44 @@ class PartitionedRankSpec extends AnyFunSuite {
       s"the skew tier must range-partition, not hash-cluster:\n$p")
   }
 
-  test("non-rewrites: percent_rank/ntile/lead and aggregates keep WindowExec; force() never fires the skew tier") {
+  test("total-dependent modes: percent_rank/cume_dist/ntile == built-in under a hot key") {
+    // keys' totals come from BOTH stitching directions (the hot key
+    // straddles many partitions) and from the zipped key/group leads
+    // (interior keys); heavy ties exercise cume_dist's group sizes
+    val df = spark.range(3000)
+      .select(when(col("id") % 2 === 0, lit(-1L))
+        .otherwise(col("id") % 23).as("k"),
+        (col("id") % 9).as("v"), col("id"))
+      .repartition(8)
+    val w = Window.partitionBy("k").orderBy(col("v"))
+    val wT = Window.partitionBy("k").orderBy(col("v"), col("id"))
+    assertSame(df.select(col("k"), col("v"), col("id"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      rank().over(w).as("rk")))
+    // ntile is positional — its own TOTAL order (and thus its own
+    // window node / operator)
+    assertSame(df.select(col("k"), col("v"), col("id"),
+      ntile(4).over(wT).as("nt")))
+  }
+
+  test("total-dependent modes: single-row keys, single-key corpus, interior-only keys") {
+    // edge denominators: n_k = 1 (percent_rank must be 0.0), one key
+    // spanning everything, and keys that never touch a boundary
+    val df = spark.range(500)
+      .select((col("id") % 120).as("k"), col("id").as("v"))
+      .repartition(7)
+    val w = Window.partitionBy("k").orderBy(col("v"))
+    assertSame(df.select(col("k"), col("v"),
+      percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd")))
+    val one = spark.range(800).select(lit(3L).as("k"), col("id").as("v"))
+      .repartition(6)
+    assertSame(one.select(col("k"), col("v"),
+      percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"),
+      ntile(7).over(w).as("nt")))
+  }
+
+  test("non-rewrites: offsets/aggregate-misfits keep WindowExec; force() never fires the skew tier") {
     spark.range(100).select((col("id") % 5).as("k"), col("id").as("v"))
       .createOrReplaceTempView("pr_nr")
     def kept(sql: String): Unit = {
@@ -117,9 +154,6 @@ class PartitionedRankSpec extends AnyFunSuite {
       assert(p.collect { case g: PartitionedRankExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    // total-count-dependent modes need a second stitching direction
-    kept("SELECT k, percent_rank() OVER (PARTITION BY k ORDER BY v) AS s FROM pr_nr")
-    kept("SELECT k, ntile(4) OVER (PARTITION BY k ORDER BY v) AS s FROM pr_nr")
     // offsets are not position arithmetic (running aggregates route to
     // PartitionedRunningAgg since late r13 — PartitionedRunningAggSpec)
     kept("SELECT k, lead(v, 1) OVER (PARTITION BY k ORDER BY v) AS s FROM pr_nr")

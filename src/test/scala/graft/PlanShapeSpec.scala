@@ -407,6 +407,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pln.collect {
       case g: graft.plans.GlobalShiftExec => g
     }.size == 1, s"the plain lead must ride GlobalShift:\n$pln")
+    // late r13: the skew tier's total-dependent modes — pr/cd in one
+    // operator, ntile's total-order window in a second, zero WindowExec
+    val psp = plan("q_skewpct_rewrite")
+    assert(psp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewpct_rewrite kept a WindowExec:\n$psp")
+    assert(psp.collect {
+      case g: graft.plans.PartitionedRankExec => g
+    }.size == 2,
+      s"q_skewpct_rewrite must rank through TWO PartitionedRankExec (pr/cd + ntile):\n$psp")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
