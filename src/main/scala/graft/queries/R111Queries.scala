@@ -283,7 +283,47 @@ object R111Queries {
         |    AS BIGINT) AS nt
         |FROM ev ORDER BY k, event_id""".stripMargin))
 
+  /** `q_skewshift_rewrite`: per-key event DELTAS under the hot key —
+    * the skew tier's lead/lag member ([[graft.plans.PartitionedShift]],
+    * late r13). Row-level output: every one of the hot key's shifted
+    * values — including the ones chained across the range sub-split's
+    * partition boundaries — is on the DuckDB hash; key-boundary
+    * lookups must come back NULL (the key-matched chains), pinned by
+    * the small per-user keys riding next to the hot key. Total order
+    * (cents, event_id) for deterministic offsets; all-BIGINT. */
+  val qSkewshiftRewrite = QueryDef("q_skewshift_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cents"), col("event_id"))
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        col("cents"),
+        lag("cents", 1).over(w).as("prev1"),
+        lag("cents", 5).over(w).as("prev5"),
+        lead("cents", 1).over(w).as("next1"),
+        (col("cents") - lag("cents", 1).over(w)).as("delta")))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents, event_id
+        |  FROM events)
+        |SELECT k, event_id, cents,
+        |  CAST(lag(cents, 1) OVER w AS BIGINT) AS prev1,
+        |  CAST(lag(cents, 5) OVER w AS BIGINT) AS prev5,
+        |  CAST(lead(cents, 1) OVER w AS BIGINT) AS next1,
+        |  CAST(cents - lag(cents, 1) OVER w AS BIGINT) AS delta
+        |FROM ev
+        |WINDOW w AS (PARTITION BY k ORDER BY cents, event_id)
+        |ORDER BY k, event_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qRangemovRewrite, qPctexactDecimal, qSkewrankRewrite,
-      qSkewrunaggRewrite, qLeadnnRewrite, qSkewpctRewrite)
+      qSkewrunaggRewrite, qLeadnnRewrite, qSkewpctRewrite,
+      qSkewshiftRewrite)
 }

@@ -74,6 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.GlobalExactPercentileStrategy)
     e.injectPlannerStrategy(_ => graft.plans.PartitionedRankStrategy)
     e.injectPlannerStrategy(_ => graft.plans.PartitionedRunningAggStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.PartitionedShiftStrategy)
     // conf-gated (spark.graft.rewrite.globalRankWindows, default off):
     // rewrite unpartitioned rank-family windows into the distributed
     // GlobalRankNode. Pre-CBO, not operator-optimization: it runs ONCE,

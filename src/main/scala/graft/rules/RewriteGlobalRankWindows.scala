@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode}
+import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode, PartitionedShift, PartitionedShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -745,10 +745,15 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           partSpec.forall(_.deterministic) &&
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.forall(e =>
-            skewRankOf(e).isDefined || skewRunAggOf(e).isDefined) =>
+            skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
+              skewRunAggOf(e).isDefined) =>
       val rankClassified = wexprs.flatMap(e => skewRankOf(e).map(e -> _))
+      val shiftClassified = wexprs.flatMap { e =>
+        if (skewRankOf(e).isDefined) None else skewShiftOf(e).map(e -> _)
+      }
       val runClassified = wexprs.flatMap { e =>
-        if (skewRankOf(e).isDefined) None else skewRunAggOf(e).map(e -> _)
+        if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined) None
+        else skewRunAggOf(e).map(e -> _)
       }
       val rankCols = rankClassified.map { case (_, (a, m)) =>
         RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
@@ -757,11 +762,17 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       val withRanks: LogicalPlan =
         if (rankCols.isEmpty) child
         else PartitionedRankNode(partSpec, orderSpec, rankCols, child)
+      val withShifts: LogicalPlan =
+        if (shiftClassified.isEmpty) withRanks
+        else PartitionedShiftNode(partSpec, orderSpec,
+          shiftClassified.map(_._2._5), shiftClassified.map(_._2._2),
+          shiftClassified.map(_._2._3), shiftClassified.map(_._2._4),
+          withRanks)
       val node: LogicalPlan =
-        if (runClassified.isEmpty) withRanks
+        if (runClassified.isEmpty) withShifts
         else PartitionedRunningAggNode(partSpec, orderSpec,
           runClassified.map(_._2._4), runClassified.map(_._2._2),
-          runClassified.map(_._2._3), withRanks)
+          runClassified.map(_._2._3), withShifts)
       // replacement aliases keyed by SOURCE expression so the Project
       // preserves the original per-expression column ORDER even when
       // ranks and running aggregates interleave in wexprs (r13
@@ -779,13 +790,19 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           (e, Alias(value, a.name)(exprId = a.exprId,
             qualifier = a.qualifier, explicitMetadata = Some(a.metadata)))
         }.toMap
+      val shiftAliasByExpr: Map[NamedExpression, NamedExpression] =
+        shiftClassified.map { case (e, (a, _, _, _, attr)) =>
+          (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata)))
+        }.toMap
       val runAliasByExpr: Map[NamedExpression, NamedExpression] =
         runClassified.map { case (e, (a, _, _, attr)) =>
           (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata)))
         }.toMap
       Project(child.output ++ wexprs.map(e =>
-        rankAliasByExpr.getOrElse(e, runAliasByExpr(e))), node)
+        rankAliasByExpr.getOrElse(e,
+          shiftAliasByExpr.getOrElse(e, runAliasByExpr(e)))), node)
   }
 
   /** (alias, mode) iff `ne` is a PARTITIONED window over the rank
@@ -798,6 +815,41 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         if ps.nonEmpty =>
       modeOf(fn).map(m => (a, m))
     case _ => None
+  }
+
+  /** (alias, input, signed offset, default, generated attr) iff `ne`
+    * is a PARTITIONED plain lead/lag with a literal offset within the
+    * cap — the skew tier's [[PartitionedShiftNode]] (late r13).
+    * IGNORE NULLS keeps WindowExec in this tier (the per-key non-null
+    * ring is deliberately not duplicated until a query needs it). */
+  private def skewShiftOf(ne: NamedExpression): Option[(Alias, Expression, Int, Expression, AttributeReference)] = {
+    def spec(fn: Expression): Option[(Expression, Int, Expression)] = fn match {
+      case l: Lag if !l.ignoreNulls => l.inputOffset match {
+        case Literal(k: Int, IntegerType) => Some((l.input, -k, l.default))
+        case _ => None
+      }
+      case l: Lead if !l.ignoreNulls => l.offset match {
+        case Literal(k: Int, IntegerType) => Some((l.input, k, l.default))
+        case _ => None
+      }
+      case _ => None
+    }
+    ne match {
+      case a @ Alias(we @ WindowExpression(fn,
+          WindowSpecDefinition(ps, _, _)), _) if ps.nonEmpty =>
+        spec(fn).collect {
+          case (input, off, default)
+              if math.abs(off) <= maxShift && input.deterministic &&
+                default.deterministic &&
+                (default.foldable && default.eval() == null ||
+                  org.apache.spark.sql.types.DataType.equalsStructurally(
+                    default.dataType, input.dataType, ignoreNullability = true)) =>
+            (a, input, off, default,
+              AttributeReference(s"__graft_${a.name}", input.dataType,
+                nullable = we.nullable)())
+        }
+      case _ => None
+    }
   }
 
   /** (alias, function, isRowsFrame, generated attr) iff `ne` is a
@@ -830,6 +882,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     val spark = df.sparkSession
     PartitionedRank.ensureStrategy(spark)
     PartitionedRunningAgg.ensureStrategy(spark)
+    PartitionedShift.ensureStrategy(spark)
     val globalised = force(df)
     GraftSqlBridge.ofRows(spark,
       rewriteSkew(globalised.queryExecution.analyzed))

@@ -417,6 +417,16 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedRankExec => g
     }.size == 2,
       s"q_skewpct_rewrite must rank through TWO PartitionedRankExec (pr/cd + ntile):\n$psp")
+    // the skew tier's lead/lag member: all four offsets in ONE
+    // PartitionedShiftExec, zero WindowExec
+    val pss = plan("q_skewshift_rewrite")
+    assert(pss.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewshift_rewrite kept a WindowExec:\n$pss")
+    assert(pss.collect {
+      case g: graft.plans.PartitionedShiftExec => g
+    }.size == 1,
+      s"q_skewshift_rewrite must shift through ONE PartitionedShiftExec:\n$pss")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
