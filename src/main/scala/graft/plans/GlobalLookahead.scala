@@ -102,12 +102,22 @@ case class GlobalLookaheadExec(order: Seq[SortOrder],
     val defaultExpr = default
     val k = offset
     val dt = input.dataType
+    // the LEAD side (and pass 1) read the BASE plan below any stacked
+    // lookahead siblings: a stacked node's input expression only
+    // references base columns (one Window's expressions never read
+    // each other), the siblings append columns without moving rows, and
+    // zipping against the base keeps an N-column stack LINEAR in base
+    // reads — zipping each node against its direct child would double
+    // per level (2^N) (r13 self-review)
+    val base = GlobalLookahead.baseBelow(child)
+    val baseRdd = if (base eq child) rdd else base.execute()
+    val baseOutput = base.output
 
     // pass 1: the first k NON-NULL values per partition (narrow
     // single-column UnsafeRow copies)
     val heads: Array[Array[UnsafeRow]] =
-      rdd.mapPartitionsWithIndex({ (pid, it) =>
-        val proj = UnsafeProjection.create(Seq(inputExpr), childOutput)
+      baseRdd.mapPartitionsWithIndex({ (pid, it) =>
+        val proj = UnsafeProjection.create(Seq(inputExpr), baseOutput)
         val acc = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
         while (acc.length < k && it.hasNext) {
           val r = proj(it.next())
@@ -135,11 +145,12 @@ case class GlobalLookaheadExec(order: Seq[SortOrder],
 
     val out = output
     val numOutputRows = longMetric("numOutputRows")
-    // pass 2: zip the stream with itself — lead pushes (pos, value)
-    // for non-nulls, lag emits its k-th strictly-ahead entry
-    rdd.zipPartitions(rdd, preservesPartitioning = true) { (leadIt, lagIt) =>
+    // pass 2: zip the (lag) stream with the BASE stream — lead pushes
+    // (pos, value) for non-nulls, lag emits its k-th strictly-ahead
+    // entry
+    rdd.zipPartitions(baseRdd, preservesPartitioning = true) { (lagIt, leadIt) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val leadProj = UnsafeProjection.create(Seq(inputExpr), childOutput)
+      val leadProj = UnsafeProjection.create(Seq(inputExpr), baseOutput)
       val defaultProj = UnsafeProjection.create(Seq(defaultExpr), childOutput)
       val outProj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
@@ -201,6 +212,16 @@ case class GlobalLookaheadExec(order: Seq[SortOrder],
 }
 
 object GlobalLookahead {
+
+  /** The first non-lookahead plan below a stack of
+    * [[GlobalLookaheadExec]] nodes: the shared LEAD-side source. Safe
+    * because stacked lookaheads append columns without moving rows and
+    * their input expressions only reference the base's columns. */
+  private[plans] def baseBelow(p: SparkPlan): SparkPlan = p match {
+    case g: GlobalLookaheadExec => baseBelow(g.child)
+    case other => other
+  }
+
   /** Idempotent, race-safe strategy registration — same idiom as the
     * sibling operators. */
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =

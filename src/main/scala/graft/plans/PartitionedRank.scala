@@ -31,9 +31,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *     partitions (range sub-split), each sorted by `(k, v)`; a
   *     `(k, v)` tie group still maps to exactly one partition (the
   *     tie-containment argument), so the tie-aware modes stay exact;
-  *  2. pass 1 collects per partition: its first/last key, the row and
-  *     tie-group counts of the FIRST and LAST key runs, and whether
-  *     the partition holds a single key — six scalars and two narrow
+  *  2. pass 1 collects per partition: its first/last key, the row counts of
+  *     the FIRST and LAST key runs, the last run's tie-group count,
+  *     and the single-key flag — five scalars and two narrow
   *     key rows per partition, independent of data volume and of the
   *     key histogram. The driver stitches runs left-to-right: a
   *     partition whose first key continues its left neighbour's last
@@ -145,7 +145,6 @@ case class PartitionedRankExec(partKeys: Seq[Expression],
         var runRows = 0L
         var runGroups = 0L
         var firstRunRows = 0L
-        var firstRunGroups = 0L
         var single = true
         var prevOrd: UnsafeRow = null
         it.foreach { row =>
@@ -154,7 +153,7 @@ case class PartitionedRankExec(partKeys: Seq[Expression],
             firstKey = k.copy(); curKey = firstKey
             runRows = 0L; runGroups = 0L; prevOrd = null
           } else if (keyOrd.compare(curKey, k) != 0) {
-            if (single) { firstRunRows = runRows; firstRunGroups = runGroups }
+            if (single) firstRunRows = runRows
             curKey = k.copy(); single = false
             runRows = 0L; runGroups = 0L; prevOrd = null
           }
@@ -167,11 +166,11 @@ case class PartitionedRankExec(partKeys: Seq[Expression],
             }
           }
         }
-        if (single) { firstRunRows = runRows; firstRunGroups = runGroups }
+        if (single) firstRunRows = runRows
         Iterator((pid, EdgeStats(firstKey,
           if (curKey == null) null
           else if (curKey eq firstKey) firstKey else curKey,
-          firstRunRows, firstRunGroups, runRows, runGroups, single)))
+          firstRunRows, runRows, runGroups, single)))
       }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
 
     // driver stitching, direction 1: offset for each partition's FIRST
@@ -416,12 +415,14 @@ case class PartitionedRankExec(partKeys: Seq[Expression],
               else countKey(curKey)
           }
           pos += 1L
-          val o = ordProj(row)
-          if (prevOrd == null || ordOrd.compare(prevOrd, o) != 0) {
-            curRank = pos
-            dense += 1L
-            prevOrd = o.copy()
-            if (needGroupSize) groupEnd = pos - 1L + countGroup(curKey, o)
+          if (needTies) { // ntile-only windows skip the tie machinery
+            val o = ordProj(row)
+            if (prevOrd == null || ordOrd.compare(prevOrd, o) != 0) {
+              curRank = pos
+              dense += 1L
+              prevOrd = o.copy()
+              if (needGroupSize) groupEnd = pos - 1L + countGroup(curKey, o)
+            }
           }
           em.emit(row, pos, curRank, dense, keyTotal, groupEnd)
         }
@@ -440,7 +441,6 @@ object PartitionedRank {
   private[plans] case class EdgeStats(firstKey: UnsafeRow,
                                       lastKey: UnsafeRow,
                                       firstRunRows: Long,
-                                      firstRunGroups: Long,
                                       lastRunRows: Long,
                                       lastRunGroups: Long,
                                       single: Boolean)

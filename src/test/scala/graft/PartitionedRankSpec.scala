@@ -146,7 +146,7 @@ class PartitionedRankSpec extends AnyFunSuite {
       ntile(7).over(w).as("nt")))
   }
 
-  test("non-rewrites: offsets/aggregate-misfits keep WindowExec; force() never fires the skew tier") {
+  test("non-rewrites: aggregate-misfits keep WindowExec; force() never fires the skew tier") {
     spark.range(100).select((col("id") % 5).as("k"), col("id").as("v"))
       .createOrReplaceTempView("pr_nr")
     def kept(sql: String): Unit = {
@@ -154,9 +154,10 @@ class PartitionedRankSpec extends AnyFunSuite {
       assert(p.collect { case g: PartitionedRankExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    // offsets are not position arithmetic (running aggregates route to
-    // PartitionedRunningAgg since late r13 — PartitionedRunningAggSpec)
-    kept("SELECT k, lead(v, 1) OVER (PARTITION BY k ORDER BY v) AS s FROM pr_nr")
+    // (offsets route to PartitionedShift and running aggregates to
+    // PartitionedRunningAgg since late r13 — their own specs pin both
+    // directions; moving frames stay out, pinned here)
+    kept("SELECT k, sum(v) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM pr_nr")
     // the plain force() path must NOT reroute partitioned windows — the
     // skew route is an explicit choice (flat histograms prefer the
     // built-in's hash exchange)

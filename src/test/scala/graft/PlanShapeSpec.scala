@@ -398,8 +398,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pln.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, s"q_leadnn_rewrite kept a WindowExec:\n$pln")
-    // ONE lookahead exec: nn1 and nn3 shifted the SAME column, and the
-    // rewrite... each lead-IN expression gets its own node by design
+    // TWO lookahead execs: each lead-IGNORE-NULLS expression gets its
+    // own single-column node by design (the O(k) deque bound is
+    // per-column — see GlobalLookaheadNode's rationale)
     assert(pln.collect {
       case g: graft.plans.GlobalLookaheadExec => g
     }.size == 2,
