@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
+
+/** Hundred-twelfth wave (late r13) — justified under the §7.2
+  * no-new-wave-without-new-surface rule by the session's two new skew
+  * tier members: [[graft.plans.PartitionedMovingAgg]] (bounded-ROWS
+  * moving frames per key: key-gated frame rings + key-matched boundary
+  * chains over the composite range sub-split) and the WHOLE-FRAME
+  * window-to-join rewrite (`agg(e) OVER (PARTITION BY k)` →
+  * map-side-combined Aggregate + null-safe equi-join back — no new
+  * physical node, and the per-key window shape AQE can actually fix).
+  * Queries are written with the BUILT-IN window functions and routed
+  * through [[RewriteGlobalRankWindows.forceSkew]], so the rewrites
+  * themselves are what the DuckDB oracle checks.
+  */
+object R112Queries {
+
+  /** `q_skewmovagg_rewrite`: per-key MOVING statistics under the same
+    * hot key as the sibling skew queries (a third of all users fold
+    * into key -1), through [[graft.plans.PartitionedMovingAgg]].
+    * Row-level output: every frame that crosses a range-sub-split
+    * partition boundary inside the hot key — and every frame clipped
+    * at a small key's edges (including EMPTY pure-future frames at key
+    * tails: null min, the built-in's clip) — is on the DuckDB hash.
+    * Trailing, centered, pure-future, and first_value frames ride ONE
+    * node on one composite exchange. Total order (cents, event_id);
+    * all-BIGINT lattice. */
+  val qSkewmovaggRewrite = QueryDef("q_skewmovagg_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cents"), col("event_id"))
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        col("cents"),
+        sum("cents").over(w.rowsBetween(-3, 1)).cast("long").as("mov_sum"),
+        count(lit(1)).over(w.rowsBetween(-2, 0)).cast("long").as("mov_n"),
+        min("cents").over(w.rowsBetween(1, 2)).cast("long").as("fut_min"),
+        first("cents").over(w.rowsBetween(-3, 0)).cast("long").as("f3")))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents, event_id
+        |  FROM events)
+        |SELECT k, event_id, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY k ORDER BY cents, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS mov_sum,
+        |  CAST(count(*) OVER (PARTITION BY k ORDER BY cents, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_n,
+        |  CAST(min(cents) OVER (PARTITION BY k ORDER BY cents, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS fut_min,
+        |  CAST(first_value(cents) OVER (PARTITION BY k ORDER BY cents, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS f3
+        |FROM ev ORDER BY k, event_id""".stripMargin))
+
+  /** `q_skewframeagg_rewrite`: ratio-to-group-total under the hot key —
+    * `sum/count/min/max OVER (PARTITION BY k)` through the
+    * window-to-join rewrite (Aggregate + null-safe equi-join back; the
+    * plan AQE can split or broadcast, where WindowExec funnels the hot
+    * key through one task). Row-level output with a parts-per-million
+    * share on the integer lattice (`DIV` on both engines — cents ≥ 0,
+    * so truncation agrees); every row of the hot key carries the same
+    * joined-back totals, so the DuckDB hash checks multiplicity
+    * preservation (the 1:1 join-back), not just the aggregates. */
+  val qSkewframeaggRewrite = QueryDef("q_skewframeagg_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        col("cents"),
+        sum("cents").over(w).cast("long").as("tot"),
+        count(lit(1)).over(w).cast("long").as("n"),
+        min("cents").over(w).cast("long").as("mn"),
+        max("cents").over(w).cast("long").as("mx")))
+        .withColumn("ppm", expr("CAST(cents * 1000000 DIV tot AS BIGINT)"))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |t AS (
+        |  SELECT k, event_id, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY k) AS BIGINT) AS tot,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    CAST(min(cents) OVER (PARTITION BY k) AS BIGINT) AS mn,
+        |    CAST(max(cents) OVER (PARTITION BY k) AS BIGINT) AS mx
+        |  FROM ev)
+        |SELECT k, event_id, cents, tot, n, mn, mx,
+        |  CAST(cents * 1000000 // tot AS BIGINT) AS ppm
+        |FROM t ORDER BY k, event_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qSkewmovaggRewrite, qSkewframeaggRewrite)
+}

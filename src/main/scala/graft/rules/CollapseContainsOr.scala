@@ -75,6 +75,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.PartitionedRankStrategy)
     e.injectPlannerStrategy(_ => graft.plans.PartitionedRunningAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.PartitionedShiftStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.PartitionedMovingAggStrategy)
     // conf-gated (spark.graft.rewrite.globalRankWindows, default off):
     // rewrite unpartitioned rank-family windows into the distributed
     // GlobalRankNode. Pre-CBO, not operator-optimization: it runs ONCE,

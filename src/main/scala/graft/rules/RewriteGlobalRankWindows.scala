@@ -2,14 +2,15 @@ package graft.rules
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Cast, CumeDist, CurrentRow, DenseRank, Expression, Lag, Lead, Literal, NTile, NamedExpression, NthValue, PercentRank, RangeFrame, Rank, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnaryMinus, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, BitAndAgg, BitOrAgg, BitXorAgg, Complete, Count, DeclarativeAggregate, First, Last, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, AttributeMap, AttributeReference, AttributeSet, Cast, CumeDist, CurrentRow, DenseRank, EqualNullSafe, Expression, Lag, Lead, Literal, NTile, NamedExpression, NthValue, PercentRank, RangeFrame, Rank, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnaryMinus, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, BitAndAgg, BitOrAgg, BitXorAgg, Complete, Count, DeclarativeAggregate, First, Last, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode, PartitionedShift, PartitionedShiftNode}
+import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedMovingAgg, PartitionedMovingAggNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode, PartitionedShift, PartitionedShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -730,23 +731,46 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       Project(projected, node)
   }
 
-  /** The skew tier's rewrite: a PARTITIONED `Window` whose expressions
-    * are ALL stitchable — rank modes (row_number/rank/dense_rank: the
-    * per-key position arithmetic that telescopes across a hot key's
-    * range sub-split) and/or running aggregates (UNBOUNDED PRECEDING ..
-    * CURRENT ROW over the ordered allowlist: per-key prefix buffers
-    * stitch the same way) — becomes [[PartitionedRankNode]] and/or
-    * [[PartitionedRunningAggNode]], stacked on ONE composite range
-    * exchange. Percent/cume/ntile need each key's total (a second
-    * stitching direction) and keep WindowExec. */
+  /** The skew tier's rewrite, two disjoint shapes:
+    *
+    *  1. a PARTITIONED `Window` whose expressions are ALL stitchable —
+    *     rank modes (row_number/rank/dense_rank: the per-key position
+    *     arithmetic that telescopes across a hot key's range
+    *     sub-split), plain literal-offset lead/lag, running aggregates
+    *     (UNBOUNDED PRECEDING .. CURRENT ROW over the ordered
+    *     allowlist: per-key prefix buffers stitch the same way),
+    *     and/or bounded-ROWS moving aggregates (key-gated frame rings
+    *     with key-matched boundary rows) — becomes
+    *     [[PartitionedRankNode]] / [[PartitionedShiftNode]] /
+    *     [[PartitionedRunningAggNode]] / [[PartitionedMovingAggNode]],
+    *     stacked on ONE composite range exchange;
+    *  2. a PARTITIONED `Window` whose expressions are ALL per-key
+    *     WHOLE-FRAME aggregates (`agg(e) OVER (PARTITION BY k)` — the
+    *     ratio-to-group-total shape) — becomes a map-side-combined
+    *     `Aggregate` on the keys null-safe-equi-JOINED back to the
+    *     child (see [[rewriteSkewFrameAgg]]): no new physical node at
+    *     all, and the one per-key window shape AQE can then actually
+    *     fix — a skewed sort-merge join splits, the one-row-per-key
+    *     aggregate side replicates, or broadcasts outright when the
+    *     key count is small, while WindowExec's hash exchange funnels
+    *     the whole hot key through one task no matter what.
+    *
+    * A window mixing the two shapes (same partition AND order spec,
+    * whole-frame next to running members in one node) keeps WindowExec
+    * — rare, and correctly handled there. */
   private[graft] def rewriteSkew(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Window(wexprs, partSpec, _, child, _)
+        if wexprs.nonEmpty && partSpec.nonEmpty &&
+          partSpec.forall(_.deterministic) &&
+          wexprs.forall(e => skewFrameAggOf(e).isDefined) =>
+      rewriteSkewFrameAgg(wexprs, partSpec, child)
     case Window(wexprs, partSpec, orderSpec, child, _)
         if wexprs.nonEmpty && partSpec.nonEmpty &&
           partSpec.forall(_.deterministic) &&
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.forall(e =>
             skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
-              skewRunAggOf(e).isDefined) =>
+              skewRunAggOf(e).isDefined || skewMovAggOf(e).isDefined) =>
       val rankClassified = wexprs.flatMap(e => skewRankOf(e).map(e -> _))
       val shiftClassified = wexprs.flatMap { e =>
         if (skewRankOf(e).isDefined) None else skewShiftOf(e).map(e -> _)
@@ -754,6 +778,11 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       val runClassified = wexprs.flatMap { e =>
         if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined) None
         else skewRunAggOf(e).map(e -> _)
+      }
+      val movClassified = wexprs.flatMap { e =>
+        if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
+          skewRunAggOf(e).isDefined) None
+        else skewMovAggOf(e).map(e -> _)
       }
       val rankCols = rankClassified.map { case (_, (a, m)) =>
         RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
@@ -768,11 +797,16 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           shiftClassified.map(_._2._5), shiftClassified.map(_._2._2),
           shiftClassified.map(_._2._3), shiftClassified.map(_._2._4),
           withRanks)
-      val node: LogicalPlan =
+      val withRuns: LogicalPlan =
         if (runClassified.isEmpty) withShifts
         else PartitionedRunningAggNode(partSpec, orderSpec,
           runClassified.map(_._2._4), runClassified.map(_._2._2),
           runClassified.map(_._2._3), withShifts)
+      val node: LogicalPlan =
+        if (movClassified.isEmpty) withRuns
+        else PartitionedMovingAggNode(partSpec, orderSpec,
+          movClassified.map(_._2._5), movClassified.map(_._2._2),
+          movClassified.map(_._2._3), movClassified.map(_._2._4), withRuns)
       // replacement aliases keyed by SOURCE expression so the Project
       // preserves the original per-expression column ORDER even when
       // ranks and running aggregates interleave in wexprs (r13
@@ -800,9 +834,194 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata)))
         }.toMap
+      val movAliasByExpr: Map[NamedExpression, NamedExpression] =
+        movClassified.map { case (e, (a, _, _, _, attr)) =>
+          (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata)))
+        }.toMap
       Project(child.output ++ wexprs.map(e =>
         rankAliasByExpr.getOrElse(e,
-          shiftAliasByExpr.getOrElse(e, runAliasByExpr(e)))), node)
+          shiftAliasByExpr.getOrElse(e,
+            runAliasByExpr.getOrElse(e, movAliasByExpr(e))))), node)
+  }
+
+  /** Shape 2 of [[rewriteSkew]]: per-key whole-frame aggregates become
+    * `Aggregate` + null-safe equi-`Join` — window-to-join, the classic
+    * relational unnesting of `agg(e) OVER (PARTITION BY k)`.
+    *
+    * Equivalence: the join's right side groups the SAME child by the
+    * SAME keys, so every left row matches exactly one right row (its
+    * own group — never zero: the group exists because the row does),
+    * preserving left multiplicity exactly; `<=>` matches window
+    * partitioning's null bucket (and Spark's NaN-equal, -0.0 = 0.0
+    * comparison semantics match its grouping normalization). The
+    * admitted functions are [[allowedAgg]] only — order-insensitive
+    * within the frame; First/Last stay out because group-aggregate
+    * partial merges run in arbitrary order while a window's
+    * whole-partition First/Last is order-defined.
+    *
+    * Scale shape: the aggregate side is map-side combined (partial
+    * aggregation — the hot key costs one combiner slot per task, not a
+    * task), its result is one narrow row per distinct key, and the
+    * join back is the plan AQE already knows how to save: skewed SMJ
+    * partitions split (the one-row-per-key right side replicates
+    * free), or the whole right side broadcasts when |keys| is small —
+    * ZERO shuffle of the big side. The cost is reading the child
+    * twice; at any scale where the hot key doesn't fit one task, two
+    * parallel scans beat one serial window by construction.
+    *
+    * The right subtree re-aliases every child attribute (fresh
+    * exprIds), so the self-join carries no ambiguous references; the
+    * final Project restores the original window aliases under their
+    * exprIds, leaving upstream operators untouched. */
+  private def rewriteSkewFrameAgg(wexprs: Seq[NamedExpression],
+                                  partSpec: Seq[Expression],
+                                  child: LogicalPlan): LogicalPlan = {
+    val classified: Seq[(Alias, AggregateFunction)] =
+      wexprs.map(e => skewFrameAggOf(e).get)
+    // Stacked whole-frame windows over DIFFERENT keys (share-of-region
+    // next to share-of-nation) rewrite bottom-up, so the outer window's
+    // child is already a join-back — and aggregating over it would
+    // re-derive every lower join inside this aggregate branch. When the
+    // child is PROVABLY one of this method's own 1:1 join-backs (see
+    // [[keyCompleteJoinBase]]) and this window's keys and functions
+    // only reference base attributes, the aggregate branch descends to
+    // the shared base: each stacked window costs one base aggregation,
+    // never a re-derivation of the stack below it.
+    val needed = AttributeSet(
+      partSpec.flatMap(_.references) ++ classified.flatMap(_._2.references))
+    @annotation.tailrec
+    def peel(p: LogicalPlan): LogicalPlan =
+      keyCompleteJoinBase(p) match {
+        case Some(base) if needed.subsetOf(base.outputSet) => peel(base)
+        case _ => p
+      }
+    val aggBase = peel(child)
+    // fresh right subtree over the (peeled) base: re-alias every output
+    // attribute so the two join sides share no exprIds
+    val freshAliases: Seq[Alias] =
+      aggBase.output.map(a => Alias(a, a.name)())
+    val subst = AttributeMap(aggBase.output.zip(freshAliases.map(_.toAttribute)))
+    def sub(e: Expression): Expression = e.transform {
+      case a: Attribute => subst.getOrElse(a, a)
+    }
+    val rightChild = Project(freshAliases, aggBase)
+    val groupKeys: Seq[Expression] = partSpec.map(sub)
+    val keyAliases: Seq[Alias] = groupKeys.zipWithIndex.map {
+      case (e, i) => Alias(e, s"__graft_k$i")()
+    }
+    val aggAliases: Seq[Alias] = classified.map { case (a, fn) =>
+      Alias(AggregateExpression(sub(fn).asInstanceOf[AggregateFunction],
+        Complete, isDistinct = false), s"__graft_${a.name}")()
+    }
+    val agg = Aggregate(groupKeys, keyAliases ++ aggAliases, rightChild)
+    val cond: Expression = partSpec.zip(keyAliases)
+      .map { case (l, ka) => EqualNullSafe(l, ka.toAttribute) }
+      .reduce[Expression](And(_, _))
+    val join = Join(child, agg, Inner, Some(cond), JoinHint.NONE)
+    Project(child.output ++ classified.zip(aggAliases).map {
+      case ((a, _), aa) =>
+        Alias(aa.toAttribute, a.name)(exprId = a.exprId,
+          qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+    }, join)
+  }
+
+  /** `Some(base)` iff `p` is structurally one of
+    * [[rewriteSkewFrameAgg]]'s own join-backs over `base`, verified
+    * 1:1 from the plan alone (no trust in provenance):
+    *
+    *  - `Project(_, Join(base, Aggregate(gk, aggList, Project(_, c)),
+    *    Inner, cond))` with `c eq base` — the aggregate reads EXACTLY
+    *    the base's rows (Project never filters; object identity pins
+    *    the same-pass construction), so every base key combination has
+    *    its group row: every left row matches AT LEAST one right row;
+    *  - `cond` is a conjunction of `EqualNullSafe(leftExpr, keyAttr)`
+    *    whose key attributes cover ALL of the aggregate's grouping
+    *    keys (each grouping expression aliased by exactly one matched
+    *    key output): a left row can match AT MOST one group row.
+    *
+    * Together: exactly one match per left row — the join preserves
+    * base multiplicity, so aggregating over `base` and over `p` are
+    * the same aggregation. */
+  private def keyCompleteJoinBase(p: LogicalPlan): Option[LogicalPlan] = p match {
+    case Project(_, Join(base,
+        Aggregate(gk, aggList, Project(_, c), _), Inner, Some(cond), _))
+        if c eq base =>
+      val keyAliases: Seq[Alias] = aggList.collect {
+        case a: Alias if !a.child.exists(_.isInstanceOf[AggregateExpression]) => a
+      }
+      val keyAttrById = keyAliases.map(a => a.exprId -> a).toMap
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      val pairs = conjuncts(cond).map {
+        case EqualNullSafe(le, ka: Attribute)
+            if keyAttrById.contains(ka.exprId) &&
+              le.references.subsetOf(base.outputSet) && le.deterministic =>
+          Some(ka.exprId)
+        case _ => None
+      }
+      val ok = pairs.forall(_.isDefined) && {
+        val matched = pairs.flatten.toSet
+        // every grouping key must be aliased by a MATCHED key output
+        gk.forall(g => keyAliases.exists(a =>
+          matched.contains(a.exprId) && a.child.semanticEquals(g)))
+      }
+      if (ok) Some(base) else None
+    case _ => None
+  }
+
+  /** (alias, unwrapped function) iff `ne` is a PARTITIONED whole-frame
+    * aggregate window — `agg(e) OVER (PARTITION BY k)` (the analyzer
+    * normalizes the frame to UNBOUNDED .. UNBOUNDED; an explicit
+    * ORDER BY with that frame is the same whole partition). Admission
+    * is [[allowedAgg]] (order-insensitive only — no First/Last, no
+    * DISTINCT, no FILTER). */
+  private def skewFrameAggOf(ne: NamedExpression): Option[(Alias, AggregateFunction)] = ne match {
+    case a @ Alias(WindowExpression(
+        AggregateExpression(fn0, Complete, false, None, _),
+        WindowSpecDefinition(ps, _,
+          SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _)
+        if ps.nonEmpty =>
+      unwrapAgg(fn0).collect {
+        case fn if allowedAgg(fn) && fn.deterministic => (a, fn)
+      }
+    case _ => None
+  }
+
+  /** (alias, function, lo, hi, generated attr) iff `ne` is a
+    * PARTITIONED bounded-ROWS moving-frame window over the ordered
+    * allowlist with literal offsets within the boundary-state cap —
+    * the skew tier's [[PartitionedMovingAggNode]] (late r13).
+    * UNBOUNDED PRECEDING frames are the running member's; RANGE moving
+    * frames keep WindowExec in this tier. */
+  private def skewMovAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Int, Int, AttributeReference)] = {
+    def bound(e: Expression): Option[Int] = e match {
+      case CurrentRow => Some(0)
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType) if v.isValidInt => Some(v.toInt)
+      case UnaryMinus(Literal(v: Int, IntegerType), _) => Some(-v)
+      case UnaryMinus(Literal(v: Long, LongType), _) if v.isValidInt => Some(-v.toInt)
+      case _ => None
+    }
+    ne match {
+      case a @ Alias(we @ WindowExpression(
+          AggregateExpression(fn0, Complete, false, None, _),
+          WindowSpecDefinition(ps, _,
+            SpecifiedWindowFrame(RowFrame, lo0, hi0))), _) if ps.nonEmpty =>
+        for {
+          lo <- bound(lo0)
+          hi <- bound(hi0)
+          if lo <= hi && math.max(math.abs(lo), math.abs(hi)) <= maxShift
+          if !(lo0 == UnboundedPreceding) // the running member's shape
+          fn <- unwrapAgg(fn0)
+          if allowedOrderedAgg(fn) && fn.deterministic
+        } yield (a, fn, lo, hi,
+          AttributeReference(s"__graft_${a.name}", fn.dataType,
+            nullable = we.nullable)())
+      case _ => None
+    }
   }
 
   /** (alias, mode) iff `ne` is a PARTITIONED window over the rank
@@ -883,6 +1102,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     PartitionedRank.ensureStrategy(spark)
     PartitionedRunningAgg.ensureStrategy(spark)
     PartitionedShift.ensureStrategy(spark)
+    PartitionedMovingAgg.ensureStrategy(spark)
     val globalised = force(df)
     GraftSqlBridge.ofRows(spark,
       rewriteSkew(globalised.queryExecution.analyzed))

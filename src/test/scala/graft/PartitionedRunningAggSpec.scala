@@ -116,7 +116,7 @@ class PartitionedRunningAggSpec extends AnyFunSuite {
     }.size == 1, s"both skew operators must share one composite exchange:\n$p")
   }
 
-  test("non-rewrites: moving frames, DISTINCT, collect_list keep WindowExec") {
+  test("non-rewrites: collect_list keeps WindowExec; moving frames route to the moving member") {
     spark.range(100).select((col("id") % 5).as("k"), col("id").as("v"),
       (col("id") % 7).as("x")).createOrReplaceTempView("pra_nr")
     def kept(sql: String): Unit = {
@@ -124,9 +124,17 @@ class PartitionedRunningAggSpec extends AnyFunSuite {
       assert(p.collect { case g: PartitionedRunningAggExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    // bounded moving frame: not a prefix — no per-key stitch
-    kept("SELECT k, sum(x) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM pra_nr")
     // unbounded-buffer order-sensitive aggregate
     kept("SELECT k, collect_list(x) OVER (PARTITION BY k ORDER BY v) AS s FROM pra_nr")
+    // bounded moving frame: NOT this member's shape (no prefix stitch)
+    // — since late r13 it routes to PartitionedMovingAgg instead
+    // (PartitionedMovingAggSpec pins its values; here only the split)
+    val pm = noAqePlan(RewriteGlobalRankWindows.forceSkew(spark.sql(
+      "SELECT k, sum(x) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM pra_nr")))
+    assert(pm.collect { case g: PartitionedRunningAggExec => g }.isEmpty)
+    assert(pm.collect {
+      case g: graft.plans.PartitionedMovingAggExec => g
+    }.size == 1)
+    assert(pm.collect { case x: WindowExec => x }.isEmpty)
   }
 }

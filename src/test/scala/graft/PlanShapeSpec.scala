@@ -428,6 +428,31 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedShiftExec => g
     }.size == 1,
       s"q_skewshift_rewrite must shift through ONE PartitionedShiftExec:\n$pss")
+    // late r13: the skew tier's bounded-ROWS moving-frame member —
+    // four frames (trailing/centered/future/first_value) through ONE
+    // PartitionedMovingAggExec, zero WindowExec
+    val psm = plan("q_skewmovagg_rewrite")
+    assert(psm.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewmovagg_rewrite kept a WindowExec:\n$psm")
+    assert(psm.collect {
+      case g: graft.plans.PartitionedMovingAggExec => g
+    }.size == 1,
+      s"q_skewmovagg_rewrite must run through ONE PartitionedMovingAggExec:\n$psm")
+    // late r13: the whole-frame window-to-join member — zero
+    // WindowExec, zero graft exec (the REWRITE is the operator: one
+    // aggregate + one join over built-ins, the shape AQE can fix)
+    val psf = plan("q_skewframeagg_rewrite")
+    assert(psf.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewframeagg_rewrite kept a WindowExec:\n$psf")
+    assert(psf.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.size == 1,
+      s"q_skewframeagg_rewrite must join back through ONE join:\n$psf")
+    assert(psf.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty, s"q_skewframeagg_rewrite must aggregate per key:\n$psf")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
