@@ -105,5 +105,56 @@ object R112Queries {
         |  CAST(cents * 1000000 // tot AS BIGINT) AS ppm
         |FROM t ORDER BY k, event_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qSkewmovaggRewrite, qSkewframeaggRewrite)
+  /** `q_nthmov_rewrite`: MOVING-LOWER-BOUND `nth_value` — previously a
+    * documented non-rewrite ("moving-lower-bound nth_value needs real
+    * frame execution") retired by admitting NthValue, itself a
+    * DeclarativeAggregate, into the moving-frame rebuffer of BOTH
+    * tiers: a global trailing/centered pair (incl. IGNORE NULLS)
+    * through [[graft.plans.GlobalMovingAgg]] and a per-key trailing
+    * form under the hot key through
+    * [[graft.plans.PartitionedMovingAgg]], in ONE query. Total orders
+    * on both windows (event_id breaks cents ties); non-null order
+    * keys, so Spark's NULLS FIRST and DuckDB's NULLS LAST defaults
+    * never see a null; all-BIGINT values with a deterministic null
+    * pattern for the IGNORE NULLS arm. */
+  val qNthmovRewrite = QueryDef("q_nthmov_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        col("event_id"))
+        .withColumn("xnn",
+          when(col("event_id") % 4 === 0, lit(null).cast("long"))
+            .otherwise(col("cents")))
+      val wg = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents"), col("event_id"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cents"), col("event_id"))
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        col("cents"), col("xnn"),
+        expr("nth_value(cents, 2)").over(wg.rowsBetween(-3, 0)).as("g2t"),
+        expr("nth_value(xnn, 2) IGNORE NULLS")
+          .over(wg.rowsBetween(-2, 2)).as("g2nn"),
+        expr("nth_value(cents, 3)").over(wk.rowsBetween(-4, 0)).as("k3t")))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents, event_id,
+        |    CASE WHEN event_id % 4 = 0 THEN NULL
+        |      ELSE CAST(round(value * 100.0) AS BIGINT) END AS xnn
+        |  FROM events)
+        |SELECT k, event_id, cents, xnn,
+        |  CAST(nth_value(cents, 2) OVER (ORDER BY cents, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS g2t,
+        |  CAST(nth_value(xnn, 2 IGNORE NULLS) OVER (ORDER BY cents, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS g2nn,
+        |  CAST(nth_value(cents, 3) OVER (PARTITION BY k ORDER BY cents, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS k3t
+        |FROM ev ORDER BY event_id""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(qSkewmovaggRewrite, qSkewframeaggRewrite, qNthmovRewrite)
 }

@@ -63,14 +63,17 @@ import graft.plans.GlobalShift.ShiftCol
   * refusal: `lead(e, k) IGNORE NULLS` routes through
   * [[GlobalLookaheadNode]] (the zipped lead/lag pass holds k VALUES,
   * never the null-run row gap; lag IGNORE NULLS was already the
-  * non-null ring). A `Window` node is left alone when any of its
-  * expressions is outside the families (RANGE moving frames on
-  * non-integral or descending/multi-key orders and moving-lower-bound
-  * nth_value need real frame execution; non-literal or over-cap
-  * offsets fall back), when it HAS a partition spec (partitioned
-  * windows scale fine; the r13 SKEW tier routes rank/running members
-  * behind its own gate), or when an ordered-family member rides a
-  * non-deterministic order key.
+  * non-null ring), and moving-lower-bound `nth_value` rides the
+  * moving-frame rebuffer (NthValue is itself a DeclarativeAggregate —
+  * see [[movAggOf]]'s second arm). A `Window` node is left alone when
+  * any of its expressions is outside the families (RANGE moving frames
+  * on non-integral or descending/multi-key orders and nth_value under
+  * an unbounded-FOLLOWING moving frame need real frame execution;
+  * non-literal or over-cap offsets fall back), when it HAS a partition
+  * spec (partitioned windows scale fine; the r13 SKEW tier routes
+  * rank/shift/running/moving/whole-frame members behind its own gate),
+  * or when an ordered-family member rides a non-deterministic order
+  * key.
   *
   * OFF by default — enable with `spark.graft.rewrite.globalRankWindows=
   * true` (session conf; the rule is injected by [[GraftExtensions]] as
@@ -321,6 +324,29 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           if allowedOrderedAgg(fn) && fn.deterministic
         } yield (a, fn, lo, hi,
           AttributeReference(s"__graft_${a.name}", fn.dataType,
+            nullable = we.nullable)())
+      // MOVING-LOWER-BOUND nth_value (late r13 — previously a
+      // documented non-rewrite): NthValue is itself a
+      // DeclarativeAggregate (AggregateWindowFunction) whose
+      // initial/update/evaluate expressions the frame REBUFFER runs
+      // verbatim in frame order — exactly how WindowExec's
+      // AggregateProcessor evaluates it — so a literal-bounded ROWS
+      // frame rides the moving ring like any other ordered aggregate.
+      // (Start-anchored frames are GlobalNthValue's one-constant
+      // family; frames with an unbounded FOLLOWING end have unbounded
+      // forward state and keep WindowExec.)
+      case a @ Alias(we @ WindowExpression(
+          nv @ NthValue(input, Literal(n: Int, IntegerType), _),
+          WindowSpecDefinition(Seq(), _,
+            SpecifiedWindowFrame(RowFrame, lo0, hi0))), _) =>
+        for {
+          lo <- bound(lo0)
+          hi <- bound(hi0)
+          if lo <= hi && math.max(math.abs(lo), math.abs(hi)) <= maxShift
+          if !(lo0 == UnboundedPreceding) // GlobalNthValue's family
+          if n > 0 && input.deterministic
+        } yield (a, nv, lo, hi,
+          AttributeReference(s"__graft_${a.name}", nv.dataType,
             nullable = we.nullable)())
       case _ => None
     }
@@ -1019,6 +1045,23 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           if allowedOrderedAgg(fn) && fn.deterministic
         } yield (a, fn, lo, hi,
           AttributeReference(s"__graft_${a.name}", fn.dataType,
+            nullable = we.nullable)())
+      // per-key moving-lower-bound nth_value: the same rebuffer-only
+      // admission as the global matcher (NthValue is a
+      // DeclarativeAggregate; the segment-gated frame rebuffer runs
+      // its own expressions in frame order)
+      case a @ Alias(we @ WindowExpression(
+          nv @ NthValue(input, Literal(n: Int, IntegerType), _),
+          WindowSpecDefinition(ps, _,
+            SpecifiedWindowFrame(RowFrame, lo0, hi0))), _) if ps.nonEmpty =>
+        for {
+          lo <- bound(lo0)
+          hi <- bound(hi0)
+          if lo <= hi && math.max(math.abs(lo), math.abs(hi)) <= maxShift
+          if !(lo0 == UnboundedPreceding)
+          if n > 0 && input.deterministic
+        } yield (a, nv, lo, hi,
+          AttributeReference(s"__graft_${a.name}", nv.dataType,
             nullable = we.nullable)())
       case _ => None
     }

@@ -122,6 +122,25 @@ class GlobalMovingAggSpec extends AnyFunSuite {
       s"four families must share one range exchange:\n$p")
   }
 
+  test("moving-lower-bound nth_value rides the rebuffer ring (late r13)") {
+    // NthValue IS a DeclarativeAggregate — the frame rebuffer runs its
+    // own update expressions in frame order, so trailing / centered /
+    // pure-future nth_value (incl. IGNORE NULLS) matches the built-in
+    // bit-for-bit, including frames clipped at the global edges
+    val df = spark.range(1200)
+      .select((col("id") * 48271L % 2003L).as("v"), col("id"),
+        when(col("id") % 5 === 0, lit(null)).otherwise(col("id") % 61).as("x"))
+      .repartition(8)
+    val w = Window.orderBy("v", "id")
+    assertSame(df.select(col("v"), col("x"),
+      expr("nth_value(x, 2)").over(w.rowsBetween(-3, 0)).as("n2t"),
+      expr("nth_value(x, 3)").over(w.rowsBetween(-2, 2)).as("n3c"),
+      expr("nth_value(x, 1)").over(w.rowsBetween(1, 4)).as("n1f"),
+      expr("nth_value(x, 2) IGNORE NULLS").over(w.rowsBetween(-4, 0)).as("n2nn"),
+      // a plain aggregate in the same node: mixed admission
+      sum("x").over(w.rowsBetween(-3, 0)).as("msum")))
+  }
+
   test("non-rewrites: over-cap extents keep WindowExec") {
     spark.range(100).select(col("id").as("v"), (col("id") % 7).as("x"))
       .createOrReplaceTempView("ma_nr")

@@ -92,6 +92,23 @@ class PartitionedMovingAggSpec extends AnyFunSuite {
       first("x", ignoreNulls = true).over(w.rowsBetween(-3, 0)).as("fnn")))
   }
 
+  test("per-key moving-lower-bound nth_value rides the segment-gated ring") {
+    // the same NthValue rebuffer admission as the global matcher,
+    // key-gated: frames clip at key edges, so the n-th frame row is
+    // per-key — including across sub-split partition boundaries
+    val df = spark.range(1500)
+      .select(when(col("id") % 2 === 0, lit(-1L))
+        .otherwise(col("id") % 23).as("k"),
+        (col("id") * 7L % 997L).as("v"), col("id"),
+        when(col("id") % 6 === 0, lit(null)).otherwise(col("id") % 47).as("x"))
+      .repartition(7)
+    val w = Window.partitionBy("k").orderBy(col("v"), col("id"))
+    assertSame(df.select(col("k"), col("v"), col("x"),
+      expr("nth_value(x, 2)").over(w.rowsBetween(-3, 0)).as("n2t"),
+      expr("nth_value(x, 2) IGNORE NULLS").over(w.rowsBetween(-2, 2)).as("n2nn"),
+      sum("x").over(w.rowsBetween(-3, 0)).as("msum")))
+  }
+
   test("NULL partition keys form one frame group") {
     val df = spark.range(900)
       .select(when(col("id") % 4 === 0, lit(null)).otherwise(col("id") % 6).as("k"),

@@ -453,6 +453,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(psf.collect {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
     }.nonEmpty, s"q_skewframeagg_rewrite must aggregate per key:\n$psf")
+    // late r13: moving-lower-bound nth_value (the retired non-rewrite)
+    // — global frames through ONE GlobalMovingAggExec, the per-key
+    // frame through ONE PartitionedMovingAggExec, zero WindowExec
+    val pnm = plan("q_nthmov_rewrite")
+    assert(pnm.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_nthmov_rewrite kept a WindowExec:\n$pnm")
+    assert(pnm.collect {
+      case g: graft.plans.GlobalMovingAggExec => g
+    }.size == 1,
+      s"q_nthmov_rewrite's global frames must ride ONE GlobalMovingAggExec:\n$pnm")
+    assert(pnm.collect {
+      case g: graft.plans.PartitionedMovingAggExec => g
+    }.size == 1,
+      s"q_nthmov_rewrite's per-key frame must ride ONE PartitionedMovingAggExec:\n$pnm")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
