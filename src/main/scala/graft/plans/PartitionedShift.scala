@@ -35,9 +35,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *     only — a segment that ends mid-partition defaults instead).
   *     Bounded row read-ahead of `maxFwd`, zero unbounded state.
   *
-  * Plain lead/lag only in this tier (IGNORE NULLS per key would need
-  * the per-key non-null ring seeded key-matched — the global form's
-  * machinery, deliberately not duplicated until a query needs it);
+  * `lag(e, k) IGNORE NULLS` rides the same machinery (late r13 —
+  * the former "non-null ring seeded key-matched" refusal): its
+  * boundary tails hold the last k NON-NULL values of the last key run,
+  * the driver chains them key-matched exactly like the plain tails,
+  * and pass 2 keeps a per-SEGMENT k-capacity non-null ring (reset at
+  * key change, seeded from the chained tail for the first segment
+  * only) — [[GlobalShift]]'s ring with the key boundary as one more
+  * reset point. The lead mirror stays on WindowExec in this tier
+  * (the zipped-lookahead machinery, per key, when a query needs it);
   * non-literal and over-cap offsets keep WindowExec. Tie caveat
   * identical to the built-in: offsets under a non-total `(k, v)` order
   * are tie-order-dependent; pass a total order for determinism.
@@ -54,6 +60,7 @@ case class PartitionedShiftNode(partKeys: Seq[Expression],
                                 inputs: Seq[Expression],
                                 offsets: Seq[Int],
                                 defaults: Seq[Expression],
+                                ignoreNullsFlags: Seq[Boolean],
                                 child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ attrs
   override def producedAttributes: AttributeSet = AttributeSet(attrs)
@@ -63,9 +70,9 @@ case class PartitionedShiftNode(partKeys: Seq[Expression],
 
 object PartitionedShiftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PartitionedShiftNode(partKeys, order, attrs, inputs, offsets, defaults, child) =>
+    case PartitionedShiftNode(partKeys, order, attrs, inputs, offsets, defaults, ign, child) =>
       PartitionedShiftExec(partKeys, order, attrs, inputs, offsets, defaults,
-        planLater(child)) :: Nil
+        ign, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -76,6 +83,7 @@ case class PartitionedShiftExec(partKeys: Seq[Expression],
                                 inputs: Seq[Expression],
                                 offsets: Seq[Int],
                                 defaults: Seq[Expression],
+                                ignoreNullsFlags: Seq[Boolean],
                                 child: SparkPlan) extends UnaryExecNode {
   import PartitionedShift.ShiftEdge
 
@@ -103,6 +111,11 @@ case class PartitionedShiftExec(partKeys: Seq[Expression],
     val inputsArr = inputs.toArray
     val offsetsArr = offsets.toArray
     val defaultsArr = defaults.toArray
+    // IGNORE NULLS columns (lag-only by construction, as in
+    // GlobalShift): tails and the per-segment ring hold NON-NULL
+    // values only — the state stays k values, just k non-null ones
+    val ign = (if (ignoreNullsFlags.isEmpty) Seq.fill(nShifts)(false)
+               else ignoreNullsFlags).toArray
     val dataTypes = inputsArr.map(_.dataType)
     val nullDefault = defaultsArr.map(d => d.foldable && d.eval() == null)
     val maxBack = offsetsArr.collect { case o if o < 0 => -o }
@@ -141,9 +154,12 @@ case class PartitionedShiftExec(partKeys: Seq[Expression],
             if (o > 0 && single && heads(j).length < o)
               heads(j) += projs(j)(row).copy()
             if (o < 0) {
-              val t = tails(j)
-              if (t.size == -o) t.pollFirst()
-              t.addLast(projs(j)(row).copy())
+              val v = projs(j)(row)
+              if (!ign(j) || !v.isNullAt(0)) {
+                val t = tails(j)
+                if (t.size == -o) t.pollFirst()
+                t.addLast(v.copy())
+              }
             }
             j += 1
           }
@@ -299,12 +315,49 @@ case class PartitionedShiftExec(partKeys: Seq[Expression],
           val d = defaultProjs(j)(row)
           if (d.isNullAt(0)) null else d.get(0, dataTypes(j))
         }
+      // IGNORE NULLS lag columns: a k-capacity ring of the last k
+      // NON-NULL values strictly before the current row WITHIN ITS KEY
+      // SEGMENT — GlobalShift's ring with the key boundary as one more
+      // reset point. Reset at every emit-segment change; the FIRST
+      // segment seeds from the key-matched chained tail (<= k
+      // non-nulls of this key before this partition, globally); the
+      // k-th most recent is the slot about to be overwritten once the
+      // count reaches k.
+      val nnRing = new Array[Array[UnsafeRow]](nShifts)
+      val nnPos = new Array[Int](nShifts)
+      val nnCount = new Array[Long](nShifts)
+      var nnSeg = -1L
+      def resetNnRings(seg: Long): Unit = {
+        var j = 0
+        while (j < nShifts) {
+          if (ign(j)) {
+            val kk = -offsetsArr(j)
+            if (nnRing(j) == null) nnRing(j) = new Array[UnsafeRow](kk)
+            nnPos(j) = 0; nnCount(j) = 0L
+            if (seg == 0L) pt(j).foreach { v =>
+              nnRing(j)(nnPos(j)) = v
+              nnPos(j) = (nnPos(j) + 1) % kk
+              nnCount(j) += 1L
+            }
+          }
+          j += 1
+        }
+        nnSeg = seg
+      }
       def fill(row: InternalRow): InternalRow = {
         val mySeg = segRing((emitIdx % valCap).toInt)
+        if (mySeg != nnSeg) resetNnRings(mySeg)
         var j = 0
         while (j < nShifts) {
           val src = emitIdx + offsetsArr(j)
           val v: Any =
+            if (ign(j)) {
+              // the k-th most recent in-segment non-null strictly
+              // before this row
+              val kk = -offsetsArr(j)
+              if (nnCount(j) >= kk) valueOf(nnRing(j)(nnPos(j)), j)
+              else defaultOf(row, j)
+            } else
             if (src >= 0L && src < readIdx) {
               // in-partition: same key segment required
               val slot = (src % valCap).toInt
@@ -331,6 +384,20 @@ case class PartitionedShiftExec(partKeys: Seq[Expression],
               } else defaultOf(row, j)
             }
           shiftRow.update(j, v)
+          j += 1
+        }
+        // the current row's value becomes visible to LATER rows only:
+        // push into the non-null rings after every column was computed
+        j = 0
+        while (j < nShifts) {
+          if (ign(j)) {
+            val cur = valRing((emitIdx % valCap).toInt)(j)
+            if (!cur.isNullAt(0)) {
+              nnRing(j)(nnPos(j)) = cur
+              nnPos(j) = (nnPos(j) + 1) % nnRing(j).length
+              nnCount(j) += 1L
+            }
+          }
           j += 1
         }
         emitIdx += 1L

@@ -155,6 +155,49 @@ object R112Queries {
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS k3t
         |FROM ev ORDER BY event_id""".stripMargin))
 
+  /** `q_skewshiftnn_rewrite`: per-key `lag ... IGNORE NULLS` under the
+    * hot key — the skew tier's retired non-null-ring refusal
+    * ([[graft.plans.PartitionedShift]]'s per-SEGMENT rings, seeded
+    * key-matched). Two of three cents values are nulled on a
+    * deterministic event_id pattern, so k=1/k=3 lookups routinely
+    * cross sub-split partition boundaries inside the hot key (the
+    * chained non-null tails) and default at key heads; a plain lag
+    * rides the same node. Row-level, all-BIGINT. */
+  val qSkewshiftnnRewrite = QueryDef("q_skewshiftnn_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        col("event_id"))
+        .withColumn("xnn",
+          when(col("event_id") % 3 =!= 0, lit(null).cast("long"))
+            .otherwise(col("cents")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cents"), col("event_id"))
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        col("cents"), col("xnn"),
+        lag(col("xnn"), 1, null, ignoreNulls = true).over(w).as("nn1"),
+        lag(col("xnn"), 3, null, ignoreNulls = true).over(w).as("nn3"),
+        lag("cents", 1).over(w).as("plain1")))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents, event_id,
+        |    CASE WHEN event_id % 3 <> 0 THEN NULL
+        |      ELSE CAST(round(value * 100.0) AS BIGINT) END AS xnn
+        |  FROM events)
+        |SELECT k, event_id, cents, xnn,
+        |  CAST(lag(xnn, 1 IGNORE NULLS) OVER w AS BIGINT) AS nn1,
+        |  CAST(lag(xnn, 3 IGNORE NULLS) OVER w AS BIGINT) AS nn3,
+        |  CAST(lag(cents, 1) OVER w AS BIGINT) AS plain1
+        |FROM ev
+        |WINDOW w AS (PARTITION BY k ORDER BY cents, event_id)
+        |ORDER BY k, event_id""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(qSkewmovaggRewrite, qSkewframeaggRewrite, qNthmovRewrite)
+    Seq(qSkewmovaggRewrite, qSkewframeaggRewrite, qNthmovRewrite,
+      qSkewshiftnnRewrite)
 }

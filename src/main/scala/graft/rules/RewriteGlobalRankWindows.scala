@@ -820,9 +820,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       val withShifts: LogicalPlan =
         if (shiftClassified.isEmpty) withRanks
         else PartitionedShiftNode(partSpec, orderSpec,
-          shiftClassified.map(_._2._5), shiftClassified.map(_._2._2),
+          shiftClassified.map(_._2._6), shiftClassified.map(_._2._2),
           shiftClassified.map(_._2._3), shiftClassified.map(_._2._4),
-          withRanks)
+          shiftClassified.map(_._2._5), withRanks)
       val withRuns: LogicalPlan =
         if (runClassified.isEmpty) withShifts
         else PartitionedRunningAggNode(partSpec, orderSpec,
@@ -851,7 +851,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
             qualifier = a.qualifier, explicitMetadata = Some(a.metadata)))
         }.toMap
       val shiftAliasByExpr: Map[NamedExpression, NamedExpression] =
-        shiftClassified.map { case (e, (a, _, _, _, attr)) =>
+        shiftClassified.map { case (e, (a, _, _, _, _, attr)) =>
           (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata)))
         }.toMap
@@ -1079,19 +1079,22 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** (alias, input, signed offset, default, generated attr) iff `ne`
-    * is a PARTITIONED plain lead/lag with a literal offset within the
-    * cap — the skew tier's [[PartitionedShiftNode]] (late r13).
-    * IGNORE NULLS keeps WindowExec in this tier (the per-key non-null
-    * ring is deliberately not duplicated until a query needs it). */
-  private def skewShiftOf(ne: NamedExpression): Option[(Alias, Expression, Int, Expression, AttributeReference)] = {
-    def spec(fn: Expression): Option[(Expression, Int, Expression)] = fn match {
-      case l: Lag if !l.ignoreNulls => l.inputOffset match {
-        case Literal(k: Int, IntegerType) => Some((l.input, -k, l.default))
+  /** (alias, input, signed offset, default, ignoreNulls, generated
+    * attr) iff `ne` is a PARTITIONED lead/lag with a literal offset
+    * within the cap — the skew tier's [[PartitionedShiftNode]] (late
+    * r13). `lag IGNORE NULLS` is admitted (the per-SEGMENT non-null
+    * ring, seeded key-matched — the ring reset at the key boundary);
+    * `lead IGNORE NULLS` keeps WindowExec in this tier (the zipped
+    * per-key lookahead, when a query needs it). */
+  private def skewShiftOf(ne: NamedExpression): Option[(Alias, Expression, Int, Expression, Boolean, AttributeReference)] = {
+    def spec(fn: Expression): Option[(Expression, Int, Expression, Boolean)] = fn match {
+      case l: Lag => l.inputOffset match {
+        case Literal(k: Int, IntegerType) if !l.ignoreNulls || k > 0 =>
+          Some((l.input, -k, l.default, l.ignoreNulls))
         case _ => None
       }
       case l: Lead if !l.ignoreNulls => l.offset match {
-        case Literal(k: Int, IntegerType) => Some((l.input, k, l.default))
+        case Literal(k: Int, IntegerType) => Some((l.input, k, l.default, false))
         case _ => None
       }
       case _ => None
@@ -1100,13 +1103,13 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       case a @ Alias(we @ WindowExpression(fn,
           WindowSpecDefinition(ps, _, _)), _) if ps.nonEmpty =>
         spec(fn).collect {
-          case (input, off, default)
+          case (input, off, default, ignoreNulls)
               if math.abs(off) <= maxShift && input.deterministic &&
                 default.deterministic &&
                 (default.foldable && default.eval() == null ||
                   org.apache.spark.sql.types.DataType.equalsStructurally(
                     default.dataType, input.dataType, ignoreNullability = true)) =>
-            (a, input, off, default,
+            (a, input, off, default, ignoreNulls,
               AttributeReference(s"__graft_${a.name}", input.dataType,
                 nullable = we.nullable)())
         }

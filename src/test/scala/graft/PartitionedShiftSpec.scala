@@ -122,7 +122,38 @@ class PartitionedShiftSpec extends AnyFunSuite {
     }.size == 1, s"the three skew operators must share one exchange:\n$p")
   }
 
-  test("non-rewrites: IGNORE NULLS and over-cap offsets keep WindowExec in this tier") {
+  test("lag IGNORE NULLS: per-segment non-null rings == built-in (late r13)") {
+    // nulls in 2-of-3 rows so k=2/k=4 lookups routinely cross partition
+    // boundaries within the hot key (the key-matched chained non-null
+    // tails) AND key boundaries (ring reset: small keys next to the
+    // hot key must default, never leak a neighbour's non-nulls)
+    val df = spark.range(3000)
+      .select(when(col("id") % 2 === 0, lit(-1L))
+        .otherwise(col("id") % 29).as("k"),
+        (col("id") * 31L % 997L).as("v"), col("id"),
+        when(col("id") % 3 =!= 0, lit(null)).otherwise(col("id") % 53).as("x"))
+      .repartition(8)
+    val w = Window.partitionBy("k").orderBy(col("v"), col("id"))
+    assertSame(df.select(col("k"), col("v"), col("x"),
+      lag(col("x"), 2, null, ignoreNulls = true).over(w).as("nn2"),
+      lag(col("x"), 4, null, ignoreNulls = true).over(w).as("nn4"),
+      lag("x", 1).over(w).as("plain1")))
+  }
+
+  test("lag IGNORE NULLS: non-null defaults and all-null keys") {
+    val df = spark.range(600)
+      .select((col("id") / 40).as("k"), col("id").as("v"),
+        // keys 0,2,4,... have ~1/4 non-null; odd keys are ALL NULL
+        when((col("id") / 40) % 2 === 0 && col("id") % 4 === 0,
+          col("id") % 37).as("x"))
+      .repartition(6)
+    val w = Window.partitionBy("k").orderBy(col("v"))
+    assertSame(df.select(col("k"), col("v"), col("x"),
+      lag(col("x"), 2, -1, ignoreNulls = true).over(w).as("nn2d"),
+      lag(col("x"), 1, null, ignoreNulls = true).over(w).as("nn1")))
+  }
+
+  test("non-rewrites: lead IGNORE NULLS and over-cap offsets keep WindowExec in this tier") {
     spark.range(100).select((col("id") % 5).as("k"), col("id").as("v"),
       when(col("id") % 3 === 0, col("id")).as("x"))
       .createOrReplaceTempView("ps_nr")
@@ -131,7 +162,10 @@ class PartitionedShiftSpec extends AnyFunSuite {
       assert(p.collect { case g: PartitionedShiftExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    kept("SELECT k, lag(x, 1) IGNORE NULLS OVER (PARTITION BY k ORDER BY v) AS s FROM ps_nr")
+    // lead IGNORE NULLS: the zipped per-key lookahead is not built;
+    // lag IGNORE NULLS rides the segment rings since late r13 (pinned
+    // positively above)
+    kept("SELECT k, lead(x, 1) IGNORE NULLS OVER (PARTITION BY k ORDER BY v) AS s FROM ps_nr")
     spark.conf.set(RewriteGlobalRankWindows.MaxShiftKey, "4")
     try {
       kept("SELECT k, lag(x, 5) OVER (PARTITION BY k ORDER BY v) AS s FROM ps_nr")

@@ -468,6 +468,16 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedMovingAggExec => g
     }.size == 1,
       s"q_nthmov_rewrite's per-key frame must ride ONE PartitionedMovingAggExec:\n$pnm")
+    // late r13: per-key lag IGNORE NULLS (the skew tier's retired
+    // non-null-ring refusal) — one PartitionedShiftExec, zero WindowExec
+    val pshn = plan("q_skewshiftnn_rewrite")
+    assert(pshn.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewshiftnn_rewrite kept a WindowExec:\n$pshn")
+    assert(pshn.collect {
+      case g: graft.plans.PartitionedShiftExec => g
+    }.size == 1,
+      s"q_skewshiftnn_rewrite must shift through ONE PartitionedShiftExec:\n$pshn")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
