@@ -197,7 +197,49 @@ object R112Queries {
         |WINDOW w AS (PARTITION BY k ORDER BY cents, event_id)
         |ORDER BY k, event_id""".stripMargin))
 
+  /** `q_skewrangemov_rewrite`: per-key VALUE-windowed statistics under
+    * the hot key — "the surrounding cents-bins' totals, per user" —
+    * through the skew tier's dense-domain member
+    * ([[graft.plans.PartitionedRangeMovingAgg]]: group-matched
+    * per-VALUE buffer chains, a group-gated zipped lead, one composite
+    * exchange). The `cbin % 7 < 4` filter punches holes in the value
+    * axis so RANGE frames genuinely differ from ROWS frames (the
+    * q_rangemov_rewrite argument, per key). Row-level output — every
+    * chained boundary buffer and every group-edge clip is on the
+    * DuckDB hash; all-BIGINT lattice. */
+  val qSkewrangemovRewrite = QueryDef("q_skewrangemov_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        (expr("CAST(round(value * 100.0) AS BIGINT)") % 50L).as("cbin"),
+        col("event_id"))
+        .where(col("cbin") % 7 < 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("cbin")
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        col("cbin"),
+        sum("cbin").over(w.rangeBetween(-6, 0)).cast("long").as("t6"),
+        count(lit(1)).over(w.rangeBetween(-2, 2)).cast("long").as("c22"),
+        min("cbin").over(w.rangeBetween(1, 3)).cast("long").as("f13")))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) % 50 AS cbin, event_id
+        |  FROM events
+        |  WHERE (CAST(round(value * 100.0) AS BIGINT) % 50) % 7 < 4)
+        |SELECT k, event_id, cbin,
+        |  CAST(sum(cbin) OVER (PARTITION BY k ORDER BY cbin
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS t6,
+        |  CAST(count(*) OVER (PARTITION BY k ORDER BY cbin
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS c22,
+        |  CAST(min(cbin) OVER (PARTITION BY k ORDER BY cbin
+        |    RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS f13
+        |FROM ev ORDER BY k, event_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qSkewmovaggRewrite, qSkewframeaggRewrite, qNthmovRewrite,
-      qSkewshiftnnRewrite)
+      qSkewshiftnnRewrite, qSkewrangemovRewrite)
 }

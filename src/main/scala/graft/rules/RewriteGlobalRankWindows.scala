@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedMovingAgg, PartitionedMovingAggNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode, PartitionedShift, PartitionedShiftNode}
+import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedMovingAgg, PartitionedMovingAggNode, PartitionedRangeMovingAgg, PartitionedRangeMovingAggNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode, PartitionedShift, PartitionedShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -366,36 +366,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * the running family; descending/multi-key orders, non-integral
     * keys, and half-unbounded bounded frames keep WindowExec. */
   private def rangeMovAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Long, Long, AttributeReference)] = {
-    // value bound → Long: CurrentRow is 0; otherwise a foldable
-    // integral expression (the parser's `k PRECEDING` arrives as
-    // UnaryMinus(Literal(k)), the DataFrame API as a signed literal,
-    // and the analyzer may wrap either in a cast to the key type).
-    // DATE orders carry INTERVAL-typed bounds (the analyzer requires
-    // them) — fold day-PURE intervals to the int-days domain; sub-day
-    // or month-bearing intervals are not fixed day counts and keep
-    // WindowExec.
-    val usPerDay = 86400000000L
-    def bound(e: Expression): Option[Long] = e match {
-      case CurrentRow => Some(0L)
-      case _ if e.foldable => e.dataType match {
-        case IntegerType => Option(e.eval()).map(_.asInstanceOf[Int].toLong)
-        case LongType => Option(e.eval()).map(_.asInstanceOf[Long])
-        case org.apache.spark.sql.types.ShortType =>
-          Option(e.eval()).map(_.asInstanceOf[Short].toLong)
-        case org.apache.spark.sql.types.ByteType =>
-          Option(e.eval()).map(_.asInstanceOf[Byte].toLong)
-        case _: org.apache.spark.sql.types.DayTimeIntervalType =>
-          Option(e.eval()).map(_.asInstanceOf[Long])
-            .filter(_ % usPerDay == 0L).map(_ / usPerDay)
-        case org.apache.spark.sql.types.CalendarIntervalType =>
-          Option(e.eval())
-            .map(_.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval])
-            .filter(ci => ci.months == 0 && ci.microseconds == 0L)
-            .map(_.days.toLong)
-        case _ => None
-      }
-      case _ => None
-    }
+    // value bounds parse through the shared rangeValueBound (also the
+    // skew matcher's)
+    def bound(e: Expression): Option[Long] = rangeValueBound(e)
     ne match {
       case a @ Alias(we @ WindowExpression(
           AggregateExpression(fn0, Complete, false, None, _),
@@ -796,7 +769,8 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.forall(e =>
             skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
-              skewRunAggOf(e).isDefined || skewMovAggOf(e).isDefined) =>
+              skewRunAggOf(e).isDefined || skewMovAggOf(e).isDefined ||
+              skewRangeMovAggOf(e).isDefined) =>
       val rankClassified = wexprs.flatMap(e => skewRankOf(e).map(e -> _))
       val shiftClassified = wexprs.flatMap { e =>
         if (skewRankOf(e).isDefined) None else skewShiftOf(e).map(e -> _)
@@ -809,6 +783,11 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
           skewRunAggOf(e).isDefined) None
         else skewMovAggOf(e).map(e -> _)
+      }
+      val rangeMovClassified = wexprs.flatMap { e =>
+        if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
+          skewRunAggOf(e).isDefined || skewMovAggOf(e).isDefined) None
+        else skewRangeMovAggOf(e).map(e -> _)
       }
       val rankCols = rankClassified.map { case (_, (a, m)) =>
         RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
@@ -828,11 +807,17 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         else PartitionedRunningAggNode(partSpec, orderSpec,
           runClassified.map(_._2._4), runClassified.map(_._2._2),
           runClassified.map(_._2._3), withShifts)
-      val node: LogicalPlan =
+      val withMovs: LogicalPlan =
         if (movClassified.isEmpty) withRuns
         else PartitionedMovingAggNode(partSpec, orderSpec,
           movClassified.map(_._2._5), movClassified.map(_._2._2),
           movClassified.map(_._2._3), movClassified.map(_._2._4), withRuns)
+      val node: LogicalPlan =
+        if (rangeMovClassified.isEmpty) withMovs
+        else PartitionedRangeMovingAggNode(partSpec, orderSpec,
+          rangeMovClassified.map(_._2._5), rangeMovClassified.map(_._2._2),
+          rangeMovClassified.map(_._2._3), rangeMovClassified.map(_._2._4),
+          withMovs)
       // replacement aliases keyed by SOURCE expression so the Project
       // preserves the original per-expression column ORDER even when
       // ranks and running aggregates interleave in wexprs (r13
@@ -865,10 +850,16 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata)))
         }.toMap
+      val rangeMovAliasByExpr: Map[NamedExpression, NamedExpression] =
+        rangeMovClassified.map { case (e, (a, _, _, _, attr)) =>
+          (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata)))
+        }.toMap
       Project(child.output ++ wexprs.map(e =>
         rankAliasByExpr.getOrElse(e,
           shiftAliasByExpr.getOrElse(e,
-            runAliasByExpr.getOrElse(e, movAliasByExpr(e))))), node)
+            runAliasByExpr.getOrElse(e,
+              movAliasByExpr.getOrElse(e, rangeMovAliasByExpr(e)))))), node)
   }
 
   /** Shape 2 of [[rewriteSkew]]: per-key whole-frame aggregates become
@@ -1067,6 +1058,71 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     }
   }
 
+  /** (alias, function, lo, hi, generated attr) iff `ne` is a
+    * PARTITIONED RANGE-moving window on a single ascending
+    * NULLS-FIRST integral order key with integral-literal value
+    * offsets within the cap — the skew tier's dense-domain member
+    * ([[PartitionedRangeMovingAggNode]], late r13): "the last 7 days'
+    * total, per user". The same admission as the global
+    * [[rangeMovAggOf]] (order-insensitive [[allowedAgg]] only — per-
+    * value buffers; bounded both sides; day-pure interval bounds on
+    * DATE keys), with a partition spec present. */
+  private def skewRangeMovAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Long, Long, AttributeReference)] = ne match {
+    case a @ Alias(we @ WindowExpression(
+        AggregateExpression(fn0, Complete, false, None, _),
+        WindowSpecDefinition(ps,
+          Seq(SortOrder(key, Ascending,
+            org.apache.spark.sql.catalyst.expressions.NullsFirst, _)),
+          SpecifiedWindowFrame(RangeFrame, lo0, hi0))), _)
+        if ps.nonEmpty &&
+          lo0 != UnboundedPreceding && hi0 != UnboundedFollowing &&
+          GlobalRangeMovingAgg.integralKey(key.dataType) &&
+          key.deterministic =>
+      for {
+        lo <- rangeValueBound(lo0)
+        hi <- rangeValueBound(hi0)
+        if lo <= hi && math.max(math.abs(lo), math.abs(hi)) <= maxShift.toLong
+        fn <- unwrapAgg(fn0)
+        if allowedAgg(fn) && fn.deterministic
+      } yield (a, fn, lo, hi,
+        AttributeReference(s"__graft_${a.name}", fn.dataType,
+          nullable = we.nullable)())
+    case _ => None
+  }
+
+  /** RANGE value bound → Long — shared by the global and skew
+    * dense-domain matchers: CurrentRow is 0; otherwise a foldable
+    * integral expression (the parser's `k PRECEDING` arrives as
+    * UnaryMinus(Literal(k)), the DataFrame API as a signed literal,
+    * and the analyzer may wrap either in a cast to the key type).
+    * DATE orders carry INTERVAL-typed bounds — fold day-PURE intervals
+    * to the int-days domain; sub-day or month-bearing intervals are
+    * not fixed day counts and keep WindowExec. */
+  private def rangeValueBound(e: Expression): Option[Long] = {
+    val usPerDay = 86400000000L
+    e match {
+      case CurrentRow => Some(0L)
+      case _ if e.foldable => e.dataType match {
+        case IntegerType => Option(e.eval()).map(_.asInstanceOf[Int].toLong)
+        case LongType => Option(e.eval()).map(_.asInstanceOf[Long])
+        case org.apache.spark.sql.types.ShortType =>
+          Option(e.eval()).map(_.asInstanceOf[Short].toLong)
+        case org.apache.spark.sql.types.ByteType =>
+          Option(e.eval()).map(_.asInstanceOf[Byte].toLong)
+        case _: org.apache.spark.sql.types.DayTimeIntervalType =>
+          Option(e.eval()).map(_.asInstanceOf[Long])
+            .filter(_ % usPerDay == 0L).map(_ / usPerDay)
+        case org.apache.spark.sql.types.CalendarIntervalType =>
+          Option(e.eval())
+            .map(_.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval])
+            .filter(ci => ci.months == 0 && ci.microseconds == 0L)
+            .map(_.days.toLong)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** (alias, mode) iff `ne` is a PARTITIONED window over the rank
     * family — since late r13 the FULL family: the total-dependent
     * modes (percent_rank/cume_dist/ntile) stitch each straddling key's
@@ -1149,6 +1205,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     PartitionedRunningAgg.ensureStrategy(spark)
     PartitionedShift.ensureStrategy(spark)
     PartitionedMovingAgg.ensureStrategy(spark)
+    PartitionedRangeMovingAgg.ensureStrategy(spark)
     val globalised = force(df)
     GraftSqlBridge.ofRows(spark,
       rewriteSkew(globalised.queryExecution.analyzed))

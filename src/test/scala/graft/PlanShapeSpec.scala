@@ -478,6 +478,16 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedShiftExec => g
     }.size == 1,
       s"q_skewshiftnn_rewrite must shift through ONE PartitionedShiftExec:\n$pshn")
+    // late r13: the skew tier's dense-domain member — per-key RANGE
+    // moving frames through ONE PartitionedRangeMovingAggExec
+    val prmv = plan("q_skewrangemov_rewrite")
+    assert(prmv.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewrangemov_rewrite kept a WindowExec:\n$prmv")
+    assert(prmv.collect {
+      case g: graft.plans.PartitionedRangeMovingAggExec => g
+    }.size == 1,
+      s"q_skewrangemov_rewrite must ride ONE PartitionedRangeMovingAggExec:\n$prmv")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
