@@ -101,8 +101,19 @@ class GlobalNthValueSpec extends AnyFunSuite {
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
     // a moving lower bound un-anchors the frame start: the k-th frame
-    // row is no longer one global constant
-    kept("SELECT v, nth_value(x, 2) OVER (ORDER BY v ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM nv_t")
+    // row is no longer one global constant — since late r13 it rides
+    // the moving REBUFFER ring instead of WindowExec (NthValue is a
+    // DeclarativeAggregate; GlobalMovingAggSpec pins the values)
+    val pm = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(
+      "SELECT v, nth_value(x, 2) OVER (ORDER BY v ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM nv_t")))
+    assert(pm.collect { case g: GlobalNthValueExec => g }.isEmpty)
+    assert(pm.collect {
+      case g: graft.plans.GlobalMovingAggExec => g
+    }.size == 1)
+    assert(pm.collect { case x: WindowExec => x }.isEmpty)
+    // an unbounded-FOLLOWING end with a moving lower bound still keeps
+    // WindowExec (unbounded forward state)
+    kept("SELECT v, nth_value(x, 2) OVER (ORDER BY v ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS s FROM nv_t")
     // boundary state is numPartitions * k values — an absurd k falls
     // back rather than bloat the driver
     kept("SELECT v, nth_value(x, 100000) OVER (ORDER BY v) AS s FROM nv_t")

@@ -158,11 +158,10 @@ class GlobalRunningAggSpec extends AnyFunSuite {
     // (GlobalRangeMovingAggSpec pins both directions) — unbounded-
     // buffer imperatives still keep WindowExec
     kept("SELECT v, collect_list(x) OVER (ORDER BY v) AS s FROM ra_t")
-    // a moving lower bound un-anchors nth_value's frame start — the
-    // start-anchored forms rewrite via GlobalNthValue instead
-    // (GlobalNthValueSpec); first_value/last_value rewrite since the
-    // r12 ordered-allowlist widening, tested below
-    kept("SELECT v, nth_value(x, 2) OVER (ORDER BY v ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM ra_t")
+    // (moving-lower-bound nth_value routes to the moving rebuffer ring
+    // since late r13 — GlobalMovingAggSpec pins it; start-anchored
+    // forms rewrite via GlobalNthValue; first_value/last_value rewrite
+    // since the r12 ordered-allowlist widening, tested below)
   }
 
   test("first_value/last_value run distributed: ROWS, RANGE ties, IGNORE NULLS") {

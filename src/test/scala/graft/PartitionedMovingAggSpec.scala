@@ -148,7 +148,7 @@ class PartitionedMovingAggSpec extends AnyFunSuite {
     }.size == 1, s"the four skew operators must share one exchange:\n$p")
   }
 
-  test("non-rewrites: RANGE moving frames and over-cap extents keep WindowExec") {
+  test("non-rewrites: over-cap extents keep WindowExec; RANGE routes to the range member") {
     spark.range(100).select((col("id") % 5).as("k"), col("id").as("v"),
       (col("id") % 7).as("x"))
       .createOrReplaceTempView("pma_nr")
@@ -157,9 +157,17 @@ class PartitionedMovingAggSpec extends AnyFunSuite {
       assert(p.collect { case g: PartitionedMovingAggExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    kept("""SELECT k, sum(x) OVER (PARTITION BY k ORDER BY v
-           |  RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM pma_nr"""
-      .stripMargin)
+    // integral bounded RANGE: NOT this member — since late r13 it
+    // routes to PartitionedRangeMovingAgg (its spec pins the values)
+    val pr = noAqePlan(RewriteGlobalRankWindows.forceSkew(spark.sql(
+      """SELECT k, sum(x) OVER (PARTITION BY k ORDER BY v
+        |  RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM pma_nr"""
+        .stripMargin)))
+    assert(pr.collect { case g: PartitionedMovingAggExec => g }.isEmpty)
+    assert(pr.collect {
+      case g: graft.plans.PartitionedRangeMovingAggExec => g
+    }.size == 1)
+    assert(pr.collect { case x: WindowExec => x }.isEmpty)
     spark.conf.set(RewriteGlobalRankWindows.MaxShiftKey, "4")
     try {
       kept("""SELECT k, sum(x) OVER (PARTITION BY k ORDER BY v

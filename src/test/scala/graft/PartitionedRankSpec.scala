@@ -155,11 +155,13 @@ class PartitionedRankSpec extends AnyFunSuite {
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
     // (offsets route to PartitionedShift, running aggregates to
-    // PartitionedRunningAgg, bounded ROWS frames to PartitionedMovingAgg
-    // and whole-frame aggregates to the window-to-join rewrite since
-    // late r13 — their own specs pin both directions; a RANGE moving
-    // frame matches NO skew member, pinned here)
-    kept("SELECT k, sum(v) OVER (PARTITION BY k ORDER BY v RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM pr_nr")
+    // PartitionedRunningAgg, bounded ROWS frames to
+    // PartitionedMovingAgg, integral bounded RANGE frames to
+    // PartitionedRangeMovingAgg and whole-frame aggregates to the
+    // window-to-join rewrite since late r13 — their own specs pin both
+    // directions; an unbounded-buffer imperative matches NO skew
+    // member, pinned here)
+    kept("SELECT k, collect_list(v) OVER (PARTITION BY k ORDER BY v) AS s FROM pr_nr")
     // the plain force() path must NOT reroute partitioned windows — the
     // skew route is an explicit choice (flat histograms prefer the
     // built-in's hash exchange)
