@@ -239,7 +239,51 @@ object R112Queries {
         |    RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS f13
         |FROM ev ORDER BY k, event_id""".stripMargin))
 
+  /** `q_skewleadnn_rewrite`: per-key `lead ... IGNORE NULLS` under the
+    * hot key — the per-key offset family's LAST retired refusal
+    * ([[graft.plans.PartitionedLookahead]]: group-gated zipped O(k)
+    * lookahead, group-matched chained tails). The same 2-of-3 null
+    * pattern as the lag sibling, so k=1/k=3 lookaheads routinely cross
+    * sub-split partition boundaries inside the hot key and STARVE at
+    * small keys' ends (defaults, never a neighbour's values); a plain
+    * lead rides PartitionedShift in the same window. Defaults stay
+    * NULL (DuckDB 1.0.0 parses `lead(x, k IGNORE NULLS)` but not a
+    * default combined with it). Row-level, all-BIGINT. */
+  val qSkewleadnnRewrite = QueryDef("q_skewleadnn_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        col("event_id"))
+        .withColumn("xnn",
+          when(col("event_id") % 3 =!= 0, lit(null).cast("long"))
+            .otherwise(col("cents")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cents"), col("event_id"))
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        col("cents"), col("xnn"),
+        lead(col("xnn"), 1, null, ignoreNulls = true).over(w).as("nn1"),
+        lead(col("xnn"), 3, null, ignoreNulls = true).over(w).as("nn3"),
+        lead("cents", 1).over(w).as("plain1")))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents, event_id,
+        |    CASE WHEN event_id % 3 <> 0 THEN NULL
+        |      ELSE CAST(round(value * 100.0) AS BIGINT) END AS xnn
+        |  FROM events)
+        |SELECT k, event_id, cents, xnn,
+        |  CAST(lead(xnn, 1 IGNORE NULLS) OVER w AS BIGINT) AS nn1,
+        |  CAST(lead(xnn, 3 IGNORE NULLS) OVER w AS BIGINT) AS nn3,
+        |  CAST(lead(cents, 1) OVER w AS BIGINT) AS plain1
+        |FROM ev
+        |WINDOW w AS (PARTITION BY k ORDER BY cents, event_id)
+        |ORDER BY k, event_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qSkewmovaggRewrite, qSkewframeaggRewrite, qNthmovRewrite,
-      qSkewshiftnnRewrite, qSkewrangemovRewrite)
+      qSkewshiftnnRewrite, qSkewrangemovRewrite, qSkewleadnnRewrite)
 }

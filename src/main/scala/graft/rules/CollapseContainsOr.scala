@@ -77,6 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.PartitionedShiftStrategy)
     e.injectPlannerStrategy(_ => graft.plans.PartitionedMovingAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.PartitionedRangeMovingAggStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.PartitionedLookaheadStrategy)
     // conf-gated (spark.graft.rewrite.globalRankWindows, default off):
     // rewrite unpartitioned rank-family windows into the distributed
     // GlobalRankNode. Pre-CBO, not operator-optimization: it runs ONCE,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedMovingAgg, PartitionedMovingAggNode, PartitionedRangeMovingAgg, PartitionedRangeMovingAggNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode, PartitionedShift, PartitionedShiftNode}
+import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedLookahead, PartitionedLookaheadNode, PartitionedMovingAgg, PartitionedMovingAggNode, PartitionedRangeMovingAgg, PartitionedRangeMovingAggNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode, PartitionedShift, PartitionedShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -769,24 +769,31 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.forall(e =>
             skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
+              skewLeadNNOf(e).isDefined ||
               skewRunAggOf(e).isDefined || skewMovAggOf(e).isDefined ||
               skewRangeMovAggOf(e).isDefined) =>
       val rankClassified = wexprs.flatMap(e => skewRankOf(e).map(e -> _))
       val shiftClassified = wexprs.flatMap { e =>
         if (skewRankOf(e).isDefined) None else skewShiftOf(e).map(e -> _)
       }
-      val runClassified = wexprs.flatMap { e =>
+      val leadNNClassified = wexprs.flatMap { e =>
         if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined) None
+        else skewLeadNNOf(e).map(e -> _)
+      }
+      val runClassified = wexprs.flatMap { e =>
+        if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
+          skewLeadNNOf(e).isDefined) None
         else skewRunAggOf(e).map(e -> _)
       }
       val movClassified = wexprs.flatMap { e =>
         if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
-          skewRunAggOf(e).isDefined) None
+          skewLeadNNOf(e).isDefined || skewRunAggOf(e).isDefined) None
         else skewMovAggOf(e).map(e -> _)
       }
       val rangeMovClassified = wexprs.flatMap { e =>
         if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
-          skewRunAggOf(e).isDefined || skewMovAggOf(e).isDefined) None
+          skewLeadNNOf(e).isDefined || skewRunAggOf(e).isDefined ||
+          skewMovAggOf(e).isDefined) None
         else skewRangeMovAggOf(e).map(e -> _)
       }
       val rankCols = rankClassified.map { case (_, (a, m)) =>
@@ -802,11 +809,18 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           shiftClassified.map(_._2._6), shiftClassified.map(_._2._2),
           shiftClassified.map(_._2._3), shiftClassified.map(_._2._4),
           shiftClassified.map(_._2._5), withRanks)
+      // one lookahead node per expression (single-column by design —
+      // the GlobalLookahead deque-bound argument, per key)
+      val withLookaheads: LogicalPlan = leadNNClassified.foldLeft(withShifts) {
+        case (p, (_, (_, input, kk, default, lkAttr))) =>
+          PartitionedLookaheadNode(partSpec, orderSpec, lkAttr, input, kk,
+            default, p)
+      }
       val withRuns: LogicalPlan =
-        if (runClassified.isEmpty) withShifts
+        if (runClassified.isEmpty) withLookaheads
         else PartitionedRunningAggNode(partSpec, orderSpec,
           runClassified.map(_._2._4), runClassified.map(_._2._2),
-          runClassified.map(_._2._3), withShifts)
+          runClassified.map(_._2._3), withLookaheads)
       val withMovs: LogicalPlan =
         if (movClassified.isEmpty) withRuns
         else PartitionedMovingAggNode(partSpec, orderSpec,
@@ -840,6 +854,11 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata)))
         }.toMap
+      val leadNNAliasByExpr: Map[NamedExpression, NamedExpression] =
+        leadNNClassified.map { case (e, (a, _, _, _, lkAttr)) =>
+          (e, Alias(lkAttr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata)))
+        }.toMap
       val runAliasByExpr: Map[NamedExpression, NamedExpression] =
         runClassified.map { case (e, (a, _, _, attr)) =>
           (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
@@ -858,8 +877,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       Project(child.output ++ wexprs.map(e =>
         rankAliasByExpr.getOrElse(e,
           shiftAliasByExpr.getOrElse(e,
-            runAliasByExpr.getOrElse(e,
-              movAliasByExpr.getOrElse(e, rangeMovAliasByExpr(e)))))), node)
+            leadNNAliasByExpr.getOrElse(e,
+              runAliasByExpr.getOrElse(e,
+                movAliasByExpr.getOrElse(e, rangeMovAliasByExpr(e))))))), node)
   }
 
   /** Shape 2 of [[rewriteSkew]]: per-key whole-frame aggregates become
@@ -1173,6 +1193,42 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     }
   }
 
+  /** (alias, input, k, default, generated attr) iff `ne` is a
+    * PARTITIONED `lead(e, k) IGNORE NULLS` (or its `lag(e, -k)`
+    * spelling) with a positive literal offset within the cap — the
+    * skew tier's [[PartitionedLookaheadNode]] (late r13, the per-key
+    * offset family's last retired refusal). Same admission as the
+    * global [[leadNNOf]], with a partition spec present. */
+  private def skewLeadNNOf(ne: NamedExpression): Option[(Alias, Expression, Int, Expression, AttributeReference)] = {
+    def spec(fn: Expression): Option[(Expression, Int, Expression)] = fn match {
+      case l: Lead if l.ignoreNulls => l.offset match {
+        case Literal(kk: Int, IntegerType) if kk > 0 => Some((l.input, kk, l.default))
+        case _ => None
+      }
+      case l: Lag if l.ignoreNulls => l.inputOffset match {
+        case Literal(kk: Int, IntegerType) if kk < 0 => Some((l.input, -kk, l.default))
+        case _ => None
+      }
+      case _ => None
+    }
+    ne match {
+      case a @ Alias(we @ WindowExpression(fn,
+          WindowSpecDefinition(ps, _, _)), _) if ps.nonEmpty =>
+        spec(fn).collect {
+          case (input, kk, default)
+              if kk <= maxShift && input.deterministic &&
+                default.deterministic &&
+                (default.foldable && default.eval() == null ||
+                  org.apache.spark.sql.types.DataType.equalsStructurally(
+                    default.dataType, input.dataType, ignoreNullability = true)) =>
+            (a, input, kk, default,
+              AttributeReference(s"__graft_${a.name}", input.dataType,
+                nullable = we.nullable)())
+        }
+      case _ => None
+    }
+  }
+
   /** (alias, function, isRowsFrame, generated attr) iff `ne` is a
     * PARTITIONED running-aggregate window over the ordered allowlist
     * (same admission as [[runAggOf]] — the per-key prefix merge runs
@@ -1206,6 +1262,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     PartitionedShift.ensureStrategy(spark)
     PartitionedMovingAgg.ensureStrategy(spark)
     PartitionedRangeMovingAgg.ensureStrategy(spark)
+    PartitionedLookahead.ensureStrategy(spark)
     val globalised = force(df)
     GraftSqlBridge.ofRows(spark,
       rewriteSkew(globalised.queryExecution.analyzed))

@@ -153,7 +153,7 @@ class PartitionedShiftSpec extends AnyFunSuite {
       lag(col("x"), 1, null, ignoreNulls = true).over(w).as("nn1")))
   }
 
-  test("non-rewrites: lead IGNORE NULLS and over-cap offsets keep WindowExec in this tier") {
+  test("non-rewrites: over-cap offsets keep WindowExec; lead IGNORE NULLS routes to the lookahead") {
     spark.range(100).select((col("id") % 5).as("k"), col("id").as("v"),
       when(col("id") % 3 === 0, col("id")).as("x"))
       .createOrReplaceTempView("ps_nr")
@@ -162,10 +162,16 @@ class PartitionedShiftSpec extends AnyFunSuite {
       assert(p.collect { case g: PartitionedShiftExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    // lead IGNORE NULLS: the zipped per-key lookahead is not built;
-    // lag IGNORE NULLS rides the segment rings since late r13 (pinned
-    // positively above)
-    kept("SELECT k, lead(x, 1) IGNORE NULLS OVER (PARTITION BY k ORDER BY v) AS s FROM ps_nr")
+    // lead IGNORE NULLS: NOT this member — since late r13 it routes to
+    // the per-key zipped lookahead (PartitionedLookaheadSpec pins its
+    // values); lag IGNORE NULLS rides the segment rings (pinned above)
+    val pl = noAqePlan(RewriteGlobalRankWindows.forceSkew(spark.sql(
+      "SELECT k, lead(x, 1) IGNORE NULLS OVER (PARTITION BY k ORDER BY v) AS s FROM ps_nr")))
+    assert(pl.collect { case g: PartitionedShiftExec => g }.isEmpty)
+    assert(pl.collect {
+      case g: graft.plans.PartitionedLookaheadExec => g
+    }.size == 1)
+    assert(pl.collect { case x: WindowExec => x }.isEmpty)
     spark.conf.set(RewriteGlobalRankWindows.MaxShiftKey, "4")
     try {
       kept("SELECT k, lag(x, 5) OVER (PARTITION BY k ORDER BY v) AS s FROM ps_nr")

@@ -488,6 +488,21 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedRangeMovingAggExec => g
     }.size == 1,
       s"q_skewrangemov_rewrite must ride ONE PartitionedRangeMovingAggExec:\n$prmv")
+    // late r13: per-key lead IGNORE NULLS — TWO single-column
+    // lookahead execs (one per expression, by design) + the plain
+    // lead's shift exec, zero WindowExec
+    val plnn = plan("q_skewleadnn_rewrite")
+    assert(plnn.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewleadnn_rewrite kept a WindowExec:\n$plnn")
+    assert(plnn.collect {
+      case g: graft.plans.PartitionedLookaheadExec => g
+    }.size == 2,
+      s"q_skewleadnn_rewrite must look ahead through TWO single-column PartitionedLookaheadExec:\n$plnn")
+    assert(plnn.collect {
+      case g: graft.plans.PartitionedShiftExec => g
+    }.size == 1,
+      s"q_skewleadnn_rewrite's plain lead must ride PartitionedShift:\n$plnn")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
