@@ -283,7 +283,64 @@ object R112Queries {
         |WINDOW w AS (PARTITION BY k ORDER BY cents, event_id)
         |ORDER BY k, event_id""".stripMargin))
 
+  /** `q_skewnth_rewrite`: per-key START-ANCHORED `nth_value` under the
+    * hot key — the skew tier's LAST member
+    * ([[graft.plans.PartitionedNthValue]]: driver-assembled run
+    * constants for boundary-straddling keys, group-gated zip lead for
+    * interior ones). Running-ROWS, whole-partition, and IGNORE NULLS
+    * forms in one node; the hot key's constants chain across many
+    * sub-split partitions and its early rows must gate NULL until
+    * their prefix reaches k. Total order (cents, event_id); row-level,
+    * all-BIGINT. */
+  val qSkewnthRewrite = QueryDef("q_skewnth_rewrite",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        col("event_id"))
+        .withColumn("xnn",
+          when(col("event_id") % 4 =!= 0, lit(null).cast("long"))
+            .otherwise(col("cents")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cents"), col("event_id"))
+      val wr = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val ww = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        col("cents"), col("xnn"),
+        nth_value(col("cents"), 3).over(wr).as("n3run"),
+        nth_value(col("cents"), 5).over(ww).as("n5all"),
+        nth_value(col("xnn"), 2, ignoreNulls = true).over(wr).as("n2nn")))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents, event_id,
+        |    CASE WHEN event_id % 4 <> 0 THEN NULL
+        |      ELSE CAST(round(value * 100.0) AS BIGINT) END AS xnn
+        |  FROM events)
+        |SELECT k, event_id, cents, xnn,
+        |  CAST(nth_value(cents, 3) OVER (PARTITION BY k
+        |    ORDER BY cents, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n3run,
+        |  CAST(nth_value(cents, 5) OVER (PARTITION BY k
+        |    ORDER BY cents, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS BIGINT) AS n5all,
+        |  CAST(nth_value(xnn, 2 IGNORE NULLS) OVER (PARTITION BY k
+        |    ORDER BY cents, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n2nn
+        |FROM ev ORDER BY k, event_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qSkewmovaggRewrite, qSkewframeaggRewrite, qNthmovRewrite,
-      qSkewshiftnnRewrite, qSkewrangemovRewrite, qSkewleadnnRewrite)
+      qSkewshiftnnRewrite, qSkewrangemovRewrite, qSkewleadnnRewrite,
+      qSkewnthRewrite)
 }

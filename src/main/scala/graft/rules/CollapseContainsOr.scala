@@ -78,6 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.PartitionedMovingAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.PartitionedRangeMovingAggStrategy)
     e.injectPlannerStrategy(_ => graft.plans.PartitionedLookaheadStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.PartitionedNthValueStrategy)
     // conf-gated (spark.graft.rewrite.globalRankWindows, default off):
     // rewrite unpartitioned rank-family windows into the distributed
     // GlobalRankNode. Pre-CBO, not operator-optimization: it runs ONCE,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedLookahead, PartitionedLookaheadNode, PartitionedMovingAgg, PartitionedMovingAggNode, PartitionedRangeMovingAgg, PartitionedRangeMovingAggNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode, PartitionedShift, PartitionedShiftNode}
+import graft.plans.{GlobalExactPercentile, GlobalExactPercentileNode, GlobalFrameAgg, GlobalFrameAggNode, GlobalLookahead, GlobalLookaheadNode, GlobalMovingAgg, GlobalMovingAggNode, GlobalNthValue, GlobalNthValueNode, GlobalRangeMovingAgg, GlobalRangeMovingAggNode, GlobalRank, GlobalRankNode, GlobalRunningAgg, GlobalRunningAggNode, GlobalShift, GlobalShiftNode, PartitionedLookahead, PartitionedLookaheadNode, PartitionedMovingAgg, PartitionedMovingAggNode, PartitionedNthValue, PartitionedNthValueNode, PartitionedRangeMovingAgg, PartitionedRangeMovingAggNode, PartitionedRank, PartitionedRankNode, PartitionedRunningAgg, PartitionedRunningAggNode, PartitionedShift, PartitionedShiftNode}
 import graft.plans.GlobalRank.{RankCol, RankMode}
 import graft.plans.GlobalShift.ShiftCol
 
@@ -771,7 +771,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
             skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
               skewLeadNNOf(e).isDefined ||
               skewRunAggOf(e).isDefined || skewMovAggOf(e).isDefined ||
-              skewRangeMovAggOf(e).isDefined) =>
+              skewRangeMovAggOf(e).isDefined || skewNthOf(e).isDefined) =>
       val rankClassified = wexprs.flatMap(e => skewRankOf(e).map(e -> _))
       val shiftClassified = wexprs.flatMap { e =>
         if (skewRankOf(e).isDefined) None else skewShiftOf(e).map(e -> _)
@@ -795,6 +795,12 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           skewLeadNNOf(e).isDefined || skewRunAggOf(e).isDefined ||
           skewMovAggOf(e).isDefined) None
         else skewRangeMovAggOf(e).map(e -> _)
+      }
+      val nthClassified = wexprs.flatMap { e =>
+        if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
+          skewLeadNNOf(e).isDefined || skewRunAggOf(e).isDefined ||
+          skewMovAggOf(e).isDefined || skewRangeMovAggOf(e).isDefined) None
+        else skewNthOf(e).map(e -> _)
       }
       val rankCols = rankClassified.map { case (_, (a, m)) =>
         RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
@@ -826,12 +832,18 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         else PartitionedMovingAggNode(partSpec, orderSpec,
           movClassified.map(_._2._5), movClassified.map(_._2._2),
           movClassified.map(_._2._3), movClassified.map(_._2._4), withRuns)
-      val node: LogicalPlan =
+      val withRangeMovs: LogicalPlan =
         if (rangeMovClassified.isEmpty) withMovs
         else PartitionedRangeMovingAggNode(partSpec, orderSpec,
           rangeMovClassified.map(_._2._5), rangeMovClassified.map(_._2._2),
           rangeMovClassified.map(_._2._3), rangeMovClassified.map(_._2._4),
           withMovs)
+      val node: LogicalPlan =
+        if (nthClassified.isEmpty) withRangeMovs
+        else PartitionedNthValueNode(partSpec, orderSpec,
+          nthClassified.map(_._2._6), nthClassified.map(_._2._2),
+          nthClassified.map(_._2._3), nthClassified.map(_._2._4),
+          nthClassified.map(_._2._5), withRangeMovs)
       // replacement aliases keyed by SOURCE expression so the Project
       // preserves the original per-expression column ORDER even when
       // ranks and running aggregates interleave in wexprs (r13
@@ -874,12 +886,19 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata)))
         }.toMap
+      val nthAliasByExpr: Map[NamedExpression, NamedExpression] =
+        nthClassified.map { case (e, (a, _, _, _, _, attr)) =>
+          (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata)))
+        }.toMap
       Project(child.output ++ wexprs.map(e =>
         rankAliasByExpr.getOrElse(e,
           shiftAliasByExpr.getOrElse(e,
             leadNNAliasByExpr.getOrElse(e,
               runAliasByExpr.getOrElse(e,
-                movAliasByExpr.getOrElse(e, rangeMovAliasByExpr(e))))))), node)
+                movAliasByExpr.getOrElse(e,
+                  rangeMovAliasByExpr.getOrElse(e, nthAliasByExpr(e)))))))),
+        node)
   }
 
   /** Shape 2 of [[rewriteSkew]]: per-key whole-frame aggregates become
@@ -1249,6 +1268,30 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** (alias, input, k, ignoreNulls, frame kind, generated attr) iff
+    * `ne` is a PARTITIONED start-anchored `nth_value` — the skew
+    * tier's [[PartitionedNthValueNode]] (late r13, the tier's last
+    * member). Same admission as the global [[nthOf]] (running ROWS /
+    * running RANGE / whole frame; positive literal k within the cap),
+    * with a partition spec present. */
+  private def skewNthOf(ne: NamedExpression): Option[(Alias, Expression, Int, Boolean, Int, AttributeReference)] = ne match {
+    case a @ Alias(we @ WindowExpression(
+        NthValue(input, Literal(k: Int, IntegerType), ignoreNulls),
+        WindowSpecDefinition(ps, _, SpecifiedWindowFrame(ft, lo, hi))), _)
+        if ps.nonEmpty && lo == UnboundedPreceding && k > 0 &&
+          k <= maxShift && input.deterministic =>
+      val kind = (ft, hi) match {
+        case (_, UnboundedFollowing) => Some(2)
+        case (RowFrame, CurrentRow) => Some(0)
+        case (_, CurrentRow) => Some(1)
+        case _ => None
+      }
+      kind.map(fk => (a, input, k, ignoreNulls, fk,
+        AttributeReference(s"__graft_${a.name}", input.dataType,
+          nullable = we.nullable)()))
+    case _ => None
+  }
+
   /** [[force]]'s sibling for the skew tier: apply BOTH the global
     * rewrite and the partitioned-rank rewrite to one DataFrame,
     * unconditionally and without session-conf side effects. Separate
@@ -1263,6 +1306,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     PartitionedMovingAgg.ensureStrategy(spark)
     PartitionedRangeMovingAgg.ensureStrategy(spark)
     PartitionedLookahead.ensureStrategy(spark)
+    PartitionedNthValue.ensureStrategy(spark)
     val globalised = force(df)
     GraftSqlBridge.ofRows(spark,
       rewriteSkew(globalised.queryExecution.analyzed))

@@ -503,6 +503,16 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedShiftExec => g
     }.size == 1,
       s"q_skewleadnn_rewrite's plain lead must ride PartitionedShift:\n$plnn")
+    // late r13: per-key start-anchored nth_value — the skew tier's
+    // last member: ONE PartitionedNthValueExec, zero WindowExec
+    val pnth = plan("q_skewnth_rewrite")
+    assert(pnth.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewnth_rewrite kept a WindowExec:\n$pnth")
+    assert(pnth.collect {
+      case g: graft.plans.PartitionedNthValueExec => g
+    }.size == 1,
+      s"q_skewnth_rewrite must ride ONE PartitionedNthValueExec:\n$pnth")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
