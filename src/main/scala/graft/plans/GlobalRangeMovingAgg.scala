@@ -59,13 +59,15 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   *     density-unbounded, exactly the failure mode this tier exists to
   *     avoid.
   *
-  * NULL keys: nulls sort first (ascending), all in one partition (one
-  * tie group), and a null row's RANGE frame is the null tie group
-  * itself (null boundary values compare equal to null keys only —
-  * pinned against WindowExec in GlobalRangeMovingAggSpec). The lead
-  * folds the leading null block into one buffer set per function; null
-  * keys never enter the boundary maps because their frames are fully
-  * partition-local.
+  * NULL keys: the sort puts the null block at the stream HEAD
+  * (nulls-first orders) or TAIL (nulls-last — the late-r13 widening),
+  * all in one partition (one tie group), and a null row's RANGE frame
+  * is the null tie group itself (null boundary values compare equal to
+  * null keys only — pinned against WindowExec in
+  * GlobalRangeMovingAggSpec). The lead folds the block into one buffer
+  * set per function whenever it reaches it, the lag computes it once
+  * (a sorted stream has exactly one null block); null keys never enter
+  * the boundary maps because their frames are fully partition-local.
   *
   * Only order-INSENSITIVE aggregates are admitted (the
   * [[RewriteGlobalRankWindows]] `allowedAgg` set — sum/min/max/count/
@@ -75,17 +77,19 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * fetch order is nondeterministic) and every value is still exact.
   * First/Last stay out by construction.
   *
-  * What still keeps WindowExec: descending or multi-key RANGE orders,
-  * non-integral keys (timestamp/decimal/double domains are not
-  * dense-domain), unbounded-one-side bounded-other frames, and value
-  * extents past the `spark.graft.rewrite.maxShiftOffset` cap (boundary
-  * buffers scale linearly with the extent).
+  * What still keeps WindowExec: non-integral keys (timestamp/decimal/
+  * double domains are not dense-domain; value-bounded RANGE frames are
+  * single-key by the analyzer's own rules), unbounded-one-side
+  * bounded-other frames, and value extents past the
+  * `spark.graft.rewrite.maxShiftOffset` cap (boundary buffers scale
+  * linearly with the extent).
   */
 case class GlobalRangeMovingAggNode(order: Seq[SortOrder],
                                     attrs: Seq[AttributeReference],
                                     funcs: Seq[DeclarativeAggregate],
                                     lowers: Seq[Long],
                                     uppers: Seq[Long],
+                                    descending: Boolean,
                                     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ attrs
   override def producedAttributes: AttributeSet = AttributeSet(attrs)
@@ -95,8 +99,8 @@ case class GlobalRangeMovingAggNode(order: Seq[SortOrder],
 
 object GlobalRangeMovingAggStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalRangeMovingAggNode(order, attrs, funcs, lowers, uppers, child) =>
-      GlobalRangeMovingAggExec(order, attrs, funcs, lowers, uppers,
+    case GlobalRangeMovingAggNode(order, attrs, funcs, lowers, uppers, desc, child) =>
+      GlobalRangeMovingAggExec(order, attrs, funcs, lowers, uppers, desc,
         planLater(child)) :: Nil
     case _ => Nil
   }
@@ -107,6 +111,7 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
                                     funcs: Seq[DeclarativeAggregate],
                                     lowers: Seq[Long],
                                     uppers: Seq[Long],
+                                    descending: Boolean,
                                     child: SparkPlan) extends UnaryExecNode {
   import GlobalRangeMovingAgg.{KeyBufs, addSat}
 
@@ -156,7 +161,7 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
     val metas: Array[PartMeta] =
       rdd.mapPartitionsWithIndex({ (pid, it) =>
         val keyProj = UnsafeProjection.create(Seq(keyExpr), childOutput)
-        val keyOf = GlobalRangeMovingAgg.longReader(keyType)
+        val keyOf = GlobalRangeMovingAgg.longReader(keyType, descending)
         val upds = updateProjs()
         val joins = Array.fill(nFuncs)(new JoinedRow)
         val toUnsafes = funcsArr.map(AggPlumbing.toUnsafe)
@@ -278,7 +283,7 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val keyProj = UnsafeProjection.create(Seq(keyExpr), childOutput)
       val keyProj2 = UnsafeProjection.create(Seq(keyExpr), childOutput)
-      val keyOf = GlobalRangeMovingAgg.longReader(keyType)
+      val keyOf = GlobalRangeMovingAgg.longReader(keyType, descending)
       val outProj = UnsafeProjection.create(out, out)
       val upds = updateProjs()
       val toUnsafes = funcsArr.map(AggPlumbing.toUnsafe)
@@ -418,12 +423,15 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
 
       var haveMemo = false
       var memoKey = 0L
-      var nullDone = false
+      // one-shot: the null block appears exactly once in a sorted
+      // stream — LEADING (nulls-first orders) or TRAILING (nulls-last,
+      // the r13 widening) — and computes its own frame either way
+      var nullComputed = false
       lagIt.map { row =>
         val kr = keyProj2(row)
         if (kr.isNullAt(0)) {
-          if (!nullDone) { feedLeadNulls(); computeNull(); nullDone = true
-            haveMemo = false }
+          if (!nullComputed) { feedLeadNulls(); computeNull()
+            nullComputed = true; haveMemo = false }
         } else {
           val v = keyOf(kr)
           if (!haveMemo || v != memoKey) {
@@ -434,7 +442,6 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
               window.pollFirst()
             computeFor(v)
             memoKey = v; haveMemo = true
-            nullDone = true // past the null block for good
           }
         }
         numOutputRows += 1
@@ -471,14 +478,24 @@ object GlobalRangeMovingAgg {
     case _ => false
   }
 
-  /** Read the single-column key row as Long for the given type. */
-  private[plans] def longReader(dt: DataType): InternalRow => Long = dt match {
-    case LongType => r => r.getLong(0)
-    case IntegerType | DateType => r => r.getInt(0).toLong
-    case ShortType => r => r.getShort(0).toLong
-    case ByteType => r => r.getByte(0).toLong
-    case other => throw new IllegalArgumentException(
-      s"GlobalRangeMovingAgg: non-integral order key type $other")
+  /** Read the single-column key row as Long for the given type. A
+    * DESCENDING order reads the bitwise NOT (`~v = -1 - v`): a
+    * monotone REVERSAL with no overflow (two's complement), under
+    * which the descending stream ascends and the frame bounds carry
+    * over UNCHANGED — for `ORDER BY v DESC RANGE BETWEEN x PRECEDING
+    * AND y FOLLOWING`, v in [v0 - y, v0 + x] iff ~v in
+    * [~v0 - x, ~v0 + y], exactly the parsed [lo, hi]. */
+  private[plans] def longReader(dt: DataType,
+                                descending: Boolean = false): InternalRow => Long = {
+    val raw: InternalRow => Long = dt match {
+      case LongType => r => r.getLong(0)
+      case IntegerType | DateType => r => r.getInt(0).toLong
+      case ShortType => r => r.getShort(0).toLong
+      case ByteType => r => r.getByte(0).toLong
+      case other => throw new IllegalArgumentException(
+        s"GlobalRangeMovingAgg: non-integral order key type $other")
+    }
+    if (descending) r => ~raw(r) else raw
   }
 
   /** Saturating add: `v + extent` must not wrap at the Long edges (the

@@ -47,11 +47,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * nFuncs)` buffers — a million rows of one user on one hot day ship
   * and buffer as ONE sum/count buffer.
   *
-  * NULL order values within a group sort first (the admitted NULLS
-  * FIRST ascending order); the `(g, null)` tie group is
-  * partition-contained and its RANGE frame is ITSELF, so null rows are
-  * folded into one per-group null buffer by the lead and never enter
-  * the boundary lists. NULL group keys form one ordinary group.
+  * NULL order values sit at each group's HEAD (nulls-first orders) or
+  * TAIL (nulls-last); the `(g, null)` tie group is partition-contained
+  * and its RANGE frame is ITSELF, so null rows are folded into one
+  * per-group null buffer by the lead and computed once per group,
+  * never entering the boundary lists. NULL group keys form one
+  * ordinary group.
   *
   * Only order-INSENSITIVE aggregates ([[graft.rules
   * .RewriteGlobalRankWindows]]'s `allowedAgg`): per-value buffers make
@@ -70,6 +71,7 @@ case class PartitionedRangeMovingAggNode(partKeys: Seq[Expression],
                                          funcs: Seq[DeclarativeAggregate],
                                          lowers: Seq[Long],
                                          uppers: Seq[Long],
+                                         descending: Boolean,
                                          child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ attrs
   override def producedAttributes: AttributeSet = AttributeSet(attrs)
@@ -79,9 +81,9 @@ case class PartitionedRangeMovingAggNode(partKeys: Seq[Expression],
 
 object PartitionedRangeMovingAggStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PartitionedRangeMovingAggNode(partKeys, order, attrs, funcs, lowers, uppers, child) =>
+    case PartitionedRangeMovingAggNode(partKeys, order, attrs, funcs, lowers, uppers, desc, child) =>
       PartitionedRangeMovingAggExec(partKeys, order, attrs, funcs, lowers,
-        uppers, planLater(child)) :: Nil
+        uppers, desc, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -92,6 +94,7 @@ case class PartitionedRangeMovingAggExec(partKeys: Seq[Expression],
                                          funcs: Seq[DeclarativeAggregate],
                                          lowers: Seq[Long],
                                          uppers: Seq[Long],
+                                         descending: Boolean,
                                          child: SparkPlan) extends UnaryExecNode {
   import GlobalRangeMovingAgg.{KeyBufs, addSat}
   import PartitionedRangeMovingAgg.GroupMeta
@@ -144,7 +147,7 @@ case class PartitionedRangeMovingAggExec(partKeys: Seq[Expression],
         val groupProj = UnsafeProjection.create(partExprs, childOutput)
         val groupOrd = RowOrdering.createNaturalAscendingOrdering(partTypes)
         val keyProj = UnsafeProjection.create(Seq(keyExpr), childOutput)
-        val keyOf = GlobalRangeMovingAgg.longReader(keyType)
+        val keyOf = GlobalRangeMovingAgg.longReader(keyType, descending)
         val upds = updateProjs()
         val joins = Array.fill(nFuncs)(new JoinedRow)
         val toUnsafes = funcsArr.map(AggPlumbing.toUnsafe)
@@ -308,7 +311,7 @@ case class PartitionedRangeMovingAggExec(partKeys: Seq[Expression],
       val groupOrd = RowOrdering.createNaturalAscendingOrdering(partTypes)
       val keyProjLead = UnsafeProjection.create(Seq(keyExpr), childOutput)
       val keyProjLag = UnsafeProjection.create(Seq(keyExpr), childOutput)
-      val keyOf = GlobalRangeMovingAgg.longReader(keyType)
+      val keyOf = GlobalRangeMovingAgg.longReader(keyType, descending)
       val outProj = UnsafeProjection.create(out, out)
       val upds = updateProjs()
       val toUnsafes = funcsArr.map(AggPlumbing.toUnsafe)
@@ -483,7 +486,6 @@ case class PartitionedRangeMovingAggExec(partKeys: Seq[Expression],
               window.pollFirst()
             computeFor(v)
             memoKey = v; haveMemo = true
-            nullDone = true // past this group's null block for good
           }
         }
         numOutputRows += 1

@@ -339,8 +339,57 @@ object R112Queries {
         |    AS BIGINT) AS n2nn
         |FROM ev ORDER BY k, event_id""".stripMargin))
 
+  /** `q_rangemov_desc`: DESCENDING-order RANGE moving frames through
+    * BOTH dense-domain tiers — previously a documented non-rewrite
+    * ("descending RANGE orders keep WindowExec"), retired by reading
+    * descending keys through the bitwise-NOT reversal (`~v` is a
+    * monotone reversal with no overflow, under which the frame bounds
+    * carry over unchanged) plus one-shot null frames for the trailing
+    * null block. A global DESC window rides
+    * [[graft.plans.GlobalRangeMovingAgg]], a per-key DESC window under
+    * the hot key rides [[graft.plans.PartitionedRangeMovingAgg]] — one
+    * query, both tiers, zero WindowExec. Gappy non-null axis (RANGE ≠
+    * ROWS); explicit NULLS FIRST on the DuckDB side is unnecessary
+    * (no null keys); row-level BIGINT lattice. */
+  val qRangemovDesc = QueryDef("q_rangemov_desc",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        (expr("CAST(round(value * 100.0) AS BIGINT)") % 50L).as("cbin"),
+        col("event_id"))
+        .where(col("cbin") % 7 < 4)
+      val wg = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cbin").desc)
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("cbin").desc)
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        col("cbin"),
+        sum("cbin").over(wg.rangeBetween(-3, 1)).cast("long").as("g31"),
+        count(lit(1)).over(wg.rangeBetween(-2, 0)).cast("long").as("gn"),
+        sum("cbin").over(wk.rangeBetween(-6, 0)).cast("long").as("k6"),
+        min("cbin").over(wk.rangeBetween(1, 2)).cast("long").as("kfmin")))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) % 50 AS cbin, event_id
+        |  FROM events
+        |  WHERE (CAST(round(value * 100.0) AS BIGINT) % 50) % 7 < 4)
+        |SELECT k, event_id, cbin,
+        |  CAST(sum(cbin) OVER (ORDER BY cbin DESC
+        |    RANGE BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS g31,
+        |  CAST(count(*) OVER (ORDER BY cbin DESC
+        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS gn,
+        |  CAST(sum(cbin) OVER (PARTITION BY k ORDER BY cbin DESC
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS k6,
+        |  CAST(min(cbin) OVER (PARTITION BY k ORDER BY cbin DESC
+        |    RANGE BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS kfmin
+        |FROM ev ORDER BY k, event_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qSkewmovaggRewrite, qSkewframeaggRewrite, qNthmovRewrite,
       qSkewshiftnnRewrite, qSkewrangemovRewrite, qSkewleadnnRewrite,
-      qSkewnthRewrite)
+      qSkewnthRewrite, qRangemovDesc)
 }

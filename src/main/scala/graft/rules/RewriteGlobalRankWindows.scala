@@ -373,13 +373,13 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       case a @ Alias(we @ WindowExpression(
           AggregateExpression(fn0, Complete, false, None, _),
           WindowSpecDefinition(Seq(),
-            // NULLS FIRST required (the ascending default): the
-            // operator's null machinery consumes the null block at the
-            // STREAM HEAD — a NULLS LAST order would leave trailing
-            // null rows holding the last non-null key's frame (r13
-            // self-review)
-            Seq(SortOrder(key, Ascending,
-              org.apache.spark.sql.catalyst.expressions.NullsFirst, _)),
+            // ANY direction and null placement since late r13: a
+            // DESCENDING key reads through the bitwise-NOT reversal
+            // (frame bounds carry over unchanged — see longReader),
+            // and the one-shot null compute handles a LEADING or
+            // TRAILING null block alike (the r13 self-review
+            // nulls-first restriction, retired)
+            Seq(SortOrder(key, _, _, _)),
             SpecifiedWindowFrame(RangeFrame, lo0, hi0))), _)
           if lo0 != UnboundedPreceding && hi0 != UnboundedFollowing &&
             GlobalRangeMovingAgg.integralKey(key.dataType) &&
@@ -673,7 +673,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         if (rangeMovCols.isEmpty) withMovAggs
         else GlobalRangeMovingAggNode(orderSpec, rangeMovCols.map(_.attr),
           rangeMovCols.map(_.fn), rangeMovCols.map(_.lo),
-          rangeMovCols.map(_.hi), withMovAggs)
+          rangeMovCols.map(_.hi),
+          orderSpec.head.direction == org.apache.spark.sql.catalyst.expressions.Descending,
+          withMovAggs)
       val withNth: LogicalPlan =
         if (nthCols.isEmpty) withRangeMov
         else GlobalNthValueNode(orderSpec, nthCols.map(_.attr),
@@ -837,6 +839,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         else PartitionedRangeMovingAggNode(partSpec, orderSpec,
           rangeMovClassified.map(_._2._5), rangeMovClassified.map(_._2._2),
           rangeMovClassified.map(_._2._3), rangeMovClassified.map(_._2._4),
+          orderSpec.head.direction == org.apache.spark.sql.catalyst.expressions.Descending,
           withMovs)
       val node: LogicalPlan =
         if (nthClassified.isEmpty) withRangeMovs
@@ -1110,8 +1113,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case a @ Alias(we @ WindowExpression(
         AggregateExpression(fn0, Complete, false, None, _),
         WindowSpecDefinition(ps,
-          Seq(SortOrder(key, Ascending,
-            org.apache.spark.sql.catalyst.expressions.NullsFirst, _)),
+          // any direction / null placement — the same late-r13
+          // widening as the global matcher
+          Seq(SortOrder(key, _, _, _)),
           SpecifiedWindowFrame(RangeFrame, lo0, hi0))), _)
         if ps.nonEmpty &&
           lo0 != UnboundedPreceding && hi0 != UnboundedFollowing &&

@@ -170,7 +170,33 @@ class GlobalRangeMovingAggSpec extends AnyFunSuite {
     }.size == 1, s"both moving families must share one range exchange:\n$p")
   }
 
-  test("non-rewrites: descending, non-integral, multi-key, half-unbounded, over-cap, first_value") {
+  test("DESC and NULLS LAST orders rewrite (late r13: bitwise-NOT reversal + one-shot null frames)") {
+    // gappy axis with nulls: descending frames genuinely differ from
+    // ascending ones, and the null block sits at the stream TAIL under
+    // the descending default (NULLS LAST) — the exact case the old
+    // nulls-first restriction refused
+    val df = spark.range(1500)
+      .select(when(col("id") % 13 === 0, lit(null))
+        .otherwise(col("id") * 7L % 61L).as("v"),
+        (col("id") % 97).as("x"))
+      .where(col("v").isNull || col("v") % 5 < 3)
+      .repartition(7)
+    val wd = Window.orderBy(col("v").desc)
+    assertSame(df.select(col("v"), col("x"),
+      sum("x").over(wd.rangeBetween(-3, 1)).as("dsum"),
+      count(lit(1)).over(wd.rangeBetween(-2, 0)).as("dn"),
+      min("x").over(wd.rangeBetween(1, 2)).as("dmin")))
+    // ASC NULLS LAST: ascending keys, trailing null block
+    val wnl = Window.orderBy(col("v").asc_nulls_last)
+    assertSame(df.select(col("v"), col("x"),
+      sum("x").over(wnl.rangeBetween(-4, 0)).as("s")))
+    // DESC NULLS FIRST (non-default): leading null block, reversed keys
+    val wdnf = Window.orderBy(col("v").desc_nulls_first)
+    assertSame(df.select(col("v"), col("x"),
+      sum("x").over(wdnf.rangeBetween(-3, 0)).as("s")))
+  }
+
+  test("non-rewrites: non-integral, half-unbounded, over-cap, first_value") {
     spark.range(100).select(col("id").as("v"),
       (col("id") % 7).as("x"), (col("id") * 1.5).as("d"))
       .createOrReplaceTempView("rma_nr")
@@ -179,13 +205,8 @@ class GlobalRangeMovingAggSpec extends AnyFunSuite {
       assert(p.collect { case g: GlobalRangeMovingAggExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    // descending key: tier 1 is ascending-only
-    kept("SELECT v, sum(x) OVER (ORDER BY v DESC RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
-    // NULLS LAST: the operator's null machinery consumes the null
-    // block at the STREAM HEAD — a nulls-last order must refuse (r13
-    // self-review: admitting it would leave trailing null rows with
-    // the last non-null key's frame)
-    kept("SELECT v, sum(x) OVER (ORDER BY v ASC NULLS LAST RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
+    // (descending and nulls-last orders rewrite since late r13 —
+    // pinned positively above)
     // double key: not a dense domain
     kept("SELECT d, sum(x) OVER (ORDER BY d RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
     // half-unbounded bounded frame

@@ -152,7 +152,25 @@ class PartitionedRangeMovingAggSpec extends AnyFunSuite {
     }.size == 1, s"both moving members must share one composite exchange:\n$p")
   }
 
-  test("non-rewrites: descending/multi-key/non-integral orders and First/Last keep WindowExec") {
+  test("per-key DESC / NULLS LAST orders rewrite (late r13 widening)") {
+    // per-group trailing null blocks under the descending default;
+    // gappy axis so DESC frames genuinely differ
+    val df = spark.range(1500)
+      .select((col("id") % 7).as("g"),
+        when(col("id") % 13 === 0, lit(null))
+          .otherwise(col("id") % 21).as("v"),
+        (col("id") % 17).as("x"))
+      .repartition(6)
+    val wd = Window.partitionBy("g").orderBy(col("v").desc)
+    assertSame(df.select(col("g"), col("v"), col("x"),
+      sum("x").over(wd.rangeBetween(-3, 1)).as("dsum"),
+      count(lit(1)).over(wd.rangeBetween(-2, 0)).as("dn")))
+    val wnl = Window.partitionBy("g").orderBy(col("v").asc_nulls_last)
+    assertSame(df.select(col("g"), col("v"), col("x"),
+      sum("x").over(wnl.rangeBetween(-4, 0)).as("s")))
+  }
+
+  test("non-rewrites: non-integral orders and First/Last keep WindowExec") {
     spark.range(100).select((col("id") % 5).as("g"), (col("id") % 11).as("v"),
       (col("id") % 20).cast("double").as("d"), (col("id") % 7).as("x"))
       .createOrReplaceTempView("prm_nr")
@@ -161,9 +179,9 @@ class PartitionedRangeMovingAggSpec extends AnyFunSuite {
       assert(p.collect { case g: PartitionedRangeMovingAggExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    kept("""SELECT g, sum(x) OVER (PARTITION BY g ORDER BY v DESC
-           |  RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM prm_nr"""
-      .stripMargin)
+    // (descending/nulls-last orders rewrite since late r13 — pinned
+    // positively above; value-bounded RANGE frames are single-key by
+    // the analyzer's own rules)
     kept("""SELECT g, sum(x) OVER (PARTITION BY g ORDER BY d
            |  RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM prm_nr"""
       .stripMargin)

@@ -513,6 +513,18 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedNthValueExec => g
     }.size == 1,
       s"q_skewnth_rewrite must ride ONE PartitionedNthValueExec:\n$pnth")
+    // late r13: descending RANGE moving frames (the retired
+    // ascending-only restriction) — one global + one per-key node
+    val prd = plan("q_rangemov_desc")
+    assert(prd.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_rangemov_desc kept a WindowExec:\n$prd")
+    assert(prd.collect {
+      case g: graft.plans.GlobalRangeMovingAggExec => g
+    }.size == 1, s"q_rangemov_desc's global DESC window:\n$prd")
+    assert(prd.collect {
+      case g: graft.plans.PartitionedRangeMovingAggExec => g
+    }.size == 1, s"q_rangemov_desc's per-key DESC window:\n$prd")
   }
 
   test("retired ENTITY whitelist queries: zero unpartitioned WindowExec, ranks via the Global* family") {
