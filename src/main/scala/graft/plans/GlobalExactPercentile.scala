@@ -47,8 +47,15 @@ import org.apache.spark.sql.types.{ByteType, DataType, Decimal, DecimalType, Dou
   * order at the column's fixed scale; the endpoint maps back through
   * `Decimal(key, p, s).toDouble`, the exact `toDoubleValue` the
   * built-in interpolates with — `percentile` over money columns is the
-  * common case at scale). Wider decimals (no exact long key) stay on
-  * WindowExec. Nulls are ignored (Percentile's own semantics); an
+  * common case at scale). WIDE decimals (precision 19..38 — late r13,
+  * the family's last type refusal) select in TWO PHASES on the same
+  * machinery: the 128-bit unscaled value's signed order is the
+  * lexicographic (high-64 signed, low-64 unsigned) order, so phase 1
+  * narrows on the high word, and once one high word remains, phase 2
+  * narrows on the sortable low word among that high word's rows with
+  * the carried remaining rank — at most ~12 passes by construction,
+  * far fewer in practice (real wide-decimal populations concentrate
+  * in one or two high words). Nulls are ignored (Percentile's own semantics); an
   * all-null / empty input yields null; NaN maps canonical-greatest,
   * exactly the built-in's sort position.
   *
@@ -109,6 +116,7 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
     // closure, like the sibling operators avoid)
     val Buckets = GlobalExactPercentile.Buckets
     val longOf = GlobalExactPercentile.longOf _
+    val lowKeyOf = GlobalExactPercentile.lowKeyOf _
 
     // pass 0: per-column (non-null count, min, max)
     val stats: Array[(Long, Long, Long)] = {
@@ -140,10 +148,23 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
       }
     }
 
-    // the ranks each column needs: floor/ceil of p*(N-1)
+    val isWide: Array[Boolean] = dts.map {
+      case d: DecimalType => d.precision > Decimal.MAX_LONG_DIGITS
+      case _ => false
+    }
+    // the ranks each column needs: floor/ceil of p*(N-1). WIDE decimals
+    // (precision 19..38, 128-bit unscaled values — r13) select in TWO
+    // phases on the same Long machinery: phase 1 narrows on the HIGH
+    // 64 bits of the unscaled value (signed), and once a single high
+    // word remains, phase 2 narrows on the LOW 64 bits (unsigned,
+    // sign-flipped to sortable-signed) among the rows of that high
+    // word, carrying the remaining rank — the 128-bit signed order IS
+    // the lexicographic (high signed, low unsigned) order.
     final case class Target(col: Int, rank: Long,
-                            var lo: Long, var hi: Long, var rankLeft: Long) {
-      def resolved: Boolean = lo == hi
+                            var lo: Long, var hi: Long, var rankLeft: Long,
+                            var phase2: Boolean = false,
+                            var highKey: Long = 0L) {
+      def resolved: Boolean = lo == hi && (!isWide(col) || phase2)
     }
     val positions: Array[Double] = Array.tabulate(nCols) { j =>
       val n = stats(j)._1
@@ -169,11 +190,24 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
     var passes = 0L
     while (targets.exists(!_.resolved)) {
       passes += 1L
+      // wide-decimal phase transition: a collapsed HIGH range fixes the
+      // target's high word; restart the range on the low word (full
+      // span — the low-word domain resolves in <= 6 more passes)
+      targets.foreach { t =>
+        if (isWide(t.col) && !t.phase2 && t.lo == t.hi) {
+          t.phase2 = true
+          t.highKey = t.lo
+          t.lo = Long.MinValue
+          t.hi = Long.MaxValue
+        }
+      }
       val active = targets.zipWithIndex.filter(!_._1.resolved)
       val aIdx = active.map(_._2)
       val aCol = active.map(_._1.col)
       val aLo = active.map(_._1.lo)
       val aHi = active.map(_._1.hi)
+      val aPhase2 = active.map(_._1.phase2)
+      val aHigh = active.map(_._1.highKey)
       val nActive = active.length
       // width via unsigned span so a full-Long range cannot overflow:
       // span = hi - lo computed in BigInt once per pass, per target
@@ -191,8 +225,14 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
             while (i < nActive) {
               val r = projs(i)(row)
               if (!r.isNullAt(0)) {
-                val v = longOf(dts(aCol(i)), r.get(0, dts(aCol(i))))
-                if (v >= aLo(i) && v <= aHi(i)) {
+                val raw = r.get(0, dts(aCol(i)))
+                // phase-2 targets histogram the LOW word of rows whose
+                // HIGH word matches; everything else keys as phase 1
+                val inPhase = !aPhase2(i) ||
+                  longOf(dts(aCol(i)), raw) == aHigh(i)
+                val v = if (aPhase2(i)) lowKeyOf(raw)
+                        else longOf(dts(aCol(i)), raw)
+                if (inPhase && v >= aLo(i) && v <= aHi(i)) {
                   // (v - lo) cannot overflow: v,lo share [lo,hi] whose
                   // width/Buckets fits by construction of widths
                   val b = java.lang.Long.divideUnsigned(v - aLo(i), widths(i)).toInt
@@ -242,9 +282,13 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
     }
     longMetric("selectionPasses") += passes
 
-    // driver: Spark PercentileBase's own interpolation, bit-for-bit
-    val byColRank: Map[(Int, Long), Long] =
-      targets.map(t => (t.col, t.rank) -> t.lo).toMap
+    // driver: Spark PercentileBase's own interpolation, bit-for-bit.
+    // Keys are (high, low) PAIRS — (key, 0) for the single-long types —
+    // so the kHi == kLo equality stays exactly one-to-one with VALUE
+    // equality (the longOf normalization-precondition note)
+    val byColRank: Map[(Int, Long), (Long, Long)] =
+      targets.map(t => (t.col, t.rank) ->
+        (if (t.phase2) (t.highKey, t.lo) else (t.lo, 0L))).toMap
     val finals: Array[Any] = Array.tabulate(nCols) { j =>
       val n = stats(j)._1
       if (n == 0) null
@@ -253,13 +297,13 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
         val lower = math.floor(pos).toLong
         val higher = math.ceil(pos).toLong
         val kLo = byColRank((j, lower))
-        val vLo = GlobalExactPercentile.endpointDouble(dts(j), kLo)
+        val vLo = GlobalExactPercentile.endpointDouble(dts(j), kLo._1, kLo._2)
         if (higher == lower) vLo
         else {
           val kHi = byColRank((j, higher))
           if (kHi == kLo) vLo
           else {
-            val vHi = GlobalExactPercentile.endpointDouble(dts(j), kHi)
+            val vHi = GlobalExactPercentile.endpointDouble(dts(j), kHi._1, kHi._2)
             (higher - pos) * vLo + (pos - lower) * vHi
           }
         }
@@ -318,8 +362,22 @@ object GlobalExactPercentile {
     case FloatType => sortableBits(v.asInstanceOf[Float].toDouble)
     case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
       v.asInstanceOf[Decimal].toUnscaledLong
+    // WIDE decimals (r13): phase-1 key = the unscaled 128-bit value's
+    // HIGH 64 bits (arithmetic shift keeps sign; |unscaled| < 10^38 <
+    // 2^127, so the high word is exact) — the signed order of high
+    // words is the first tier of the 128-bit lexicographic order
+    case _: DecimalType =>
+      v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue()
+        .shiftRight(64).longValueExact()
     case other => throw new IllegalStateException(s"unsupported $other")
   }
+
+  /** Phase-2 selection key for WIDE decimals: the unscaled value's LOW
+    * 64 bits, sign-flipped so UNSIGNED low-word order (the second tier
+    * of the 128-bit lexicographic order) equals signed-long order. */
+  private[plans] def lowKeyOf(v: Any): Long =
+    v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue()
+      .longValue() ^ Long.MinValue
 
   private def sortableBits(d: Double): Long = {
     val b = java.lang.Double.doubleToLongBits(d) // canonical NaN
@@ -328,15 +386,25 @@ object GlobalExactPercentile {
 
   /** The interpolation endpoint as the DOUBLE the built-in would use:
     * the selection key mapped back for floating columns, the integer
-    * widened for integral ones. Driver-side only. */
-  private[plans] def endpointDouble(dt: DataType, key: Long): Double = dt match {
+    * widened for integral ones, the (high, low) pair reassembled into
+    * the 128-bit unscaled value for wide decimals. Driver-side only.
+    * For single-long types `low` is 0 by construction. */
+  private[plans] def endpointDouble(dt: DataType, key: Long, low: Long = 0L): Double = dt match {
     case DoubleType | FloatType =>
       val b = if (key < 0) key ^ Long.MaxValue else key
       java.lang.Double.longBitsToDouble(b)
-    case d: DecimalType =>
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
       // the built-in interpolates PercentileBase.toDoubleValue =
       // Decimal.toDouble — rebuild the decimal at the column's scale
       Decimal(key, d.precision, d.scale).toDouble
+    case d: DecimalType =>
+      val rawLow = low ^ Long.MinValue // undo the sortable flip
+      val unscaled = java.math.BigInteger.valueOf(key).shiftLeft(64)
+        .add(java.math.BigInteger.valueOf(rawLow)
+          .and(java.math.BigInteger.ONE.shiftLeft(64)
+            .subtract(java.math.BigInteger.ONE)))
+      Decimal(new java.math.BigDecimal(unscaled, d.scale),
+        d.precision, d.scale).toDouble
     case _ => key.toDouble
   }
 

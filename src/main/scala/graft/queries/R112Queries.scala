@@ -388,8 +388,45 @@ object R112Queries {
         |    RANGE BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS kfmin
         |FROM ev ORDER BY k, event_id""".stripMargin))
 
+  /** `q_pctexact_wide`: exact percentiles over a DECIMAL(38,2) column
+    * through [[graft.plans.GlobalExactPercentile]]'s late-r13 WIDE
+    * tier (two-phase selection on the 128-bit unscaled value's
+    * (high, low) words — the family's last type refusal retired).
+    * Hash safety is `q_pctexact_decimal`'s argument verbatim: exact
+    * binary quarters, quarter-fraction percentages, so every endpoint
+    * and interpolation product is an exact double on both engines; the
+    * DuckDB side computes in plain DOUBLE (`q/4.0`) per the fragility
+    * guard — only the SPARK side exercises the wide-decimal key path
+    * (negatives included: the high word must carry the sign). */
+  val qPctexactWide = QueryDef("q_pctexact_wide",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val dec = orders.select(
+        ((expr("CAST(round(o_totalprice) AS BIGINT)") % 397L - 199L)
+          .cast("decimal(38,0)") / 4).cast("decimal(38,2)").as("m"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      RewriteGlobalRankWindows.force(dec.select(
+        expr("percentile(m, 0.25)").over(w).as("p25"),
+        expr("percentile(m, 0.5)").over(w).as("p50"),
+        expr("percentile(m, 0.75)").over(w).as("p75"),
+        expr("median(m)").over(w).as("med"),
+        count(lit(1)).over(w).cast("long").as("n")))
+        .distinct()
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT CAST(CAST(round(o_totalprice) AS BIGINT) % 397 - 199 AS DOUBLE)
+        |    / 4.0 AS m
+        |  FROM orders)
+        |SELECT quantile_cont(m, 0.25) AS p25,
+        |  quantile_cont(m, 0.5) AS p50,
+        |  quantile_cont(m, 0.75) AS p75,
+        |  quantile_cont(m, 0.5) AS med,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qSkewmovaggRewrite, qSkewframeaggRewrite, qNthmovRewrite,
       qSkewshiftnnRewrite, qSkewrangemovRewrite, qSkewleadnnRewrite,
-      qSkewnthRewrite, qRangemovDesc)
+      qSkewnthRewrite, qRangemovDesc, qPctexactWide)
 }

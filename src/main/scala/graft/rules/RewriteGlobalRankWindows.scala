@@ -497,10 +497,11 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * order statistics by iterative histogram narrowing (floating
     * columns through the IEEE sortable-bits keys), zero shuffle, no
     * sort, and interpolates with PercentileBase's own arithmetic.
-    * Bounded-precision decimal inputs (precision <= 18) select on the
-    * exact unscaled-long key (r13). Array percentages, weighted
-    * frequencies, percentile_disc's reverse form, and wider decimals
-    * keep WindowExec. */
+    * Decimal inputs of ANY precision select exactly — on the unscaled
+    * long for precision <= 18 (r13), in two (high, low)-word phases on
+    * the 128-bit unscaled value for 19..38 (late r13). Array
+    * percentages, weighted frequencies, and percentile_disc's reverse
+    * form keep WindowExec. */
   private def pctOf(ne: NamedExpression): Option[(Alias, Expression, Double, AttributeReference)] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
     ne match {
@@ -538,10 +539,11 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
                    org.apache.spark.sql.types.DoubleType |
                    org.apache.spark.sql.types.FloatType => true
               // r13 (VERDICT r12 task 4): bounded-precision decimals
-              // select on the exact unscaled long; wider decimals have
-              // no exact long key and keep WindowExec
-              case d: org.apache.spark.sql.types.DecimalType =>
-                d.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS
+              // select on the exact unscaled long; WIDE decimals
+              // (precision 19..38) select in two phases on the 128-bit
+              // unscaled value's (high, low) words — late r13, the
+              // family's last type refusal retired
+              case _: org.apache.spark.sql.types.DecimalType => true
               case _ => false
             }) && unitFrequency(p.frequencyExpression)
           if (!ok) None

@@ -164,18 +164,74 @@ class GlobalExactPercentileSpec extends AnyFunSuite {
     assert(p.collect { case g: GlobalExactPercentileExec => g }.size == 1, p.toString)
   }
 
-  test("non-rewrites: wide decimals, array percentages, running percentile keep WindowExec") {
+  test("WIDE decimals (precision 19..38): two-phase (high, low)-word selection — bit-equal") {
+    // late r13, the family's last type refusal: 128-bit unscaled
+    // values straddling the 64-bit boundary (x * 2^64-ish magnitudes
+    // via multiplication) plus negatives and nulls; p=0.5 exact-weight
+    // and p=0.9 inexact-weight interpolation must reproduce the
+    // built-in's Decimal.toDouble endpoints bit-for-bit
+    val df = spark.range(4000)
+      .select(col("id").as("v"),
+        when(col("id") % 13 === 0, lit(null))
+          .otherwise(
+            (((col("id") * 48271L % 9973L) - 4500L).cast("decimal(38,0)")
+              * lit("18446744073709551616").cast("decimal(38,0)") / 100 +
+              ((col("id") * 7919L % 1000L)).cast("decimal(38,0)") / 100)
+              .cast("decimal(38,2)"))
+          .as("m"))
+      .repartition(7)
+    df.createOrReplaceTempView("pct_wide")
+    val sqlText =
+      """SELECT v,
+        |  percentile(m, 0.5) OVER () AS p50,
+        |  percentile(m, 0.9) OVER () AS p90,
+        |  percentile(m, 0.0) OVER () AS p0,
+        |  median(m) OVER () AS med
+        |FROM pct_wide""".stripMargin
+    val windowed = spark.sql(sqlText)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    assert(forced.schema == windowed.schema)
+    def bitsOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), (1 to 4).map(i =>
+        java.lang.Double.doubleToLongBits(r.getDouble(i))))).toSet
+    assert(bitsOf(forced.collect()) == bitsOf(windowed.collect()))
+    val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sqlText)))
+    assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    assert(p.collect { case g: GlobalExactPercentileExec => g }.size == 1, p.toString)
+  }
+
+  test("WIDE decimals: values concentrated in ONE high word (the common shape) resolve too") {
+    // ordinary magnitudes at precision 38: every unscaled value has
+    // high word 0 or -1 — phase 1 must collapse fast and phase 2 carry
+    // the full rank
+    val df = spark.range(3000)
+      .select(col("id").as("v"),
+        (((col("id") * 131L % 4999L) - 2500L).cast("decimal(38,4)") / 7)
+          .cast("decimal(38,4)").as("m"))
+      .repartition(5)
+    df.createOrReplaceTempView("pct_wide1")
+    val sqlText =
+      """SELECT v, percentile(m, 0.25) OVER () AS p25,
+        |  percentile(m, 0.75) OVER () AS p75
+        |FROM pct_wide1""".stripMargin
+    val windowed = spark.sql(sqlText)
+    val forced = RewriteGlobalRankWindows.force(windowed)
+    def bitsOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), (1 to 2).map(i =>
+        java.lang.Double.doubleToLongBits(r.getDouble(i))))).toSet
+    assert(bitsOf(forced.collect()) == bitsOf(windowed.collect()))
+  }
+
+  test("non-rewrites: array percentages and running percentile keep WindowExec") {
     val df = spark.range(60).select(col("id").as("v"),
-      (col("id") % 9).as("x"), (col("id") % 9).cast("decimal(20,2)").as("xc"))
+      (col("id") % 9).as("x"))
     df.createOrReplaceTempView("pct_keep")
     def kept(sql: String): Unit = {
       val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sql)))
       assert(p.collect { case g: GlobalExactPercentileExec => g }.isEmpty, sql)
       assert(p.collect { case x: WindowExec => x }.size == 1, sql)
     }
-    // precision > 18: no exact long selection key — stays built-in
-    // (bounded-precision decimals rewrite since r13, tested above)
-    kept("SELECT v, percentile(xc, 0.5) OVER () AS s FROM pct_keep")
+    // (decimals of ANY precision rewrite since late r13, tested above)
     // array percentages return ARRAY<DOUBLE> — out of the scalar form
     kept("SELECT v, percentile(x, array(0.25, 0.75)) OVER () AS s FROM pct_keep")
     // a running frame is not whole-frame: the prefix percentile
