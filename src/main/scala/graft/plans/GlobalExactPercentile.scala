@@ -191,15 +191,61 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
     while (targets.exists(!_.resolved)) {
       passes += 1L
       // wide-decimal phase transition: a collapsed HIGH range fixes the
-      // target's high word; restart the range on the low word (full
-      // span — the low-word domain resolves in <= 6 more passes)
-      targets.foreach { t =>
-        if (isWide(t.col) && !t.phase2 && t.lo == t.hi) {
+      // target's high word; ONE seeding scan then bounds the low-word
+      // range to the actual min/max low among that high word's rows
+      // (starting from the full 64-bit span instead costs ~6 narrowing
+      // scans; the seed usually leaves 1-2)
+      val transitioned = targets.filter { t =>
+        val hit = isWide(t.col) && !t.phase2 && t.lo == t.hi
+        if (hit) {
           t.phase2 = true
           t.highKey = t.lo
-          t.lo = Long.MinValue
-          t.hi = Long.MaxValue
         }
+        hit
+      }
+      if (transitioned.nonEmpty) {
+        val tCol = transitioned.map(_.col)
+        val tHigh = transitioned.map(_.highKey)
+        val nT = transitioned.length
+        val seeds: (Array[Long], Array[Long]) =
+          rdd.mapPartitions({ it =>
+            val projs = tCol.map(j =>
+              UnsafeProjection.create(Seq(inputsArr(j)), childOutput))
+            val mn = Array.fill(nT)(Long.MaxValue)
+            val mx = Array.fill(nT)(Long.MinValue)
+            it.foreach { row =>
+              var i = 0
+              while (i < nT) {
+                val r = projs(i)(row)
+                if (!r.isNullAt(0)) {
+                  val raw = r.get(0, dts(tCol(i)))
+                  if (longOf(dts(tCol(i)), raw) == tHigh(i)) {
+                    val v = lowKeyOf(raw)
+                    if (v < mn(i)) mn(i) = v
+                    if (v > mx(i)) mx(i) = v
+                  }
+                }
+                i += 1
+              }
+            }
+            Iterator((mn, mx))
+          }, preservesPartitioning = true).reduce { (a, b) =>
+            var i = 0
+            while (i < nT) {
+              a._1(i) = math.min(a._1(i), b._1(i))
+              a._2(i) = math.max(a._2(i), b._2(i))
+              i += 1
+            }
+            a
+          }
+        var i = 0
+        while (i < nT) {
+          // the high word was selected from live counts, so rows exist
+          transitioned(i).lo = seeds._1(i)
+          transitioned(i).hi = seeds._2(i)
+          i += 1
+        }
+        passes += 1L
       }
       val active = targets.zipWithIndex.filter(!_._1.resolved)
       val aIdx = active.map(_._2)
@@ -209,6 +255,11 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
       val aPhase2 = active.map(_._1.phase2)
       val aHigh = active.map(_._1.highKey)
       val nActive = active.length
+      if (nActive == 0) {
+        // the seeding scan resolved everything that was left (a
+        // single-low-value high word) — nothing to histogram
+        passes -= 1L
+      } else {
       // width via unsigned span so a full-Long range cannot overflow:
       // span = hi - lo computed in BigInt once per pass, per target
       val widths: Array[Long] = Array.tabulate(nActive) { i =>
@@ -278,6 +329,7 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
         require(found,
           s"selection bookkeeping: rank ${t.rank} not found in [${t.lo}, ${t.hi}]")
         i += 1
+      }
       }
     }
     longMetric("selectionPasses") += passes

@@ -199,11 +199,15 @@ class GlobalFrameAggSpec extends AnyFunSuite {
     kept("SELECT v, first_value(x) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s FROM fa_keep")
     kept("SELECT v, last_value(x) OVER () AS s FROM fa_keep")
     kept("SELECT v, collect_list(x) OVER () AS s FROM fa_keep")
-    // unbounded-buffer imperatives are NOT sketches — exact percentile
-    // on integral/float/bounded-decimal columns routes to
-    // GlobalExactPercentile instead (GlobalExactPercentileSpec; the
-    // decimal tier landed in r13); only WIDE decimals (precision > 18,
-    // no exact long selection key) stay built-in
-    kept("SELECT v, percentile(CAST(x AS DECIMAL(20,2)), 0.5) OVER () AS s FROM fa_keep")
+    // exact percentile routes to GlobalExactPercentile for EVERY
+    // admitted input type — wide decimals joined late r13 via the
+    // two-phase (high, low)-word selection (GlobalExactPercentileSpec
+    // pins the values); the shape check lives there, not here
+    val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(
+      "SELECT v, percentile(CAST(x AS DECIMAL(20,2)), 0.5) OVER () AS s FROM fa_keep")))
+    assert(p.collect { case x: WindowExec => x }.isEmpty)
+    assert(p.collect {
+      case g: graft.plans.GlobalExactPercentileExec => g
+    }.size == 1)
   }
 }
