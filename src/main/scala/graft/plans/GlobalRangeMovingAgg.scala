@@ -77,12 +77,24 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * fetch order is nondeterministic) and every value is still exact.
   * First/Last stay out by construction.
   *
-  * What still keeps WindowExec: non-integral keys (timestamp/decimal/
-  * double domains are not dense-domain; value-bounded RANGE frames are
-  * single-key by the analyzer's own rules), unbounded-one-side
-  * bounded-other frames, and value extents past the
-  * `spark.graft.rewrite.maxShiftOffset` cap (boundary buffers scale
-  * linearly with the extent).
+  * TIMESTAMP keys (r14, VERDICT r13 task 1): a timestamp is epoch
+  * MICROS in a Long, and a day/hour-pure interval bound is an exact
+  * micro count, so the frame `[ts + lo_us, ts + hi_us]` is the same
+  * long arithmetic — [[timeKey]] admits TimestampType/TimestampNTZType
+  * with extents parsed to micros (see the rule's `rangeValueBound`).
+  * The buffer-count bound changes character: on a dense int/day axis
+  * it is `hi - lo + 1` by pigeonhole; on a micro axis it is the number
+  * of DISTINCT timestamps inside the extent — data-dependent, which is
+  * why the production pattern is to pre-bucket the axis to the frame's
+  * natural grain (hour/day) before windowing, and why the matcher caps
+  * the extent at `maxShiftOffset` DAYS.
+  *
+  * What still keeps WindowExec: non-integral NUMERIC keys (decimal/
+  * double domains; value-bounded RANGE frames are single-key by the
+  * analyzer's own rules), month-bearing interval bounds (not a fixed
+  * micro count), unbounded-one-side bounded-other frames, and value
+  * extents past the `spark.graft.rewrite.maxShiftOffset` cap
+  * (boundary buffers scale linearly with the extent).
   */
 case class GlobalRangeMovingAggNode(order: Seq[SortOrder],
                                     attrs: Seq[AttributeReference],
@@ -478,6 +490,26 @@ object GlobalRangeMovingAgg {
     case _ => false
   }
 
+  /** Timestamp order-key types (r14, VERDICT r13 task 1): both store
+    * epoch MICROS as a Long, so `ts + interval` with a day/hour-pure
+    * (micros-exact) bound is plain long arithmetic on the key domain —
+    * the per-key-buffer argument carries unchanged. The domain is NOT
+    * dense the way a day axis is (adjacent keys can be a single micro
+    * apart), so boundary state is bounded by the DISTINCT timestamps
+    * inside the extent at each partition edge, not by the extent
+    * value; the scale guidance is to pre-bucket the axis to the
+    * frame's natural grain first (the q_rangemov_ts pattern), and the
+    * matcher caps the extent at `maxShiftOffset` DAYS of micros. */
+  def timeKey(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Order-key admission for the RANGE tiers: dense integral domains
+    * plus the r14 timestamp widening. */
+  def rangeKey(dt: DataType): Boolean = integralKey(dt) || timeKey(dt)
+
   /** Read the single-column key row as Long for the given type. A
     * DESCENDING order reads the bitwise NOT (`~v = -1 - v`): a
     * monotone REVERSAL with no overflow (two's complement), under
@@ -489,6 +521,9 @@ object GlobalRangeMovingAgg {
                                 descending: Boolean = false): InternalRow => Long = {
     val raw: InternalRow => Long = dt match {
       case LongType => r => r.getLong(0)
+      // timestamps read their epoch-micros physical long (r14)
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => r => r.getLong(0)
       case IntegerType | DateType => r => r.getInt(0).toLong
       case ShortType => r => r.getShort(0).toLong
       case ByteType => r => r.getByte(0).toLong

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
+
+/** Hundred-thirteenth wave (r14) — justified under the §7.2
+  * no-new-wave-without-new-surface rule by the round's new physical
+  * surface: the TIMESTAMP tier of the RANGE-moving-frame operators
+  * (VERDICT r13 task 1 — `RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND
+  * CURRENT ROW` over a TIMESTAMP order key, previously a documented
+  * non-rewrite in both window tiers). A timestamp is epoch MICROS in a
+  * Long and a day/hour-pure interval bound is an exact micro count, so
+  * the per-key-buffer argument of [[graft.plans.GlobalRangeMovingAgg]]
+  * / [[graft.plans.PartitionedRangeMovingAgg]] carries unchanged; the
+  * queries are written with the BUILT-IN window functions (SQL interval
+  * frames through `expr`) and routed through
+  * [[RewriteGlobalRankWindows.force]]/`forceSkew`, so the rewrite
+  * itself — not a hand-built plan — is what the DuckDB oracle checks.
+  */
+object R113Queries {
+
+  /** `q_rangemov_ts`: time-windowed hourly revenue statistics —
+    * `RANGE BETWEEN INTERVAL '2' DAY PRECEDING AND CURRENT ROW` (and
+    * two sibling hour-pure frames, one of them future-only) over a
+    * GAPPY hourly TIMESTAMP axis. The `hour-number % 10 < 6` filter
+    * punches 4-hour holes each decade of hours so RANGE frames
+    * genuinely differ from ROWS frames (the q_rangemov_rewrite
+    * argument, lifted from the day lattice to the micros lattice).
+    * Bucketing the axis to hour grain BEFORE windowing is also the
+    * production pattern the timestamp tier documents: per-key buffers
+    * are per DISTINCT timestamp, so the grain bounds the boundary
+    * state. Output keys are `unix_micros`/`epoch_us` BIGINTs — the
+    * established micros-equivalence bridge — and all money stays on
+    * the cents-BIGINT lattice. */
+  val qRangemovTs = QueryDef("q_rangemov_ts",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .select(date_trunc("hour", col("ts")).as("hr"),
+          expr("CAST(round(value * 100.0) AS BIGINT)").as("c"))
+        .where(expr("(unix_micros(hr) div 3600000000) % 10 < 6"))
+        .groupBy("hr").agg(sum(col("c")).cast("long").as("cents"))
+      RewriteGlobalRankWindows.force(hourly.select(
+        expr("CAST(unix_micros(hr) AS BIGINT)").as("us"),
+        col("cents"),
+        expr("""CAST(sum(cents) OVER (ORDER BY hr RANGE BETWEEN
+                INTERVAL '2' DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT)""").as("t2d"),
+        expr("""CAST(count(*) OVER (ORDER BY hr RANGE BETWEEN
+                INTERVAL '36' HOUR PRECEDING AND INTERVAL '12' HOUR FOLLOWING)
+                AS BIGINT)""").as("n48"),
+        expr("""CAST(min(cents) OVER (ORDER BY hr RANGE BETWEEN
+                INTERVAL '1' HOUR FOLLOWING AND INTERVAL '48' HOUR FOLLOWING)
+                AS BIGINT)""").as("fmin")))
+        .orderBy("us")
+    },
+    Some(
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hr,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE (epoch_us(date_trunc('hour', ts)) // 3600000000) % 10 < 6
+        |  GROUP BY 1)
+        |SELECT CAST(epoch_us(hr) AS BIGINT) AS us, cents,
+        |  CAST(sum(cents) OVER (ORDER BY hr RANGE BETWEEN
+        |    INTERVAL 2 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS t2d,
+        |  CAST(count(*) OVER (ORDER BY hr RANGE BETWEEN
+        |    INTERVAL 36 HOUR PRECEDING AND INTERVAL 12 HOUR FOLLOWING)
+        |    AS BIGINT) AS n48,
+        |  CAST(min(cents) OVER (ORDER BY hr RANGE BETWEEN
+        |    INTERVAL 1 HOUR FOLLOWING AND INTERVAL 48 HOUR FOLLOWING)
+        |    AS BIGINT) AS fmin
+        |FROM hourly ORDER BY us""".stripMargin))
+
+  /** `q_skewrangemov_ts`: "the last 7 days' total, per user" under a
+    * HOT key — the skew tier's marquee rolling-window shape on the RAW
+    * micros axis (every event timestamp distinct; the per-key deque
+    * holds one buffer per event inside the extent, gated to the lag's
+    * current group). A third of all users fold into key -1, so the
+    * built-in hash-clustered WindowExec would push ~1/3 of the corpus
+    * through ONE task; `forceSkew` routes it through the composite
+    * `(k, ts)` range sub-split with group-matched boundary-buffer
+    * chaining instead. Day- and hour-pure interval frames, one of them
+    * double-sided. Row-level output, all-BIGINT. */
+  val qSkewrangemovTs = QueryDef("q_skewrangemov_ts",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        when(col("user_id") % 3 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        col("ts"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        col("event_id"))
+      RewriteGlobalRankWindows.forceSkew(ev.select(col("k"), col("event_id"),
+        expr("CAST(unix_micros(ts) AS BIGINT)").as("us"),
+        col("cents"),
+        expr("""CAST(sum(cents) OVER (PARTITION BY k ORDER BY ts RANGE
+                BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT)""").as("t7d"),
+        expr("""CAST(count(*) OVER (PARTITION BY k ORDER BY ts RANGE
+                BETWEEN INTERVAL '12' HOUR PRECEDING AND
+                INTERVAL '12' HOUR FOLLOWING) AS BIGINT)""").as("n1d")))
+        .orderBy("k", "event_id")
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS k,
+        |    ts, CAST(round(value * 100.0) AS BIGINT) AS cents, event_id
+        |  FROM events)
+        |SELECT k, event_id, CAST(epoch_us(ts) AS BIGINT) AS us, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY k ORDER BY ts RANGE BETWEEN
+        |    INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS t7d,
+        |  CAST(count(*) OVER (PARTITION BY k ORDER BY ts RANGE BETWEEN
+        |    INTERVAL 12 HOUR PRECEDING AND INTERVAL 12 HOUR FOLLOWING)
+        |    AS BIGINT) AS n1d
+        |FROM ev ORDER BY k, event_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qRangemovTs, qSkewrangemovTs)
+}

@@ -357,18 +357,19 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * order-INSENSITIVE allowlisted aggregate ([[allowedAgg]] — not the
     * ordered widening: per-key buffers make First/Last undefined) over
     * `RANGE BETWEEN lo AND hi` with integral-literal value offsets
-    * within the boundary-state cap, on a SINGLE ASCENDING INTEGRAL
-    * order key (int/long/short/byte/date — the dense-domain
+    * within the boundary-state cap, on a SINGLE order key that is
+    * INTEGRAL (int/long/short/byte/date — the dense-domain
     * precondition: the value window holds at most `hi - lo + 1`
     * distinct keys, so [[GlobalRangeMovingAggNode]] ships per-key
     * BUFFERS bounded by the value extent, never rows bounded by
-    * density). `UNBOUNDED PRECEDING .. CURRENT ROW` RANGE frames are
-    * the running family; descending/multi-key orders, non-integral
-    * keys, and half-unbounded bounded frames keep WindowExec. */
+    * density) or a TIMESTAMP (r14 — epoch micros with micros-exact
+    * interval bounds; see [[graft.plans.GlobalRangeMovingAgg.timeKey]]
+    * for the changed buffer bound and the day-denominated cap).
+    * `UNBOUNDED PRECEDING .. CURRENT ROW` RANGE frames are the running
+    * family; multi-key orders, non-integral numeric keys,
+    * month-bearing interval bounds, and half-unbounded bounded frames
+    * keep WindowExec. */
   private def rangeMovAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Long, Long, AttributeReference)] = {
-    // value bounds parse through the shared rangeValueBound (also the
-    // skew matcher's)
-    def bound(e: Expression): Option[Long] = rangeValueBound(e)
     ne match {
       case a @ Alias(we @ WindowExpression(
           AggregateExpression(fn0, Complete, false, None, _),
@@ -382,12 +383,13 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
             Seq(SortOrder(key, _, _, _)),
             SpecifiedWindowFrame(RangeFrame, lo0, hi0))), _)
           if lo0 != UnboundedPreceding && hi0 != UnboundedFollowing &&
-            GlobalRangeMovingAgg.integralKey(key.dataType) &&
+            GlobalRangeMovingAgg.rangeKey(key.dataType) &&
             key.deterministic =>
         for {
-          lo <- bound(lo0)
-          hi <- bound(hi0)
-          if lo <= hi && math.max(math.abs(lo), math.abs(hi)) <= maxShift.toLong
+          lo <- rangeValueBound(lo0, key.dataType)
+          hi <- rangeValueBound(hi0, key.dataType)
+          if lo <= hi &&
+            math.max(math.abs(lo), math.abs(hi)) <= rangeExtentCap(key.dataType)
           fn <- unwrapAgg(fn0)
           if allowedAgg(fn) && fn.deterministic
         } yield (a, fn, lo, hi,
@@ -1110,7 +1112,8 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * total, per user". The same admission as the global
     * [[rangeMovAggOf]] (order-insensitive [[allowedAgg]] only — per-
     * value buffers; bounded both sides; day-pure interval bounds on
-    * DATE keys), with a partition spec present. */
+    * DATE keys; micros-exact interval bounds on TIMESTAMP keys since
+    * r14), with a partition spec present. */
   private def skewRangeMovAggOf(ne: NamedExpression): Option[(Alias, DeclarativeAggregate, Long, Long, AttributeReference)] = ne match {
     case a @ Alias(we @ WindowExpression(
         AggregateExpression(fn0, Complete, false, None, _),
@@ -1121,12 +1124,13 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           SpecifiedWindowFrame(RangeFrame, lo0, hi0))), _)
         if ps.nonEmpty &&
           lo0 != UnboundedPreceding && hi0 != UnboundedFollowing &&
-          GlobalRangeMovingAgg.integralKey(key.dataType) &&
+          GlobalRangeMovingAgg.rangeKey(key.dataType) &&
           key.deterministic =>
       for {
-        lo <- rangeValueBound(lo0)
-        hi <- rangeValueBound(hi0)
-        if lo <= hi && math.max(math.abs(lo), math.abs(hi)) <= maxShift.toLong
+        lo <- rangeValueBound(lo0, key.dataType)
+        hi <- rangeValueBound(hi0, key.dataType)
+        if lo <= hi &&
+          math.max(math.abs(lo), math.abs(hi)) <= rangeExtentCap(key.dataType)
         fn <- unwrapAgg(fn0)
         if allowedAgg(fn) && fn.deterministic
       } yield (a, fn, lo, hi,
@@ -1135,16 +1139,28 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** RANGE value bound → Long — shared by the global and skew
-    * dense-domain matchers: CurrentRow is 0; otherwise a foldable
-    * integral expression (the parser's `k PRECEDING` arrives as
-    * UnaryMinus(Literal(k)), the DataFrame API as a signed literal,
+  /** RANGE value bound → Long in the KEY's long domain — shared by the
+    * global and skew dense-domain matchers: CurrentRow is 0; otherwise
+    * a foldable integral expression (the parser's `k PRECEDING` arrives
+    * as UnaryMinus(Literal(k)), the DataFrame API as a signed literal,
     * and the analyzer may wrap either in a cast to the key type).
-    * DATE orders carry INTERVAL-typed bounds — fold day-PURE intervals
-    * to the int-days domain; sub-day or month-bearing intervals are
-    * not fixed day counts and keep WindowExec. */
-  private def rangeValueBound(e: Expression): Option[Long] = {
+    * INTERVAL-typed bounds fold to the key's own unit:
+    *
+    *  - DATE keys (int days): day-PURE intervals → days; sub-day or
+    *    month-bearing intervals are not fixed day counts → WindowExec;
+    *  - TIMESTAMP keys (long epoch micros, the r14 widening): any
+    *    DayTimeInterval IS an exact micro count by definition, and a
+    *    CalendarInterval is one iff it carries no month or day part
+    *    (months vary in micros; CalendarInterval DAY parts add through
+    *    the session zone, so only the micros field is zone-free).
+    *    `INTERVAL '7' DAY` parses as DayTimeIntervalType under ANSI
+    *    intervals (the Spark 4 default), so the production rolling-
+    *    window shape folds exactly; month-bearing bounds keep
+    *    WindowExec. */
+  private def rangeValueBound(e: Expression,
+                              keyType: org.apache.spark.sql.types.DataType): Option[Long] = {
     val usPerDay = 86400000000L
+    val timeKey = graft.plans.GlobalRangeMovingAgg.timeKey(keyType)
     e match {
       case CurrentRow => Some(0L)
       case _ if e.foldable => e.dataType match {
@@ -1155,18 +1171,37 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         case org.apache.spark.sql.types.ByteType =>
           Option(e.eval()).map(_.asInstanceOf[Byte].toLong)
         case _: org.apache.spark.sql.types.DayTimeIntervalType =>
-          Option(e.eval()).map(_.asInstanceOf[Long])
+          if (timeKey) Option(e.eval()).map(_.asInstanceOf[Long]) // micros
+          else Option(e.eval()).map(_.asInstanceOf[Long])
             .filter(_ % usPerDay == 0L).map(_ / usPerDay)
         case org.apache.spark.sql.types.CalendarIntervalType =>
           Option(e.eval())
             .map(_.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval])
-            .filter(ci => ci.months == 0 && ci.microseconds == 0L)
-            .map(_.days.toLong)
+            .flatMap { ci =>
+              if (timeKey) {
+                if (ci.months == 0 && ci.days == 0) Some(ci.microseconds)
+                else None
+              } else {
+                if (ci.months == 0 && ci.microseconds == 0L) Some(ci.days.toLong)
+                else None
+              }
+            }
         case _ => None
       }
       case _ => None
     }
   }
+
+  /** Extent cap for the RANGE tiers, in the key's long domain:
+    * `maxShiftOffset` key values on dense integral/day axes (boundary
+    * buffers are pigeonhole-bounded by the extent there), and
+    * `maxShiftOffset` DAYS of micros on timestamp axes (where the
+    * bound is the distinct timestamps inside the extent — see
+    * [[graft.plans.GlobalRangeMovingAgg.timeKey]]). */
+  private def rangeExtentCap(keyType: org.apache.spark.sql.types.DataType): Long =
+    if (graft.plans.GlobalRangeMovingAgg.timeKey(keyType))
+      maxShift.toLong * 86400000000L
+    else maxShift.toLong
 
   /** (alias, mode) iff `ne` is a PARTITIONED window over the rank
     * family — since late r13 the FULL family: the total-dependent

@@ -134,6 +134,64 @@ class GlobalRangeMovingAggSpec extends AnyFunSuite {
         |FROM rma_dates""".stripMargin))
   }
 
+  test("timestamp order key (r14): micros-exact INTERVAL frames == built-in") {
+    // gappy micro-lattice timestamps WITH ties: step 1500 us, modulo
+    // wrap; frames are second/minute-pure intervals (exact micro
+    // counts), one of them double-sided and one future-only
+    spark.range(1200)
+      .select(timestamp_micros(lit(1704067200000000L) +
+        col("id") * 1500000L % 90000000L).as("t"),
+        (col("id") % 29 - 7).as("x"))
+      .repartition(9)
+      .createOrReplaceTempView("rma_ts")
+    assertSame(spark.sql(
+      """SELECT t, x,
+        |  sum(x) OVER (ORDER BY t RANGE BETWEEN INTERVAL 10 SECONDS
+        |               PRECEDING AND CURRENT ROW) AS s,
+        |  count(x) OVER (ORDER BY t RANGE BETWEEN INTERVAL 60 SECONDS
+        |               PRECEDING AND INTERVAL 30 SECONDS FOLLOWING) AS c,
+        |  min(x) OVER (ORDER BY t RANGE BETWEEN INTERVAL 3 SECONDS
+        |               FOLLOWING AND INTERVAL 45 SECONDS FOLLOWING) AS m
+        |FROM rma_ts""".stripMargin))
+    // DESC order: the bitwise-NOT reversal carries to the micros domain
+    assertSame(spark.sql(
+      """SELECT t, x,
+        |  sum(x) OVER (ORDER BY t DESC RANGE BETWEEN INTERVAL 15 SECONDS
+        |               PRECEDING AND CURRENT ROW) AS s
+        |FROM rma_ts""".stripMargin))
+    // NULL timestamps: the null block's frame is itself
+    spark.range(400)
+      .select(when(col("id") % 13 === 0, lit(null))
+        .otherwise(timestamp_micros(lit(1704067200000000L) +
+          col("id") * 777000L % 50000000L)).as("t"),
+        (col("id") % 19).as("x"))
+      .repartition(6)
+      .createOrReplaceTempView("rma_ts_null")
+    assertSame(spark.sql(
+      """SELECT t, x,
+        |  sum(x) OVER (ORDER BY t RANGE BETWEEN INTERVAL 5 SECONDS
+        |               PRECEDING AND INTERVAL 5 SECONDS FOLLOWING) AS s
+        |FROM rma_ts_null""".stripMargin))
+  }
+
+  test("timestamp non-rewrites (r14): month-bearing bounds, over-cap day extents") {
+    spark.range(100)
+      .select(timestamp_micros(lit(1704067200000000L) +
+        col("id") * 1000000L).as("t"), (col("id") % 7).as("x"))
+      .createOrReplaceTempView("rma_ts_nr")
+    def kept(sql: String): Unit = {
+      val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sql)))
+      assert(p.collect { case g: GlobalRangeMovingAggExec => g }.isEmpty, sql)
+      assert(p.collect { case x: WindowExec => x }.size == 1, sql)
+    }
+    // a month is not a fixed micro count
+    kept("""SELECT t, sum(x) OVER (ORDER BY t RANGE BETWEEN INTERVAL 1 MONTH
+           |PRECEDING AND CURRENT ROW) AS s FROM rma_ts_nr""".stripMargin)
+    // past the maxShiftOffset-DAYS micro cap (1024 days default)
+    kept("""SELECT t, sum(x) OVER (ORDER BY t RANGE BETWEEN INTERVAL 2000 DAYS
+           |PRECEDING AND CURRENT ROW) AS s FROM rma_ts_nr""".stripMargin)
+  }
+
   test("tie groups share one frame value (and row multiplicity is preserved)") {
     // only 5 distinct keys over 1000 rows: huge tie groups, and the
     // per-key buffer is the WHOLE group — frames hold millions of rows

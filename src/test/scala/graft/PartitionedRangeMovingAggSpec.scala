@@ -170,6 +170,54 @@ class PartitionedRangeMovingAggSpec extends AnyFunSuite {
       sum("x").over(wnl.rangeBetween(-4, 0)).as("s")))
   }
 
+  test("timestamp order key (r14): per-key micros-exact INTERVAL frames == built-in") {
+    // hot key -1 holds half the rows; gappy micro-lattice timestamps
+    // with cross-group ties; second/minute-pure interval frames, one
+    // double-sided — the skew tier's "last 7 days per user" shape at
+    // test scale
+    spark.range(3000)
+      .select(when(col("id") % 2 === 0, lit(-1L))
+        .otherwise(col("id") % 23).as("g"),
+        timestamp_micros(lit(1704067200000000L) +
+          col("id") * 2100000L % 120000000L).as("t"),
+        (col("id") % 41 - 11).as("x"))
+      .repartition(9)
+      .createOrReplaceTempView("prma_ts")
+    def assertSameSql(sql: String): Unit =
+      assertSame(spark.sql(sql))
+    assertSameSql(
+      """SELECT g, t, x,
+        |  sum(x) OVER (PARTITION BY g ORDER BY t RANGE BETWEEN
+        |    INTERVAL 20 SECONDS PRECEDING AND CURRENT ROW) AS s,
+        |  count(x) OVER (PARTITION BY g ORDER BY t RANGE BETWEEN
+        |    INTERVAL 60 SECONDS PRECEDING AND INTERVAL 30 SECONDS FOLLOWING)
+        |    AS c
+        |FROM prma_ts""".stripMargin)
+    // null timestamps: per-group null tie frames (nulls-first default)
+    spark.range(800)
+      .select((col("id") % 5).as("g"),
+        when(col("id") % 11 === 0, lit(null))
+          .otherwise(timestamp_micros(lit(1704067200000000L) +
+            col("id") * 900000L % 60000000L)).as("t"),
+        (col("id") % 13).as("x"))
+      .repartition(7)
+      .createOrReplaceTempView("prma_ts_null")
+    assertSameSql(
+      """SELECT g, t, x,
+        |  sum(x) OVER (PARTITION BY g ORDER BY t RANGE BETWEEN
+        |    INTERVAL 8 SECONDS PRECEDING AND INTERVAL 8 SECONDS FOLLOWING)
+        |    AS s
+        |FROM prma_ts_null""".stripMargin)
+    // month-bearing bounds stay on WindowExec in the skew tier too
+    val kept = RewriteGlobalRankWindows.forceSkew(spark.sql(
+      """SELECT g, t, sum(x) OVER (PARTITION BY g ORDER BY t RANGE BETWEEN
+        |INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS s
+        |FROM prma_ts""".stripMargin))
+    val kp = noAqePlan(kept)
+    assert(kp.collect { case g: PartitionedRangeMovingAggExec => g }.isEmpty)
+    assert(kp.collect { case x: WindowExec => x }.size == 1)
+  }
+
   test("non-rewrites: non-integral orders and First/Last keep WindowExec") {
     spark.range(100).select((col("id") % 5).as("g"), (col("id") % 11).as("v"),
       (col("id") % 20).cast("double").as("d"), (col("id") % 7).as("x"))

@@ -589,6 +589,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the 32-row weight lattice must broadcast:\n$p")
   }
 
+  test("timestamp RANGE tier (r14): interval frames over TIMESTAMP keys route, zero WindowExec") {
+    // global: three hour/day-pure interval frames over the hourly axis
+    // through ONE GlobalRangeMovingAggExec, no 1-partition exchange
+    val pts = plan("q_rangemov_ts")
+    assert(pts.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_rangemov_ts kept a WindowExec:\n$pts")
+    assert(pts.collect {
+      case g: graft.plans.GlobalRangeMovingAggExec => g
+    }.size == 1,
+      s"q_rangemov_ts must run through ONE GlobalRangeMovingAggExec:\n$pts")
+    assert(pts.collect { case e: ShuffleExchangeExec => e }
+      .forall(_.outputPartitioning.numPartitions > 1),
+      s"q_rangemov_ts grew a 1-partition exchange:\n$pts")
+    // skew: per-user 7-day rolling totals on the raw micros axis
+    // through ONE PartitionedRangeMovingAggExec — no hash-clustered
+    // WindowExec funnel for key -1's third of the corpus
+    val pskts = plan("q_skewrangemov_ts")
+    assert(pskts.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_skewrangemov_ts kept a WindowExec:\n$pskts")
+    assert(pskts.collect {
+      case g: graft.plans.PartitionedRangeMovingAggExec => g
+    }.size == 1,
+      s"q_skewrangemov_ts must ride ONE PartitionedRangeMovingAggExec:\n$pskts")
+  }
+
   for ((name, (maxShuffles, minBhj)) <- tpchBudgets)
     test(s"$name: <=$maxShuffles hash shuffle(s), >=$minBhj broadcast join(s), no SMJ/cartesian") {
       val p = plan(name)
