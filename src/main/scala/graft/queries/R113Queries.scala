@@ -117,5 +117,48 @@ object R113Queries {
         |    AS BIGINT) AS n1d
         |FROM ev ORDER BY k, event_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qRangemovTs, qSkewrangemovTs)
+  /** `q_mode_rewrite`: distributed whole-frame `mode()` in BOTH window
+    * tiers (r14, VERDICT r13 task 4 — one of the two unbounded-buffer
+    * window refusals, retired): `mode(v) OVER (PARTITION BY k)` and
+    * `mode(v) OVER ()` rewrite to map-side-combined per-value counts →
+    * a struct-extreme argmax → an equi/broadcast join back — no
+    * value→count hash map ships anywhere (`collect_list` stays
+    * refused: order-defined). The fixture is STRICTLY tie-free (v=42
+    * on 3/4 of non-null rows dominates every `o_orderkey % 7` value
+    * per key and globally) because both engines' plain `mode()` is
+    * tie-unspecified; a null punch exercises mode's null exclusion.
+    * Output is per-key (the window columns are key-constant). */
+  val qModeRewrite = QueryDef("q_mode_rewrite",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val t = orders.select((col("o_orderkey") % 50).as("k"),
+        expr("""CAST(CASE WHEN o_orderkey % 11 = 5 THEN NULL
+                WHEN o_orderkey % 4 <> 3 THEN 42
+                ELSE o_orderkey % 7 END AS BIGINT)""").as("v"))
+      val win = t.select(col("k"), col("v"),
+        expr("mode(v) OVER (PARTITION BY k)").as("kmode"),
+        expr("mode(v) OVER ()").as("gmode"))
+      RewriteGlobalRankWindows.forceSkew(win)
+        .groupBy("k").agg(max("kmode").as("kmode"),
+          max("gmode").as("gmode"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy("k")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT o_orderkey % 50 AS k,
+        |    CAST(CASE WHEN o_orderkey % 11 = 5 THEN NULL
+        |      WHEN o_orderkey % 4 <> 3 THEN 42
+        |      ELSE o_orderkey % 7 END AS BIGINT) AS v
+        |  FROM orders),
+        |w AS (
+        |  SELECT k, v, mode(v) OVER (PARTITION BY k) AS kmode,
+        |    mode(v) OVER () AS gmode
+        |  FROM t)
+        |SELECT k, CAST(max(kmode) AS BIGINT) AS kmode,
+        |  CAST(max(gmode) AS BIGINT) AS gmode,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY k ORDER BY k""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qRangemovTs, qSkewrangemovTs, qModeRewrite)
 }

@@ -581,6 +581,92 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
                            attr: AttributeReference) extends Rewritten
   private case class AsPct(a: Alias, input: Expression, pct: Double,
                            attr: AttributeReference) extends Rewritten
+  private case class AsMode(a: Alias, input: Expression, reverse: Boolean,
+                            attr: AttributeReference) extends Rewritten
+
+  /** (alias, input, reverse, generated attr) iff `ne` is a whole-frame
+    * GLOBAL `mode()` window (r14, VERDICT r13 task 4) — the
+    * unbounded-buffer imperative that IS retirable: `mode(e)` is
+    * order-insensitive and equals argmax-of-value-counts, so it
+    * rewrites to the two-level counts→argmax aggregate joined back
+    * (see [[globalModeRel]]) instead of shipping a per-value hash-map
+    * buffer anywhere. Tie-break: `mode() WITHIN GROUP (ORDER BY v)`
+    * carries its direction in `reverseOpt` and the rewrite reproduces
+    * it exactly; plain `mode(e)` (reverseOpt empty) is
+    * tie-NONDETERMINISTIC in the built-in (hash-map iteration order),
+    * so the rewrite's first-in-ascending-order choice is a
+    * deterministic refinement of an unspecified result, not a
+    * divergence. `collect_list` stays refused — its value is
+    * order-DEFINED, which no order-free aggregation can reproduce. */
+  private def modeFrameAggOf(ne: NamedExpression): Option[(Alias, Expression, Boolean, AttributeReference)] = ne match {
+    case a @ Alias(we @ WindowExpression(
+        AggregateExpression(m: org.apache.spark.sql.catalyst.expressions.aggregate.Mode,
+          Complete, false, None, _),
+        WindowSpecDefinition(Seq(), _,
+          SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _)
+        if m.child.deterministic &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(m.child.dataType) =>
+      Some((a, m.child, m.reverseOpt.getOrElse(true),
+        AttributeReference(s"__graft_${a.name}", m.dataType,
+          nullable = we.nullable)()))
+    case _ => None
+  }
+
+  /** The PARTITIONED sibling of [[modeFrameAggOf]]:
+    * `mode(e) OVER (PARTITION BY k)` — the skew tier's member
+    * (per-key value counts are map-side combined; the hot key costs
+    * one combiner slot per task, never a task). */
+  private def skewModeOf(ne: NamedExpression): Option[(Alias, Expression, Boolean, AttributeReference)] = ne match {
+    case a @ Alias(we @ WindowExpression(
+        AggregateExpression(m: org.apache.spark.sql.catalyst.expressions.aggregate.Mode,
+          Complete, false, None, _),
+        WindowSpecDefinition(ps, _,
+          SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _)
+        if ps.nonEmpty && m.child.deterministic &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(m.child.dataType) =>
+      Some((a, m.child, m.reverseOpt.getOrElse(true),
+        AttributeReference(s"__graft_${a.name}", m.dataType,
+          nullable = we.nullable)()))
+    case _ => None
+  }
+
+  /** The one-row relation `SELECT mode-of(input) FROM child`: per-value
+    * counts (map-side combined, nulls excluded — mode ignores null
+    * inputs), then a global argmax with the tie-break encoded as a
+    * struct extreme — `min(struct(-cnt, v))` picks (max count, min
+    * value), `max(struct(cnt, v))` picks (max count, max value) — so
+    * driver/executor state is one struct, never a value→count map. The
+    * empty-input case (no rows, or all inputs null) yields one row with
+    * a NULL struct → NULL mode, matching the built-in. The output
+    * attribute carries the caller's generated exprId, so the join-back
+    * projection resolves without re-aliasing. */
+  private def globalModeRel(child: LogicalPlan, input: Expression,
+                            tieSmallest: Boolean,
+                            attr: AttributeReference): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateStruct, GetStructField, IsNotNull}
+    val freshAliases: Seq[Alias] = child.output.map(o => Alias(o, o.name)())
+    val subst = AttributeMap(child.output.zip(freshAliases.map(_.toAttribute)))
+    val v = input.transform { case at: Attribute => subst.getOrElse(at, at) }
+    val vA = Alias(v, "__graft_mode_v")()
+    val proj = Project(Seq(vA), Project(freshAliases, child))
+    val nonNull = org.apache.spark.sql.catalyst.plans.logical
+      .Filter(IsNotNull(vA.toAttribute), proj)
+    val cntA = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+      isDistinct = false), "__graft_mode_c")()
+    val counts = Aggregate(Seq(vA.toAttribute),
+      Seq(vA.toAttribute, cntA), nonNull)
+    val pair: Expression =
+      if (tieSmallest) CreateStruct(Seq(UnaryMinus(cntA.toAttribute), vA.toAttribute))
+      else CreateStruct(Seq(cntA.toAttribute, vA.toAttribute))
+    val bestFn: AggregateFunction = if (tieSmallest) Min(pair) else Max(pair)
+    val bestA = Alias(AggregateExpression(bestFn, Complete,
+      isDistinct = false), "__graft_mode_s")()
+    val arg = Aggregate(Nil, Seq(bestA), counts)
+    Project(Seq(Alias(GetStructField(bestA.toAttribute, 1), attr.name)(
+      exprId = attr.exprId)), arg)
+  }
 
   /** Unconditional rewrite (the conf gate lives in [[apply]]).
     * Idempotent: the result contains no matching `Window`, so a
@@ -595,6 +681,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           // deterministic order
           val orderedOk = orderSpec.nonEmpty && orderSpec.forall(_.deterministic)
           wexprs.forall(e => frameAggOf(e).isDefined || pctOf(e).isDefined ||
+            modeFrameAggOf(e).isDefined ||
             (orderedOk && (rankOf(e).isDefined || shiftOf(e).isDefined ||
               leadNNOf(e).isDefined || runAggOf(e).isDefined ||
               movAggOf(e).isDefined || rangeMovAggOf(e).isDefined ||
@@ -605,6 +692,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       // spec (UNBOUNDED..UNBOUNDED) can match neither the running
       // (..CURRENT ROW) nor the moving (literal bounds) matcher
       val classified: Seq[Rewritten] = wexprs.map { e =>
+        modeFrameAggOf(e) match {
+          case Some((a, input, rev, attr)) => AsMode(a, input, rev, attr)
+          case None =>
         frameAggOf(e) match {
           case Some((a, fn, attr)) => AsFrameAgg(a, fn, attr)
           case None => pctOf(e) match {
@@ -635,6 +725,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
             }
             }
           }
+        }
         }
       }
       val rankCols = classified.collect { case AsRank(_, _, rc) => rc }
@@ -692,10 +783,19 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         if (frameCols.isEmpty) withNth
         else GlobalFrameAggNode(frameCols.map(_.attr),
           frameCols.map(_.fn), withNth)
-      val node: LogicalPlan =
+      val node0: LogicalPlan =
         if (pctCols.isEmpty) withFrameAggs
         else GlobalExactPercentileNode(pctCols.map(_.attr),
           pctCols.map(_.input), pctCols.map(_.pct), withFrameAggs)
+      // whole-frame mode (r14): each distinct mode expression joins its
+      // ONE-ROW counts→argmax relation back onto the chain — a
+      // broadcast of a single row, zero shuffle of the big side
+      val modeCols = classified.collect { case r: AsMode => r }
+      val node: LogicalPlan = modeCols.foldLeft(node0) {
+        case (p, AsMode(_, input, rev, attr)) =>
+          Join(p, globalModeRel(child, input, rev, attr),
+            org.apache.spark.sql.catalyst.plans.Cross, None, JoinHint.NONE)
+      }
       val projected = child.output ++ classified.map {
         case AsRank(a, m, rc) =>
           val value: Expression = m match {
@@ -730,6 +830,9 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
           Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
         case AsPct(a, _, _, attr) =>
+          Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata))
+        case AsMode(a, _, _, attr) =>
           Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
             explicitMetadata = Some(a.metadata))
       }
@@ -767,7 +870,8 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case Window(wexprs, partSpec, _, child, _)
         if wexprs.nonEmpty && partSpec.nonEmpty &&
           partSpec.forall(_.deterministic) &&
-          wexprs.forall(e => skewFrameAggOf(e).isDefined) =>
+          wexprs.forall(e => skewFrameAggOf(e).isDefined ||
+            skewModeOf(e).isDefined) =>
       rewriteSkewFrameAgg(wexprs, partSpec, child)
     case Window(wexprs, partSpec, orderSpec, child, _)
         if wexprs.nonEmpty && partSpec.nonEmpty &&
@@ -941,7 +1045,11 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
                                   partSpec: Seq[Expression],
                                   child: LogicalPlan): LogicalPlan = {
     val classified: Seq[(Alias, AggregateFunction)] =
-      wexprs.map(e => skewFrameAggOf(e).get)
+      wexprs.flatMap(e => skewFrameAggOf(e))
+    val modeClassified: Seq[(NamedExpression, (Alias, Expression, Boolean, AttributeReference))] =
+      wexprs.flatMap { e =>
+        if (skewFrameAggOf(e).isDefined) None else skewModeOf(e).map(e -> _)
+      }
     // Stacked whole-frame windows over DIFFERENT keys (share-of-region
     // next to share-of-nation) rewrite bottom-up, so the outer window's
     // child is already a join-back — and aggregating over it would
@@ -952,7 +1060,8 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     // the shared base: each stacked window costs one base aggregation,
     // never a re-derivation of the stack below it.
     val needed = AttributeSet(
-      partSpec.flatMap(_.references) ++ classified.flatMap(_._2.references))
+      partSpec.flatMap(_.references) ++ classified.flatMap(_._2.references) ++
+        modeClassified.flatMap(_._2._2.references))
     @annotation.tailrec
     def peel(p: LogicalPlan): LogicalPlan =
       keyCompleteJoinBase(p) match {
@@ -977,16 +1086,80 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       Alias(AggregateExpression(sub(fn).asInstanceOf[AggregateFunction],
         Complete, isDistinct = false), s"__graft_${a.name}")()
     }
-    val agg = Aggregate(groupKeys, keyAliases ++ aggAliases, rightChild)
-    val cond: Expression = partSpec.zip(keyAliases)
-      .map { case (l, ka) => EqualNullSafe(l, ka.toAttribute) }
-      .reduce[Expression](And(_, _))
-    val join = Join(child, agg, Inner, Some(cond), JoinHint.NONE)
-    Project(child.output ++ classified.zip(aggAliases).map {
-      case ((a, _), aa) =>
-        Alias(aa.toAttribute, a.name)(exprId = a.exprId,
-          qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
-    }, join)
+    val withPlain: LogicalPlan = if (classified.isEmpty) child else {
+      val agg = Aggregate(groupKeys, keyAliases ++ aggAliases, rightChild)
+      val cond: Expression = partSpec.zip(keyAliases)
+        .map { case (l, ka) => EqualNullSafe(l, ka.toAttribute) }
+        .reduce[Expression](And(_, _))
+      Join(child, agg, Inner, Some(cond), JoinHint.NONE)
+    }
+    // per-key mode members (r14): each joins its own counts→argmax
+    // relation back LEFT OUTER — a group whose mode input is all-NULL
+    // has no counts row (mode ignores nulls) and must surface NULL, not
+    // vanish. Exactly one right row per key, so left multiplicity is
+    // preserved either way.
+    val withModes: LogicalPlan = modeClassified.foldLeft(withPlain) {
+      case (cur, (_, (_, input, rev, attr))) =>
+        val (rel, keyAttrs) = skewModeRel(aggBase, partSpec, input, rev, attr)
+        val cond: Expression = partSpec.zip(keyAttrs)
+          .map { case (l, ka) => EqualNullSafe(l, ka) }
+          .reduce[Expression](And(_, _))
+        Join(cur, rel, org.apache.spark.sql.catalyst.plans.LeftOuter,
+          Some(cond), JoinHint.NONE)
+    }
+    val plainAliasByExpr: Map[NamedExpression, NamedExpression] =
+      wexprs.flatMap(e => skewFrameAggOf(e).map(e -> _)).zip(aggAliases).map {
+        case ((e, (a, _)), aa) =>
+          (e, Alias(aa.toAttribute, a.name)(exprId = a.exprId,
+            qualifier = a.qualifier, explicitMetadata = Some(a.metadata)))
+      }.toMap
+    val modeAliasByExpr: Map[NamedExpression, NamedExpression] =
+      modeClassified.map { case (e, (a, _, _, attr)) =>
+        (e, Alias(attr, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+          explicitMetadata = Some(a.metadata)))
+      }.toMap
+    Project(child.output ++ wexprs.map(e =>
+      plainAliasByExpr.getOrElse(e, modeAliasByExpr(e))), withModes)
+  }
+
+  /** The per-key sibling of [[globalModeRel]]: one row per distinct
+    * key combination with that group's mode-of(input) — per-(key,
+    * value) counts (map-side combined; a hot key costs one combiner
+    * slot per task), then a per-key argmax via the same struct-extreme
+    * tie-break encoding. Returns the relation plus its key attributes
+    * for the caller's join condition; the mode output attribute
+    * carries the caller's generated exprId. */
+  private def skewModeRel(base: LogicalPlan, partSpec: Seq[Expression],
+                          input: Expression, tieSmallest: Boolean,
+                          attr: AttributeReference): (LogicalPlan, Seq[Attribute]) = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateStruct, GetStructField, IsNotNull}
+    val freshAliases: Seq[Alias] = base.output.map(a => Alias(a, a.name)())
+    val subst = AttributeMap(base.output.zip(freshAliases.map(_.toAttribute)))
+    def sub(e: Expression): Expression = e.transform {
+      case a: Attribute => subst.getOrElse(a, a)
+    }
+    val keyAliases: Seq[Alias] = partSpec.zipWithIndex.map {
+      case (e, i) => Alias(sub(e), s"__graft_mk$i")()
+    }
+    val vA = Alias(sub(input), "__graft_mode_v")()
+    val proj = Project(keyAliases :+ vA, Project(freshAliases, base))
+    val nonNull = org.apache.spark.sql.catalyst.plans.logical
+      .Filter(IsNotNull(vA.toAttribute), proj)
+    val keyAttrs: Seq[Attribute] = keyAliases.map(_.toAttribute)
+    val cntA = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+      isDistinct = false), "__graft_mode_c")()
+    val counts = Aggregate(keyAttrs :+ vA.toAttribute,
+      (keyAttrs :+ vA.toAttribute) :+ cntA, nonNull)
+    val pair: Expression =
+      if (tieSmallest) CreateStruct(Seq(UnaryMinus(cntA.toAttribute), vA.toAttribute))
+      else CreateStruct(Seq(cntA.toAttribute, vA.toAttribute))
+    val bestFn: AggregateFunction = if (tieSmallest) Min(pair) else Max(pair)
+    val bestA = Alias(AggregateExpression(bestFn, Complete,
+      isDistinct = false), "__graft_mode_s")()
+    val arg = Aggregate(keyAttrs, keyAttrs :+ bestA, counts)
+    val rel = Project(keyAttrs :+ Alias(GetStructField(bestA.toAttribute, 1),
+      attr.name)(exprId = attr.exprId), arg)
+    (rel, keyAttrs)
   }
 
   /** `Some(base)` iff `p` is structurally one of

@@ -616,6 +616,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_skewrangemov_ts must ride ONE PartitionedRangeMovingAggExec:\n$pskts")
   }
 
+  test("q_mode_rewrite (r14): whole-frame mode via counts+argmax joins, zero WindowExec") {
+    val p = plan("q_mode_rewrite")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_mode_rewrite kept a WindowExec:\n$p")
+    // per-key mode joins back on the key; the global mode's argmax is a
+    // global Aggregate over the per-value COUNTS (value-domain-sized,
+    // already reduced map-side), so its single-partition exchange
+    // carries counts, never corpus rows — the corpus side must never
+    // funnel through a cartesian product
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_mode_rewrite grew a cartesian product:\n$p")
+  }
+
   for ((name, (maxShuffles, minBhj)) <- tpchBudgets)
     test(s"$name: <=$maxShuffles hash shuffle(s), >=$minBhj broadcast join(s), no SMJ/cartesian") {
       val p = plan(name)
