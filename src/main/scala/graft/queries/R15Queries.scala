@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 import graft.streaming.StateV2
 
 /** Fifteenth wave — state-API-v2 streaming and crawl/corpus planning:
@@ -84,7 +85,7 @@ object R15Queries {
   // ---------- q_domain_mix ----------
 
   val qDomainMix = QueryDef("q_domain_mix",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val g = Window.partitionBy() // over the per-source aggregate only
       t(s, dir, "documents")
         .groupBy("source")

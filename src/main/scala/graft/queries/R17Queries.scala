@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Seventeenth wave — the custom-state v1 loop, ingestion robustness,
   * and the reference corpus's read path:
@@ -193,7 +194,7 @@ object R17Queries {
     * |sources|-row aggregate. round(4) absorbs libm pow() divergence
     * between engines (the q_tfidf_top discipline). */
   val qDomainMixTemp = QueryDef("q_domain_mix_temp",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val t = 3.3 // XLM-R-style temperature
       val g = org.apache.spark.sql.expressions.Window.partitionBy()
       Tables.load(s, dir, "documents")

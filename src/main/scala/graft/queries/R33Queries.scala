@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Thirty-third wave — distribution drift detection (the monitoring
   * side of a training-data pipeline: has this source's distribution
@@ -35,7 +36,7 @@ object R33Queries {
     * cumulative window over the |distinct values| sequence, then a
     * 1-row max — the merged-CDF sweep, never a pairwise compare. */
   val qKsTest = QueryDef("q_ks_test",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val o = t(s, dir, "orders")
         .where(col("o_orderstatus").isin("O", "F"))
         .select(col("o_totalprice").as("v"),
@@ -95,7 +96,7 @@ object R33Queries {
     * windowed over the merged distinct values), so bin edges cannot
     * drift with floating percentiles. */
   val qPsi = QueryDef("q_psi",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val d18 = DecimalType(18, 9)
       val o = t(s, dir, "orders")
         .where(col("o_orderstatus").isin("O", "F"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Thirty-ninth wave — link-graph centrality and classifier evaluation.
   *
@@ -89,9 +90,15 @@ object R39Queries {
       val g = ev.groupBy("score").agg(
         sum(col("label")).as("cp"),
         sum(lit(1L) - col("label")).as("cn"))
+      // `UNBOUNDED PRECEDING .. 1 PRECEDING` == running sum minus the
+      // current row's own contribution (exact integer arithmetic), so
+      // the window routes through GlobalRunningAgg under force (r14 —
+      // the shifted-end frame itself is a documented non-rewrite; the
+      // VALUE-DOMAIN whitelist entry this query held is retired)
       val w = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val below = g.withColumn("below", coalesce(sum(col("cn")).over(w), lit(0L)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val below = RewriteGlobalRankWindows.force(
+        g.withColumn("below", sum(col("cn")).over(w) - col("cn")))
       below.agg(
           sum(col("cp") * (col("below") * 2 + col("cn"))).as("u2"),
           sum(col("cp")).as("np"),

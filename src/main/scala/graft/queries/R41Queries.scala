@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Forty-first wave — resampling inference and exact smoothing.
   *
@@ -55,7 +56,7 @@ object R41Queries {
       |     ELSE 4 END""".stripMargin
 
   val qBootstrapCi = QueryDef("q_bootstrap_ci",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val ev = t(s, dir, "events")
         .select(col("event_id"),
           expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Forty-fourth wave — robust statistics and training-pair construction.
   *
@@ -38,7 +39,7 @@ object R44Queries {
   // ---------- q_winsorize ----------
 
   val qWinsorize = QueryDef("q_winsorize",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val g = t(s, dir, "events")
         .select(expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
         .groupBy("cents").agg(count(lit(1)).cast("long").as("c"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Forty-fifth wave — SQL pipe syntax and equi-depth binning.
   *
@@ -50,7 +51,7 @@ object R45Queries {
   // ---------- q_equidepth_hist ----------
 
   val qEquidepthHist = QueryDef("q_equidepth_hist",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val g = t(s, dir, "orders")
         .select(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")
           .as("cents"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Fifty-third wave — experimentation analytics.
   *
@@ -98,7 +99,7 @@ object R53Queries {
   // ---------- q_funnel_time ----------
 
   val qFunnelTime = QueryDef("q_funnel_time",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val ev = Tables.events(s, dir)
       val firstView = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("v_us"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.DedupOps
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Fifty-fourth wave — survival analysis and sketch-quality audit.
   *
@@ -37,7 +38,7 @@ object R54Queries {
   // ---------- q_survival_km ----------
 
   val qSurvivalKm = QueryDef("q_survival_km",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       val span = ev.groupBy("user_id")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Fifty-sixth wave — collaborative filtering and the gains chart.
   *
@@ -80,7 +81,7 @@ object R56Queries {
   // ---------- q_lift_curve ----------
 
   val qLiftCurve = QueryDef("q_lift_curve",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val ev = t(s, dir, "events").select(
         expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Sixty-third wave — median-absolute-deviation outliers.
   *
@@ -26,7 +27,7 @@ object R63Queries {
     Tables.load(s, dir, name)
 
   val qMadOutliers = QueryDef("q_mad_outliers",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val ev = t(s, dir, "events")
         .select(col("event_id"),
           expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Sixty-eighth wave — Kneser-Ney smoothing, retention accumulation,
   * and the Lorenz curve.
@@ -130,7 +131,7 @@ object R68Queries {
   // ---------- q_lorenz_deciles ----------
 
   val qLorenzDeciles = QueryDef("q_lorenz_deciles",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val spend = t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))

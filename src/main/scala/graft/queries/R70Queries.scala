@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Seventieth wave — governance and operations audits.
   *
@@ -126,7 +127,7 @@ object R70Queries {
   // ---------- q_coverage_p90 ----------
 
   val qCoverageP90 = QueryDef("q_coverage_p90",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val cells = t(s, dir, "documents").groupBy("lang", "source")
         .agg(sum(col("n_chars")).cast("long").as("toks"))
       val ord = Window.orderBy(col("toks").desc, col("lang"), col("source"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Seventy-fifth wave — higher-order sequence models, burstiness, and
   * max-min fair allocation.
@@ -119,7 +120,7 @@ object R75Queries {
   // ---------- q_water_filling ----------
 
   val qWaterFilling = QueryDef("q_water_filling",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val demand = Tables.events(s, dir).groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("d"))
       val cap = demand.agg(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Eightieth wave — Viterbi decoding, largest-remainder apportionment,
   * and a transparent Bloom-filter audit.
@@ -113,7 +114,7 @@ object R80Queries {
   private val seats = 1000L
 
   val qApportion = QueryDef("q_apportion",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val cells = t(s, dir, "documents")
         .groupBy("lang", "source")
         .agg(sum(col("n_chars")).cast("long").as("toks"))

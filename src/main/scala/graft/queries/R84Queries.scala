@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Eighty-fourth wave — late-interaction retrieval, exact 1-D optimal
   * transport, and heavy-tail estimation.
@@ -112,7 +113,7 @@ object R84Queries {
   // ---------- q_wasserstein ----------
 
   val qWasserstein = QueryDef("q_wasserstein",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val per = Tables.events(s, dir).groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("v"))
         .withColumn("arm", when(col("user_id") % 2 === 0, "a").otherwise("b"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Eighty-fifth wave — isotonic calibration, sample-ratio mismatch, and
   * freshness SLAs.
@@ -45,7 +46,7 @@ object R85Queries {
   private val nBins = 20
 
   val qIsotonic = QueryDef("q_isotonic",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val per = Tables.events(s, dir).groupBy("user_id")
         .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("y"))

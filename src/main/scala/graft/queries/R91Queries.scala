@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Ninety-first wave — decision stumps, Venn cohorts, and χ² feature
   * selection.
@@ -40,7 +41,7 @@ object R91Queries {
   // ---------- q_stump ----------
 
   val qStump = QueryDef("q_stump",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val per = Tables.events(s, dir).groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("x"),
           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))

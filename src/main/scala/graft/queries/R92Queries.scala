@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Ninety-second wave — boosting, label-noise detection, and active
   * learning.
@@ -69,13 +70,17 @@ object R92Queries {
           // orient 0: predict positive when x ≤ t → err = (twp−cwp) + cwn
           .withColumn("err1", col("cwp") + col("twn") - col("cwn"))
           .withColumn("err0", col("twp") - col("cwp") + col("cwn"))
-        val best = Queries.pin(swept
+        // force BEFORE pin: the rewrite must transform each round's
+        // windows before the plan is cached — re-analyzing the final
+        // union would un-match every pinned subtree and re-run freed
+        // checkpoints (r14)
+        val best = Queries.pin(RewriteGlobalRankWindows.force(swept
           .withColumn("err", least(col("err1"), col("err0")))
           .withColumn("orient", when(col("err1") <= col("err0"), 1L).otherwise(0L))
           .withColumn("rk", row_number().over(Window.orderBy(col("err"), col("x"))))
           .where(col("rk") === 1)
           .select(col("x").as("t"), col("orient"), col("err"),
-            (col("twp") + col("twn")).as("wtot")))
+            (col("twp") + col("twn")).as("wtot"))))
         val joined = wtab.crossJoin(broadcast(best))
           .withColumn("pred",
             when(col("orient") === 1,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Ninety-ninth wave — wavelet energy, variance decomposition, and
   * exact FDR control.
@@ -177,7 +178,7 @@ object R99Queries {
     "(user_id * 2654435761 + i * 40503 + user_id * i * 104729) % 2"
 
   val qBhFdr = QueryDef("q_bh_fdr",
-    (s, dir) => {
+    (s, dir) => RewriteGlobalRankWindows.force {
       val per = Tables.events(s, dir).groupBy("user_id")
         .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .cast("long").as("y"))

@@ -127,8 +127,20 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * with no PARTITION BY. The frame is irrelevant: every family member
     * is position-determined, and the analyzer has already pinned each
     * one's required frame. */
+  /** Matches a window PARTITION BY spec that is GLOBAL in effect:
+    * empty, or all-FOLDABLE (the `partitionBy(lit(1))` idiom several
+    * statistics queries use to name the funnel explicitly) — a
+    * constant key puts every row in ONE partition, so the window is
+    * semantically unpartitioned and the whole global family applies
+    * (r14, VERDICT r13 task 3: this is what lets the VALUE-DOMAIN
+    * whitelist class route instead of being reviewed). */
+  private object GlobalPart {
+    def unapplySeq(ps: Seq[Expression]): Option[Seq[Expression]] =
+      if (ps.forall(_.foldable)) Some(Nil) else None
+  }
+
   private def rankOf(ne: NamedExpression): Option[(Alias, RankMode)] = ne match {
-    case a @ Alias(WindowExpression(fn, WindowSpecDefinition(Seq(), _, _)), _) =>
+    case a @ Alias(WindowExpression(fn, WindowSpecDefinition(GlobalPart(), _, _)), _) =>
       modeOf(fn).map(m => (a, m))
     case _ => None
   }
@@ -164,7 +176,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       case _ => None
     }
     ne match {
-      case a @ Alias(we @ WindowExpression(fn, WindowSpecDefinition(Seq(), _, _)), _) =>
+      case a @ Alias(we @ WindowExpression(fn, WindowSpecDefinition(GlobalPart(), _, _)), _) =>
         spec(fn).collect {
           case (input, off, default, ignoreNulls)
               if math.abs(off) <= maxShift && input.deterministic &&
@@ -202,7 +214,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       case _ => None
     }
     ne match {
-      case a @ Alias(we @ WindowExpression(fn, WindowSpecDefinition(Seq(), _, _)), _) =>
+      case a @ Alias(we @ WindowExpression(fn, WindowSpecDefinition(GlobalPart(), _, _)), _) =>
         spec(fn).collect {
           case (input, kk, default)
               if kk <= maxShift && input.deterministic &&
@@ -279,7 +291,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     ne match {
       case a @ Alias(we @ WindowExpression(
           AggregateExpression(fn0, Complete, false, None, _),
-          WindowSpecDefinition(Seq(), _,
+          WindowSpecDefinition(GlobalPart(), _,
             SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _) =>
         unwrap(fn0).collect {
           case fn if allowed(fn) && fn.deterministic =>
@@ -313,7 +325,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     ne match {
       case a @ Alias(we @ WindowExpression(
           AggregateExpression(fn0, Complete, false, None, _),
-          WindowSpecDefinition(Seq(), _,
+          WindowSpecDefinition(GlobalPart(), _,
             SpecifiedWindowFrame(RowFrame, lo0, hi0))), _) =>
         for {
           lo <- bound(lo0)
@@ -337,7 +349,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       // forward state and keep WindowExec.)
       case a @ Alias(we @ WindowExpression(
           nv @ NthValue(input, Literal(n: Int, IntegerType), _),
-          WindowSpecDefinition(Seq(), _,
+          WindowSpecDefinition(GlobalPart(), _,
             SpecifiedWindowFrame(RowFrame, lo0, hi0))), _) =>
         for {
           lo <- bound(lo0)
@@ -373,7 +385,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     ne match {
       case a @ Alias(we @ WindowExpression(
           AggregateExpression(fn0, Complete, false, None, _),
-          WindowSpecDefinition(Seq(),
+          WindowSpecDefinition(GlobalPart(),
             // ANY direction and null placement since late r13: a
             // DESCENDING key reads through the bitwise-NOT reversal
             // (frame bounds carry over unchanged — see longReader),
@@ -447,7 +459,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   private def frameAggOf(ne: NamedExpression): Option[(Alias, org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction, AttributeReference)] = ne match {
     case a @ Alias(we @ WindowExpression(
         AggregateExpression(fn0, Complete, false, None, _),
-        WindowSpecDefinition(Seq(), _,
+        WindowSpecDefinition(GlobalPart(), _,
           SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _) =>
       val fn: Option[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction] =
         unwrapAgg(fn0) match {
@@ -475,7 +487,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   private def nthOf(ne: NamedExpression): Option[(Alias, Expression, Int, Boolean, Int, AttributeReference)] = ne match {
     case a @ Alias(we @ WindowExpression(
         NthValue(input, Literal(k: Int, IntegerType), ignoreNulls),
-        WindowSpecDefinition(Seq(), _, SpecifiedWindowFrame(ft, lo, hi))), _)
+        WindowSpecDefinition(GlobalPart(), _, SpecifiedWindowFrame(ft, lo, hi))), _)
         if lo == UnboundedPreceding && k > 0 && k <= maxShift &&
           input.deterministic =>
       val kind = (ft, hi) match {
@@ -509,7 +521,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     ne match {
       case a @ Alias(WindowExpression(
           AggregateExpression(fn0, Complete, false, None, _),
-          WindowSpecDefinition(Seq(), _,
+          WindowSpecDefinition(GlobalPart(), _,
             SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _) =>
         val pctFn = fn0 match {
           case p: Percentile => Some(p)
@@ -602,7 +614,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case a @ Alias(we @ WindowExpression(
         AggregateExpression(m: org.apache.spark.sql.catalyst.expressions.aggregate.Mode,
           Complete, false, None, _),
-        WindowSpecDefinition(Seq(), _,
+        WindowSpecDefinition(GlobalPart(), _,
           SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _)
         if m.child.deterministic &&
           org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -672,7 +684,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * Idempotent: the result contains no matching `Window`, so a
     * fixed-point batch terminates immediately. */
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Window(wexprs, Seq(), orderSpec, child, _)
+    case Window(wexprs, GlobalPart(), orderSpec, child, _)
         if wexprs.nonEmpty && {
           // whole-frame expressions are order-independent, so a window
           // of nothing else rewrites even with no (or a nondeterministic)

@@ -321,11 +321,14 @@ class BroadcastHintAuditSpec extends AnyFunSuite {
   *  - CALENDAR: the aggregate groups by a date truncation (day, or
   *    (year, month)) — input = |distinct periods|, bounded by the data's
   *    time span, independent of corpus row count.
-  *  - VALUE-DOMAIN: the aggregate groups by a measured VALUE (price
-  *    cents, model score, histogram bin, duration-days, replicate id) —
-  *    input = |distinct values|, bounded by the value domain. Exact-CDF /
-  *    exact-rank statistics need this global ordered pass by definition;
-  *    the domain is orders of magnitude below corpus rows.
+  *  - VALUE-DOMAIN (RETIRED r14, VERDICT r13 task 3): the aggregate
+  *    groups by a measured VALUE (price cents, model score, histogram
+  *    bin, duration-days, replicate id) — bounded by |distinct
+  *    values|, which unlike the CALENDAR class GROWS with data. All
+  *    21 members now route through RewriteGlobalRankWindows.force
+  *    (several via the foldable-partition widening: partitionBy(lit(1))
+  *    is semantically global); PlanShapeSpec pins their exact
+  *    operator counts, and the whitelist below is CALENDAR-only.
   *  - ENTITY: the aggregate groups by an entity key (user, customer,
   *    part) — bounded by |entities|, far below corpus EVENTS but itself
   *    data-scaled. These are the exact-statistic fixture forms; at
@@ -361,8 +364,6 @@ private[graft] object WindowWhitelist {
   // through RewriteGlobalRankWindows
   private val CAL = "CALENDAR: day-keyed aggregate — |distinct days|"
   private val YM = "CALENDAR: (year, month)-keyed aggregate — |distinct months|"
-  private def VAL(k: String) =
-    s"VALUE-DOMAIN: $k-keyed aggregate — |distinct $k values|"
   // The former ENTITY class (per-user/customer/partkey rollups —
   // "bounded by |entities|, itself data-scaled") is RETIRED as of r13
   // (VERDICT r12 task 1): every member (q_brier, q_join_cardest,
@@ -376,38 +377,17 @@ private[graft] object WindowWhitelist {
   private def E(bound: String, keys: String*): Entry =
     Entry(bound, keys.toSet)
   val entries: Map[String, Entry] = Map(
-    "q_apportion" -> E(VAL("(lang, source)"), "[lang, source]"),
-    "q_auc_exact" -> E(VAL("score"), "[score]"),
-    "q_bh_fdr" -> E("VALUE-DOMAIN: (seg, t_obs) per-segment test stats — |segments| rows (5)", "[seg, t_obs]"),
-    "q_boost" -> E(VAL("stump-threshold x"), "[x]"),
-    "q_bootstrap_ci" -> E("VALUE-DOMAIN: per-replicate aggregate — B (constant) bootstrap rows", "[r]"),
     "q_changepoint" -> E(CAL, "[CAST((CAST((unix_micros(CAST(o_orderdate AS TIMESTAMP)) - (((unix_micros(CAST(o_orderdate AS TIMESTAMP)) % 86400000000L) + 86400000000L) % 86400000000L)) AS DOUBLE) / CAST(86400000000L AS DOUBLE)) AS BIGINT)]"),
-    "q_coverage_p90" -> E(VAL("(lang, source)"), "[lang, source]"),
     "q_cusum" -> E(CAL, "[day]"),
-    "q_domain_mix" -> E(VAL("source"), "[source]"),
-    "q_domain_mix_temp" -> E(VAL("source"), "[source]"),
     "q_drawdown" -> E(CAL, "[day]"),
-    "q_equidepth_hist" -> E(VAL("price-cents"), "[cents]"),
-    "q_funnel_time" -> E(VAL("delay-seconds"), "[delay_s]"),
     "q_haar" -> E(CAL, "[day]"),
-    "q_isotonic" -> E(VAL("calibration-bin"), "[b]"),
     "q_jenks" -> E(CAL, "[day]"),
-    "q_ks_test" -> E(VAL("sample value"), "[v]"),
-    "q_lift_curve" -> E(VAL("price-cents"), "[cents]"),
-    "q_lorenz_deciles" -> E(VAL("price-cents"), "[cents]"),
-    "q_mad_outliers" -> E(VAL("price-cents / abs-deviation"), "[cents]", "[d]"),
     "q_mase" -> E(CAL, "[day]"),
     "q_mom_growth" -> E(YM, "[CAST(year(CAST(orders.o_orderdate AS DATE)) AS BIGINT), CAST(month(CAST(orders.o_orderdate AS DATE)) AS BIGINT)]"),
-    "q_psi" -> E(VAL("sample value"), "[v]"),
     "q_rolling_corr" -> E(CAL, "[to_date(ts)]"),
     "q_runs_test" -> E(CAL, "[day]"),
     "q_seasonal_residuals" -> E(CAL, "[day]"),
     "q_sprt" -> E(CAL, "[day]"),
-    "q_stump" -> E(VAL("stump-threshold x"), "[x]"),
-    "q_survival_km" -> E(VAL("duration-days"), "[dur_d]"),
-    "q_theil_sen" -> E(CAL, "[day]"),
-    "q_wasserstein" -> E(VAL("sample value"), "[v]"),
-    "q_water_filling" -> E(VAL("demand level"), "[d]"),
-    "q_winsorize" -> E(VAL("price-cents"), "[cents]"))
+    "q_theil_sen" -> E(CAL, "[day]"))
 }
 

@@ -565,6 +565,57 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("retired VALUE-DOMAIN whitelist queries: zero unpartitioned WindowExec, ops pinned") {
+    // r14 (VERDICT r13 task 3): the VALUE-DOMAIN WindowWhitelist class
+    // is retired — all 21 members route their global windows (several
+    // written as partitionBy(lit(1)) — the foldable-spec widening)
+    // through RewriteGlobalRankWindows.force. These exact operator
+    // counts replaced the whitelist review; the whitelist is now
+    // CALENDAR-only.
+    def winExecs(p: SparkPlan) = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    def count[T <: SparkPlan](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]) =
+      p.collect(pf).size
+    val expected = Seq(
+      // name -> (ranks, frameAggs, runningAggs, shifts)
+      ("q_apportion", 1, 2, 0, 0),
+      ("q_auc_exact", 0, 0, 1, 0),
+      ("q_bh_fdr", 2, 0, 0, 0),
+      ("q_boost", 2, 4, 4, 0), // rounds 2-3 live; round 1 pinned away
+      ("q_bootstrap_ci", 1, 0, 0, 0),
+      ("q_coverage_p90", 1, 1, 1, 0),
+      ("q_domain_mix", 0, 1, 0, 0),
+      ("q_domain_mix_temp", 0, 2, 0, 0),
+      ("q_equidepth_hist", 0, 1, 1, 0),
+      ("q_funnel_time", 0, 1, 1, 0),
+      ("q_isotonic", 0, 0, 4, 0),
+      ("q_ks_test", 1, 2, 2, 0),
+      ("q_lift_curve", 0, 2, 2, 0),
+      ("q_lorenz_deciles", 0, 2, 1, 0),
+      ("q_mad_outliers", 0, 2, 2, 0),
+      ("q_psi", 0, 4, 1, 0),
+      ("q_stump", 1, 2, 2, 0),
+      ("q_survival_km", 0, 0, 2, 0),
+      ("q_wasserstein", 0, 2, 2, 1),
+      ("q_water_filling", 0, 2, 4, 0),
+      ("q_winsorize", 0, 0, 3, 0))
+    for ((name, nRank, nFrame, nRun, nShift) <- expected) {
+      val p = plan(name)
+      assert(winExecs(p).isEmpty,
+        s"$name kept a WindowExec:\n$p")
+      assert(count(p) { case g: graft.plans.GlobalRankExec => g } == nRank,
+        s"$name: expected $nRank GlobalRankExec:\n$p")
+      assert(count(p) { case g: graft.plans.GlobalFrameAggExec => g } == nFrame,
+        s"$name: expected $nFrame GlobalFrameAggExec:\n$p")
+      assert(count(p) { case g: graft.plans.GlobalRunningAggExec => g } == nRun,
+        s"$name: expected $nRun GlobalRunningAggExec:\n$p")
+      assert(count(p) { case g: graft.plans.GlobalShiftExec => g } == nShift,
+        s"$name: expected $nShift GlobalShiftExec:\n$p")
+      spark.catalog.clearCache() // release the iterative queries' pins
+    }
+  }
+
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
     val p = plan("q_clamped_runsum")
     assert(hashShuffles(p) == 1,
