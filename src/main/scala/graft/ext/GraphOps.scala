@@ -641,18 +641,26 @@ object GraphOps {
     val ords = orders
       .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
     val li = op.join(ords, "ok").select(col("pk"), col("ck")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("pk").orderBy("ck")
-    // the window + capped self-join are the CPU-dense stages, and at
+    // the cap + capped self-join are the CPU-dense stages, and at
     // bench scale AQE size-coalesces their input to a handful of
     // partitions (bytes-small, compute-heavy — the shape size-based
     // coalescing misjudges). Pin the width to the session's core count;
-    // the explicit hash-by-pk repartition doubles as the window's
+    // the explicit hash-by-pk repartition doubles as the cap operator's
     // required distribution, so it adds no extra exchange.
+    //
+    // r14 (VERDICT r13 task 5): the per-pk cap runs through the
+    // bounded-heap TopKPerKey instead of a row_number window — no full
+    // per-partition sort of the (pk, ck) corpus, O(n log cap) heaps,
+    // map-side partial capping before the exchange. The `cap` SMALLEST
+    // custkeys are the top-cap by NEGATED key (custkeys are non-null
+    // and unique per pk after the distinct, so the heap's
+    // arbitrary-tie caveat never applies).
     val width = lineitem.sparkSession.sparkContext.defaultParallelism
-    val capped = li.repartition(width, col("pk"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= cap)
+    val capped = graft.plans.TopKPerKey.topKPerKey(
+        li.repartition(width, col("pk"))
+          .withColumn("nck", -col("ck")),
+        Seq("pk"), "nck", cap)
+      .drop("nck")
     capped.as("x").join(capped.as("y"),
         col("x.pk") === col("y.pk") && col("x.ck") < col("y.ck"))
       .select(col("x.ck").as("a"), col("y.ck").as("b"))

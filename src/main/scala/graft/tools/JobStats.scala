@@ -40,6 +40,10 @@ object JobStats {
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicLong; val stages = new AtomicLong
     val tasks = new AtomicLong
+    // shuffle volume (r14, VERDICT r13 task 2): records read + written
+    // across all tasks — the count that moves when an operator changes
+    // its exchange shape, deterministic like the scheduling counts
+    val shufR = new AtomicLong; val shufW = new AtomicLong
     val verbose = sys.env.contains("GRAFT_JOBSTATS_VERBOSE")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
@@ -55,8 +59,14 @@ object JobStats {
             s"${s.stageInfo.name.take(70)}")
         }
       }
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
+        val m = t.taskMetrics
+        if (m != null) {
+          shufR.addAndGet(m.shuffleReadMetrics.recordsRead)
+          shufW.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
     })
     // warm up BEFORE the first reset (as Bench does): one-time lazy setup
     // (parquet footer reads, schema inference from Tables.load, codegen
@@ -83,6 +93,7 @@ object JobStats {
     names.foreach { n =>
       try {
         jobs.set(0); stages.set(0); tasks.set(0)
+        shufR.set(0); shufW.set(0)
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, sfDir).count()
         // listener events are delivered asynchronously — drain the bus
@@ -90,7 +101,8 @@ object JobStats {
         org.apache.spark.sql.GraftSqlBridge.waitForListenerBus(spark)
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"JOBSTATS $n jobs=${jobs.get} stages=${stages.get} " +
-          f"tasks=${tasks.get} wall=$dt%.2f")
+          f"tasks=${tasks.get} shufR=${shufR.get} shufW=${shufW.get} " +
+          f"wall=$dt%.2f")
         spark.catalog.clearCache()
       } catch { case t: Throwable => println(s"JOBSTATS $n FAIL: $t") }
     }

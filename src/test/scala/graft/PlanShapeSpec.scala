@@ -667,6 +667,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_skewrangemov_ts must ride ONE PartitionedRangeMovingAggExec:\n$pskts")
   }
 
+  test("co-purchase derivation (r14): per-pk cap via bounded-heap TopKPerKey, zero WindowExec") {
+    // VERDICT r13 task 5: the row_number cap (a full per-pk sort of the
+    // (pk, ck) corpus feeding the bench's slowest family) became the
+    // bounded-heap TopKPerKey — partial map-side capping, no sort.
+    // Asserted on the derivation's own plan: the consumer queries
+    // (q_modularity / q_conductance / q_assortativity) pin the edge
+    // list, so their top-level plans read the cache, not the build.
+    val dir = "/root/testdata/sf0.001"
+    val edges = graft.ext.GraphOps.coPurchaseEdges(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      spark.read.parquet(s"$dir/orders.parquet"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try edges.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"co-purchase cap kept a WindowExec:\n$p")
+    assert(p.collect {
+      case t: graft.plans.TopKPerKeyExec => t
+    }.size == 1, s"co-purchase cap must run through ONE TopKPerKeyExec:\n$p")
+    assert(p.collect {
+      case t: graft.plans.TopKPerKeyPartialExec => t
+    }.size == 1, s"co-purchase cap lost the map-side partial:\n$p")
+  }
+
   test("q_mode_rewrite (r14): whole-frame mode via counts+argmax joins, zero WindowExec") {
     val p = plan("q_mode_rewrite")
     assert(p.collect {
