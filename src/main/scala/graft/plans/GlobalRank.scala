@@ -206,9 +206,12 @@ case class GlobalRankExec(order: Seq[SortOrder], ranks: Seq[GlobalRank.RankCol],
     }
     val rowOffsets = stats.map(_._1).scanLeft(0L)(_ + _)
     val groupOffsets = stats.map(_._2).scanLeft(0L)(_ + _)
-    // only meaningful when needTotal or needGroups (the fast count
-    // path skips the last partition otherwise — the total is unused)
-    val total = rowOffsets.last
+    // structural invariant (ADVICE r13): the fast count path skips the
+    // last partition when neither needTotal nor needGroups, leaving
+    // rowOffsets.last silently stale — poison the value with a sentinel
+    // so any future mode that starts reading `total` without extending
+    // needTotal fails loudly instead of computing wrong ranks
+    val total = if (needTotal || needGroups) rowOffsets.last else -1L
     val out = output
     val nRanks = modes.length
     val numOutputRows = longMetric("numOutputRows")

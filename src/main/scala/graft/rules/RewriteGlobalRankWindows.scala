@@ -889,40 +889,37 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         if wexprs.nonEmpty && partSpec.nonEmpty &&
           partSpec.forall(_.deterministic) &&
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
-          wexprs.forall(e =>
-            skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
-              skewLeadNNOf(e).isDefined ||
-              skewRunAggOf(e).isDefined || skewMovAggOf(e).isDefined ||
-              skewRangeMovAggOf(e).isDefined || skewNthOf(e).isDefined) =>
-      val rankClassified = wexprs.flatMap(e => skewRankOf(e).map(e -> _))
-      val shiftClassified = wexprs.flatMap { e =>
-        if (skewRankOf(e).isDefined) None else skewShiftOf(e).map(e -> _)
+          wexprs.forall(e => classifySkew(e).isDefined) =>
+      // classify each expression ONCE into the ADT (ADVICE r13: the
+      // previous per-class exclusion chains re-invoked every earlier
+      // matcher per expression — O(k²) matcher calls, each allocating
+      // fresh exprIds along the way); the guard above costs one more
+      // chain pass per expression, nothing downstream re-matches
+      val skClassified: Seq[(NamedExpression, SkewClass)] =
+        wexprs.map(e => e -> classifySkew(e).get)
+      val rankClassified = skClassified.collect {
+        case (e, SkRank(a, m)) => e -> (a, m)
       }
-      val leadNNClassified = wexprs.flatMap { e =>
-        if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined) None
-        else skewLeadNNOf(e).map(e -> _)
+      val shiftClassified = skClassified.collect {
+        case (e, SkShift(a, sc2, sc3, sc4, sc5, sc6)) =>
+          e -> (a, sc2, sc3, sc4, sc5, sc6)
       }
-      val runClassified = wexprs.flatMap { e =>
-        if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
-          skewLeadNNOf(e).isDefined) None
-        else skewRunAggOf(e).map(e -> _)
+      val leadNNClassified = skClassified.collect {
+        case (e, SkLeadNN(a, input, kk, default, lkAttr)) =>
+          e -> (a, input, kk, default, lkAttr)
       }
-      val movClassified = wexprs.flatMap { e =>
-        if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
-          skewLeadNNOf(e).isDefined || skewRunAggOf(e).isDefined) None
-        else skewMovAggOf(e).map(e -> _)
+      val runClassified = skClassified.collect {
+        case (e, SkRun(a, fn, rows, attr)) => e -> (a, fn, rows, attr)
       }
-      val rangeMovClassified = wexprs.flatMap { e =>
-        if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
-          skewLeadNNOf(e).isDefined || skewRunAggOf(e).isDefined ||
-          skewMovAggOf(e).isDefined) None
-        else skewRangeMovAggOf(e).map(e -> _)
+      val movClassified = skClassified.collect {
+        case (e, SkMov(a, fn, lo, hi, attr)) => e -> (a, fn, lo, hi, attr)
       }
-      val nthClassified = wexprs.flatMap { e =>
-        if (skewRankOf(e).isDefined || skewShiftOf(e).isDefined ||
-          skewLeadNNOf(e).isDefined || skewRunAggOf(e).isDefined ||
-          skewMovAggOf(e).isDefined || skewRangeMovAggOf(e).isDefined) None
-        else skewNthOf(e).map(e -> _)
+      val rangeMovClassified = skClassified.collect {
+        case (e, SkRangeMov(a, fn, lo, hi, attr)) => e -> (a, fn, lo, hi, attr)
+      }
+      val nthClassified = skClassified.collect {
+        case (e, SkNth(a, input, k, ign, kind, attr)) =>
+          e -> (a, input, k, ign, kind, attr)
       }
       val rankCols = rankClassified.map { case (_, (a, m)) =>
         RankCol(AttributeReference(s"__graft_${a.name}", m.dataType,
@@ -1393,6 +1390,43 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * modes (percent_rank/cume_dist/ntile) stitch each straddling key's
     * total on the driver and count interior keys with the zipped
     * key/group leads (see [[PartitionedRankNode]]). */
+  /** One-pass skew-tier classification (ADVICE r13): each window
+    * expression runs the matcher chain at most ONCE, in the same
+    * priority order the exclusion chains encoded — the result carries
+    * every generated attribute, so no matcher re-fires (and no stray
+    * exprIds are allocated) after classification. */
+  private sealed trait SkewClass
+  private case class SkRank(a: Alias, m: RankMode) extends SkewClass
+  private case class SkShift(a: Alias, input: Expression, off: Int,
+                             default: Expression, ignoreNulls: Boolean,
+                             attr: AttributeReference) extends SkewClass
+  private case class SkLeadNN(a: Alias, input: Expression, k: Int,
+                              default: Expression,
+                              attr: AttributeReference) extends SkewClass
+  private case class SkRun(a: Alias, fn: DeclarativeAggregate, rows: Boolean,
+                           attr: AttributeReference) extends SkewClass
+  private case class SkMov(a: Alias, fn: DeclarativeAggregate, lo: Int,
+                           hi: Int, attr: AttributeReference) extends SkewClass
+  private case class SkRangeMov(a: Alias, fn: DeclarativeAggregate, lo: Long,
+                                hi: Long, attr: AttributeReference) extends SkewClass
+  private case class SkNth(a: Alias, input: Expression, k: Int,
+                           ignoreNulls: Boolean, kind: Int,
+                           attr: AttributeReference) extends SkewClass
+
+  private def classifySkew(ne: NamedExpression): Option[SkewClass] =
+    skewRankOf(ne).map { case (a, m) => SkRank(a, m) }
+      .orElse(skewShiftOf(ne).map { case (a, i, o, d, g, at) =>
+        SkShift(a, i, o, d, g, at) })
+      .orElse(skewLeadNNOf(ne).map { case (a, i, k, d, at) =>
+        SkLeadNN(a, i, k, d, at) })
+      .orElse(skewRunAggOf(ne).map { case (a, f, r, at) => SkRun(a, f, r, at) })
+      .orElse(skewMovAggOf(ne).map { case (a, f, lo, hi, at) =>
+        SkMov(a, f, lo, hi, at) })
+      .orElse(skewRangeMovAggOf(ne).map { case (a, f, lo, hi, at) =>
+        SkRangeMov(a, f, lo, hi, at) })
+      .orElse(skewNthOf(ne).map { case (a, i, k, g, kd, at) =>
+        SkNth(a, i, k, g, kd, at) })
+
   private def skewRankOf(ne: NamedExpression): Option[(Alias, RankMode)] = ne match {
     case a @ Alias(WindowExpression(fn, WindowSpecDefinition(ps, _, _)), _)
         if ps.nonEmpty =>

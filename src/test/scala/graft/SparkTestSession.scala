@@ -7,10 +7,19 @@ import org.apache.spark.sql.SparkSession
   * duplicates rows passes a set compare whenever the projection can
   * collide — e.g. 7 distinct keys over 900 rows). Rendering each row
   * and sorting keeps duplicates countable without needing an Ordering
-  * for every column type. */
+  * for every column type.
+  *
+  * Row.toString is TYPE-BLIND (null vs "null", 1 vs 1L render alike —
+  * ADVICE r13), so `of` prefixes the rendered rows with a name:type
+  * header line: two results that agree value-wise but drifted in
+  * column type now compare unequal at EVERY call site, not only the
+  * ones that also asserted `df.schema` separately. Nullability is
+  * deliberately excluded — the distributed rewrites may widen a
+  * nullable flag (join-backs) without changing any value. */
 object RowMultiset {
   def of(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.collect().map(_.toString).sorted.toSeq
+    df.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",") +:
+      df.collect().map(_.toString).sorted.toSeq
 }
 
 /** One shared local session for the whole forked test JVM. */
