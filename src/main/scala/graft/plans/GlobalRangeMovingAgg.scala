@@ -301,10 +301,12 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
       val toUnsafes = funcsArr.map(AggPlumbing.toUnsafe)
       val joins = Array.fill(nFuncs)(new JoinedRow)
 
-      // the sliding per-key window (ascending keys), seeded with the
-      // boundary keys before this partition
-      val window = new java.util.ArrayDeque[KeyBufs]()
-      bcPrevKeys.value(pid).foreach(window.addLast)
+      // the sliding per-key windows (ascending keys, amortized-O(1)
+      // two-stack evaluation per function — ADVICE r13; see
+      // [[SlidingFrames]]), seeded with the boundary keys before this
+      // partition
+      val frames = new SlidingFrames(funcsArr, lowersArr, uppersArr)
+      bcPrevKeys.value(pid).foreach(frames.append)
       val nexts = bcNextKeys.value(pid)
       var nextIdx = 0
 
@@ -325,7 +327,7 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
       val leadIt = leadIt0.buffered
       def leadNextKeyRow(): UnsafeRow = keyProj(leadIt.head)
       def closeCur(): Unit = if (haveCur) {
-        window.addLast(new KeyBufs(curKey,
+        frames.append(new KeyBufs(curKey,
           funcsArr.indices.map(j => toUnsafes(j)(curBufs(j)).copy()).toArray))
         haveCur = false
       }
@@ -373,7 +375,7 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
           keyOf(leadNextKeyRow()) > target)) && haveCur && curKey <= target)
           closeCur()
         while (nextIdx < nexts.length && leadDone && nexts(nextIdx).key <= target) {
-          window.addLast(nexts(nextIdx)); nextIdx += 1
+          frames.append(nexts(nextIdx)); nextIdx += 1
         }
       }
       /** Consume the entire leading null block (nulls sort first). */
@@ -408,20 +410,9 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
         if (evalRows(j).isNullAt(0)) null else evalRows(j).get(0, dataTypes(j))
       }
       def computeFor(v: Long): Unit = {
+        frames.computeInto(v, frameBufs, inits, merges, mergeJoins)
         var j = 0
-        while (j < nFuncs) {
-          inits(j)(InternalRow.empty)
-          val lo = addSat(v, lowersArr(j))
-          val hi = addSat(v, uppersArr(j))
-          val iter = window.iterator()
-          while (iter.hasNext) {
-            val kb = iter.next()
-            if (kb.key >= lo && kb.key <= hi)
-              merges(j)(mergeJoins(j)(frameBufs(j), kb.bufs(j)))
-          }
-          aggRow.update(j, valueOf(j))
-          j += 1
-        }
+        while (j < nFuncs) { aggRow.update(j, valueOf(j)); j += 1 }
       }
       def computeNull(): Unit = {
         var j = 0
@@ -448,11 +439,11 @@ case class GlobalRangeMovingAggExec(order: Seq[SortOrder],
           val v = keyOf(kr)
           if (!haveMemo || v != memoKey) {
             feedLead(addSat(v, fwdExtent))
-            // prune keys that fell out of every function's reach
-            val lo = addSat(v, -backExtent)
-            while (!window.isEmpty && window.peekFirst().key < lo)
-              window.pollFirst()
             computeFor(v)
+            // prune AFTER computing: only then has every function
+            // consumed all keys <= v + hi_j >= v - backExtent, so
+            // nothing below the widest lookback is still uncursored
+            frames.dropBelowKey(addSat(v, -backExtent))
             memoKey = v; haveMemo = true
           }
         }

@@ -317,7 +317,9 @@ case class PartitionedRangeMovingAggExec(partKeys: Seq[Expression],
       val toUnsafes = funcsArr.map(AggPlumbing.toUnsafe)
       val joins = Array.fill(nFuncs)(new JoinedRow)
 
-      val window = new java.util.ArrayDeque[KeyBufs]() // lag's group only
+      // per-function two-stack sliding windows over the lag's group
+      // only (amortized-O(1) per key per function — ADVICE r13)
+      val frames = new SlidingFrames(funcsArr, lowersArr, uppersArr)
       val nexts = bcNext.value(pid)
       var nextIdx = 0
 
@@ -338,7 +340,7 @@ case class PartitionedRangeMovingAggExec(partKeys: Seq[Expression],
       var leadDone = false
       val leadIt = leadIt0.buffered
       def closeCur(): Unit = if (haveCur) {
-        window.addLast(new KeyBufs(curKey,
+        frames.append(new KeyBufs(curKey,
           funcsArr.indices.map(j => toUnsafes(j)(curBufs(j)).copy()).toArray))
         haveCur = false
       }
@@ -396,7 +398,7 @@ case class PartitionedRangeMovingAggExec(partKeys: Seq[Expression],
           })) closeCur()
         while (nextIdx < nexts.length && leadDone &&
           nexts(nextIdx).key <= target) {
-          window.addLast(nexts(nextIdx)); nextIdx += 1
+          frames.append(nexts(nextIdx)); nextIdx += 1
         }
       }
       /** Consume the lag group's leading null block only. */
@@ -433,20 +435,9 @@ case class PartitionedRangeMovingAggExec(partKeys: Seq[Expression],
         if (evalRows(j).isNullAt(0)) null else evalRows(j).get(0, dataTypes(j))
       }
       def computeFor(v: Long): Unit = {
+        frames.computeInto(v, frameBufs, inits, merges, mergeJoins)
         var j = 0
-        while (j < nFuncs) {
-          inits(j)(InternalRow.empty)
-          val lo = addSat(v, lowersArr(j))
-          val hi = addSat(v, uppersArr(j))
-          val iter = window.iterator()
-          while (iter.hasNext) {
-            val kb = iter.next()
-            if (kb.key >= lo && kb.key <= hi)
-              merges(j)(mergeJoins(j)(frameBufs(j), kb.bufs(j)))
-          }
-          aggRow.update(j, valueOf(j))
-          j += 1
-        }
+        while (j < nFuncs) { aggRow.update(j, valueOf(j)); j += 1 }
       }
       def computeNull(): Unit = {
         var j = 0
@@ -468,8 +459,8 @@ case class PartitionedRangeMovingAggExec(partKeys: Seq[Expression],
         if (lagGroup == null || groupOrd.compare(lagGroup, g) != 0) {
           firstSeg = lagGroup == null
           lagGroup = g.copy()
-          window.clear()
-          if (firstSeg) bcPrev.value(pid).foreach(window.addLast)
+          frames.clear()
+          if (firstSeg) bcPrev.value(pid).foreach(frames.append)
           var j = 0
           while (j < nFuncs) { nullInits(j)(InternalRow.empty); j += 1 }
           haveMemo = false; nullDone = false
@@ -481,10 +472,11 @@ case class PartitionedRangeMovingAggExec(partKeys: Seq[Expression],
           val v = keyOf(kr)
           if (!haveMemo || v != memoKey) {
             feedLead(lagGroup, addSat(v, fwdExtent))
-            val lo = addSat(v, -backExtent)
-            while (!window.isEmpty && window.peekFirst().key < lo)
-              window.pollFirst()
             computeFor(v)
+            // prune AFTER computing (see the global sibling): every
+            // function has then consumed all keys <= v + hi_j, which
+            // covers everything below the widest lookback
+            frames.dropBelowKey(addSat(v, -backExtent))
             memoKey = v; haveMemo = true
           }
         }
