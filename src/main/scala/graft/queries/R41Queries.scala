@@ -60,17 +60,29 @@ object R41Queries {
       val ev = t(s, dir, "events")
         .select(col("event_id"),
           expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
-      val reps = ev.select(col("event_id"), col("cents"),
+      // the B-fold explode + per-row md5 is the query's entire cost —
+      // CPU-dense and bytes-small, the shape AQE size-coalescing
+      // misjudges into a near-serial map side (r14: it measured 8.6 s
+      // in ONE task at sf0.1) — spread it to the session width before
+      // the explode; map-side partial aggregation keeps the shuffle at
+      // tasks x B rows
+      val width = s.sparkContext.defaultParallelism
+      val reps = ev.repartition(width)
+        .select(col("event_id"), col("cents"),
           explode(expr(s"sequence(1, $B)")).as("r"))
         .withColumn("h",
           md5(concat(col("event_id").cast("string"), lit(":"),
             col("r").cast("string"))))
         .withColumn("u", expr(hexVal))
         .withColumn("w", expr(poissonCase).cast("long"))
-      val means = reps.groupBy("r")
+      // pin the B-row replicate means: the distributed rank's count
+      // pass and the range exchange's bounds sampling would otherwise
+      // each re-materialize the md5 pipeline (r14 — the second 7.7 s
+      // stage in the JobStats trace)
+      val means = Queries.pin(reps.groupBy("r")
         .agg(sum(col("w") * col("cents")).as("swx"), sum(col("w")).as("sw"))
         .select(col("r"),
-          expr("CAST(swx AS DOUBLE) / (CAST(sw AS DOUBLE) * 100.0)").as("m"))
+          expr("CAST(swx AS DOUBLE) / (CAST(sw AS DOUBLE) * 100.0)").as("m")))
         .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("r"))))
       val full = t(s, dir, "events")
         .agg(sum(expr("CAST(round(value * 100.0) AS BIGINT)")).as("sx"),
