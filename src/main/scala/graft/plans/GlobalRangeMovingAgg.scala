@@ -89,12 +89,17 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * natural grain (hour/day) before windowing, and why the matcher caps
   * the extent at `maxShiftOffset` DAYS.
   *
-  * What still keeps WindowExec: non-integral NUMERIC keys (decimal/
-  * double domains; value-bounded RANGE frames are single-key by the
-  * analyzer's own rules), month-bearing interval bounds (not a fixed
-  * micro count), unbounded-one-side bounded-other frames, and value
-  * extents past the `spark.graft.rewrite.maxShiftOffset` cap
-  * (boundary buffers scale linearly with the extent).
+  * COMPACT DECIMAL keys (r14, second widening): Decimal(p <= 18, s)
+  * is an unscaled Long on a fixed 10^-s lattice ([[decimalKey]]), so
+  * same-lattice decimal bounds fold to exact unscaled extents — see
+  * the rule's `rangeValueBound`.
+  *
+  * What still keeps WindowExec: DOUBLE keys (no exact lattice), WIDE
+  * decimals (p > 18 — int128 unscaled), bounds finer than the key's
+  * lattice, month-bearing interval bounds (not a fixed micro count),
+  * unbounded-one-side bounded-other frames, and value extents past the
+  * `spark.graft.rewrite.maxShiftOffset` cap (boundary buffers scale
+  * linearly with the extent).
   */
 case class GlobalRangeMovingAggNode(order: Seq[SortOrder],
                                     attrs: Seq[AttributeReference],
@@ -497,9 +502,24 @@ object GlobalRangeMovingAgg {
     case _ => false
   }
 
+  /** Compact DECIMAL order keys (r14, the second widening): a
+    * Decimal(p <= 18, s) is an unscaled Long on a fixed 10^-s lattice,
+    * so a same-scale decimal frame bound is an exact unscaled-long
+    * extent and the whole per-key-buffer argument carries — the
+    * pigeonhole bound is `hi - lo + 1` UNSCALED steps (a money axis at
+    * scale 2 holds at most 100·x + 1 distinct keys per x-currency
+    * extent). Wide decimals (p > 18, int128 unscaled) stay on
+    * WindowExec — same refusal boundary as GlobalExactPercentile's
+    * phase split. */
+  def decimalKey(dt: DataType): Boolean = dt match {
+    case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+    case _ => false
+  }
+
   /** Order-key admission for the RANGE tiers: dense integral domains
-    * plus the r14 timestamp widening. */
-  def rangeKey(dt: DataType): Boolean = integralKey(dt) || timeKey(dt)
+    * plus the r14 timestamp and compact-decimal widenings. */
+  def rangeKey(dt: DataType): Boolean =
+    integralKey(dt) || timeKey(dt) || decimalKey(dt)
 
   /** Read the single-column key row as Long for the given type. A
     * DESCENDING order reads the bitwise NOT (`~v = -1 - v`): a
@@ -515,6 +535,10 @@ object GlobalRangeMovingAgg {
       // timestamps read their epoch-micros physical long (r14)
       case org.apache.spark.sql.types.TimestampType |
            org.apache.spark.sql.types.TimestampNTZType => r => r.getLong(0)
+      // compact decimals read their unscaled long (r14) — same scale
+      // everywhere, so unscaled order == decimal order
+      case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
+        r => r.getDecimal(0, d.precision, d.scale).toUnscaledLong
       case IntegerType | DateType => r => r.getInt(0).toLong
       case ShortType => r => r.getShort(0).toLong
       case ByteType => r => r.getByte(0).toLong

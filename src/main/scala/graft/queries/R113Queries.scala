@@ -160,5 +160,54 @@ object R113Queries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM w GROUP BY k ORDER BY k""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qRangemovTs, qSkewrangemovTs, qModeRewrite)
+  /** `q_rangemov_dec`: value-windowed statistics over a DECIMAL(12,2)
+    * money axis (r14, the RANGE tiers' second key widening): a compact
+    * decimal is an unscaled Long on a fixed 10^-s lattice, so
+    * same-lattice decimal bounds (`3.25 PRECEDING` = 325 unscaled
+    * cents-steps) fold exactly. The axis is exact binary quarters
+    * (k/4 at scale 2 — the q_pctexact_decimal construction) punched
+    * gappy so RANGE genuinely differs from ROWS; the DuckDB twin runs
+    * the SAME frames on the integer quarter-index axis (13/6/4/1/8
+    * quarter steps), keeping the oracle decimal-free per the fragility
+    * guard — only the SPARK side exercises the decimal key path.
+    * Output keys are the BIGINT quarter index. */
+  val qRangemovDec = QueryDef("q_rangemov_dec",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val g = orders.select(
+        ((expr("CAST(round(o_totalprice) AS BIGINT)") % 797L)
+          .cast("decimal(18,0)") / 4).cast("decimal(12,2)").as("m"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("c"))
+        .where(expr("CAST(m * 4 AS BIGINT) % 7 < 4"))
+        .groupBy("m").agg(sum(col("c")).cast("long").as("cents"))
+      RewriteGlobalRankWindows.force(g.select(
+        expr("CAST(m * 4 AS BIGINT)").as("q"),
+        col("cents"),
+        expr("""CAST(sum(cents) OVER (ORDER BY m RANGE BETWEEN
+                3.25 PRECEDING AND CURRENT ROW) AS BIGINT)""").as("t"),
+        expr("""CAST(count(*) OVER (ORDER BY m RANGE BETWEEN
+                1.50 PRECEDING AND 1.00 FOLLOWING) AS BIGINT)""").as("n"),
+        expr("""CAST(min(cents) OVER (ORDER BY m RANGE BETWEEN
+                0.25 FOLLOWING AND 2.00 FOLLOWING) AS BIGINT)""").as("f")))
+        .orderBy("q")
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT CAST(round(o_totalprice) AS BIGINT) % 797 AS q,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  WHERE (CAST(round(o_totalprice) AS BIGINT) % 797) % 7 < 4
+        |  GROUP BY 1)
+        |SELECT q, cents,
+        |  CAST(sum(cents) OVER (ORDER BY q RANGE BETWEEN 13 PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS t,
+        |  CAST(count(*) OVER (ORDER BY q RANGE BETWEEN 6 PRECEDING
+        |    AND 4 FOLLOWING) AS BIGINT) AS n,
+        |  CAST(min(cents) OVER (ORDER BY q RANGE BETWEEN 1 FOLLOWING
+        |    AND 8 FOLLOWING) AS BIGINT) AS f
+        |FROM g ORDER BY q""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(qRangemovTs, qSkewrangemovTs, qModeRewrite, qRangemovDec)
 }

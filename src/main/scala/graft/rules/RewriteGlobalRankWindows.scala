@@ -1343,6 +1343,30 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
                               keyType: org.apache.spark.sql.types.DataType): Option[Long] = {
     val usPerDay = 86400000000L
     val timeKey = graft.plans.GlobalRangeMovingAgg.timeKey(keyType)
+    // DECIMAL keys (r14): the key domain is the unscaled 10^-s lattice,
+    // so ANY numeric foldable bound folds through BigDecimal to the
+    // KEY's scale — exactly (setScale with no rounding) or not at all
+    // (a bound finer than the key lattice is not a whole step count)
+    keyType match {
+      case k: org.apache.spark.sql.types.DecimalType if k.precision <= 18 =>
+        return (e match {
+          case CurrentRow => Some(java.math.BigDecimal.ZERO)
+          case _ if e.foldable => Option(e.eval()).flatMap {
+            case d: org.apache.spark.sql.types.Decimal =>
+              Some(d.toJavaBigDecimal)
+            case i: java.lang.Integer => Some(new java.math.BigDecimal(i.toString))
+            case l: java.lang.Long => Some(new java.math.BigDecimal(l.toString))
+            case s: java.lang.Short => Some(new java.math.BigDecimal(s.toString))
+            case b: java.lang.Byte => Some(new java.math.BigDecimal(b.toString))
+            case _ => None
+          }
+          case _ => None
+        }).flatMap { bd =>
+          try Some(bd.setScale(k.scale).unscaledValue().longValueExact())
+          catch { case _: ArithmeticException => None }
+        }
+      case _ => ()
+    }
     e match {
       case CurrentRow => Some(0L)
       case _ if e.foldable => e.dataType match {
@@ -1375,7 +1399,8 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
   }
 
   /** Extent cap for the RANGE tiers, in the key's long domain:
-    * `maxShiftOffset` key values on dense integral/day axes (boundary
+    * `maxShiftOffset` key values on dense integral/day axes and
+    * `maxShiftOffset` UNSCALED steps on compact-decimal axes (boundary
     * buffers are pigeonhole-bounded by the extent there), and
     * `maxShiftOffset` DAYS of micros on timestamp axes (where the
     * bound is the distinct timestamps inside the extent — see

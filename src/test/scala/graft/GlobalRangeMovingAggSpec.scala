@@ -174,6 +174,62 @@ class GlobalRangeMovingAggSpec extends AnyFunSuite {
         |FROM rma_ts_null""".stripMargin))
   }
 
+  test("decimal order key (r14): same-lattice decimal/integer bounds == built-in") {
+    // money axis at scale 2 with gaps and ties; frames in whole
+    // currency units and sub-unit (0.25) steps — all exact on the
+    // unscaled-cents lattice
+    spark.range(1000)
+      .select((col("id") * 37L % 173L).cast("decimal(10,0)")
+        .multiply(org.apache.spark.sql.functions.lit(0.25))
+        .cast("decimal(12,2)").as("m"),
+        (col("id") % 31 - 9).as("x"))
+      .repartition(8)
+      .createOrReplaceTempView("rma_dec")
+    assertSame(spark.sql(
+      """SELECT m, x,
+        |  sum(x) OVER (ORDER BY m RANGE BETWEEN 2.00 PRECEDING
+        |               AND CURRENT ROW) AS s,
+        |  count(x) OVER (ORDER BY m RANGE BETWEEN 0.75 PRECEDING
+        |               AND 0.50 FOLLOWING) AS c,
+        |  min(x) OVER (ORDER BY m RANGE BETWEEN 0.25 FOLLOWING
+        |               AND 3.00 FOLLOWING) AS f
+        |FROM rma_dec""".stripMargin))
+    // integer-literal bounds fold through the same lattice (1 == 100
+    // unscaled steps at scale 2); DESC reads the bitwise-NOT reversal
+    assertSame(spark.sql(
+      """SELECT m, x,
+        |  sum(x) OVER (ORDER BY m DESC RANGE BETWEEN 1 PRECEDING
+        |               AND CURRENT ROW) AS s
+        |FROM rma_dec""".stripMargin))
+  }
+
+  test("decimal non-rewrites (r14): wide precision, sub-lattice bounds, over-cap") {
+    spark.range(100)
+      .select((col("id") % 41).cast("decimal(12,2)").as("m"),
+        (col("id") % 40).cast("decimal(25,2)").as("wide"),
+        (col("id") % 7).as("x"))
+      .createOrReplaceTempView("rma_dec_nr")
+    def kept(sql: String): Unit = {
+      val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(sql)))
+      assert(p.collect { case g: GlobalRangeMovingAggExec => g }.isEmpty, sql)
+      assert(p.collect { case x: WindowExec => x }.size == 1, sql)
+    }
+    // wide decimal key: int128 unscaled, no long lattice
+    kept("""SELECT wide, sum(x) OVER (ORDER BY wide RANGE BETWEEN 2.00
+           |PRECEDING AND CURRENT ROW) AS s FROM rma_dec_nr""".stripMargin)
+    // past the unscaled-step cap (42.00 at scale 2 = 4200 > 1024)
+    kept("""SELECT m, sum(x) OVER (ORDER BY m RANGE BETWEEN 42.00
+           |PRECEDING AND CURRENT ROW) AS s FROM rma_dec_nr""".stripMargin)
+    // a bound finer than the key lattice never reaches the matcher:
+    // the ANALYZER coerces it to the key's scale (0.005 -> 0.01 at
+    // scale 2) before any rule runs, so the built-in and the rewrite
+    // see the same rounded bound — a positive differential case, not
+    // a refusal
+    assertSame(spark.sql(
+      """SELECT m, x, sum(x) OVER (ORDER BY m RANGE BETWEEN 0.005
+        |PRECEDING AND CURRENT ROW) AS s FROM rma_dec_nr""".stripMargin))
+  }
+
   test("timestamp non-rewrites (r14): month-bearing bounds, over-cap day extents") {
     spark.range(100)
       .select(timestamp_micros(lit(1704067200000000L) +

@@ -218,6 +218,26 @@ class PartitionedRangeMovingAggSpec extends AnyFunSuite {
     assert(kp.collect { case x: WindowExec => x }.size == 1)
   }
 
+  test("decimal order key (r14): per-key same-lattice decimal frames == built-in") {
+    // hot key -1 holds half the rows; money axis at scale 2 with ties
+    spark.range(2400)
+      .select(when(col("id") % 2 === 0, lit(-1L))
+        .otherwise(col("id") % 19).as("g"),
+        (col("id") * 29L % 97L).cast("decimal(10,0)")
+          .multiply(org.apache.spark.sql.functions.lit(0.25))
+          .cast("decimal(12,2)").as("m"),
+        (col("id") % 43 - 13).as("x"))
+      .repartition(9)
+      .createOrReplaceTempView("prma_dec")
+    assertSame(spark.sql(
+      """SELECT g, m, x,
+        |  sum(x) OVER (PARTITION BY g ORDER BY m RANGE BETWEEN 2.50
+        |    PRECEDING AND CURRENT ROW) AS s,
+        |  count(x) OVER (PARTITION BY g ORDER BY m RANGE BETWEEN 0.75
+        |    PRECEDING AND 0.75 FOLLOWING) AS c
+        |FROM prma_dec""".stripMargin))
+  }
+
   test("non-rewrites: non-integral orders and First/Last keep WindowExec") {
     spark.range(100).select((col("id") % 5).as("g"), (col("id") % 11).as("v"),
       (col("id") % 20).cast("double").as("d"), (col("id") % 7).as("x"))

@@ -665,6 +665,16 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedRangeMovingAggExec => g
     }.size == 1,
       s"q_skewrangemov_ts must ride ONE PartitionedRangeMovingAggExec:\n$pskts")
+    // decimal widening: same-lattice money frames over a DECIMAL(12,2)
+    // axis through ONE GlobalRangeMovingAggExec
+    val pdec = plan("q_rangemov_dec")
+    assert(pdec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_rangemov_dec kept a WindowExec:\n$pdec")
+    assert(pdec.collect {
+      case g: graft.plans.GlobalRangeMovingAggExec => g
+    }.size == 1,
+      s"q_rangemov_dec must run through ONE GlobalRangeMovingAggExec:\n$pdec")
   }
 
   test("co-purchase derivation (r14): per-pk cap via bounded-heap TopKPerKey, zero WindowExec") {
