@@ -208,6 +208,58 @@ object R113Queries {
         |    AND 8 FOLLOWING) AS BIGINT) AS f
         |FROM g ORDER BY q""".stripMargin))
 
+  /** `q_suffix_running`: "everything from here on" in BOTH tiers (r14
+    * — the half-unbounded refusal's retirable half): `CURRENT ROW ..
+    * UNBOUNDED FOLLOWING` frames rewrite as the MIRRORED running
+    * family under exact order reversal, with First<->Last swapped (the
+    * mirror preserves frame content but inverts frame order — `g_last`
+    * pins the swap on the oracle). Global suffix totals over the
+    * (day, priority) total order plus per-priority suffix ROWS/RANGE
+    * forms through the skew tier; day keys are unique per priority
+    * after the pre-aggregation, so the ROWS forms are deterministic.
+    * All-BIGINT. */
+  val qSuffixRunning = QueryDef("q_suffix_running",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.select(col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("dayn"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("c"))
+        .groupBy("prio", "dayn").agg(sum(col("c")).cast("long").as("cents"))
+      RewriteGlobalRankWindows.forceSkew(daily.select(
+        col("prio"), col("dayn"), col("cents"),
+        expr("""CAST(sum(cents) OVER (ORDER BY dayn, prio ROWS BETWEEN
+                CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)""").as("g_rem"),
+        expr("""CAST(last(cents) OVER (ORDER BY dayn, prio ROWS BETWEEN
+                CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)""").as("g_last"),
+        expr("""CAST(sum(cents) OVER (PARTITION BY prio ORDER BY dayn
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS BIGINT)""").as("k_rem"),
+        expr("""CAST(count(*) OVER (PARTITION BY prio ORDER BY dayn
+                RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS BIGINT)""").as("k_remn")))
+        .orderBy("prio", "dayn")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dayn,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT prio, dayn, cents,
+        |  CAST(sum(cents) OVER (ORDER BY dayn, prio ROWS BETWEEN CURRENT ROW
+        |    AND UNBOUNDED FOLLOWING) AS BIGINT) AS g_rem,
+        |  CAST(last_value(cents) OVER (ORDER BY dayn, prio ROWS BETWEEN
+        |    CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS g_last,
+        |  CAST(sum(cents) OVER (PARTITION BY prio ORDER BY dayn ROWS BETWEEN
+        |    CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS k_rem,
+        |  CAST(count(*) OVER (PARTITION BY prio ORDER BY dayn RANGE BETWEEN
+        |    CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS k_remn
+        |FROM daily ORDER BY prio, dayn""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(qRangemovTs, qSkewrangemovTs, qModeRewrite, qRangemovDec)
+    Seq(qRangemovTs, qSkewrangemovTs, qModeRewrite, qRangemovDec,
+      qSuffixRunning)
 }

@@ -680,10 +680,105 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
       exprId = attr.exprId)), arg)
   }
 
+  /** True iff `ne` is a SUFFIX-running window aggregate (r14):
+    * `agg(e) OVER (... ORDER BY o ROWS|RANGE BETWEEN CURRENT ROW AND
+    * UNBOUNDED FOLLOWING)` over the ordered allowlist — "the total of
+    * everything from here on". The frame is the exact MIRROR of the
+    * running family's under order REVERSAL, so no new operator is
+    * needed: [[mirrorSuffix]] flips every sort direction and null
+    * placement (a total reversal), mirrors the frame to `UNBOUNDED
+    * PRECEDING .. CURRENT ROW`, and swaps First<->Last (frame CONTENT
+    * is preserved by the mirror, but those two read frame ORDER, which
+    * the reversal inverts); the rewritten node then routes through the
+    * existing running machinery. RANGE forms are tie-exact (value
+    * frames contain whole tie groups on both sides); ROWS forms carry
+    * the running family's existing total-order caveat under ties.
+    * Frames unbounded ABOVE but starting at an offset
+    * (`k PRECEDING/FOLLOWING .. UNBOUNDED FOLLOWING`) mirror onto
+    * `UNBOUNDED PRECEDING .. k-offset` — itself a refusal — and stay
+    * on WindowExec. */
+  private def suffixRunningOf(ne: NamedExpression): Option[(Alias, Boolean)] = ne match {
+    case a @ Alias(WindowExpression(
+        AggregateExpression(fn0, Complete, false, None, _),
+        WindowSpecDefinition(_, os,
+          SpecifiedWindowFrame(ft, CurrentRow, UnboundedFollowing))), _)
+        if os.nonEmpty =>
+      val swapped = fn0 match {
+        case f: First => Last(f.child, f.ignoreNulls)
+        case l: Last => First(l.child, l.ignoreNulls)
+        case other => other
+      }
+      unwrapAgg(swapped) match {
+        case Some(fn) if allowedOrderedAgg(fn) && fn.deterministic =>
+          Some((a, ft == RowFrame))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Exact total-order reversal: ASC NULLS FIRST <-> DESC NULLS LAST
+    * (and the off-default pairings likewise), per sort key. */
+  private def reverseOrder(so: SortOrder): SortOrder = {
+    val dir = so.direction match {
+      case Ascending => org.apache.spark.sql.catalyst.expressions.Descending
+      case _ => Ascending
+    }
+    val no = so.nullOrdering match {
+      case org.apache.spark.sql.catalyst.expressions.NullsFirst =>
+        org.apache.spark.sql.catalyst.expressions.NullsLast
+      case _ => org.apache.spark.sql.catalyst.expressions.NullsFirst
+    }
+    SortOrder(so.child, dir, no, so.sameOrderExpressions)
+  }
+
+  /** Rebuild a suffix-running window expression as its prefix-running
+    * MIRROR (same alias exprId, so downstream projection is
+    * untouched): reversed order, mirrored frame, First<->Last swap. */
+  private def mirrorSuffix(ne: NamedExpression): NamedExpression = ne match {
+    case a @ Alias(we @ WindowExpression(
+        ae @ AggregateExpression(fn0, _, _, _, _),
+        WindowSpecDefinition(ps, os,
+          SpecifiedWindowFrame(ft, CurrentRow, UnboundedFollowing))), _) =>
+      val swapped = fn0 match {
+        case f: First => Last(f.child, f.ignoreNulls)
+        case l: Last => First(l.child, l.ignoreNulls)
+        case other => other
+      }
+      Alias(WindowExpression(ae.copy(aggregateFunction = swapped),
+        WindowSpecDefinition(ps, os.map(reverseOrder),
+          SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))),
+        a.name)(exprId = a.exprId, qualifier = a.qualifier,
+          explicitMetadata = Some(a.metadata))
+    case other => other
+  }
+
   /** Unconditional rewrite (the conf gate lives in [[apply]]).
     * Idempotent: the result contains no matching `Window`, so a
     * fixed-point batch terminates immediately. */
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // suffix-running windows (r14): peel them onto a REVERSED-order
+    // running chain stacked over the rest of the node, then let the
+    // standard case below rewrite both halves — each half is
+    // row-preserving and column-appending, so stacking composes, and
+    // the final Project restores the original column order
+    case Window(wexprs, ps, orderSpec, child, hint)
+        if wexprs.nonEmpty && ps.forall(_.foldable) &&
+          orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
+          wexprs.exists(e => suffixRunningOf(e).isDefined) &&
+          wexprs.forall(e => suffixRunningOf(e).isDefined ||
+            frameAggOf(e).isDefined || pctOf(e).isDefined ||
+            modeFrameAggOf(e).isDefined ||
+            rankOf(e).isDefined || shiftOf(e).isDefined ||
+            leadNNOf(e).isDefined || runAggOf(e).isDefined ||
+            movAggOf(e).isDefined || rangeMovAggOf(e).isDefined ||
+            nthOf(e).isDefined) =>
+      val (suffix, rest) = wexprs.partition(e => suffixRunningOf(e).isDefined)
+      val base: LogicalPlan =
+        if (rest.isEmpty) child
+        else rewrite(Window(rest, ps, orderSpec, child, hint))
+      val mirrored = Window(suffix.map(mirrorSuffix), ps,
+        orderSpec.map(reverseOrder), base, hint)
+      Project(child.output ++ wexprs.map(_.toAttribute), rewrite(mirrored))
     case Window(wexprs, GlobalPart(), orderSpec, child, _)
         if wexprs.nonEmpty && {
           // whole-frame expressions are order-independent, so a window
@@ -879,6 +974,24 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * whole-frame next to running members in one node) keeps WindowExec
     * — rare, and correctly handled there. */
   private[graft] def rewriteSkew(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // per-key suffix-running windows (r14): the same mirror as the
+    // global tier — reversed (k, v) order, mirrored frame, First<->Last
+    // swap — stacked over the node's other members, each half routed
+    // through the standard skew machinery below
+    case Window(wexprs, partSpec, orderSpec, child, hint)
+        if wexprs.nonEmpty && partSpec.nonEmpty &&
+          partSpec.forall(_.deterministic) &&
+          orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
+          wexprs.exists(e => suffixRunningOf(e).isDefined) &&
+          wexprs.forall(e => suffixRunningOf(e).isDefined ||
+            classifySkew(e).isDefined) =>
+      val (suffix, rest) = wexprs.partition(e => suffixRunningOf(e).isDefined)
+      val base: LogicalPlan =
+        if (rest.isEmpty) child
+        else rewriteSkew(Window(rest, partSpec, orderSpec, child, hint))
+      val mirrored = Window(suffix.map(mirrorSuffix), partSpec,
+        orderSpec.map(reverseOrder), base, hint)
+      Project(child.output ++ wexprs.map(_.toAttribute), rewriteSkew(mirrored))
     case Window(wexprs, partSpec, _, child, _)
         if wexprs.nonEmpty && partSpec.nonEmpty &&
           partSpec.forall(_.deterministic) &&

@@ -675,6 +675,21 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.GlobalRangeMovingAggExec => g
     }.size == 1,
       s"q_rangemov_dec must run through ONE GlobalRangeMovingAggExec:\n$pdec")
+    // suffix-running mirror: global suffix sums/last ride ONE reversed
+    // GlobalRunningAggExec, the per-key forms ONE reversed
+    // PartitionedRunningAggExec — zero WindowExec
+    val psfx = plan("q_suffix_running")
+    assert(psfx.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_suffix_running kept a WindowExec:\n$psfx")
+    assert(psfx.collect {
+      case g: graft.plans.GlobalRunningAggExec => g
+    }.size == 1,
+      s"q_suffix_running must mirror through ONE GlobalRunningAggExec:\n$psfx")
+    assert(psfx.collect {
+      case g: graft.plans.PartitionedRunningAggExec => g
+    }.size == 1,
+      s"q_suffix_running must mirror through ONE PartitionedRunningAggExec:\n$psfx")
   }
 
   test("co-purchase derivation (r14): per-pk cap via bounded-heap TopKPerKey, zero WindowExec") {
