@@ -323,8 +323,10 @@ class GlobalRangeMovingAggSpec extends AnyFunSuite {
     // pinned positively above)
     // double key: not a dense domain
     kept("SELECT d, sum(x) OVER (ORDER BY d RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
-    // half-unbounded bounded frame
-    kept("SELECT v, sum(x) OVER (ORDER BY v RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s FROM rma_nr")
+    // offset-anchored half-unbounded frame (the CURRENT ROW-anchored
+    // form rewrites via the r14 suffix mirror — SuffixRunningSpec —
+    // but an offset start mirrors onto another refusal and stays)
+    kept("SELECT v, sum(x) OVER (ORDER BY v RANGE BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS s FROM rma_nr")
     // over-cap value extent (boundary buffers scale with it)
     kept("SELECT v, sum(x) OVER (ORDER BY v RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS s FROM rma_nr")
     // order-SENSITIVE aggregate: per-key buffers make first_value
