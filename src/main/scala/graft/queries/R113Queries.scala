@@ -259,7 +259,57 @@ object R113Queries {
         |    CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS k_remn
         |FROM daily ORDER BY prio, dayn""".stripMargin))
 
+  /** `q_delayed_running`: DELAYED and EXTENDED running frames in both
+    * tiers (late r14): `UNBOUNDED PRECEDING .. k PRECEDING` composes
+    * as lag-of-running-aggregate (the lag default carrying the
+    * aggregate's own empty-frame value) and `.. k FOLLOWING` as
+    * lead-of-running saturating to the whole-frame value past the end
+    * — all riding the chain's ONE exchange per tier, no new physical
+    * operator. The delayed columns are NULL on each key's first k rows
+    * (both engines agree); day keys unique per priority, so the ROWS
+    * forms are deterministic. All-BIGINT. */
+  val qDelayedRunning = QueryDef("q_delayed_running",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val daily = orders.select(col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("dayn"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("c"))
+        .groupBy("prio", "dayn").agg(sum(col("c")).cast("long").as("cents"))
+      RewriteGlobalRankWindows.forceSkew(daily.select(
+        col("prio"), col("dayn"), col("cents"),
+        expr("""CAST(sum(cents) OVER (ORDER BY dayn, prio ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 3 PRECEDING) AS BIGINT)""").as("g_d3"),
+        expr("""CAST(count(*) OVER (ORDER BY dayn, prio ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 2 FOLLOWING) AS BIGINT)""").as("g_e2"),
+        expr("""CAST(sum(cents) OVER (PARTITION BY prio ORDER BY dayn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT)""").as("k_d1"),
+        expr("""CAST(max(cents) OVER (PARTITION BY prio ORDER BY dayn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING)
+                AS BIGINT)""").as("k_e2")))
+        .orderBy("prio", "dayn")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dayn,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT prio, dayn, cents,
+        |  CAST(sum(cents) OVER (ORDER BY dayn, prio ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND 3 PRECEDING) AS BIGINT) AS g_d3,
+        |  CAST(count(*) OVER (ORDER BY dayn, prio ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND 2 FOLLOWING) AS BIGINT) AS g_e2,
+        |  CAST(sum(cents) OVER (PARTITION BY prio ORDER BY dayn ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS k_d1,
+        |  CAST(max(cents) OVER (PARTITION BY prio ORDER BY dayn ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 2 FOLLOWING) AS BIGINT) AS k_e2
+        |FROM daily ORDER BY prio, dayn""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(qRangemovTs, qSkewrangemovTs, qModeRewrite, qRangemovDec,
-      qSuffixRunning)
+      qSuffixRunning, qDelayedRunning)
 }

@@ -90,15 +90,14 @@ object R39Queries {
       val g = ev.groupBy("score").agg(
         sum(col("label")).as("cp"),
         sum(lit(1L) - col("label")).as("cn"))
-      // `UNBOUNDED PRECEDING .. 1 PRECEDING` == running sum minus the
-      // current row's own contribution (exact integer arithmetic), so
-      // the window routes through GlobalRunningAgg under force (r14 —
-      // the shifted-end frame itself is a documented non-rewrite; the
-      // VALUE-DOMAIN whitelist entry this query held is retired)
+      // the natural delayed-end frame routes distributed since late
+      // r14: UNBOUNDED .. 1 PRECEDING composes as lag-of-running-sum
+      // on one exchange (the r14 delayed/extended rewrite); the
+      // VALUE-DOMAIN whitelist entry this query held is retired
       val w = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, -1)
       val below = RewriteGlobalRankWindows.force(
-        g.withColumn("below", sum(col("cn")).over(w) - col("cn")))
+        g.withColumn("below", coalesce(sum(col("cn")).over(w), lit(0L))))
       below.agg(
           sum(col("cp") * (col("below") * 2 + col("cn"))).as("u2"),
           sum(col("cp")).as("np"),

@@ -693,27 +693,47 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * existing running machinery. RANGE forms are tie-exact (value
     * frames contain whole tie groups on both sides); ROWS forms carry
     * the running family's existing total-order caveat under ties.
-    * Frames unbounded ABOVE but starting at an offset
-    * (`k PRECEDING/FOLLOWING .. UNBOUNDED FOLLOWING`) mirror onto
-    * `UNBOUNDED PRECEDING .. k-offset` — itself a refusal — and stay
-    * on WindowExec. */
-  private def suffixRunningOf(ne: NamedExpression): Option[(Alias, Boolean)] = ne match {
-    case a @ Alias(WindowExpression(
-        AggregateExpression(fn0, Complete, false, None, _),
-        WindowSpecDefinition(_, os,
-          SpecifiedWindowFrame(ft, CurrentRow, UnboundedFollowing))), _)
-        if os.nonEmpty =>
-      val swapped = fn0 match {
-        case f: First => Last(f.child, f.ignoreNulls)
-        case l: Last => First(l.child, l.ignoreNulls)
-        case other => other
-      }
-      unwrapAgg(swapped) match {
-        case Some(fn) if allowedOrderedAgg(fn) && fn.deterministic =>
-          Some((a, ft == RowFrame))
-        case _ => None
-      }
-    case _ => None
+    * ROWS frames starting at a literal offset
+    * (`k PRECEDING/FOLLOWING .. UNBOUNDED FOLLOWING`, within the shift
+    * cap) mirror onto `UNBOUNDED PRECEDING .. k-offset`, which the
+    * delayed/extended composition ([[delayedRunAggOf]]) then routes;
+    * offset RANGE starts and over-cap offsets stay on WindowExec. */
+  private def suffixRunningOf(ne: NamedExpression): Option[(Alias, Boolean)] = {
+    // CurrentRow anchors mirror for ROWS and RANGE; literal ROW-offset
+    // anchors mirror onto the r14 delayed/extended composition (ROWS
+    // only, within the shift cap)
+    def loOk(lo: Expression, ft: Any): Boolean = lo match {
+      case CurrentRow => true
+      case Literal(k: Int, IntegerType) =>
+        ft == RowFrame && k != 0 && math.abs(k) <= maxShift
+      case Literal(k: Long, LongType) =>
+        ft == RowFrame && k.isValidInt && k != 0L &&
+          math.abs(k.toInt) <= maxShift
+      case UnaryMinus(Literal(k: Int, IntegerType), _) =>
+        ft == RowFrame && k != 0 && math.abs(k) <= maxShift
+      case UnaryMinus(Literal(k: Long, LongType), _) =>
+        ft == RowFrame && k.isValidInt && k != 0L &&
+          math.abs(k.toInt) <= maxShift
+      case _ => false
+    }
+    ne match {
+      case a @ Alias(WindowExpression(
+          AggregateExpression(fn0, Complete, false, None, _),
+          WindowSpecDefinition(_, os,
+            SpecifiedWindowFrame(ft, lo, UnboundedFollowing))), _)
+          if os.nonEmpty && loOk(lo, ft) =>
+        val swapped = fn0 match {
+          case f: First => Last(f.child, f.ignoreNulls)
+          case l: Last => First(l.child, l.ignoreNulls)
+          case other => other
+        }
+        unwrapAgg(swapped) match {
+          case Some(fn) if allowedOrderedAgg(fn) && fn.deterministic =>
+            Some((a, ft == RowFrame))
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** Exact total-order reversal: ASC NULLS FIRST <-> DESC NULLS LAST
@@ -738,24 +758,186 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case a @ Alias(we @ WindowExpression(
         ae @ AggregateExpression(fn0, _, _, _, _),
         WindowSpecDefinition(ps, os,
-          SpecifiedWindowFrame(ft, CurrentRow, UnboundedFollowing))), _) =>
+          SpecifiedWindowFrame(ft, lo, UnboundedFollowing))), _) =>
       val swapped = fn0 match {
         case f: First => Last(f.child, f.ignoreNulls)
         case l: Last => First(l.child, l.ignoreNulls)
         case other => other
       }
+      // the mirrored END is the NEGATED start: CURRENT ROW stays,
+      // `k PRECEDING` becomes `k FOLLOWING` and vice versa (the r14
+      // delayed/extended composition then handles the offset ends)
+      val hi: Expression = lo match {
+        case CurrentRow => CurrentRow
+        case Literal(k: Int, IntegerType) => Literal(-k)
+        case Literal(k: Long, LongType) => Literal(-k.toInt)
+        case UnaryMinus(Literal(k: Int, IntegerType), _) => Literal(k)
+        case UnaryMinus(Literal(k: Long, LongType), _) => Literal(k.toInt)
+        case other => other // unreachable under suffixRunningOf
+      }
       Alias(WindowExpression(ae.copy(aggregateFunction = swapped),
         WindowSpecDefinition(ps, os.map(reverseOrder),
-          SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))),
+          SpecifiedWindowFrame(ft, UnboundedPreceding, hi))),
         a.name)(exprId = a.exprId, qualifier = a.qualifier,
           explicitMetadata = Some(a.metadata))
     case other => other
+  }
+
+  /** (alias, original AggregateExpression, signed end offset k, fn)
+    * iff `ne` is a DELAYED/EXTENDED running window aggregate (r14):
+    * `agg(e) OVER (... ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND
+    * k PRECEDING|FOLLOWING)` with a literal offset within the shift
+    * cap. These COMPOSE from already-distributed members on ONE shared
+    * exchange instead of needing an operator:
+    *
+    *  - `.. k PRECEDING` (k < 0 here) is the running value k rows ago:
+    *    `lag(running, k, <empty-frame value>)` — the lag default fires
+    *    exactly when the frame is empty (pos < k), and the empty-frame
+    *    value is the aggregate's own eval over its initial buffer
+    *    (0 for count, NULL for the rest of the allowlist);
+    *  - `.. k FOLLOWING` (k > 0) is the running value k rows ahead,
+    *    saturating at the end: `IF(rn + k > N, whole-frame-agg,
+    *    lead(running, k))` — the frame is never empty, and past the
+    *    end it is the ENTIRE input, i.e. the whole-frame aggregate.
+    *
+    * ROWS only (a value-offset RANGE end is a shifted value window,
+    * not a row shift) and the running allowlist ([[allowedOrderedAgg]]
+    * — First/Last work verbatim: their delayed value is the running
+    * First/Last at the shifted row). */
+  private def delayedRunAggOf(ne: NamedExpression): Option[(Alias, AggregateExpression, Int, DeclarativeAggregate)] = ne match {
+    case a @ Alias(WindowExpression(
+        ae @ AggregateExpression(fn0, Complete, false, None, _),
+        WindowSpecDefinition(_, os,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, hi))), _)
+        if os.nonEmpty =>
+      val kOpt: Option[Int] = hi match {
+        case Literal(k: Int, IntegerType) if k != 0 => Some(k)
+        case Literal(k: Long, LongType) if k.isValidInt && k != 0L => Some(k.toInt)
+        case UnaryMinus(Literal(k: Int, IntegerType), _) if k != 0 => Some(-k)
+        case UnaryMinus(Literal(k: Long, LongType), _)
+          if k.isValidInt && k != 0L => Some(-k.toInt)
+        case _ => None // CurrentRow = running; UnboundedFollowing = whole-frame
+      }
+      for {
+        k <- kOpt
+        if math.abs(k) <= maxShift
+        fn <- unwrapAgg(fn0)
+        if allowedOrderedAgg(fn) && fn.deterministic
+      } yield (a, ae, k, fn)
+    case _ => None
+  }
+
+  /** The aggregate's value over an EMPTY frame: its own
+    * `evaluateExpression` over the initial buffer (0 for count, NULL
+    * for every other allowlisted member) — computed once at rule time
+    * so the lag default is a plain literal. */
+  private def emptyFrameLiteral(fn: DeclarativeAggregate): Literal = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, MutableProjection, SpecificInternalRow}
+    val buf = new SpecificInternalRow(fn.aggBufferAttributes.map(_.dataType))
+    MutableProjection.create(fn.initialValues, Nil).target(buf)(
+      org.apache.spark.sql.catalyst.InternalRow.empty)
+    val v = BindReferences
+      .bindReference(fn.evaluateExpression, fn.aggBufferAttributes).eval(buf)
+    Literal.create(v, fn.dataType)
   }
 
   /** Unconditional rewrite (the conf gate lives in [[apply]]).
     * Idempotent: the result contains no matching `Window`, so a
     * fixed-point batch terminates immediately. */
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // delayed/extended running windows (r14): compose lag/lead over a
+    // generated running column (plus row_number + whole-frame totals
+    // for the k-FOLLOWING end), all riding the chain's ONE exchange —
+    // peel them, stack helper + shift windows, rewrite each half, and
+    // restore the original columns in a final Project
+    case Window(wexprs, ps, orderSpec, child, hint)
+        if wexprs.nonEmpty && ps.forall(_.foldable) &&
+          orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
+          wexprs.exists(e => delayedRunAggOf(e).isDefined) &&
+          wexprs.forall(e => delayedRunAggOf(e).isDefined ||
+            suffixRunningOf(e).isDefined ||
+            frameAggOf(e).isDefined || pctOf(e).isDefined ||
+            modeFrameAggOf(e).isDefined ||
+            rankOf(e).isDefined || shiftOf(e).isDefined ||
+            leadNNOf(e).isDefined || runAggOf(e).isDefined ||
+            movAggOf(e).isDefined || rangeMovAggOf(e).isDefined ||
+            nthOf(e).isDefined) =>
+      val delayed = wexprs.flatMap(e => delayedRunAggOf(e).map(e -> _))
+      val rest = wexprs.filterNot(e => delayedRunAggOf(e).isDefined)
+      val base: LogicalPlan =
+        if (rest.isEmpty) child
+        else rewrite(Window(rest, ps, orderSpec, child, hint))
+      def freshAe(ae: AggregateExpression): AggregateExpression =
+        ae.copy(resultId = NamedExpression.newExprId)
+      val needTotals = delayed.exists(_._2._3 > 0)
+      // helper window: one running column per delayed expr, plus
+      // row_number and per-aggregate whole-frame totals when any end
+      // EXTENDS (k > 0) — rank, running, and whole-frame members all
+      // stack in one node on one exchange
+      val runA = delayed.map { case (_, (a, ae, _, _)) =>
+        Alias(WindowExpression(freshAe(ae),
+          WindowSpecDefinition(ps, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          s"__graft_dr_${a.name}")()
+      }
+      val rnA =
+        if (!needTotals) None
+        else Some(Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(ps, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          "__graft_dr_rn")())
+      val cntA =
+        if (!needTotals) None
+        else Some(Alias(WindowExpression(
+          AggregateExpression(Count(Seq(Literal(1))), Complete,
+            isDistinct = false),
+          WindowSpecDefinition(ps, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              UnboundedFollowing))), "__graft_dr_n")())
+      val totA = delayed.map { case (_, (a, ae, k, _)) =>
+        if (k <= 0) None
+        else Some(Alias(WindowExpression(freshAe(ae),
+          WindowSpecDefinition(ps, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              UnboundedFollowing))), s"__graft_dt_${a.name}")())
+      }
+      val helperExprs: Seq[NamedExpression] =
+        runA ++ rnA.toSeq ++ cntA.toSeq ++ totA.flatten
+      val helper = rewrite(Window(helperExprs, ps, orderSpec, base))
+      // shift window over the helper outputs
+      val shiftA = delayed.zip(runA).map { case ((_, (a, _, k, fn)), ra) =>
+        val shifted: Expression =
+          if (k < 0) Lag(ra.toAttribute, Literal(-k), emptyFrameLiteral(fn),
+            false)
+          // the default never surfaces (the If picks the whole-frame
+          // value past the end) but the empty-frame literal keeps the
+          // STATIC nullability identical to the built-in's (count stays
+          // non-nullable)
+          else Lead(ra.toAttribute, Literal(k), emptyFrameLiteral(fn), false)
+        Alias(WindowExpression(shifted,
+          WindowSpecDefinition(ps, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnaryMinus(Literal(math.abs(k))),
+              Literal(math.abs(k))))), s"__graft_ds_${a.name}")()
+      }
+      val shifted = rewrite(Window(shiftA, ps, orderSpec, helper))
+      val restored: Seq[NamedExpression] = wexprs.map { e =>
+        delayed.indexWhere(_._1 eq e) match {
+          case -1 => e.toAttribute
+          case i =>
+            val (a, _, k, _) = delayed(i)._2
+            val value: Expression =
+              if (k < 0) shiftA(i).toAttribute
+              else org.apache.spark.sql.catalyst.expressions.If(
+                org.apache.spark.sql.catalyst.expressions.GreaterThan(
+                  org.apache.spark.sql.catalyst.expressions.Add(
+                    Cast(rnA.get.toAttribute, LongType), Literal(k.toLong)),
+                  cntA.get.toAttribute),
+                totA(i).get.toAttribute, shiftA(i).toAttribute)
+            Alias(value, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+              explicitMetadata = Some(a.metadata))
+        }
+      }
+      Project(child.output ++ restored, shifted)
     // suffix-running windows (r14): peel them onto a REVERSED-order
     // running chain stacked over the rest of the node, then let the
     // standard case below rewrite both halves — each half is
@@ -974,6 +1156,94 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * whole-frame next to running members in one node) keeps WindowExec
     * — rare, and correctly handled there. */
   private[graft] def rewriteSkew(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // per-key delayed/extended running windows (r14): the same
+    // composition as the global tier — lag/lead of a generated per-key
+    // running column, with per-key row_number + whole-frame totals
+    // (via the window-to-join shape) for the extended end — stacked
+    // windows each routed through the standard skew machinery
+    case Window(wexprs, partSpec, orderSpec, child, hint)
+        if wexprs.nonEmpty && partSpec.nonEmpty &&
+          partSpec.forall(_.deterministic) &&
+          orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
+          wexprs.exists(e => delayedRunAggOf(e).isDefined) &&
+          wexprs.forall(e => delayedRunAggOf(e).isDefined ||
+            suffixRunningOf(e).isDefined || classifySkew(e).isDefined) =>
+      val delayed = wexprs.flatMap(e => delayedRunAggOf(e).map(e -> _))
+      val rest = wexprs.filterNot(e => delayedRunAggOf(e).isDefined)
+      val base: LogicalPlan =
+        if (rest.isEmpty) child
+        else rewriteSkew(Window(rest, partSpec, orderSpec, child, hint))
+      def freshAe(ae: AggregateExpression): AggregateExpression =
+        ae.copy(resultId = NamedExpression.newExprId)
+      val needTotals = delayed.exists(_._2._3 > 0)
+      // per-key totals ride their OWN whole-frame node (the
+      // window-to-join shape); rank + running stack in shape 1
+      val cntA =
+        if (!needTotals) None
+        else Some(Alias(WindowExpression(
+          AggregateExpression(Count(Seq(Literal(1))), Complete,
+            isDistinct = false),
+          WindowSpecDefinition(partSpec, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              UnboundedFollowing))), "__graft_dr_n")())
+      val totA = delayed.map { case (_, (a, ae, k, _)) =>
+        if (k <= 0) None
+        else Some(Alias(WindowExpression(freshAe(ae),
+          WindowSpecDefinition(partSpec, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+              UnboundedFollowing))), s"__graft_dt_${a.name}")())
+      }
+      val withTotals: LogicalPlan =
+        if (!needTotals) base
+        else rewriteSkew(Window(cntA.toSeq ++ totA.flatten, partSpec,
+          orderSpec, base))
+      val runA = delayed.map { case (_, (a, ae, _, _)) =>
+        Alias(WindowExpression(freshAe(ae),
+          WindowSpecDefinition(partSpec, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          s"__graft_dr_${a.name}")()
+      }
+      val rnA =
+        if (!needTotals) None
+        else Some(Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(partSpec, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          "__graft_dr_rn")())
+      val helper = rewriteSkew(Window(runA ++ rnA.toSeq, partSpec,
+        orderSpec, withTotals))
+      val shiftA = delayed.zip(runA).map { case ((_, (a, _, k, fn)), ra) =>
+        val shifted: Expression =
+          if (k < 0) Lag(ra.toAttribute, Literal(-k), emptyFrameLiteral(fn),
+            false)
+          // the default never surfaces (the If picks the whole-frame
+          // value past the end) but the empty-frame literal keeps the
+          // STATIC nullability identical to the built-in's (count stays
+          // non-nullable)
+          else Lead(ra.toAttribute, Literal(k), emptyFrameLiteral(fn), false)
+        Alias(WindowExpression(shifted,
+          WindowSpecDefinition(partSpec, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnaryMinus(Literal(math.abs(k))),
+              Literal(math.abs(k))))), s"__graft_ds_${a.name}")()
+      }
+      val shifted = rewriteSkew(Window(shiftA, partSpec, orderSpec, helper))
+      val restored: Seq[NamedExpression] = wexprs.map { e =>
+        delayed.indexWhere(_._1 eq e) match {
+          case -1 => e.toAttribute
+          case i =>
+            val (a, _, k, _) = delayed(i)._2
+            val value: Expression =
+              if (k < 0) shiftA(i).toAttribute
+              else org.apache.spark.sql.catalyst.expressions.If(
+                org.apache.spark.sql.catalyst.expressions.GreaterThan(
+                  org.apache.spark.sql.catalyst.expressions.Add(
+                    Cast(rnA.get.toAttribute, LongType), Literal(k.toLong)),
+                  cntA.get.toAttribute),
+                totA(i).get.toAttribute, shiftA(i).toAttribute)
+            Alias(value, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+              explicitMetadata = Some(a.metadata))
+        }
+      }
+      Project(child.output ++ restored, shifted)
     // per-key suffix-running windows (r14): the same mirror as the
     // global tier — reversed (k, v) order, mirrored frame, First<->Last
     // swap — stacked over the node's other members, each half routed

@@ -690,6 +690,25 @@ class PlanShapeSpec extends AnyFunSuite {
       case g: graft.plans.PartitionedRunningAggExec => g
     }.size == 1,
       s"q_suffix_running must mirror through ONE PartitionedRunningAggExec:\n$psfx")
+    // delayed/extended running ends (late r14): lag/lead-of-running
+    // compositions — running + shift execs in both tiers, zero
+    // WindowExec anywhere
+    val pdly = plan("q_delayed_running")
+    assert(pdly.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q_delayed_running kept a WindowExec:\n$pdly")
+    assert(pdly.collect {
+      case g: graft.plans.GlobalRunningAggExec => g
+    }.nonEmpty && pdly.collect {
+      case g: graft.plans.GlobalShiftExec => g
+    }.nonEmpty,
+      s"q_delayed_running must compose global lag/lead-of-running:\n$pdly")
+    assert(pdly.collect {
+      case g: graft.plans.PartitionedRunningAggExec => g
+    }.nonEmpty && pdly.collect {
+      case g: graft.plans.PartitionedShiftExec => g
+    }.nonEmpty,
+      s"q_delayed_running must compose per-key lag/lead-of-running:\n$pdly")
   }
 
   test("co-purchase derivation (r14): per-pk cap via bounded-heap TopKPerKey, zero WindowExec") {

@@ -14,9 +14,9 @@ import graft.rules.RewriteGlobalRankWindows
   * (ASC NULLS FIRST <-> DESC NULLS LAST), with First<->Last swapped
   * because the mirror preserves frame CONTENT but inverts frame ORDER.
   * Differentially pinned against WindowExec in both tiers, on ties,
-  * nulls, DESC original orders, and mixed nodes; offset-start suffix
-  * frames (`k PRECEDING .. UNBOUNDED FOLLOWING`) mirror onto another
-  * refusal and stay on WindowExec. */
+  * nulls, DESC original orders, and mixed nodes; in-cap ROWS
+  * offset-start suffix frames mirror onto the delayed/extended
+  * composition (DelayedRunningSpec), over-cap ones keep WindowExec. */
 class SuffixRunningSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -112,11 +112,14 @@ class SuffixRunningSpec extends AnyFunSuite {
       skew = false, "share-of-remaining")
   }
 
-  test("offset-start suffix frames stay on WindowExec (mirror lands on a refusal)") {
+  test("over-cap offset suffix starts stay on WindowExec") {
+    // in-cap offset starts route since late r14 (the mirror lands on
+    // the delayed/extended composition — DelayedRunningSpec); an
+    // over-cap offset still refuses on both sides of the mirror
     spark.range(100).select(col("id").as("v"), (col("id") % 7).as("x"))
       .createOrReplaceTempView("sfx_nr")
     val p = noAqePlan(RewriteGlobalRankWindows.force(spark.sql(
-      """SELECT v, sum(x) OVER (ORDER BY v ROWS BETWEEN 2 PRECEDING
+      """SELECT v, sum(x) OVER (ORDER BY v ROWS BETWEEN 5000 PRECEDING
         |AND UNBOUNDED FOLLOWING) AS s FROM sfx_nr""".stripMargin)))
     assert(p.collect { case w: WindowExec => w }.size == 1, p.toString)
   }
