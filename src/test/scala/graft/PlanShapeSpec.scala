@@ -580,7 +580,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val expected = Seq(
       // name -> (ranks, frameAggs, runningAggs, shifts)
       ("q_apportion", 1, 2, 0, 0),
-      ("q_auc_exact", 0, 0, 1, 0),
+      ("q_auc_exact", 0, 0, 1, 1), // late r14: lag-of-running (delayed end)
       ("q_bh_fdr", 2, 0, 0, 0),
       ("q_boost", 2, 4, 4, 0), // rounds 2-3 live; round 1 pinned away
       ("q_bootstrap_ci", 1, 0, 0, 0),
