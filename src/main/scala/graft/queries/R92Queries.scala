@@ -47,57 +47,68 @@ object R92Queries {
       val base = Tables.events(s, dir).groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("x"),
           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-      // per-round weight table keeps the localCheckpoint shape (it is
-      // self-referencing, so lineage must truncate) with each round
-      // freeing its predecessor; the per-round `best` rows ARE consumed
-      // after the loop, so those are pinned (reclaimable) instead
-      var wtab = base.withColumn("w", lit(1L)).localCheckpoint()
+      // r15 (VERDICT r14 task 1): the weighted-majority update depends
+      // only on (x, y, best_r) — every user starts at w=1 and users
+      // sharing (x, y) take identical doublings, so by induction the
+      // per-user weight table IS the per-(x, y) class-mass table. The
+      // loop therefore iterates on the |distinct x|-row mass table
+      // (wp = Σw over y=1 users at x, wn = over y=0), not the per-user
+      // table: ONE data-scale pass (the base groupBy) instead of one
+      // per round, no per-round localCheckpoint of corpus-sized state,
+      // and the per-round argmin is a plain min(struct) aggregate
+      // instead of a distributed-rank window. Oracle unchanged — it
+      // unrolls the identical recurrence (wp/wn masses are what its
+      // vals$r CTEs aggregate from the per-user w$r chain).
+      var cur = Queries.pin(base.groupBy("x")
+        .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).cast("long").as("wp"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).cast("long").as("wn")))
+      val wsum = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val results = (1 to nRounds).map { r =>
-        val vals = wtab.groupBy("x")
-          .agg(sum(when(col("y") === 1, col("w")).otherwise(0L)).cast("long")
-            .as("wp"),
-            sum(when(col("y") === 0, col("w")).otherwise(0L)).cast("long")
-              .as("wn"))
-        val wsum = Window.orderBy("x")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = Window.partitionBy(lit(1))
-        val swept = vals
+        // running class masses stay on the distributed running-agg
+        // operators (|distinct x| is value-domain-bounded but data-
+        // dependent). Everything else collapses into ONE aggregate over
+        // the swept rows: the OVER () totals are the running sums' last
+        // values (wp/wn ≥ 0 ⇒ cwp/cwn nondecreasing ⇒ max = total), and
+        // the (err, x) argmin decomposes per orientation — err1 =
+        // (cwp−cwn) + twn and err0 = (cwn−cwp) + twp differ from their
+        // orientation-local keys by a row-constant, so min(struct(d, x))
+        // per orientation plus a final two-candidate compare reproduces
+        // ORDER BY err, x LIMIT 1 exactly (ties: equal errs compare on
+        // x; the per-row orient = err1 ≤ err0 falls out of comparing
+        // the two candidates lexicographically).
+        val swept = RewriteGlobalRankWindows.force(cur
           .withColumn("cwp", sum(col("wp")).over(wsum).cast("long"))
-          .withColumn("cwn", sum(col("wn")).over(wsum).cast("long"))
-          .withColumn("twp", sum(col("wp")).over(tot).cast("long"))
-          .withColumn("twn", sum(col("wn")).over(tot).cast("long"))
-          // orient 1: predict positive when x > t → err = cwp + (twn−cwn)
-          // orient 0: predict positive when x ≤ t → err = (twp−cwp) + cwn
-          .withColumn("err1", col("cwp") + col("twn") - col("cwn"))
-          .withColumn("err0", col("twp") - col("cwp") + col("cwn"))
-        // force BEFORE pin: the rewrite must transform each round's
-        // windows before the plan is cached — re-analyzing the final
-        // union would un-match every pinned subtree and re-run freed
-        // checkpoints (r14)
-        val best = Queries.pin(RewriteGlobalRankWindows.force(swept
-          .withColumn("err", least(col("err1"), col("err0")))
-          .withColumn("orient", when(col("err1") <= col("err0"), 1L).otherwise(0L))
-          .withColumn("rk", row_number().over(Window.orderBy(col("err"), col("x"))))
-          .where(col("rk") === 1)
-          .select(col("x").as("t"), col("orient"), col("err"),
-            (col("twp") + col("twn")).as("wtot"))))
-        val joined = wtab.crossJoin(broadcast(best))
-          .withColumn("pred",
-            when(col("orient") === 1,
-              when(col("x") > col("t"), 1L).otherwise(0L))
-              .otherwise(when(col("x") <= col("t"), 1L).otherwise(0L)))
-          .withColumn("w2",
-            when(col("pred") =!= col("y"), col("w") * 2L).otherwise(col("w")))
-        val nextW = joined.select(col("user_id"), col("x"), col("y"),
-          col("w2").as("w")).localCheckpoint()
-        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(wtab)
-        wtab = nextW
-        best.select(lit(r.toLong).as("round"), col("t"), col("orient"),
-          col("err"), col("wtot"))
+          .withColumn("cwn", sum(col("wn")).over(wsum).cast("long")))
+        // ONE action per round: the stump is model-sized driver state
+        // (the GraphOps-solver discipline), so the loop carries it as
+        // literals instead of a broadcast-join of a pinned 1-row table
+        val b = swept.agg(
+            max(col("cwp")).as("twp"), max(col("cwn")).as("twn"),
+            min(struct((col("cwp") - col("cwn")).as("d"), col("x"))).as("ma"),
+            min(struct((col("cwn") - col("cwp")).as("d"), col("x"))).as("mb"))
+          .select(
+            (col("ma.d") + col("twn")).as("err1"), col("ma.x").as("t1"),
+            (col("mb.d") + col("twp")).as("err0"), col("mb.x").as("t0"),
+            (col("twp") + col("twn")).as("wtot"))
+          .head()
+        val (err1, t1, err0, t0, wtot) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4))
+        val orient1 = err1 < err0 || (err1 == err0 && t1 <= t0)
+        val (t, orient, err) =
+          if (orient1) (t1, 1L, err1) else (t0, 0L, err0)
+        // mass update = the per-user doubling folded over each (x, y)
+        // class: orient 1 misclassifies positives at x ≤ t and
+        // negatives at x > t; orient 0 the complements
+        cur = cur.select(col("x"),
+          when(if (orient1) col("x") <= t else col("x") > t,
+            col("wp") * 2L).otherwise(col("wp")).as("wp"),
+          when(if (orient1) col("x") > t else col("x") <= t,
+            col("wn") * 2L).otherwise(col("wn")).as("wn"))
+        (r.toLong, t, orient, err, wtot)
       }
-      // the final round's weights feed nothing downstream — free now
-      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(wtab)
-      results.reduce(_ unionAll _).orderBy("round")
+      import s.implicits._
+      results.toDF("round", "t", "orient", "err", "wtot").orderBy("round")
     },
     Some {
       def roundSql(r: Int): String =
