@@ -635,29 +635,43 @@ object GraphOps {
     */
   def coPurchaseEdges(lineitem: DataFrame, orders: DataFrame,
                       cap: Int = 4): DataFrame = {
-    val op = lineitem
+    val li0 = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
     val ords = orders
       .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-    val li = op.join(ords, "ok").select(col("pk"), col("ck")).distinct()
+    // r15: ONE exchange carries the corpus instead of three. The old
+    // shape shuffled the (ok, pk) projection for a pre-join distinct,
+    // shuffled the joined (pk, ck) pairs again for a second distinct,
+    // and then repartitioned by pk for the cap — but (ok, pk)
+    // duplicates are rare (an order repeating a part), the join is a
+    // broadcast at bench scale and key-partitioned either way at real
+    // scale, and HashPartitioning(pk) already satisfies the (pk, ck)
+    // dedup's ClusteredDistribution (a subset of the grouping keys), so
+    // BOTH distincts fold into aggregates above the single by-pk
+    // exchange, exchange-free.
+    val li = li0.join(ords, "ok").select(col("pk"), col("ck"))
     // the cap + capped self-join are the CPU-dense stages, and at
     // bench scale AQE size-coalesces their input to a handful of
     // partitions (bytes-small, compute-heavy — the shape size-based
     // coalescing misjudges). Pin the width to the session's core count;
     // the explicit hash-by-pk repartition doubles as the cap operator's
-    // required distribution, so it adds no extra exchange.
+    // AND the fused dedup's required distribution, so the whole
+    // dedup+cap pipeline runs above one exchange. (The cap's partial
+    // heap pass is a post-shuffle no-op in this shape — the explicit
+    // repartition already satisfies the final heap's distribution —
+    // kept because the operator plans it unconditionally.)
     //
     // r14 (VERDICT r13 task 5): the per-pk cap runs through the
     // bounded-heap TopKPerKey instead of a row_number window — no full
-    // per-partition sort of the (pk, ck) corpus, O(n log cap) heaps,
-    // map-side partial capping before the exchange. The `cap` SMALLEST
-    // custkeys are the top-cap by NEGATED key (custkeys are non-null
-    // and unique per pk after the distinct, so the heap's
-    // arbitrary-tie caveat never applies).
+    // per-partition sort of the (pk, ck) corpus, O(n log cap) heaps.
+    // The `cap` SMALLEST custkeys are the top-cap by NEGATED key
+    // (custkeys are non-null and unique per pk after the fused
+    // dropDuplicates, so the heap's arbitrary-tie caveat never
+    // applies).
     val width = lineitem.sparkSession.sparkContext.defaultParallelism
     val capped = graft.plans.TopKPerKey.topKPerKey(
         li.repartition(width, col("pk"))
+          .dropDuplicates("pk", "ck")
           .withColumn("nck", -col("ck")),
         Seq("pk"), "nck", cap)
       .drop("nck")

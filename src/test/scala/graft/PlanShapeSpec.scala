@@ -582,7 +582,11 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q_apportion", 1, 2, 0, 0),
       ("q_auc_exact", 0, 0, 1, 1), // late r14: lag-of-running (delayed end)
       ("q_bh_fdr", 2, 0, 0, 0),
-      ("q_boost", 2, 4, 4, 0), // rounds 2-3 live; round 1 pinned away
+      // r15: q_boost iterates on the (x, y) class-mass table — each
+      // round is ONE action over the force-rewritten running sums, and
+      // the returned relation is the collected stump table, so no
+      // Global* operator (and no WindowExec) remains at top level
+      ("q_boost", 0, 0, 0, 0),
       ("q_bootstrap_ci", 1, 0, 0, 0),
       ("q_coverage_p90", 1, 1, 1, 0),
       ("q_domain_mix", 0, 1, 0, 0),
