@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Hundredth wave — sketch mergeability, stationary distributions, and
   * seasonal residuals.
@@ -203,7 +204,10 @@ object R100Queries {
   // ---------- q_seasonal_residuals ----------
 
   val qSeasonalResiduals = QueryDef("q_seasonal_residuals",
-    (s, dir) => {
+    // r15: the GLOBAL (mad-rank) windows route distributed (CALENDAR
+    // whitelist retirement); the per-dow median windows keep their
+    // partitioned WindowExec
+    (s, dir) => RewriteGlobalRankWindows.force {
       val days = t(s, dir, "orders")
         .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"),
           expr("CAST((CAST(round(o_totalprice * 100.0) AS BIGINT) " +

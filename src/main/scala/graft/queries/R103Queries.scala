@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.GraphOps
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Hundred-third wave — trend significance, randomness, and community
   * conductance.
@@ -106,7 +107,9 @@ object R103Queries {
   // ---------- q_runs_test ----------
 
   val qRunsTest = QueryDef("q_runs_test",
-    (s, dir) => {
+    // r15: day-keyed global windows route distributed (CALENDAR
+    // whitelist retirement)
+    (s, dir) => RewriteGlobalRankWindows.force {
       val days = dailyRevenue(s, dir)
       // exact lower median of v
       val wv = Window.orderBy("v", "day")

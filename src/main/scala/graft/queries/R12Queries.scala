@@ -59,7 +59,15 @@ object R12Queries {
       |       ELSE (rev - prev) / prev * 100.0 END AS pct_change
       |FROM g ORDER BY y, m""".stripMargin
 
-  val qMomGrowth = sqlQuery("q_mom_growth", momSql, "orders")
+  // r15: the (year, month)-keyed lag routes through the distributed
+  // shift operator (CALENDAR whitelist retirement) — same SQL text on
+  // both engines, force applied over the parsed plan
+  val qMomGrowth = QueryDef("q_mom_growth",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      RewriteGlobalRankWindows.force(s.sql(momSql))
+    },
+    Some(momSql))
 
   private val rfmSparkSql =
     """WITH base AS (

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Fortieth wave — ranking quality, multi-touch credit, change-points.
   *
@@ -128,7 +129,9 @@ object R40Queries {
   // ---------- q_cusum ----------
 
   val qCusum = QueryDef("q_cusum",
-    (s, dir) => {
+    // r15: day-keyed global windows route distributed (CALENDAR
+    // whitelist retirement)
+    (s, dir) => RewriteGlobalRankWindows.force {
       val ev = Tables.events(s, dir)
       val daily = ev
         .select(to_date(col("ts")).as("day"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Fifty-fifth wave — geospatial primitives and drawdown.
   *
@@ -146,7 +147,9 @@ object R55Queries {
   // ---------- q_drawdown ----------
 
   val qDrawdown = QueryDef("q_drawdown",
-    (s, dir) => {
+    // r15: day-keyed global windows route distributed (CALENDAR
+    // whitelist retirement)
+    (s, dir) => RewriteGlobalRankWindows.force {
       val daily = Tables.events(s, dir)
         .select(to_date(col("ts")).as("day"),
           expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Sixty-first wave — rolling correlation.
   *
@@ -32,7 +33,9 @@ object R61Queries {
       |END""".stripMargin
 
   val qRollingCorr = QueryDef("q_rolling_corr",
-    (s, dir) => {
+    // r15: day-keyed global windows route distributed (CALENDAR
+    // whitelist retirement)
+    (s, dir) => RewriteGlobalRankWindows.force {
       val daily = Tables.events(s, dir)
         .where(col("event_type").isin("purchase", "view"))
         .groupBy(to_date(col("ts")).as("day"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Sixty-ninth wave — changepoint detection, time-decay scoring, and
   * categorical mutual information.
@@ -44,7 +45,10 @@ object R69Queries {
   // ---------- q_changepoint ----------
 
   val qChangepoint = QueryDef("q_changepoint",
-    (s, dir) => {
+    // r15: the day-keyed global windows route through the distributed
+    // operators (CALENDAR whitelist retirement) — no unpartitioned
+    // WindowExec remains
+    (s, dir) => RewriteGlobalRankWindows.force {
       // o_orderdate round-trips as NTZ some rounds; UTC session makes the
       // cast instant-preserving (the Tables.events discipline)
       val daily = t(s, dir, "orders")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Seventy-fourth wave — sequential testing, random projection, and
   * Wilson-interval rate screening.
@@ -42,7 +43,9 @@ object R74Queries {
   // ---------- q_sprt ----------
 
   val qSprt = QueryDef("q_sprt",
-    (s, dir) => {
+    // r15: day-keyed global windows route distributed (CALENDAR
+    // whitelist retirement)
+    (s, dir) => RewriteGlobalRankWindows.force {
       val ev = Tables.events(s, dir).where(col("user_id") % 2 === 1)
         .select(((unix_micros(col("ts")) -
           ((unix_micros(col("ts")) % usPerDay) + usPerDay) % usPerDay) /

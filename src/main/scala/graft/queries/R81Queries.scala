@@ -159,7 +159,9 @@ object R81Queries {
   // ---------- q_jenks ----------
 
   val qJenks = QueryDef("q_jenks",
-    (s, dir) => {
+    // r15: day-keyed global windows route distributed (CALENDAR
+    // whitelist retirement)
+    (s, dir) => RewriteGlobalRankWindows.force {
       val usPerDay = 86400000000L
       val days = t(s, dir, "orders")
         .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"),

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.TextOps
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Ninety-fifth wave — forecast scoring, annotator agreement, and
   * incremental top-k maintenance.
@@ -43,7 +44,9 @@ object R95Queries {
   // ---------- q_mase ----------
 
   val qMase = QueryDef("q_mase",
-    (s, dir) => {
+    // r15: day-keyed global windows route distributed (CALENDAR
+    // whitelist retirement)
+    (s, dir) => RewriteGlobalRankWindows.force {
       val days = t(s, dir, "orders")
         .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"),
           expr("CAST((CAST(round(o_totalprice * 100.0) AS BIGINT) " +

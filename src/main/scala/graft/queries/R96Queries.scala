@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Ninety-sixth wave — signed-rank inference, robust slopes, and
   * survey raking.
@@ -102,7 +103,9 @@ object R96Queries {
   // ---------- q_theil_sen ----------
 
   val qTheilSen = QueryDef("q_theil_sen",
-    (s, dir) => {
+    // r15: day-keyed global windows route distributed (CALENDAR
+    // whitelist retirement)
+    (s, dir) => RewriteGlobalRankWindows.force {
       val days = t(s, dir, "orders")
         .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"),
           expr("CAST((CAST(round(o_totalprice * 100.0) AS BIGINT) " +

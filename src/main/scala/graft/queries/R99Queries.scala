@@ -69,8 +69,11 @@ object R99Queries {
     (s, dir) => {
       val days = dailyRevenue(s, dir)
       val w = Window.orderBy("day")
-      var level = days.withColumn("rn", row_number().over(w).cast("long"))
-        .select(col("rn"), col("v"))
+      // r15: the seed rank routes through GlobalRank (CALENDAR
+      // whitelist retirement); force BEFORE the per-level pins
+      var level = RewriteGlobalRankWindows.force(
+        days.withColumn("rn", row_number().over(w).cast("long"))
+          .select(col("rn"), col("v")))
       val results = (1 to haarLevels).map { l =>
         // each level feeds its stats row AND the next level — pinned
         // (not localCheckpoint) so the 3 level blocks stay reclaimable;

@@ -37,8 +37,19 @@ object PlanStats {
         val shj = p.collect { case j: ShuffledHashJoinExec => j }.size
         val cart = p.collect { case j: CartesianProductExec => j }.size
         val bnl = p.collect { case j: BroadcastNestedLoopJoinExec => j }.size
+        // window-operator exec counts (r15): the empirical source for
+        // PlanShapeSpec's retired-whitelist pins
+        val winExec = p.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w }.size
+        val rank = p.collect { case g: graft.plans.GlobalRankExec => g }.size
+        val frame = p.collect { case g: graft.plans.GlobalFrameAggExec => g }.size
+        val run = p.collect { case g: graft.plans.GlobalRunningAggExec => g }.size
+        val shift = p.collect { case g: graft.plans.GlobalShiftExec => g }.size
+        val mov = p.collect { case g: graft.plans.GlobalMovingAggExec => g }.size
         println(s"PLANSTATS $n hashShuffles=$hashShuffles bhj=$bhj " +
-          s"smj=$smj shj=$shj cartesian=$cart bnl=$bnl")
+          s"smj=$smj shj=$shj cartesian=$cart bnl=$bnl " +
+          s"winExec=$winExec rank=$rank frame=$frame run=$run " +
+          s"shift=$shift mov=$mov")
       } catch { case t: Throwable => println(s"PLANSTATS $n FAIL: $t") }
     }
     spark.stop()

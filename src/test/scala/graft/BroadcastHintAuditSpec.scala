@@ -303,10 +303,17 @@ class BroadcastHintAuditSpec extends AnyFunSuite {
     val out = mutable.Buffer[String]()
     val shapes = mutable.Map[String, mutable.Set[String]]()
     auditWindows("q_cusum", mutated.queryExecution.analyzed, out, shapes)
-    assert(out.isEmpty, "whitelisted name must not raise the unlisted audit")
-    val entry = WindowWhitelist.entries("q_cusum")
-    val v = WindowWhitelist.shapeViolation("q_cusum",
-      shapes.get("q_cusum").map(_.toSet).getOrElse(Set.empty), entry)
+    // r15: the live whitelist is empty (CALENDAR retired) — the
+    // unlisted-site audit MUST now fire on the mutated plan, and the
+    // shape-pin machinery is exercised against the archived q_cusum
+    // entry with the observed shape read off the plan directly
+    assert(out.nonEmpty, "an unlisted global-window site must raise the audit")
+    val observed = mutated.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => windowShape(w)
+    }.toSet
+    val v = WindowWhitelist.shapeViolation("q_cusum", observed,
+      WindowWhitelist.fixtureEntry)
     assert(v.nonEmpty, "mutated window shape must fail the pin")
     assert(v.get.contains("doc_id"), v.get)
   }
@@ -376,18 +383,23 @@ private[graft] object WindowWhitelist {
   // bounded by time span or value domain, independent of corpus rows.
   private def E(bound: String, keys: String*): Entry =
     Entry(bound, keys.toSet)
-  val entries: Map[String, Entry] = Map(
-    "q_changepoint" -> E(CAL, "[CAST((CAST((unix_micros(CAST(o_orderdate AS TIMESTAMP)) - (((unix_micros(CAST(o_orderdate AS TIMESTAMP)) % 86400000000L) + 86400000000L) % 86400000000L)) AS DOUBLE) / CAST(86400000000L AS DOUBLE)) AS BIGINT)]"),
-    "q_cusum" -> E(CAL, "[day]"),
-    "q_drawdown" -> E(CAL, "[day]"),
-    "q_haar" -> E(CAL, "[day]"),
-    "q_jenks" -> E(CAL, "[day]"),
-    "q_mase" -> E(CAL, "[day]"),
-    "q_mom_growth" -> E(YM, "[CAST(year(CAST(orders.o_orderdate AS DATE)) AS BIGINT), CAST(month(CAST(orders.o_orderdate AS DATE)) AS BIGINT)]"),
-    "q_rolling_corr" -> E(CAL, "[to_date(ts)]"),
-    "q_runs_test" -> E(CAL, "[day]"),
-    "q_seasonal_residuals" -> E(CAL, "[day]"),
-    "q_sprt" -> E(CAL, "[day]"),
-    "q_theil_sen" -> E(CAL, "[day]"))
+  // r15 (VERDICT r14 task 2): the CALENDAR class is retired — the final
+  // 12 members (q_changepoint, q_cusum, q_drawdown, q_haar, q_jenks,
+  // q_mase, q_mom_growth, q_rolling_corr, q_runs_test,
+  // q_seasonal_residuals, q_sprt, q_theil_sen) now route their global
+  // windows through RewriteGlobalRankWindows.force like the ENTITY and
+  // VALUE-DOMAIN classes before them. The whitelist is EMPTY: zero
+  // unpartitioned WindowExec remains in any live query, and the audit
+  // keeps failing on unlisted sites, so any future global-window site
+  // must either route or argue a new entry here. PlanShapeSpec pins the
+  // 12 retired queries' operator counts; `fixtureEntry` below keeps the
+  // shape-pin machinery itself under test.
+  val entries: Map[String, Entry] = Map.empty
+  /** Synthetic entry for the mutation fixture (the shape-pin test) —
+    * the q_cusum review as it stood while the CALENDAR class was live. */
+  val fixtureEntry: Entry = E(CAL, "[day]")
+  // silence unused warnings for the retired class descriptions, kept as
+  // the review record
+  locally { val _ = (CAL, YM) }
 }
 

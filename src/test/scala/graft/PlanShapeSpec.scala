@@ -620,6 +620,52 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("retired CALENDAR whitelist queries: zero unpartitioned WindowExec, ops pinned") {
+    // r15 (VERDICT r14 task 2): the CALENDAR WindowWhitelist class is
+    // retired — the final 12 members route their global windows through
+    // RewriteGlobalRankWindows.force. The whitelist is now EMPTY; these
+    // exact operator counts replace the review. q_seasonal_residuals
+    // keeps 2 PARTITIONED WindowExec (the per-dow medians) — only
+    // unpartitioned sites are banned. q_haar's seed rank lives inside
+    // its pinned level-1 block (materialized at construction), so its
+    // top-level plan shows no operator.
+    def count[T <: SparkPlan](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]) =
+      p.collect(pf).size
+    val expected = Seq(
+      // name -> (ranks, frameAggs, runningAggs, shifts, movingAggs)
+      ("q_changepoint", 1, 2, 1, 0, 0),
+      ("q_cusum", 1, 3, 1, 0, 0),
+      ("q_drawdown", 0, 0, 2, 0, 0),
+      ("q_haar", 0, 0, 0, 0, 0),
+      ("q_jenks", 1, 3, 3, 0, 0),
+      ("q_mase", 0, 0, 0, 2, 0),
+      ("q_mom_growth", 0, 0, 0, 1, 0),
+      ("q_rolling_corr", 0, 0, 0, 0, 6),
+      ("q_runs_test", 1, 1, 0, 1, 0),
+      ("q_seasonal_residuals", 1, 1, 0, 0, 0),
+      ("q_sprt", 0, 0, 6, 0, 0),
+      ("q_theil_sen", 1, 1, 0, 0, 0))
+    for ((name, nRank, nFrame, nRun, nShift, nMov) <- expected) {
+      val p = plan(name)
+      val unpart = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.isEmpty, s"$name kept an UNPARTITIONED WindowExec:\n$p")
+      assert(count(p) { case g: graft.plans.GlobalRankExec => g } == nRank,
+        s"$name: expected $nRank GlobalRankExec:\n$p")
+      assert(count(p) { case g: graft.plans.GlobalFrameAggExec => g } == nFrame,
+        s"$name: expected $nFrame GlobalFrameAggExec:\n$p")
+      assert(count(p) { case g: graft.plans.GlobalRunningAggExec => g } == nRun,
+        s"$name: expected $nRun GlobalRunningAggExec:\n$p")
+      assert(count(p) { case g: graft.plans.GlobalShiftExec => g } == nShift,
+        s"$name: expected $nShift GlobalShiftExec:\n$p")
+      assert(count(p) { case g: graft.plans.GlobalMovingAggExec => g } == nMov,
+        s"$name: expected $nMov GlobalMovingAggExec:\n$p")
+      spark.catalog.clearCache() // release the pinned level blocks
+    }
+  }
+
   test("q_clamped_runsum: per-key windows only — one hash shuffle, no funnel") {
     val p = plan("q_clamped_runsum")
     assert(hashShuffles(p) == 1,
