@@ -118,32 +118,51 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
     val longOf = GlobalExactPercentile.longOf _
     val lowKeyOf = GlobalExactPercentile.lowKeyOf _
 
-    // pass 0: per-column (non-null count, min, max)
+    // r15 (guide §1.2, per-task work): the common multi-percentile call
+    // (percentile(m, .25/.5/.75) + median(m)) feeds the SAME expression
+    // to every column — deduplicate semantically-equal inputs so each
+    // scan pass projects and key-extracts once per row per DISTINCT
+    // expression, not once per target (measured 4-8 projections/row
+    // collapsing to 1 on q_pctexact_wide's decimal-divide input)
+    val uniqBuf = new scala.collection.mutable.ArrayBuffer[Expression]
+    val colU: Array[Int] = inputsArr.map { e =>
+      val i = uniqBuf.indexWhere(_.semanticEquals(e))
+      if (i >= 0) i else { uniqBuf += e; uniqBuf.length - 1 }
+    }
+    val uniqArr: Array[Expression] = uniqBuf.toArray
+    val nU = uniqArr.length
+    val dtsU: Array[DataType] = Array.tabulate(nU) { u =>
+      dts(colU.indexOf(u))
+    }
+
+    // pass 0: per-unique-expression (non-null count, min, max), fanned
+    // back out to columns
     val stats: Array[(Long, Long, Long)] = {
       val partial = rdd.mapPartitions({ it =>
-        val projs = inputsArr.map(e => UnsafeProjection.create(Seq(e), childOutput))
-        val cnt = new Array[Long](nCols)
-        val mn = Array.fill(nCols)(Long.MaxValue)
-        val mx = Array.fill(nCols)(Long.MinValue)
+        val projs = uniqArr.map(e => UnsafeProjection.create(Seq(e), childOutput))
+        val cnt = new Array[Long](nU)
+        val mn = Array.fill(nU)(Long.MaxValue)
+        val mx = Array.fill(nU)(Long.MinValue)
         it.foreach { row =>
-          var j = 0
-          while (j < nCols) {
-            val r = projs(j)(row)
+          var u = 0
+          while (u < nU) {
+            val r = projs(u)(row)
             if (!r.isNullAt(0)) {
-              val v = longOf(dts(j), r.get(0, dts(j)))
-              cnt(j) += 1L
-              if (v < mn(j)) mn(j) = v
-              if (v > mx(j)) mx(j) = v
+              val v = longOf(dtsU(u), r.get(0, dtsU(u)))
+              cnt(u) += 1L
+              if (v < mn(u)) mn(u) = v
+              if (v > mx(u)) mx(u) = v
             }
-            j += 1
+            u += 1
           }
         }
         Iterator((cnt, mn, mx))
       }, preservesPartitioning = true).collect()
       Array.tabulate(nCols) { j =>
-        val c = partial.map(_._1(j)).sum
-        val mn = partial.map(_._2(j)).foldLeft(Long.MaxValue)(math.min)
-        val mx = partial.map(_._3(j)).foldLeft(Long.MinValue)(math.max)
+        val u = colU(j)
+        val c = partial.map(_._1(u)).sum
+        val mn = partial.map(_._2(u)).foldLeft(Long.MaxValue)(math.min)
+        val mx = partial.map(_._3(u)).foldLeft(Long.MinValue)(math.max)
         (c, mn, mx)
       }
     }
@@ -204,26 +223,39 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
         hit
       }
       if (transitioned.nonEmpty) {
-        val tCol = transitioned.map(_.col)
+        val tU = transitioned.map(t => colU(t.col))
         val tHigh = transitioned.map(_.highKey)
         val nT = transitioned.length
         val seeds: (Array[Long], Array[Long]) =
           rdd.mapPartitions({ it =>
-            val projs = tCol.map(j =>
-              UnsafeProjection.create(Seq(inputsArr(j)), childOutput))
+            val tUsed = tU.distinct
+            val projs = tUsed.map(u =>
+              UnsafeProjection.create(Seq(uniqArr(u)), childOutput))
+            val uSlot: Map[Int, Int] = tUsed.zipWithIndex.toMap
             val mn = Array.fill(nT)(Long.MaxValue)
             val mx = Array.fill(nT)(Long.MinValue)
+            val rawHigh = new Array[Long](tUsed.length)
+            val rawLow = new Array[Long](tUsed.length)
+            val rawNull = new Array[Boolean](tUsed.length)
             it.foreach { row =>
+              var s = 0
+              while (s < tUsed.length) {
+                val r = projs(s)(row)
+                rawNull(s) = r.isNullAt(0)
+                if (!rawNull(s)) {
+                  val raw = r.get(0, dtsU(tUsed(s)))
+                  rawHigh(s) = longOf(dtsU(tUsed(s)), raw)
+                  rawLow(s) = lowKeyOf(raw)
+                }
+                s += 1
+              }
               var i = 0
               while (i < nT) {
-                val r = projs(i)(row)
-                if (!r.isNullAt(0)) {
-                  val raw = r.get(0, dts(tCol(i)))
-                  if (longOf(dts(tCol(i)), raw) == tHigh(i)) {
-                    val v = lowKeyOf(raw)
-                    if (v < mn(i)) mn(i) = v
-                    if (v > mx(i)) mx(i) = v
-                  }
+                val s = uSlot(tU(i))
+                if (!rawNull(s) && rawHigh(s) == tHigh(i)) {
+                  val v = rawLow(s)
+                  if (v < mn(i)) mn(i) = v
+                  if (v > mx(i)) mx(i) = v
                 }
                 i += 1
               }
@@ -266,23 +298,41 @@ case class GlobalExactPercentileExec(attrs: Seq[AttributeReference],
         val span = BigInt(aHi(i)) - BigInt(aLo(i)) + 1
         ((span + Buckets - 1) / Buckets).max(1).toLong
       }
+      val aU = aCol.map(colU)
       val counts: Array[Array[Long]] =
         rdd.mapPartitions({ it =>
-          val projs = aCol.map(j =>
-            UnsafeProjection.create(Seq(inputsArr(j)), childOutput))
+          val aUsed = aU.distinct
+          val projs = aUsed.map(u =>
+            UnsafeProjection.create(Seq(uniqArr(u)), childOutput))
+          val uSlot: Map[Int, Int] = aUsed.zipWithIndex.toMap
+          // does any phase-2 target read this unique expr's LOW word?
+          val needLow: Array[Boolean] = Array.tabulate(aUsed.length) { s =>
+            (0 until nActive).exists(i => aU(i) == aUsed(s) && aPhase2(i))
+          }
+          val rawHigh = new Array[Long](aUsed.length)
+          val rawLow = new Array[Long](aUsed.length)
+          val rawNull = new Array[Boolean](aUsed.length)
           val cts = Array.fill(nActive)(new Array[Long](Buckets))
           it.foreach { row =>
+            var s = 0
+            while (s < aUsed.length) {
+              val r = projs(s)(row)
+              rawNull(s) = r.isNullAt(0)
+              if (!rawNull(s)) {
+                val raw = r.get(0, dtsU(aUsed(s)))
+                rawHigh(s) = longOf(dtsU(aUsed(s)), raw)
+                if (needLow(s)) rawLow(s) = lowKeyOf(raw)
+              }
+              s += 1
+            }
             var i = 0
             while (i < nActive) {
-              val r = projs(i)(row)
-              if (!r.isNullAt(0)) {
-                val raw = r.get(0, dts(aCol(i)))
+              val s = uSlot(aU(i))
+              if (!rawNull(s)) {
                 // phase-2 targets histogram the LOW word of rows whose
                 // HIGH word matches; everything else keys as phase 1
-                val inPhase = !aPhase2(i) ||
-                  longOf(dts(aCol(i)), raw) == aHigh(i)
-                val v = if (aPhase2(i)) lowKeyOf(raw)
-                        else longOf(dts(aCol(i)), raw)
+                val inPhase = !aPhase2(i) || rawHigh(s) == aHigh(i)
+                val v = if (aPhase2(i)) rawLow(s) else rawHigh(s)
                 if (inPhase && v >= aLo(i) && v <= aHi(i)) {
                   // (v - lo) cannot overflow: v,lo share [lo,hi] whose
                   // width/Buckets fits by construction of widths
