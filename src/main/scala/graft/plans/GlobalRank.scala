@@ -206,11 +206,19 @@ case class GlobalRankExec(order: Seq[SortOrder], ranks: Seq[GlobalRank.RankCol],
     }
     val rowOffsets = stats.map(_._1).scanLeft(0L)(_ + _)
     val groupOffsets = stats.map(_._2).scanLeft(0L)(_ + _)
-    // structural invariant (ADVICE r13): the fast count path skips the
-    // last partition when neither needTotal nor needGroups, leaving
-    // rowOffsets.last silently stale — poison the value with a sentinel
-    // so any future mode that starts reading `total` without extending
-    // needTotal fails loudly instead of computing wrong ranks
+    // structural invariant (ADVICE r13/r14): the fast count path skips
+    // the last partition when neither needTotal nor needGroups, leaving
+    // rowOffsets.last silently stale. A bare -1L sentinel would flow
+    // into percent_rank/ntile arithmetic as an absurd-but-silent value,
+    // so the total-consuming modes assert the precondition up front —
+    // a future mode that reads `total` without extending needTotal now
+    // fails at plan time, not with negative denominators
+    require(!modes.exists {
+        case RankMode.PercentRank | RankMode.CumeDist | RankMode.NTile(_) => true
+        case _ => false
+      } || needTotal || needGroups,
+      "GlobalRankExec: a total-consuming rank mode is present but the " +
+        "count pass was planned without needTotal/needGroups")
     val total = if (needTotal || needGroups) rowOffsets.last else -1L
     val out = output
     val nRanks = modes.length

@@ -136,7 +136,13 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * whitelist class route instead of being reviewed). */
   private object GlobalPart {
     def unapplySeq(ps: Seq[Expression]): Option[Seq[Expression]] =
-      if (ps.forall(_.foldable)) Some(Nil) else None
+      // ADVICE r14 #5: eagerly evaluate each foldable key and decline
+      // the rewrite if evaluation throws — discarding an expression
+      // like PARTITION BY 1/0 unevaluated would optimize away its ANSI
+      // runtime error, changing observable behavior
+      if (ps.forall(e => e.foldable && {
+        try { e.eval(); true } catch { case _: Exception => false }
+      })) Some(Nil) else None
   }
 
   private def rankOf(ne: NamedExpression): Option[(Alias, RankMode)] = ne match {
@@ -610,6 +616,20 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     * deterministic refinement of an unspecified result, not a
     * divergence. `collect_list` stays refused — its value is
     * order-DEFINED, which no order-free aggregation can reproduce. */
+  /** True iff every expression in the plan subtree is deterministic.
+    * Every rewrite target is a MULTI-EXECUTION shape — the two-pass
+    * Global and Partitioned operators re-execute their child RDD once
+    * per pass (pass-1 boundary partials, pass-2 emission), and the
+    * mode/frame-agg join-backs reference the child subtree twice — so a
+    * non-deterministic child (rand(), sample, a non-deterministic UDF
+    * upstream) would be evaluated over DIFFERENT row sets across
+    * passes, producing internally inconsistent results that WindowExec
+    * (one materialization) never shows. Admission therefore requires a
+    * deterministic child plan in every Window case (ADVICE r14 #1,
+    * generalized from the mode join-back to the whole family). */
+  private def planDeterministic(p: LogicalPlan): Boolean =
+    !p.exists(n => n.expressions.exists(e => !e.deterministic))
+
   private def modeFrameAggOf(ne: NamedExpression): Option[(Alias, Expression, Boolean, AttributeReference)] = ne match {
     case a @ Alias(we @ WindowExpression(
         AggregateExpression(m: org.apache.spark.sql.catalyst.expressions.aggregate.Mode,
@@ -852,6 +872,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     // restore the original columns in a final Project
     case Window(wexprs, ps, orderSpec, child, hint)
         if wexprs.nonEmpty && ps.forall(_.foldable) &&
+          planDeterministic(child) &&
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.exists(e => delayedRunAggOf(e).isDefined) &&
           wexprs.forall(e => delayedRunAggOf(e).isDefined ||
@@ -945,6 +966,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     // the final Project restores the original column order
     case Window(wexprs, ps, orderSpec, child, hint)
         if wexprs.nonEmpty && ps.forall(_.foldable) &&
+          planDeterministic(child) &&
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.exists(e => suffixRunningOf(e).isDefined) &&
           wexprs.forall(e => suffixRunningOf(e).isDefined ||
@@ -962,7 +984,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
         orderSpec.map(reverseOrder), base, hint)
       Project(child.output ++ wexprs.map(_.toAttribute), rewrite(mirrored))
     case Window(wexprs, GlobalPart(), orderSpec, child, _)
-        if wexprs.nonEmpty && {
+        if wexprs.nonEmpty && planDeterministic(child) && {
           // whole-frame expressions are order-independent, so a window
           // of nothing else rewrites even with no (or a nondeterministic)
           // ORDER BY — `sum(x) OVER ()` has an empty orderSpec by
@@ -1163,7 +1185,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     // windows each routed through the standard skew machinery
     case Window(wexprs, partSpec, orderSpec, child, hint)
         if wexprs.nonEmpty && partSpec.nonEmpty &&
-          partSpec.forall(_.deterministic) &&
+          partSpec.forall(_.deterministic) && planDeterministic(child) &&
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.exists(e => delayedRunAggOf(e).isDefined) &&
           wexprs.forall(e => delayedRunAggOf(e).isDefined ||
@@ -1250,7 +1272,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     // through the standard skew machinery below
     case Window(wexprs, partSpec, orderSpec, child, hint)
         if wexprs.nonEmpty && partSpec.nonEmpty &&
-          partSpec.forall(_.deterministic) &&
+          partSpec.forall(_.deterministic) && planDeterministic(child) &&
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.exists(e => suffixRunningOf(e).isDefined) &&
           wexprs.forall(e => suffixRunningOf(e).isDefined ||
@@ -1265,12 +1287,17 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     case Window(wexprs, partSpec, _, child, _)
         if wexprs.nonEmpty && partSpec.nonEmpty &&
           partSpec.forall(_.deterministic) &&
+          // the per-key frame-agg/mode rewrite is a JOIN-BACK that
+          // re-executes the child plan on its aggregate branch, so the
+          // child PLAN must be deterministic — see the global mode
+          // admission note (ADVICE r14 #1)
+          planDeterministic(child) &&
           wexprs.forall(e => skewFrameAggOf(e).isDefined ||
             skewModeOf(e).isDefined) =>
       rewriteSkewFrameAgg(wexprs, partSpec, child)
     case Window(wexprs, partSpec, orderSpec, child, _)
         if wexprs.nonEmpty && partSpec.nonEmpty &&
-          partSpec.forall(_.deterministic) &&
+          partSpec.forall(_.deterministic) && planDeterministic(child) &&
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) &&
           wexprs.forall(e => classifySkew(e).isDefined) =>
       // classify each expression ONCE into the ADT (ADVICE r13: the

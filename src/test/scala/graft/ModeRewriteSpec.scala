@@ -164,4 +164,25 @@ class ModeRewriteSpec extends AnyFunSuite {
     val p = noAqePlan(RewriteGlobalRankWindows.forceSkew(windowed))
     assert(p.collect { case w: WindowExec => w }.size == 1, p.toString)
   }
+
+  test("non-deterministic child declines the rewrite: WindowExec kept (ADVICE r14 #1)") {
+    // the mode join-back (and every two-pass operator) re-executes the
+    // child plan, so a rand()-filtered child would be evaluated over a
+    // DIFFERENT row set per execution — admission must bail, leaving
+    // the built-in WindowExec (one materialization) in place
+    spark.range(200).select((col("id") % 5).as("k"), col("id").as("x"))
+      .createOrReplaceTempView("mode_nd")
+    val ndGlobal = spark.sql(
+      "SELECT x, mode(x) OVER () AS m FROM mode_nd WHERE rand(7) < 0.5")
+    val pg = noAqePlan(RewriteGlobalRankWindows.force(ndGlobal))
+    assert(pg.collect { case w: WindowExec => w }.size == 1, pg.toString)
+    val ndRank = spark.sql(
+      "SELECT x, row_number() OVER (ORDER BY x) AS r FROM mode_nd WHERE rand(7) < 0.5")
+    val pr = noAqePlan(RewriteGlobalRankWindows.force(ndRank))
+    assert(pr.collect { case w: WindowExec => w }.size == 1, pr.toString)
+    val ndSkew = spark.sql(
+      "SELECT k, x, mode(x) OVER (PARTITION BY k) AS m FROM mode_nd WHERE rand(7) < 0.5")
+    val ps = noAqePlan(RewriteGlobalRankWindows.forceSkew(ndSkew))
+    assert(ps.collect { case w: WindowExec => w }.size == 1, ps.toString)
+  }
 }
