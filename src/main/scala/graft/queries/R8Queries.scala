@@ -55,18 +55,23 @@ object R8Queries {
     // sentinel ts must be in the SAME raw unit as the staged fixture:
     // nanos when Tables.eventsTsDiv = 1000, micros when it's 1
     val nsToRaw = 1000L / Tables.eventsTsDiv(s, dir)
-    Seq((1, "view"), (2, "purchase")).foreach { case (i, et) =>
-      val tmp = Files.createTempDirectory(s"graft_slo_sent$i").toString
-      Seq((-i.toLong, (SentinelNs + i * 86400L * 1000000000L) / nsToRaw, 59L, et))
-        .toDF("event_id", "ts", "user_id", "event_type")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val listing = Files.list(Paths.get(tmp))
-      val part = try listing.toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
-      finally listing.close()
-      Files.copy(Paths.get(part), Paths.get(stageDir, s"zz_sentinel$i.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+    // r15: ONE staging write for both sentinel rows (they ride one
+    // parquet file — the file-stream source reads every available file
+    // in batch 0 regardless, so file count never mattered); the old
+    // per-row write paid a second full Spark write job per streaming
+    // query for no covered surface
+    val rows = Seq((1, "view"), (2, "purchase")).map { case (i, et) =>
+      (-i.toLong, (SentinelNs + i * 86400L * 1000000000L) / nsToRaw, 59L, et)
     }
+    val tmp = Files.createTempDirectory("graft_slo_sent").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val listing = Files.list(Paths.get(tmp))
+    val part = try listing.toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+    finally listing.close()
+    Files.copy(Paths.get(part), Paths.get(stageDir, "zz_sentinel12.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
     stageDir
   }
 
