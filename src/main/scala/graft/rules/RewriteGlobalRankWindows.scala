@@ -2004,7 +2004,37 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     PartitionedNthValue.ensureStrategy(spark)
     val globalised = force(df)
     GraftSqlBridge.ofRows(spark,
-      rewriteSkew(globalised.queryExecution.analyzed))
+      rewriteSkew(mergeWindowChains(globalised.queryExecution.analyzed)))
+  }
+
+  /** Merge same-spec window chains BEFORE matching (r15). The rewrite
+    * runs on the ANALYZED plan, where a `.withColumn` chain leaves one
+    * Window node per column with a pass-through Project between them —
+    * so six same-frame moving sums planned SIX two-pass operator
+    * instances (six boundary collects) instead of one batched node.
+    * Dropping exact pass-through Projects and applying the optimizer's
+    * own CollapseWindow to a fixed point restores the single-node
+    * batching the operators were built for (their funcs are Seqs).
+    * Projects that COMPUTE anything (q_cusum's n·p − i·t between its
+    * window layers) are not pass-through and correctly block the merge. */
+  private def mergeWindowChains(plan: LogicalPlan): LogicalPlan = {
+    var p = plan
+    var changed = true
+    var i = 0
+    while (changed && i < 16) {
+      // CollapseProject first: withColumn leaves stacked Projects with
+      // duplicated columns that are only pass-through once merged
+      val collapsed =
+        org.apache.spark.sql.catalyst.optimizer.CollapseProject(p)
+      val dropped = collapsed.transformUp {
+        case Project(list, c) if list == c.output => c
+      }
+      val n = org.apache.spark.sql.catalyst.optimizer.CollapseWindow(dropped)
+      changed = !(n fastEquals p)
+      p = n
+      i += 1
+    }
+    p
   }
 
   /** Apply the rewrite to ONE DataFrame, unconditionally and without
@@ -2022,6 +2052,7 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     GlobalFrameAgg.ensureStrategy(spark)
     GlobalNthValue.ensureStrategy(spark)
     GlobalExactPercentile.ensureStrategy(spark)
-    GraftSqlBridge.ofRows(spark, rewrite(df.queryExecution.analyzed))
+    GraftSqlBridge.ofRows(spark,
+      rewrite(mergeWindowChains(df.queryExecution.analyzed)))
   }
 }

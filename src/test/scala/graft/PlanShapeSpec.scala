@@ -578,7 +578,10 @@ class PlanShapeSpec extends AnyFunSuite {
     def count[T <: SparkPlan](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]) =
       p.collect(pf).size
     val expected = Seq(
-      // name -> (ranks, frameAggs, runningAggs, shifts)
+      // name -> (ranks, frameAggs, runningAggs, shifts) — r15 counts:
+      // force() now merges same-spec withColumn window chains before
+      // matching (mergeWindowChains), so same-frame functions batch
+      // into ONE operator node where no computing Project intervenes
       ("q_apportion", 1, 2, 0, 0),
       ("q_auc_exact", 0, 0, 1, 1), // late r14: lag-of-running (delayed end)
       ("q_bh_fdr", 2, 0, 0, 0),
@@ -593,15 +596,15 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q_domain_mix_temp", 0, 2, 0, 0),
       ("q_equidepth_hist", 0, 1, 1, 0),
       ("q_funnel_time", 0, 1, 1, 0),
-      ("q_isotonic", 0, 0, 4, 0),
-      ("q_ks_test", 1, 2, 2, 0),
-      ("q_lift_curve", 0, 2, 2, 0),
+      ("q_isotonic", 0, 0, 2, 0),
+      ("q_ks_test", 1, 1, 1, 0),
+      ("q_lift_curve", 0, 1, 1, 0),
       ("q_lorenz_deciles", 0, 2, 1, 0),
       ("q_mad_outliers", 0, 2, 2, 0),
-      ("q_psi", 0, 4, 1, 0),
-      ("q_stump", 1, 2, 2, 0),
+      ("q_psi", 0, 3, 1, 0),
+      ("q_stump", 1, 1, 1, 0),
       ("q_survival_km", 0, 0, 2, 0),
-      ("q_wasserstein", 0, 2, 2, 1),
+      ("q_wasserstein", 0, 1, 1, 1),
       ("q_water_filling", 0, 2, 4, 0),
       ("q_winsorize", 0, 0, 3, 0))
     for ((name, nRank, nFrame, nRun, nShift) <- expected) {
@@ -633,17 +636,17 @@ class PlanShapeSpec extends AnyFunSuite {
       p.collect(pf).size
     val expected = Seq(
       // name -> (ranks, frameAggs, runningAggs, shifts, movingAggs)
-      ("q_changepoint", 1, 2, 1, 0, 0),
-      ("q_cusum", 1, 3, 1, 0, 0),
+      ("q_changepoint", 1, 1, 1, 0, 0),
+      ("q_cusum", 1, 2, 1, 0, 0),
       ("q_drawdown", 0, 0, 2, 0, 0),
       ("q_haar", 0, 0, 0, 0, 0),
-      ("q_jenks", 1, 3, 3, 0, 0),
-      ("q_mase", 0, 0, 0, 2, 0),
+      ("q_jenks", 1, 2, 2, 0, 0),
+      ("q_mase", 0, 0, 0, 1, 0),
       ("q_mom_growth", 0, 0, 0, 1, 0),
-      ("q_rolling_corr", 0, 0, 0, 0, 6),
+      ("q_rolling_corr", 0, 0, 0, 0, 4),
       ("q_runs_test", 1, 1, 0, 1, 0),
       ("q_seasonal_residuals", 1, 1, 0, 0, 0),
-      ("q_sprt", 0, 0, 6, 0, 0),
+      ("q_sprt", 0, 0, 3, 0, 0),
       ("q_theil_sen", 1, 1, 0, 0, 0))
     for ((name, nRank, nFrame, nRun, nShift, nMov) <- expected) {
       val p = plan(name)
