@@ -56,21 +56,32 @@ object GraphOps {
       s"connectedComponents requires numeric node ids, got $idType — " +
         "hash non-numeric ids to LONG (e.g. xxhash64) first")
     val nodes = bidir.select(col("src").as("node")).distinct()
-    // each round checkpoints its labels (eager — materializes now) and
-    // frees the PREVIOUS round's blocks once the new round has landed, so
-    // storage stays O(1) in rounds instead of accumulating until GC
+    // LAZY initial checkpoint: round 1's convergence aggregation is the
+    // first materializing action, so setup schedules zero jobs (r16 —
+    // the eager checkpoint plus a standalone initial-sum job were two
+    // driver round-trips before any propagation happened)
     var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var converged = false
     var it = 0
     // labels only ever decrease, so the label sum is strictly monotone:
     // an unchanged sum means a fixpoint — one cheap aggregation instead of
     // a change-detection join per round; carried across rounds so each
-    // round runs exactly one convergence job
-    var sumPrev = labels.agg(sum(col("label").cast("decimal(38,0)")))
-      .first().getDecimal(0)
+    // round runs exactly one convergence job. The INITIAL sum (labels =
+    // node ids) equals sum(node) over any round's output — the node set
+    // never changes (each round unions the full label table back in) —
+    // so round 1 recovers it from its own aggregation instead of paying
+    // a setup job (r16).
+    var sumPrev: java.math.BigDecimal = null
     while (!converged && it < maxIters) {
-      // each node pulls its neighbors' labels, keeps the minimum
+      // each node pulls its neighbors' labels, keeps the minimum.
+      // (r16 measured and DECLINED: a groupBy-then-join-back shape that
+      // avoids re-shuffling the label table cut shuffle records ~20%
+      // but added 6-10 stage-jobs per query — an extra broadcast build
+      // and join stage every round — and this loop is fixed-cost-bound,
+      // not byte-bound; JobStats q_entity_resolution 33→39 jobs,
+      // q_dedup_components 33→43. The union rides the one groupBy
+      // exchange the round already pays.)
       val neighborLabels = bidir
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
@@ -80,8 +91,10 @@ object GraphOps {
       // LAZY checkpoint: the convergence aggregation below is the action
       // that materializes it — one job per round instead of two
       val nextP = next.localCheckpoint(eager = false)
-      val sumNow = nextP.agg(sum(col("label").cast("decimal(38,0)")))
-        .first().getDecimal(0)
+      val aggRow = nextP.agg(sum(col("label").cast("decimal(38,0)")),
+        sum(col("node").cast("decimal(38,0)"))).first()
+      val sumNow = aggRow.getDecimal(0)
+      if (sumPrev == null) sumPrev = aggRow.getDecimal(1) // = initial label sum
       GraftSqlBridge.freeLocalCheckpoint(labels)
       // null sums = empty graph = trivially converged
       converged = sumNow == null || sumNow.compareTo(sumPrev) == 0
@@ -131,15 +144,20 @@ object GraphOps {
     val src = edges.select(col("a"), col("b")).persist()
     persisted += src
     // every endpoint must appear in the output even if its edges are
-    // dropped as self-loops below
+    // dropped as self-loops below. Consumed exactly once (the final
+    // left-outer join) and derives from the persisted `src`, so it is
+    // NOT persisted itself (r16 — a single-consumer persist only paid a
+    // cache write).
     val allNodes = src.select(col("a").as("node"))
-      .union(src.select(col("b").as("node"))).distinct().persist()
-    persisted += allNodes
-    // canonical undirected edge set, self-loops removed
+      .union(src.select(col("b").as("node"))).distinct()
+    // canonical undirected edge set, self-loops removed. LAZY
+    // checkpoint: round 0's convergence aggregation is the first
+    // materializing action (r16 — the eager setup checkpoint was a
+    // separate driver round-trip over the same stages).
     var e = src
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(eager = false)
 
     // Every round NEEDS minN = per-center min over the symmetric view
     // for the large-star rewiring, and (|minN|, Σ least(u, min Γ(u)))
@@ -280,8 +298,20 @@ object GraphOps {
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
       .persist()
     val n = nodes.select(col("node")).persist()
+    // LAZY checkpoint chain (r16): a fixed-round loop with no
+    // convergence check needs NO per-round action — every round's
+    // checkpoint truncates the Catalyst plan immediately (analysis
+    // stays O(1) in rounds) and the final pin is the ONE job that
+    // executes the whole chain, stage by stage. Peak block storage is
+    // O(iterations × |ranks|) during that job (each round's checkpoint
+    // persists as it materializes, all freed right after the pin) —
+    // the rank table is node-sized model state and every registered
+    // query runs a small constant round count, so the storage trade
+    // buys `iterations` fewer driver round-trips.
+    val chain = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var ranks = n.select(col("node"), lit(1000000000L).as("r"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    chain += ranks
     for (_ <- 0 until iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -295,13 +325,13 @@ object GraphOps {
         .select(col("node"),
           expr("CAST(150000000 + (85 * CAST(coalesce(c, 0L) AS DECIMAL(38,0)))" +
             " div 100 AS LONG)").as("r"))
-      val nextP = next.localCheckpoint()
-      GraftSqlBridge.freeLocalCheckpoint(ranks)
+      val nextP = next.localCheckpoint(eager = false)
+      chain += nextP
       ranks = nextP
     }
     val result = pinResult(
       ranks.select(col("node"), col("r").as("rank_scaled")))
-    GraftSqlBridge.freeLocalCheckpoint(ranks)
+    chain.foreach(GraftSqlBridge.freeLocalCheckpoint)
     Seq(e, outdeg, n).foreach(_.unpersist(blocking = false))
     result
   }
@@ -329,9 +359,13 @@ object GraphOps {
         Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
       .persist()
+    // LAZY checkpoint chain — see [[pageRank]] (r16): one materializing
+    // job for the whole fixed-round loop, blocks freed after the pin
+    val chain = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var ranks = n.select(col("node"),
         (col("is_seed") * 1000000000L).as("r"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    chain += ranks
     for (_ <- 0 until iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -342,13 +376,13 @@ object GraphOps {
         .select(col("node"),
           expr("CAST(is_seed * 150000000 + (85 * CAST(coalesce(c, 0L) AS DECIMAL(38,0)))" +
             " div 100 AS LONG)").as("r"))
-      val nextP = next.localCheckpoint()
-      GraftSqlBridge.freeLocalCheckpoint(ranks)
+      val nextP = next.localCheckpoint(eager = false)
+      chain += nextP
       ranks = nextP
     }
     val result = pinResult(
       ranks.select(col("node"), col("r").as("rank_scaled")))
-    GraftSqlBridge.freeLocalCheckpoint(ranks)
+    chain.foreach(GraftSqlBridge.freeLocalCheckpoint)
     Seq(e, outdeg, n).foreach(_.unpersist(blocking = false))
     result
   }
@@ -373,8 +407,12 @@ object GraphOps {
   def shortestPaths(spark: SparkSession, edges: DataFrame, source: Long,
                     maxIters: Int = 50): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    // LAZY initial checkpoint (r16): the one-row seed is a literal; the
+    // first round's convergence aggregation materializes it, so setup
+    // schedules zero jobs
     var dists = e.sparkSession.range(1).select(
-      lit(source).as("node"), lit(0L).as("dist")).localCheckpoint()
+      lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(eager = false)
     // convergence needs BOTH count and sum: newly-reached nodes grow the
     // sum while relaxations shrink it, so sum alone could coincide across
     // a real change. The node set is monotone non-shrinking (union keeps
@@ -385,7 +423,9 @@ object GraphOps {
         sum(col("dist").cast("decimal(38,0)"))).first()
       (row.getLong(0), row.getDecimal(1))
     }
-    var prev = state(dists)
+    // the seed's state is known in closed form — (1 row, dist 0) — so
+    // the old setup aggregation job is a constant here (r16)
+    var prev: (Long, java.math.BigDecimal) = (1L, java.math.BigDecimal.ZERO)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -430,14 +470,17 @@ object GraphOps {
                       startAt: Long = Long.MinValue,
                       maxIters: Int = 50): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("t")).persist()
+    // LAZY seed + closed-form initial state — see [[shortestPaths]] (r16)
     var arr = e.sparkSession.range(1).select(
-      lit(source).as("node"), lit(startAt).as("arrival")).localCheckpoint()
+      lit(source).as("node"), lit(startAt).as("arrival"))
+      .localCheckpoint(eager = false)
     def state(d: DataFrame): (Long, java.math.BigDecimal) = {
       val row = d.agg(count(lit(1)),
         sum(col("arrival").cast("decimal(38,0)"))).first()
       (row.getLong(0), row.getDecimal(1))
     }
-    var prev = state(arr)
+    var prev: (Long, java.math.BigDecimal) =
+      (1L, java.math.BigDecimal.valueOf(startAt))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -528,13 +571,19 @@ object GraphOps {
     */
   def labelPropagation(spark: SparkSession, edges: DataFrame,
                        rounds: Int): DataFrame = {
+    // LAZY checkpoint chain — see [[pageRank]] (r16): fixed rounds, no
+    // convergence check, so the final pin is the single materializing
+    // job; `e`'s checkpoint blocks land on its first read inside that
+    // job and every later round reads them back
     val e = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    val chain = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    chain += labels
     for (_ <- 1 to rounds) {
       val counted = e
         .join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -545,12 +594,12 @@ object GraphOps {
             .partitionBy(col("node"))
             .orderBy(col("cnt").desc, col("label"))))
         .where(col("rk") === 1).select(col("node"), col("label"))
-        .localCheckpoint()
-      GraftSqlBridge.freeLocalCheckpoint(labels)
+        .localCheckpoint(eager = false)
+      chain += next
       labels = next
     }
     val result = pinResult(labels.select(col("node"), col("label")))
-    GraftSqlBridge.freeLocalCheckpoint(labels)
+    chain.foreach(GraftSqlBridge.freeLocalCheckpoint)
     GraftSqlBridge.freeLocalCheckpoint(e)
     result
   }
@@ -582,9 +631,16 @@ object GraphOps {
     val n = nodes.select(col("node")).persist()
     val one = lit(1).cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    var hub = n.select(col("node"), one.as("h")).localCheckpoint()
-    var auth = n.select(col("node"), zero.as("a")).localCheckpoint()
+    // the initial score tables are constant projections of the persisted
+    // node set — LAZY checkpoints, materialized by round 1's single job
+    var hub = n.select(col("node"), one.as("h")).localCheckpoint(eager = false)
+    var auth = n.select(col("node"), zero.as("a")).localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
+      // a(k) rides a LAZY checkpoint inside h(k)'s eager one: one
+      // materializing action per round instead of two (r16) — h(k)
+      // depends on a(k), so the single job computes both, and the
+      // PREVIOUS round's blocks are freed only after it lands (a(k)'s
+      // plan reads hub(k-1))
       val aNext = n.join(
           e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node")).agg(sum("h").as("s")),
@@ -592,18 +648,18 @@ object GraphOps {
         .select(col("node"),
           coalesce(col("s"), zero).cast(
             org.apache.spark.sql.types.DecimalType(38, 0)).as("a"))
-        .localCheckpoint()
-      GraftSqlBridge.freeLocalCheckpoint(auth)
-      auth = aNext
+        .localCheckpoint(eager = false)
       val hNext = n.join(
-          e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          e.join(aNext.withColumnRenamed("node", "dst"), "dst")
             .groupBy(col("src").as("node")).agg(sum("a").as("s")),
           Seq("node"), "left_outer")
         .select(col("node"),
           coalesce(col("s"), zero).cast(
             org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
         .localCheckpoint()
+      GraftSqlBridge.freeLocalCheckpoint(auth)
       GraftSqlBridge.freeLocalCheckpoint(hub)
+      auth = aNext
       hub = hNext
     }
     val result = pinResult(auth.join(hub, "node")

@@ -94,6 +94,7 @@ object JobStats {
       try {
         jobs.set(0); stages.set(0); tasks.set(0)
         shufR.set(0); shufW.set(0)
+        if (verbose) println(s"  BEGIN $n")
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, sfDir).count()
         // listener events are delivered asynchronously — drain the bus

@@ -41,6 +41,12 @@ object PlanStats {
         // PlanShapeSpec's retired-whitelist pins
         val winExec = p.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec => w }.size
+        // unpartitioned (or constant-key) window execs — each one is a
+        // single-partition funnel that logs "No Partition Defined" at
+        // runtime; the empirical source for the r16 warning-site sweep
+        val winGlobal = p.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.forall(_.foldable) => w }.size
         val rank = p.collect { case g: graft.plans.GlobalRankExec => g }.size
         val frame = p.collect { case g: graft.plans.GlobalFrameAggExec => g }.size
         val run = p.collect { case g: graft.plans.GlobalRunningAggExec => g }.size
@@ -48,7 +54,7 @@ object PlanStats {
         val mov = p.collect { case g: graft.plans.GlobalMovingAggExec => g }.size
         println(s"PLANSTATS $n hashShuffles=$hashShuffles bhj=$bhj " +
           s"smj=$smj shj=$shj cartesian=$cart bnl=$bnl " +
-          s"winExec=$winExec rank=$rank frame=$frame run=$run " +
+          s"winExec=$winExec winGlobal=$winGlobal rank=$rank frame=$frame run=$run " +
           s"shift=$shift mov=$mov")
       } catch { case t: Throwable => println(s"PLANSTATS $n FAIL: $t") }
     }
