@@ -33,6 +33,18 @@ object R8Queries {
     * last event plus join window plus watermark delay. */
   private[queries] val SentinelNs = 1751328000000000000L
 
+  /** Process-lifetime memo of the staged sentinel parquet FILE per data
+    * dir (r16). The two sentinel rows are constants of (SentinelNs,
+    * nsToRaw) — identical for every streaming query over the same
+    * fixture — yet each of the four stageWithSentinel consumers paid a
+    * full Spark write job to regenerate them. The first call per dir
+    * still computes and writes from scratch (nothing persists across
+    * JVM runs — this is input STAGING, the same cadence as
+    * [[graft.core.Tables.stageEventsDir]]'s deterministic tmp reuse);
+    * later calls copy the one-file result. */
+  private val sentinelFileByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Stage the events fixture plus two one-row sentinel files whose
     * event times flush all outer-join state.
     *
@@ -51,25 +63,29 @@ object R8Queries {
     try stale.toArray.map(_.toString).filter(_.contains("zz_sentinel"))
       .foreach(p => Files.deleteIfExists(Paths.get(p)))
     finally stale.close()
-    import s.implicits._
-    // sentinel ts must be in the SAME raw unit as the staged fixture:
-    // nanos when Tables.eventsTsDiv = 1000, micros when it's 1
-    val nsToRaw = 1000L / Tables.eventsTsDiv(s, dir)
     // r15: ONE staging write for both sentinel rows (they ride one
     // parquet file — the file-stream source reads every available file
     // in batch 0 regardless, so file count never mattered); the old
     // per-row write paid a second full Spark write job per streaming
-    // query for no covered surface
-    val rows = Seq((1, "view"), (2, "purchase")).map { case (i, et) =>
-      (-i.toLong, (SentinelNs + i * 86400L * 1000000000L) / nsToRaw, 59L, et)
-    }
-    val tmp = Files.createTempDirectory("graft_slo_sent").toString
-    rows.toDF("event_id", "ts", "user_id", "event_type")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val listing = Files.list(Paths.get(tmp))
-    val part = try listing.toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
-    finally listing.close()
+    // query for no covered surface. r16: the write itself runs once per
+    // JVM per data dir (see [[sentinelFileByDir]]) — the other
+    // consumers copy the staged file.
+    val part = sentinelFileByDir.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      // sentinel ts must be in the SAME raw unit as the staged fixture:
+      // nanos when Tables.eventsTsDiv = 1000, micros when it's 1
+      val nsToRaw = 1000L / Tables.eventsTsDiv(s, dir)
+      val rows = Seq((1, "view"), (2, "purchase")).map { case (i, et) =>
+        (-i.toLong, (SentinelNs + i * 86400L * 1000000000L) / nsToRaw, 59L, et)
+      }
+      val tmp = Files.createTempDirectory("graft_slo_sent").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val listing = Files.list(Paths.get(tmp))
+      try listing.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      finally listing.close()
+    })
     Files.copy(Paths.get(part), Paths.get(stageDir, "zz_sentinel12.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     stageDir

@@ -188,6 +188,60 @@ class DifferentialSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("matrix: suffix-running + delayed/extended running x every hazard cell") {
+    // r16 (VERDICT r15 #7, carrying r14 #4): the two r14 rewrite
+    // families that were covered only by crafted specs — suffix frames
+    // (CURRENT ROW / ±k ROWS .. UNBOUNDED FOLLOWING, mirrored onto the
+    // reversed-order running chain) and delayed/extended running ends
+    // (UNBOUNDED PRECEDING .. ±k ROWS, composed from lag/lead of a
+    // running column) — now sweep the full hazard matrix in both tiers.
+    cells.foreach { c =>
+      val df = dataset(c)
+      val wt = Window.partitionBy("k").orderBy(col("v"), col("id"))
+      same(df.select(col("k"), col("v"), col("id"), col("x"),
+        sum("x").over(wt.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("sfx"),
+        min("x").over(wt.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("sfm"),
+        first("x").over(wt.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("sff"),
+        count(col("x")).over(wt.rowsBetween(2,
+          Window.unboundedFollowing)).as("sfo"),
+        avg("x").over(wt.rowsBetween(-2,
+          Window.unboundedFollowing)).as("sfp"),
+        sum("x").over(wt.rowsBetween(Window.unboundedPreceding, -2)).as("dly"),
+        max("x").over(wt.rowsBetween(Window.unboundedPreceding, 3)).as("ext"),
+        count(col("x")).over(wt.rowsBetween(Window.unboundedPreceding, -1))
+          .as("dlc")), skew = true, s"skew-suffix-delayed@${c.name}")
+      // RANGE suffix anchored at CURRENT ROW (tie-exact by value frames)
+      val wr = Window.partitionBy("k").orderBy("v")
+      same(df.select(col("k"), col("v"), col("x"),
+        sum("x").over(wr.rangeBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("rsx"),
+        count(col("x")).over(wr.rangeBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("rsc")),
+        skew = true, s"skew-range-suffix@${c.name}")
+      val gt = Window.orderBy(col("v"), col("id"))
+      same(df.select(col("v"), col("id"), col("x"),
+        sum("x").over(gt.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("sfx"),
+        last("x").over(gt.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("sfl"),
+        avg("x").over(gt.rowsBetween(-1,
+          Window.unboundedFollowing)).as("sfe"),
+        sum("x").over(gt.rowsBetween(Window.unboundedPreceding, -1)).as("dly"),
+        count(col("x")).over(gt.rowsBetween(Window.unboundedPreceding, 2))
+          .as("ext")), skew = false, s"global-suffix-delayed@${c.name}")
+      val gr = Window.orderBy("v")
+      same(df.select(col("v"), col("x"),
+        sum("x").over(gr.rangeBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("rsx"),
+        min("x").over(gr.rangeBetween(Window.currentRow,
+          Window.unboundedFollowing)).as("rsm")),
+        skew = false, s"global-range-suffix@${c.name}")
+    }
+  }
+
   test("matrix: whole-frame (window-to-join + mode) x every hazard cell") {
     cells.foreach { c =>
       val df = dataset(c)
