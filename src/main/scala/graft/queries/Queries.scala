@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{CrawlGraph, LinkOps, Tables}
+import graft.rules.RewriteGlobalRankWindows
 
 /** One named query per operator in SURVEY.md §2, each paired (where
   * ANSI-expressible) with DuckDB oracle SQL over the same parquet tables.
@@ -101,8 +102,10 @@ object Queries {
     * (row_number total order; reference's `enumerate(set)` is
     * nondeterministic — SURVEY.md §7.4 risk 1). */
   val qUniqueLinks = QueryDef("q_unique_links",
-    (s, dir) => CrawlGraph.surrogateKeys(cleanedLinks(s, dir), "url")
-      .orderBy("link_id"),
+    // r16: route the global row_number through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force(
+      CrawlGraph.surrogateKeys(cleanedLinks(s, dir), "url")
+        .orderBy("link_id")),
     Some(
       s"""WITH cleaned AS ($cleanedLinksSql)
          |SELECT CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS link_id,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Twenty-fourth wave — community detection and training-mix
   * construction arithmetic.
@@ -135,7 +136,8 @@ object R24Queries {
     * The whole computation runs on the |strata|-row aggregate; the
     * corpus is touched once for the counts. */
   val qSampleAlloc = QueryDef("q_sample_alloc",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val strata = t(s, dir, "documents")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       val tot = Window.partitionBy(lit(1))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Thirty-second wave — behavioral models and exact anomaly detection.
   *
@@ -198,7 +199,8 @@ object R32Queries {
     * doubles die at build time). Deviation > 150 bp flags the digit.
     * One map-side digit extraction + a 9-row aggregate. */
   val qBenford = QueryDef("q_benford",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val expectBp: Map[Int, Long] = (1 to 9).map(d =>
         d -> math.round(math.log10(1.0 + 1.0 / d) * 10000)).toMap
       val expectCol = (1 to 9).foldLeft(lit(0L)) { case (acc, d) =>

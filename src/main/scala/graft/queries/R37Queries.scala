@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.SimilarityOps
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Thirty-seventh wave — the retrieval stack over the crawled corpus.
   *
@@ -132,7 +133,8 @@ object R37Queries {
     * left join + coalesce-0 is exactly how production RRF handles a
     * doc one ranker never surfaced. */
   val qRrfFusion = QueryDef("q_rrf_fusion",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val lex = bm25(s, dir)
         .withColumn("r_lex",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))

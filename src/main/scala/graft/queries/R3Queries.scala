@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Third wave of operator coverage: unpivot/melt, multiset set-ops,
   * positional explode, MapType surface, window range-frames + ntile,
@@ -156,7 +157,8 @@ object R3Queries {
     * tie-break so all three are deterministic; bounded slice since a
     * global window is single-partition by construction). */
   val qNtile = QueryDef("q_ntile",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
       t(s, dir, "customer").where(col("c_custkey") <= 400)
         .select(col("c_custkey"),
@@ -1268,7 +1270,8 @@ object R3Queries {
     * and the running-sum window then runs over distinct days only —
     * never a global sort of the raw rows. */
   val qSweepline = QueryDef("q_sweepline",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val o = t(s, dir, "orders").where(col("o_orderkey") < 2000)
         .select(to_date(col("o_orderdate")).as("st"))
         .withColumn("en", date_add(col("st"), 7))

@@ -52,7 +52,8 @@ object R40Queries {
     "CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) AS ndcg")
 
   val qNdcg = QueryDef("q_ndcg",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val scored = R37Queries.bm25(s, dir)
       val ranked = scored
         .withColumn("rk",

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Fifty-second wave — probability calibration and vocabulary coverage.
   *
@@ -80,7 +81,8 @@ object R52Queries {
   // ---------- q_vocab_coverage ----------
 
   val qVocabCoverage = QueryDef("q_vocab_coverage",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val freq = t(s, dir, "documents").where(col("doc_id") < 400)
         .select(explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) > 0)

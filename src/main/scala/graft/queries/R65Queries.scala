@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Sixty-fifth wave — training-data curation operators: the selection /
   * mixing / ordering layer a large-scale LLM pipeline runs between
@@ -184,7 +185,8 @@ object R65Queries {
   // ---------- q_curriculum_interleave ----------
 
   val qCurriculumInterleave = QueryDef("q_curriculum_interleave",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val d = t(s, dir, "documents").where(col("doc_id") < 3000)
         .select(col("doc_id"), col("source"), col("n_chars"))
       val srcs = d.select("source").distinct()

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Eighty-third wave — permutation inference, leak-free target
   * encoding, and weight-of-evidence scoring.
@@ -145,7 +146,8 @@ object R83Queries {
   // ---------- q_woe_iv ----------
 
   val qWoeIv = QueryDef("q_woe_iv",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val bins = t(s, dir, "customer")
         .select(col("c_nationkey").cast("long").as("nat"),
           when(col("c_acctbal") < 0, 1L).otherwise(0L).as("bad"))

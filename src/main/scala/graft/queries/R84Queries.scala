@@ -170,7 +170,8 @@ object R84Queries {
   private val hillK = 100
 
   val qHillTail = QueryDef("q_hill_tail",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val x = t(s, dir, "orders")
         .select(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("c"),
           col("o_orderkey"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Ninetieth wave — data valuation, optimal sampling allocation, and
   * retrieval ranking metrics.
@@ -106,7 +107,8 @@ object R90Queries {
   private val sampleN = 1000L
 
   val qNeyman = QueryDef("q_neyman",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val strata = t(s, dir, "customer")
         .select(col("c_nationkey").cast("long").as("nat"),
           expr("CAST(round(c_acctbal * 100.0) AS BIGINT)").as("c"))

@@ -168,7 +168,8 @@ object R91Queries {
     ("bal_sign", "CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END"))
 
   val qChi2Select = QueryDef("q_chi2_select",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val y = t(s, dir, "orders").groupBy("o_custkey")
         .agg(max(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("y0"))
       val cust = t(s, dir, "customer")

@@ -224,7 +224,8 @@ object R92Queries {
   // ---------- q_uncertainty ----------
 
   val qUncertainty = QueryDef("q_uncertainty",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val counts = neighborVotes(s, dir)
         .groupBy("pid", "nlabel")
         .agg(count(lit(1)).cast("long").as("v"))

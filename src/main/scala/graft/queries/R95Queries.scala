@@ -92,7 +92,8 @@ object R95Queries {
     words.map(w => s"'$w'").mkString(", ")
 
   val qKappa = QueryDef("q_kappa",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val conf = t(s, dir, "documents")
         .select(col("lang").as("a"), TextOps.langId(col("text")).as("b"))
         .groupBy("a", "b").agg(count(lit(1)).cast("long").as("c"))
@@ -157,7 +158,8 @@ object R95Queries {
   private val topK = 10
 
   val qIvmTopk = QueryDef("q_ivm_topk",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val base = t(s, dir, "orders")
         .select(col("o_custkey").as("ck"),
           expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("cents"),

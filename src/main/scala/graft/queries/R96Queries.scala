@@ -44,7 +44,8 @@ object R96Queries {
   // ---------- q_wilcoxon ----------
 
   val qWilcoxon = QueryDef("q_wilcoxon",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
       val mid = ev.agg(expr(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.queries.Queries.QueryDef
+import graft.rules.RewriteGlobalRankWindows
 
 /** Ninety-seventh wave — Zipf exponent, silhouette score, and hash
   * balance.
@@ -41,7 +42,8 @@ object R97Queries {
   private val zipfTop = 100
 
   val qZipf = QueryDef("q_zipf",
-    (s, dir) => {
+    // r16: route the global window(s) through the distributed rewrite
+    (s, dir) => RewriteGlobalRankWindows.force {
       val freq = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).cast("long").as("f"))
