@@ -2004,7 +2004,8 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     PartitionedNthValue.ensureStrategy(spark)
     val globalised = force(df)
     GraftSqlBridge.ofRows(spark,
-      rewriteSkew(mergeWindowChains(globalised.queryExecution.analyzed)))
+      rewriteSkew(mergeWindowChains(GraftSqlBridge.withCachedData(spark,
+        globalised.queryExecution.analyzed))))
   }
 
   /** Merge same-spec window chains BEFORE matching (r15). The rewrite
@@ -2052,7 +2053,12 @@ object RewriteGlobalRankWindows extends Rule[LogicalPlan] {
     GlobalFrameAgg.ensureStrategy(spark)
     GlobalNthValue.ensureStrategy(spark)
     GlobalExactPercentile.ensureStrategy(spark)
+    // substitute cached subtrees FIRST (r16): the chain merge must see
+    // pinned intermediates as InMemoryRelation leaves, or its
+    // CollapseProject rewrites them and the cache lookup misses at
+    // execution (q_bootstrap_ci's replicate pipeline ran twice)
     GraftSqlBridge.ofRows(spark,
-      rewrite(mergeWindowChains(df.queryExecution.analyzed)))
+      rewrite(mergeWindowChains(GraftSqlBridge.withCachedData(spark,
+        df.queryExecution.analyzed))))
   }
 }

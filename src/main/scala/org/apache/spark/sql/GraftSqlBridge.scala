@@ -17,6 +17,21 @@ object GraftSqlBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Substitute already-cached (persisted) subtrees of `plan` with
+    * their `InMemoryRelation`s, exactly as execution would (r16). The
+    * window-rewrite's chain merge runs CollapseProject over the raw
+    * analyzed plan; collapsing a Project INTO a pinned subtree changes
+    * that subtree, the CacheManager's sameResult lookup then misses at
+    * execution, and the pinned pipeline silently recomputes (measured:
+    * q_bootstrap_ci's 100k-row md5 pipeline ran twice — shuffle records
+    * doubled). Substituting first turns every cached subtree into an
+    * InMemoryRelation LEAF the merge cannot reach into. */
+  def withCachedData(spark: SparkSession,
+                     plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
+      .useCachedData(plan)
+
   /** Free the storage blocks behind a `localCheckpoint()`ed Dataset.
     *
     * `localCheckpoint` persists `queryExecution.toRdd` and truncates the

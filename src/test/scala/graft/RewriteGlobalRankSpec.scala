@@ -237,4 +237,30 @@ class RewriteGlobalRankSpec extends AnyFunSuite {
     assert(p.collect { case g: GlobalRankExec => g }.size == 2, p.toString)
     assert(RowMultiset.of(forced) == RowMultiset.of(windowed))
   }
+
+  test("force over a pinned intermediate reuses the cache (r16 regression pin)") {
+    // r15's chain merge ran CollapseProject over the raw analyzed plan;
+    // merging a Project INTO a persisted subtree changed it, the
+    // CacheManager sameResult lookup missed, and the pinned pipeline
+    // silently recomputed (q_bootstrap_ci's md5 replicate pass ran
+    // twice — JobStats shuffle records doubled). force() now
+    // substitutes cached subtrees first, so the rewritten plan scans
+    // the InMemoryRelation.
+    val base = spark.range(300).select(
+      (col("id") % 37L).as("g"), (col("id") * 11L % 97L).as("x"))
+    val pinned = graft.core.Pins.pin(
+      base.groupBy("g").agg(sum("x").as("sx"))
+        .select(col("g"), (col("sx") * 2L).as("m")))
+    try {
+      val forced = RewriteGlobalRankWindows.force(
+        pinned.withColumn("rk",
+          row_number().over(Window.orderBy(col("m"), col("g")))))
+      val analyzed = forced.queryExecution.withCachedData
+      assert(analyzed.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }.nonEmpty, s"pinned subtree not served from cache:\n$analyzed")
+      val p = noAqePlan(forced)
+      assert(p.collect { case x: WindowExec => x }.isEmpty, p.toString)
+    } finally pinned.unpersist(blocking = true)
+  }
 }
